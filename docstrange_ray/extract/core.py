@@ -1,0 +1,107 @@
+"""Per-document extraction dispatcher + sequential oracle.
+
+``extract_spans`` is the single source of truth for extraction
+semantics: the Ray pipeline calls it (directly for light documents,
+piecewise via the page explode/reassemble path for paged documents) and
+the oracle loops it sequentially. The routing mirrors the reference's
+extension dispatch (extractor.py:336-372 — SURVEY.md S1) with span
+``kind`` playing the role of the file extension.
+"""
+
+from __future__ import annotations
+
+from docstrange_ray.config import DEFAULT, ExtractConfig
+from docstrange_ray.extract.html_extract import html_to_spans
+from docstrange_ray.extract.markdown_extract import markdown_to_spans
+from docstrange_ray.extract.page_extract import page_to_spans
+from docstrange_ray.extract.table_extract import table_src_to_spans
+from docstrange_ray.extract.text_extract import text_to_spans
+
+
+def finalize_spans(out: list[dict]) -> list[dict]:
+    """Assign the output ``offset`` = 0-based span order (the north rule's
+    ``order`` component) and normalize field presence."""
+    return [
+        {
+            "kind": s["kind"],
+            "text": s.get("text", "") or "",
+            "media_ref": s.get("media_ref", "") or "",
+            "offset": i,
+        }
+        for i, s in enumerate(out)
+    ]
+
+
+def extract_unit(
+    kind: str,
+    text: str,
+    media_ref: str,
+    doc_id: str,
+    page_no: int,
+    table_idx: int,
+    cfg: ExtractConfig = DEFAULT,
+) -> list[dict]:
+    """Extract ONE input span (an extraction unit). ``page_no`` /
+    ``table_idx`` are the 1-based ordinals of this unit among the doc's
+    page-src / table-src spans (page numbering mirrors the reference's
+    page loop index, pdf_processor.py:135)."""
+    if kind == "html":
+        return html_to_spans(text)
+    if kind == "text":
+        return text_to_spans(text)
+    if kind == "md":
+        return markdown_to_spans(text)
+    if kind == "table-src":
+        return table_src_to_spans(text, name=f"{doc_id}.t{table_idx}", cfg=cfg)
+    if kind == "page-src":
+        return page_to_spans(text, page_no, cfg)
+    if kind == "image-ref":
+        return [{"kind": "image-ref", "text": text, "media_ref": media_ref}]
+    # Unknown input kinds are skipped (reference raises for unsupported
+    # formats, extractor.py:200-225; in a 10^12-doc corpus we record-and-drop
+    # instead of failing the job).
+    return []
+
+
+def extract_spans(
+    doc_id: str, in_spans: list[dict], cfg: ExtractConfig = DEFAULT
+) -> list[dict]:
+    """Extract a whole document: process input spans in offset order,
+    concatenate unit outputs, assign final span order."""
+    ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
+    out: list[dict] = []
+    page_no = 0
+    table_idx = 0
+    for s in ordered:
+        kind = s.get("kind", "")
+        if kind == "page-src":
+            page_no += 1
+        if kind == "table-src":
+            table_idx += 1
+        out.extend(
+            extract_unit(
+                kind,
+                s.get("text", "") or "",
+                s.get("media_ref", "") or "",
+                doc_id,
+                page_no,
+                table_idx,
+                cfg,
+            )
+        )
+    return finalize_spans(out)
+
+
+def extract_document(row: dict, cfg: ExtractConfig = DEFAULT) -> dict:
+    """Oracle entry point: one input row -> one extracted row."""
+    return {
+        "doc_id": row["doc_id"],
+        "spans": extract_spans(row["doc_id"], list(row["spans"]), cfg),
+    }
+
+
+def extract_corpus(rows: list[dict], cfg: ExtractConfig = DEFAULT) -> list[dict]:
+    """The sequential oracle: the reference's one-document-at-a-time loop
+    (cli.py:429-441) over a list of rows. Used by tests to verify the Ray
+    pipeline under span-sequence equality."""
+    return [extract_document(r, cfg) for r in rows]

@@ -1,0 +1,176 @@
+"""Pipeline builders: the flagship extraction pipeline and the resumable
+extraction *job*.
+
+Two terminal shapes over the same stages (docstrange_ray.stages):
+
+  * ``extract_pipeline(ds)``  -> Dataset[(doc_id, spans)] — streaming
+    result for composition / queries.
+  * ``run_extract_job(ds, out_dir)`` — the production shape: assembly and
+    the sink share ONE shuffle keyed on the deterministic partition id,
+    each partition is written atomically with a lineage+metrics manifest,
+    and a rerun skips completed partitions (resume).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from docstrange_ray.config import DEFAULT, ExtractConfig
+from docstrange_ray.extract.core import finalize_spans
+from docstrange_ray.schema import DOCUMENTS_SCHEMA
+from docstrange_ray.stages import (
+    ExtractUnitActor,
+    assemble_group,
+    make_extract_or_explode,
+)
+from docstrange_ray.state import manifest as mstate
+
+_INLINE = 1 << 30  # skew threshold that disables the explode path
+
+
+def extract_pipeline(
+    ds,
+    cfg: ExtractConfig = DEFAULT,
+    skew_threshold_units: int | None = 16,
+    layout_concurrency=None,
+):
+    """Input Dataset[(doc_id, spans)] -> extracted Dataset[(doc_id, spans)].
+
+    ``skew_threshold_units=None`` selects the shuffle-free inline plan
+    (every document extracted inside one stateless ``map_batches``) —
+    correct when per-unit cost is small. The default plan explodes
+    documents with >= 16 input spans into unit rows, runs the stateful
+    layout stage as an actor pool, and restores order with a
+    ``groupby(doc_id)`` reassembly shuffle.
+    """
+    if skew_threshold_units is None:
+        fn = make_extract_or_explode(cfg, _INLINE)
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("spans")],
+                schema=DOCUMENTS_SCHEMA,
+            )
+
+        return ds.map_batches(
+            fn, batch_format="pyarrow", batch_size=cfg.parse_batch_size
+        ).map_batches(project, batch_format="pyarrow")
+
+    units = ds.map_batches(
+        make_extract_or_explode(cfg, skew_threshold_units),
+        batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+    )
+    units = units.map_batches(
+        ExtractUnitActor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.layout_batch_size,
+        concurrency=layout_concurrency or cfg.layout_concurrency or (2, 16),
+        num_cpus=1,
+    )
+    return units.groupby("doc_id").map_groups(assemble_group, batch_format="pyarrow")
+
+
+def _assemble_partition(group: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
+    """Sink stage: one partition's unit rows -> assembled docs -> atomic
+    parquet + manifest. Returns the manifest as a one-row table."""
+    import pyarrow.compute as pc
+
+    started = time.time()
+    part_id = int(group.column("part_id")[0].as_py())
+    order = pc.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("seq", "ascending")]
+    )
+    group = group.take(order)
+    doc_ids = group.column("doc_id").to_pylist()
+    span_lists = group.column("spans").to_pylist()
+    costs = group.column("est_cost").to_pylist()
+
+    rows: list[dict] = []
+    total_cost = 0.0
+    cur_id: str | None = None
+    cur_spans: list[dict] = []
+    for did, spans, cost in zip(doc_ids, span_lists, costs):
+        if did != cur_id:
+            if cur_id is not None:
+                rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
+            cur_id, cur_spans = did, []
+        cur_spans.extend(spans or [])
+        total_cost += cost or 0.0
+    if cur_id is not None:
+        rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
+
+    table = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    man = mstate.write_partition(
+        out_dir,
+        part_id,
+        table,
+        fingerprint,
+        started,
+        metrics={"est_cost": round(total_cost, 1)},
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "part_id": man["part_id"],
+                "n_docs": man["n_docs"],
+                "n_spans": man["n_spans"],
+                "wall_sec": man["wall_sec"],
+            }
+        ]
+    )
+
+
+def run_extract_job(
+    ds,
+    out_dir: str,
+    input_fingerprint: str,
+    cfg: ExtractConfig = DEFAULT,
+    skew_threshold_units: int = 16,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    layout_concurrency=None,
+) -> list[dict]:
+    """The production job: extract ``ds`` into ``out_dir`` as
+    ``num_partitions`` atomic parquet partitions with manifests; on rerun,
+    partitions with a valid manifest are filtered out at the head of the
+    pipeline (no reprocessing — BASELINE.md resumability target).
+
+    Returns the list of partition-manifest summary rows written this run.
+    """
+    P = num_partitions or cfg.num_output_partitions
+    done = mstate.completed_partitions(out_dir, input_fingerprint) if resume else set()
+
+    def tag_and_filter(batch: pa.Table) -> pa.Table:
+        part = mstate.partition_column(batch.column("doc_id"), P)
+        batch = batch.append_column("part_id", part)
+        if done:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.is_in(batch.column("part_id"), pa.array(sorted(done), pa.int32())))
+            batch = batch.filter(mask)
+        return batch
+
+    ds = ds.map_batches(tag_and_filter, batch_format="pyarrow")
+
+    units = ds.map_batches(
+        make_extract_or_explode(cfg, skew_threshold_units, keep_columns=("part_id",)),
+        batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+    )
+    units = units.map_batches(
+        ExtractUnitActor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.layout_batch_size,
+        concurrency=layout_concurrency or cfg.layout_concurrency or (2, 16),
+        num_cpus=1,
+    )
+    manifests = units.groupby("part_id").map_groups(
+        lambda g: _assemble_partition(g, out_dir, input_fingerprint),
+        batch_format="pyarrow",
+    )
+    return manifests.take_all()  # small: one row per partition

@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` spans three families:
+  * extraction — the flagship docstrange-capability pipeline over the
+    deterministic synthetic interleaved-span corpus (NOT SQL-expressible:
+    DOM pruning / layout heuristics; the span-equality gate for these
+    lives in ``tests/`` against the sequential oracle). Rows-only checks.
+  * training-data ops — dedup / fingerprints / token & quality stats /
+    ANN over ``documents`` & ``embeddings``, each with a DuckDB oracle
+    where SQL can express it.
+  * relational — groupby/join/sort/window shapes over the TPC-H-ish
+    tables, all DuckDB-oracled with exact integer arithmetic.
 """
 
 from __future__ import annotations
@@ -18,27 +20,260 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# --- helpers ----------------------------------------------------------------
+
+_EXTRACT_DOCS_CAP = 2000
+
+
+def _corpus_size(sf_dir: str) -> int:
+    """Deterministic synthetic corpus size for this sf tier (scaled off
+    the documents table's row count, capped per FIXTURES.md §3)."""
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(200, min(_EXTRACT_DOCS_CAP, n))
+
+
+def _synth_ds(sf_dir: str):
+    from docstrange_ray.synth import synth_dataset
+
+    return synth_dataset(_corpus_size(sf_dir), seed=42)
+
+
+def _extracted(sf_dir: str):
+    from docstrange_ray.pipeline import extract_pipeline
+
+    return extract_pipeline(_synth_ds(sf_dir))
+
+
+# --- driver contract --------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthetic interleaved
+    corpus → full extraction (explode + actor pool + reassembly) →
+    markdown projection column."""
+    from docstrange_ray.projections import add_projection
+
+    out = _extracted("/root/testdata/sf0.001")
+    return add_projection(out, "markdown")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from docstrange_ray.ops import ann, dedup, textstats
+    from docstrange_ray import relational
+    from docstrange_ray.projections import add_projection
+
+    def read_docs(sf_dir):
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def read_emb(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    # -- extraction family (rows-only: non-SQL-expressible semantics) --
+    def extract_flagship(sf_dir):
+        def flatten(batch: pa.Table) -> pa.Table:
+            rows = []
+            for did, spans in zip(
+                batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+            ):
+                for s in spans:
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "offset": s["offset"],
+                            "kind": s["kind"],
+                            "text": s["text"],
+                            "media_ref": s["media_ref"],
+                        }
+                    )
+            from docstrange_ray.schema import FLAT_SPANS_SCHEMA
+
+            return pa.Table.from_pylist(rows, schema=FLAT_SPANS_SCHEMA)
+
+        return _extracted(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+    def extract_markdown(sf_dir):
+        return add_projection(_extracted(sf_dir), "markdown").select_columns(
+            ["doc_id", "markdown"]
+        )
+
+    def extract_doc_meta(sf_dir):
+        from docstrange_ray.projections import spans_to_json
+
+        def meta(batch: pa.Table) -> pa.Table:
+            rows = []
+            for did, spans in zip(
+                batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+            ):
+                m = spans_to_json(list(spans))["document"]["metadata"]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_spans": len(spans),
+                        "section_count": m["section_count"],
+                        "max_heading_level": m["max_heading_level"],
+                        "has_tables": m["has_tables"],
+                        "has_images": m["has_images"],
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        return _extracted(sf_dir).map_batches(meta, batch_format="pyarrow")
+
+    # -- training-data ops --
+    def token_count(sf_dir):
+        return read_docs(sf_dir).map_batches(
+            textstats.token_stats, batch_format="pyarrow"
+        )
+
+    def quality_stats(sf_dir):
+        return read_docs(sf_dir).map_batches(
+            textstats.quality_stats, batch_format="pyarrow"
+        )
+
+    def content_fp(sf_dir):
+        return (
+            read_docs(sf_dir)
+            .map_batches(textstats.content_fingerprint, batch_format="pyarrow")
+            .select_columns(["doc_id", "content_md5"])
+        )
+
+    def exact_dedup(sf_dir):
+        return dedup.exact_dedup_groups(read_docs(sf_dir))
+
+    def lang_id(sf_dir):
+        return read_docs(sf_dir).map_batches(
+            textstats.LangId, batch_format="pyarrow", concurrency=(1, 4)
+        )
+
+    def doc_fingerprint(sf_dir):
+        return read_docs(sf_dir).map_batches(
+            textstats.rolling_fingerprint, batch_format="pyarrow"
+        )
+
+    def minhash_near_dups(sf_dir):
+        pairs = dedup.near_dup_pairs(read_docs(sf_dir), threshold=0.8)
+        return pa.Table.from_pylist(
+            pairs,
+            schema=pa.schema(
+                [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("jaccard", pa.float64())]
+            ),
+        )
+
+    def simhash_sigs(sf_dir):
+        return read_docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+    def embedding_dups(sf_dir):
+        # fixture embeddings are near-random (max pairwise cos ~0.5); the
+        # fixture threshold 0.4 keeps the op's output non-degenerate
+        return dedup.embedding_dup_pairs(read_emb(sf_dir), threshold=0.4)
+
+    def ann_topk(sf_dir):
+        first = (
+            read_emb(sf_dir)
+            .filter(expr="vec_id < 8")
+            .take_all()
+        )
+        first.sort(key=lambda r: r["vec_id"])
+        q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+        qids = [int(r["vec_id"]) for r in first]
+        return ann.brute_force_topk(read_emb(sf_dir), q, qids, k=10)
+
+    return {
+        # extraction
+        "extract_flagship": extract_flagship,
+        "extract_markdown": extract_markdown,
+        "extract_doc_meta": extract_doc_meta,
+        # training-data ops
+        "token_count": token_count,
+        "quality_stats": quality_stats,
+        "content_fingerprint": content_fp,
+        "exact_dedup": exact_dedup,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_sigs": simhash_sigs,
+        "embedding_dups": embedding_dups,
+        "ann_topk": ann_topk,
+        # relational
+        "q1_pricing": relational.q1_pricing,
+        "top_customers": relational.top_customers,
+        "revenue_by_region": relational.revenue_by_region,
+        "events_hourly": relational.events_hourly,
+        "user_sessions": relational.user_sessions,
+        "docs_by_source": relational.docs_by_source,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docstrange_ray import relational
+
+    return {
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                       AS n_words,
+                   CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                       AS sum_word_len,
+                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+                       AS n_punct,
+                   CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+                       AS n_stopwords
+            FROM documents
+        """,
+        "content_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
+            FROM documents
+        """,
+        "exact_dedup": r"""
+            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_dups
+            FROM documents
+            GROUP BY 1
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "ann_topk": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < 8
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                         e.vec_id ASC
+            ) <= 10
+        """,
+        "q1_pricing": relational.Q1_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "revenue_by_region": relational.REVENUE_BY_REGION_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "user_sessions": relational.USER_SESSIONS_SQL,
+        "docs_by_source": relational.DOCS_BY_SOURCE_SQL,
+    }

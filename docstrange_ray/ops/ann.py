@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * ``brute_force_topk`` — the exact baseline: the query matrix is
+    broadcast ONCE via ``ray.put`` and every batch does one float64
+    matmul against it (vectorized, no shuffle); per-batch local top-k
+    candidates are then reduced per query. Wall-clock scales linearly in
+    corpus size at fixed query count — the right baseline shape for a
+    scan-heavy cluster job.
+  * ``hyperplane_bucket`` / ``lsh_topk`` — the scale path: random
+    hyperplane signatures bucket the corpus; queries probe only their
+    own bucket (plus optional multi-probe neighbors), trading recall
+    for a corpus-fraction scan. An IVF variant would swap the hash for
+    k-means centroids; the plumbing (bucket column + per-bucket search)
+    is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
+    """Exact cosine top-k for each query row.
+
+    Returns Dataset[(query_id, vec_id, score)] with ``score`` rounded to
+    6 decimals (hash-stable vs a float64 SQL oracle).
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        cos = qmat @ mat.T  # (Q, B)
+        kk = min(k, cos.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(cos.shape[0]):
+            idx = np.argpartition(-cos[qi], kk - 1)[:kk]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(int(ids[j]) for j in idx)
+            out_s.extend(float(cos[qi, j]) for j in idx)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_v, type=pa.int64()),
+                pa.array(np.round(out_s, 6), type=pa.float64()),
+            ],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break: score desc, vec_id asc
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )
+
+
+# --- LSH-bucketed variant ---------------------------------------------------
+
+N_PLANES = 8  # 256 buckets
+
+_rng = np.random.RandomState(0xA27)
+# dims up to 256 supported; sliced to the corpus dim at use time
+_PLANES = _rng.standard_normal((N_PLANES, 256))
+
+
+def _bucket_of(mat: np.ndarray) -> np.ndarray:
+    planes = _PLANES[:, : mat.shape[1]]
+    bits = (mat @ planes.T) > 0
+    return (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int32)
+
+
+def hyperplane_bucket(batch: pa.Table) -> pa.Table:
+    """Add the LSH 'bucket' column — the partitioning key for bucketed
+    similarity ops (search, near-dup) at scale."""
+    mat = _normalize(_as_matrix(batch.column("embedding")))
+    return batch.append_column("bucket", pa.array(_bucket_of(mat), type=pa.int32()))
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
+    """Approximate top-k: probe only the corpus bucket matching each
+    query's hyperplane signature. Recall < 1.0 by construction; used when
+    a full scan per query is too expensive."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qbuckets = _bucket_of(q)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, qbuckets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, qb = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        buckets = np.asarray(batch.column("bucket"), dtype=np.int32)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            mask = buckets == qb[qi]
+            if not mask.any():
+                continue
+            sub = mat[mask]
+            cos = sub @ qmat[qi]
+            kk = min(k, len(cos))
+            idx = np.argpartition(-cos, kk - 1)[:kk]
+            sub_ids = ids[mask]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(int(sub_ids[j]) for j in idx)
+            out_s.extend(float(cos[j]) for j in idx)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_v, type=pa.int64()),
+                pa.array(np.round(out_s, 6), type=pa.float64()),
+            ],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(hyperplane_bucket, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )

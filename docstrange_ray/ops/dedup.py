@@ -1,0 +1,336 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shuffle discipline (SURVEY.md §2.7, ray_guide aggregation notes):
+  * exact dedup = vectorized content-hash column + ONE
+    ``groupby(hash)`` shuffle with per-group first-wins;
+  * MinHash-LSH = per-batch signatures (no shuffle) → explode to
+    (band, band_hash, doc_id) rows → ONE groupby on the band key →
+    candidate pairs → exact-Jaccard verification via a broadcast
+    signature lookup (candidates are a tiny fraction of the corpus);
+  * SimHash = per-batch 64-bit signatures → 4-segment blocking
+    (Hamming distance <= 3 guarantees one identical 16-bit segment) →
+    ONE groupby on the segment key;
+  * embedding near-dup = brute-force cosine per batch against a
+    broadcast matrix at fixture scale; the 10^12-scale path is
+    LSH-bucketed (random-hyperplane bucket column + groupby) and is
+    implemented in ops.ann.
+
+All hashing is md5-derived — deterministic across processes (no
+PYTHONHASHSEED dependence), a correctness requirement for any
+distributed dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from docstrange_ray.ops.textstats import content_fingerprint
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+# Fixed random linear permutations a*x+b (mod 2^64, natural uint64 wrap —
+# fast, fully vectorized, and sufficient mixing for minhash), seeded.
+_rng = np.random.RandomState(0xD0C5)
+_PERM_A = (_rng.randint(1, 1 << 62, size=NUM_PERM).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+_PERM_B = _rng.randint(0, 1 << 62, size=NUM_PERM).astype(np.uint64)
+
+
+def _shingles(text: str, n: int = 3) -> set[int]:
+    """Word n-gram shingles as stable 64-bit ints."""
+    words = (text or "").lower().split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return {
+        int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big") >> 3
+        for g in grams
+    }
+
+
+def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+    sh = _shingles(text, n)
+    if not sh:
+        return np.zeros(NUM_PERM, dtype=np.int64)
+    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod 2^64, min over shingles, vectorized over both axes
+    with np.errstate(over="ignore"):
+        vals = x[None, :] * _PERM_A[:, None] + _PERM_B[:, None]
+    return (vals.min(axis=1) >> np.uint64(1)).astype(np.int64)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_groups(ds):
+    """(content_md5, keep_doc_id, n_dups): hash-partitioned first-wins
+    exact dedup. One shuffle on the content hash."""
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_md5": [g["content_md5"].iloc[0]],
+                "keep_doc_id": [g["doc_id"].min()],
+                "n_dups": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(content_fingerprint, batch_format="pyarrow")
+        .select_columns(["doc_id", "content_md5"])
+        .groupby("content_md5")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_bands_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch: signature + explode to (band, band_hash, doc_id) rows.
+    Emits BANDS rows per document; band_hash folds the band's minhash
+    values through md5 so bucket ids are compact and uniform."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_doc, out_band, out_hash, out_sig = [], [], [], []
+    for did, text in zip(doc_ids, texts):
+        sig = minhash_signature(text)
+        sig_bytes = sig.tobytes()
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()
+            h = struct.unpack("<q", hashlib.md5(chunk).digest()[:8])[0]
+            out_doc.append(did)
+            out_band.append(b)
+            out_hash.append(h)
+            out_sig.append(sig_bytes)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_doc),
+            pa.array(out_band, type=pa.int32()),
+            pa.array(out_hash, type=pa.int64()),
+            pa.array(out_sig, type=pa.binary()),
+        ],
+        names=["doc_id", "band", "band_hash", "sig"],
+    )
+
+
+def minhash_candidates(ds):
+    """Candidate near-dup pairs from LSH buckets: docs sharing any band
+    bucket. Returns Dataset[(doc_id_a, doc_id_b, est_jaccard)] with
+    est_jaccard = matching-minhash fraction from the full signatures
+    (the signature travels with the band row, so verification needs no
+    second join)."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series([], dtype=g["doc_id"].dtype),
+                 "doc_id_b": pd.Series([], dtype=g["doc_id"].dtype),
+                 "est_jaccard": pd.Series([], dtype=np.float64)}
+            )
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        rows_a, rows_b, est = [], [], []
+        recs = list(zip(g["doc_id"], g["sig"]))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a = np.frombuffer(recs[i][1], dtype=np.int64)
+                b = np.frombuffer(recs[j][1], dtype=np.int64)
+                rows_a.append(recs[i][0])
+                rows_b.append(recs[j][0])
+                est.append(float((a == b).mean()))
+        return pd.DataFrame(
+            {"doc_id_a": rows_a, "doc_id_b": rows_b, "est_jaccard": np.round(est, 6)}
+        )
+
+    bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    # One pair can surface from several bands — dedup on the pair key.
+    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        pair_first, batch_format="pandas"
+    )
+
+
+def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard. The
+    verification recomputes shingles for candidate docs only (broadcast
+    of the candidate id set; candidates << corpus)."""
+    import ray
+
+    cands = minhash_candidates(ds).take_all()  # small: LSH survivors only
+    cand_ids = set()
+    for p in cands:
+        cand_ids.add(p["doc_id_a"])
+        cand_ids.add(p["doc_id_b"])
+    if not cands:
+        return []
+    ids_ref = ray.put(cand_ids)
+
+    def shingle_candidates(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        rows = [
+            {"doc_id": d, "shingles": sorted(_shingles(t, ngram))}
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            )
+            if d in ids
+        ]
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("doc_id", batch.schema.field("doc_id").type),
+                 ("shingles", pa.list_(pa.int64()))]
+            ),
+        )
+
+    sh = {
+        r["doc_id"]: set(r["shingles"])
+        for r in ds.map_batches(shingle_candidates, batch_format="pyarrow").take_all()
+    }
+    out = []
+    for p in cands:
+        a, b = sh.get(p["doc_id_a"], set()), sh.get(p["doc_id_b"], set())
+        union = len(a | b)
+        jac = (len(a & b) / union) if union else 0.0
+        if jac >= threshold:
+            out.append(
+                {
+                    "doc_id_a": p["doc_id_a"],
+                    "doc_id_b": p["doc_id_b"],
+                    "jaccard": round(jac, 6),
+                }
+            )
+    return sorted(out, key=lambda r: (r["doc_id_a"], r["doc_id_b"]))
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (md5-based, deterministic)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in (text or "").lower().split():
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    val = 0
+    for i in range(64):
+        if acc[i] > 0:
+            val |= 1 << i
+    return val - (1 << 63)  # shift into signed int64 range for Arrow
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    sims = [simhash64(t) for t in batch.column("text").to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(sims, type=pa.int64())],
+        names=["doc_id", "simhash"],
+    )
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3):
+    """Near-dup pairs by SimHash Hamming distance, found with 4-segment
+    blocking: any pair within Hamming distance 3 shares at least one
+    identical 16-bit segment (pigeonhole), so one groupby per segment
+    replaces the quadratic scan."""
+
+    def explode_segments(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        sims = batch.column("simhash").to_pylist()
+        rows = []
+        for d, s in zip(doc_ids, sims):
+            u = (s + (1 << 63)) & 0xFFFFFFFFFFFFFFFF
+            for seg in range(4):
+                rows.append(
+                    {
+                        "seg": seg,
+                        "seg_val": (u >> (16 * seg)) & 0xFFFF,
+                        "doc_id": d,
+                        "simhash": s,
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        rows = []
+        recs = list(zip(g["doc_id"], g["simhash"]))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                x = (recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF
+                ham = bin(x).count("1")
+                if ham <= max_hamming:
+                    rows.append(
+                        {"doc_id_a": recs[i][0], "doc_id_b": recs[j][0], "hamming": ham}
+                    )
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    pairs = (
+        sigs.map_batches(explode_segments, batch_format="pyarrow")
+        .groupby(["seg", "seg_val"])
+        .map_groups(seg_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95):
+    """(id_a, id_b, cos) for all embedding pairs with cosine above the
+    threshold. Fixture-scale plan: broadcast the normalized matrix once
+    (ray.put) and matmul per batch — O(N*B) per batch, no shuffle. The
+    10^12-row path replaces the broadcast with LSH bucketing
+    (ops.ann.hyperplane_bucket) + per-bucket pairing."""
+    import ray
+
+    mat_rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in mat_rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in mat_rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        bmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
+        cos = bmat @ all_mat.T
+        rows_a, rows_b, vals = [], [], []
+        for i in range(len(bids)):
+            hits = np.where(cos[i] >= threshold)[0]
+            for j in hits:
+                if bids[i] < all_ids[j]:  # emit each unordered pair once
+                    rows_a.append(int(bids[i]))
+                    rows_b.append(int(all_ids[j]))
+                    vals.append(round(float(cos[i, j]), 6))
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows_a, type=pa.int64()),
+                pa.array(rows_b, type=pa.int64()),
+                pa.array(vals, type=pa.float64()),
+            ],
+            names=["id_a", "id_b", "cos"],
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
+container — each raises ``NotImplementedError`` unless the deterministic
+fake backend is selected), but the Ray-side plumbing is real and tested:
+schema, actor-pool stage shape, batch sizing for large binary payloads,
+and output layout. Swapping in a real decoder touches exactly one
+method. This mirrors how the reference isolates its model-bearing stages
+behind small interfaces (ocr_service.py:190-222).
+
+Memory note (ray_guide pitfalls): binary payload batches must stay
+small — ``media_batch_size`` default 16 keeps batch x concurrency well
+under worker heap for multi-MB blobs; blocks stay in Arrow (never pandas
+object dtype) end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+MEDIA_BATCH_SIZE = 16
+
+
+def synth_media_table(refs: list[str], seed: int = 42) -> pa.Table:
+    """Deterministic fake media payloads for the fixture media table
+    (FIXTURES.md §4)."""
+    rows = []
+    for ref in refs:
+        h = hashlib.md5(f"{seed}:{ref}".encode()).digest()
+        size = 512 + h[0] * 16
+        payload = (h * ((size // 16) + 1))[:size]
+        rows.append(
+            {
+                "media_ref": ref,
+                "payload": payload,
+                "mime": "image/png" if h[1] % 2 == 0 else "image/jpeg",
+                "width": 64 + (h[2] % 8) * 32,
+                "height": 64 + (h[3] % 8) * 32,
+                "n_frames": 1,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class ImageDecodeActor:
+    """Actor-pool stage: decode + feature-extract image payloads.
+
+    ``backend='fake'`` (default here) derives deterministic pseudo-pixels
+    from the payload bytes so the full pipeline (including downstream
+    resize/embed stages) is testable hermetically. ``backend='pil'``
+    raises until a real imaging library is present.
+    """
+
+    def __init__(self, backend: str = "fake", resize_to: int = 32):
+        self.backend = backend
+        self.resize_to = resize_to
+        if backend == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env without PIL
+                raise NotImplementedError(
+                    "PIL backend requires pillow; use backend='fake' in this sandbox"
+                ) from e
+
+    def _decode_fake(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        # Deterministic pseudo-decode: tile the byte payload into (h, w).
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        need = w * h
+        tiled = np.resize(arr, need).reshape(h, w)
+        return tiled
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend != "fake":
+            raise NotImplementedError("only the deterministic fake backend runs here")
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out = []
+        r = self.resize_to
+        for ref, payload, w, h in zip(refs, payloads, widths, heights):
+            img = self._decode_fake(payload, w, h)
+            # nearest-neighbor "resize" to r x r
+            yi = (np.arange(r) * (h / r)).astype(int)
+            xi = (np.arange(r) * (w / r)).astype(int)
+            small = img[np.ix_(yi, xi)].astype(np.float64)
+            out.append(
+                {
+                    "media_ref": ref,
+                    "mean_intensity": round(float(img.mean()), 6),
+                    "feature": (small.mean(axis=0) / 255.0).round(6).tolist(),
+                }
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("mean_intensity", pa.float64()),
+                    ("feature", pa.list_(pa.float64())),
+                ]
+            ),
+        )
+
+
+def decode_features(media_ds, concurrency=(1, 4)):
+    """The media feature pipeline: actor pool, small batches (binary
+    payloads), Arrow end-to-end."""
+    return media_ds.map_batches(
+        ImageDecodeActor,
+        fn_constructor_kwargs={"backend": "fake"},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

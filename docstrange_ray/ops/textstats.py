@@ -1,0 +1,175 @@
+"""Text analysis: token counting, quality signals, language ID,
+document fingerprinting.
+
+All stages are vectorized ``map_batches`` over Arrow/pandas batches;
+regex state is compiled at module import (once per worker process).
+Counting outputs are exact integers so the DuckDB oracle comparison is
+bit-stable (no float-sum ordering issues).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_OR_PUNCT = re.compile(r"\w+|[^\w\s]")
+_PUNCT = re.compile(r"[.!?,;:]")
+_WS_RUN = re.compile(r"\s+")
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (the corpus langs are en/de/zh/fr/es).
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "para", "que", "con"},
+}
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens and a
+    BPE-ish regex token count (words + punctuation marks) — the engine's
+    analogue of the reference's tiktoken/char-4 token counter
+    (mcp_server_module/server.py:69-86 — A10/G2)."""
+    texts = batch.column("text").to_pylist()
+    n_ws = [len(t.split()) if t else 0 for t in texts]
+    n_bpe = [len(_WORD_OR_PUNCT.findall(t)) if t else 0 for t in texts]
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_ws, type=pa.int64()),
+            pa.array(n_bpe, type=pa.int64()),
+        ],
+        names=["doc_id", "n_ws_tokens", "n_bpe_tokens"],
+    )
+
+
+def quality_stats(batch: pa.Table) -> pa.Table:
+    """Integer quality-signal counts per document: characters, words,
+    summed word length, sentence punctuation, stopword hits. Downstream
+    quality *scores* are ratios of these; keeping the table integral keeps
+    the oracle hash comparison exact."""
+    texts = batch.column("text").to_pylist()
+    n_chars, n_words, sum_wlen, n_punct, n_stop = [], [], [], [], []
+    stopset = set(STOPWORDS)
+    for t in texts:
+        t = t or ""
+        words = t.split()
+        n_chars.append(len(t))
+        n_words.append(len(words))
+        sum_wlen.append(sum(len(w) for w in words))
+        n_punct.append(len(_PUNCT.findall(t)))
+        n_stop.append(sum(1 for w in words if w.lower() in stopset))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_chars, type=pa.int64()),
+            pa.array(n_words, type=pa.int64()),
+            pa.array(sum_wlen, type=pa.int64()),
+            pa.array(n_punct, type=pa.int64()),
+            pa.array(n_stop, type=pa.int64()),
+        ],
+        names=["doc_id", "n_chars_m", "n_words", "sum_word_len", "n_punct", "n_stopwords"],
+    )
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Composite [0,1] quality score from the integer signals — the
+    filter-threshold stage of a training-data pipeline (not SQL-oracled;
+    combine weights are ours)."""
+    t = quality_stats(batch)
+    n_words = np.asarray(t.column("n_words"), dtype=np.float64)
+    n_chars = np.maximum(np.asarray(t.column("n_chars_m"), dtype=np.float64), 1)
+    sum_wlen = np.asarray(t.column("sum_word_len"), dtype=np.float64)
+    n_stop = np.asarray(t.column("n_stopwords"), dtype=np.float64)
+    avg_wlen = sum_wlen / np.maximum(n_words, 1)
+    len_score = np.clip(n_words / 100.0, 0, 1)
+    wlen_score = np.exp(-0.5 * np.square((avg_wlen - 5.0) / 3.0))
+    stop_score = np.clip(n_stop / np.maximum(n_words, 1) * 5.0, 0, 1)
+    score = 0.4 * len_score + 0.3 * wlen_score + 0.3 * stop_score
+    return t.append_column("quality", pa.array(np.round(score, 6)))
+
+
+class LangId:
+    """Stopword-profile language identifier (actor-pool stage: the marker
+    sets and regex are built once per actor). Heuristic stand-in for a
+    fastText-style model; CJK is detected by codepoint range."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.word = re.compile(r"[a-zA-Zäöüéèêàçñ]+")
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        if self.cjk.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text)]
+        if not words:
+            return "und"
+        best, best_hits = "und", 0
+        for lang, marks in sorted(self.markers.items()):
+            hits = sum(1 for w in words if w in marks)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(preds, type=pa.string())],
+            names=["doc_id", "pred_lang"],
+        )
+
+
+def content_fingerprint(batch: pa.Table) -> pa.Table:
+    """Canonical content fingerprint: md5 of lowercased,
+    whitespace-collapsed text — the exact-dedup key (the reference's only
+    dedup mechanism is an md5-of-bytes cache, mcp_server_module/server.py:87-89).
+    SQL-equivalent: md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))."""
+    texts = batch.column("text").to_pylist()
+    fps = [
+        hashlib.md5(_WS_RUN.sub(" ", (t or "").strip()).lower().encode("utf-8")).hexdigest()
+        for t in texts
+    ]
+    return batch.append_column("content_md5", pa.array(fps, type=pa.string()))
+
+
+def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Rolling polynomial hash over word windows; the per-doc fingerprint
+    is the MINIMUM window hash (a 1-perm MinHash — deterministic,
+    cross-process stable, no PYTHONHASHSEED dependence)."""
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    out = []
+    word_cache: dict[str, int] = {}
+    for t in batch.column("text").to_pylist():
+        words = (t or "").lower().split()
+        if len(words) < window:
+            words = words + ["\x00"] * (window - len(words))
+        vals = []
+        for w in words:
+            v = word_cache.get(w)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                word_cache[w] = v
+            vals.append(v)
+        hashes = []
+        for i in range(len(vals) - window + 1):
+            h = 0
+            for v in vals[i : i + window]:
+                h = (h * BASE + v) % MOD
+            hashes.append(h)
+        out.append(min(hashes))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(out, type=pa.int64())],
+        names=["doc_id", "fingerprint"],
+    )

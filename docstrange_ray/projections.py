@@ -1,0 +1,260 @@
+"""Output-format projections: spans → markdown / JSON tree / HTML / CSV.
+
+The reference re-derives every output format from its markdown IR with
+regex parsers (result.py:704-1106). Our IR is typed spans, so each
+projection is a trivial per-row walk — exposed both as plain functions
+(for tests/oracle) and as vectorized ``map_batches`` UDFs adding a
+column to the extracted Dataset.
+
+  * spans_to_markdown — the markdown serialization (the reference's
+    ``ConversionResult.content``, result.py:704-710)
+  * spans_to_json     — hierarchical section tree built from heading
+    levels with a level stack (result.py:31-108, :325-353 — M1)
+  * spans_to_html     — per-kind HTML rendering with escaping
+    (result.py:356-686 — M2)
+  * spans_to_csv      — table spans serialized via csv.writer with
+    ``=== Table N ===`` separators (result.py:1028-1106 — M3)
+"""
+
+from __future__ import annotations
+
+import csv
+import html as _html
+import io
+import json
+import re
+
+import pyarrow as pa
+
+_TABLE_LINE = re.compile(r"^\|(.+)\|$")
+_SEP_LINE = re.compile(r"^\|[-\s|:]+\|$")
+_HEADING_LEVEL = re.compile(r"^(#{1,6})\s+")
+
+
+def _heading_level(text: str) -> int:
+    m = _HEADING_LEVEL.match(text)
+    return len(m.group(1)) if m else 1
+
+
+def _heading_title(text: str) -> str:
+    return _HEADING_LEVEL.sub("", text).strip()
+
+
+def parse_table_text(text: str) -> list[list[str]]:
+    """Markdown table text -> grid (header + body, separator dropped) —
+    the span-level equivalent of the reference's table regex
+    (result.py:26 — M4)."""
+    grid: list[list[str]] = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not _TABLE_LINE.match(line) or _SEP_LINE.match(line):
+            continue
+        cells = [c.strip().replace("\\|", "|") for c in line.strip("|").split("|")]
+        grid.append(cells)
+    return grid
+
+
+# --- markdown ---------------------------------------------------------------
+
+
+def spans_to_markdown(spans: list[dict]) -> str:
+    parts: list[str] = []
+    for s in spans:
+        kind = s["kind"]
+        if kind == "image-ref":
+            parts.append(f"![{s.get('text', '')}]({s.get('media_ref', '')})")
+        else:
+            parts.append(s.get("text", ""))
+    return "\n\n".join(p for p in parts if p)
+
+
+# --- JSON tree --------------------------------------------------------------
+
+
+def spans_to_json(spans: list[dict]) -> dict:
+    """Build the reference-shaped document tree: sections keyed by heading
+    level with content buckets, conditionally-present keys
+    (result.py:115-146), plus the per-doc stats the reference computes
+    (result.py:99-106 — G1)."""
+    root: dict = {"title": None, "level": 0, "content": {}, "subsections": []}
+    stack = [root]
+    counts = {"sections": 0, "max_level": 0}
+
+    def bucket(name: str) -> list:
+        cur = stack[-1]["content"]
+        return cur.setdefault(name, [])
+
+    for s in spans:
+        kind = s["kind"]
+        text = s.get("text", "")
+        if kind == "heading":
+            level = _heading_level(text)
+            sec = {
+                "title": _heading_title(text),
+                "level": level,
+                "content": {},
+                "subsections": [],
+            }
+            while len(stack) > 1 and stack[-1]["level"] >= level:
+                stack.pop()
+            stack[-1]["subsections"].append(sec)
+            stack.append(sec)
+            counts["sections"] += 1
+            counts["max_level"] = max(counts["max_level"], level)
+        elif kind == "text":
+            bucket("paragraphs").append(text)
+        elif kind == "list_item":
+            bucket("lists").append(text)
+        elif kind == "code":
+            bucket("code_blocks").append(text)
+        elif kind == "table":
+            grid = parse_table_text(text)
+            bucket("tables").append(
+                {
+                    "type": "structured_table",
+                    "grid": grid,
+                    "num_rows": len(grid),
+                    "num_cols": max((len(r) for r in grid), default=0),
+                }
+            )
+        elif kind == "image-ref":
+            bucket("images").append(
+                {"alt": text, "src": s.get("media_ref", "")}
+            )
+
+    def strip_empty(sec: dict) -> dict:
+        out = {"title": sec["title"], "level": sec["level"]}
+        if sec["content"]:
+            out["content"] = sec["content"]
+        if sec["subsections"]:
+            out["subsections"] = [strip_empty(x) for x in sec["subsections"]]
+        return out
+
+    return {
+        "document": {
+            "sections": [strip_empty(x) for x in root["subsections"]],
+            **({"content": root["content"]} if root["content"] else {}),
+            "metadata": {
+                "section_count": counts["sections"],
+                "max_heading_level": counts["max_level"],
+                "has_tables": any(s["kind"] == "table" for s in spans),
+                "has_code": any(s["kind"] == "code" for s in spans),
+                "has_lists": any(s["kind"] == "list_item" for s in spans),
+                "has_images": any(s["kind"] == "image-ref" for s in spans),
+            },
+        }
+    }
+
+
+# --- HTML -------------------------------------------------------------------
+
+_INLINE_RULES = (
+    (re.compile(r"\*\*([^*]+)\*\*"), r"<strong>\1</strong>"),
+    (re.compile(r"\*([^*]+)\*"), r"<em>\1</em>"),
+    (re.compile(r"`([^`]+)`"), r"<code>\1</code>"),
+    (re.compile(r"\[([^\]]*)\]\(([^)]+)\)"), r'<a href="\2">\1</a>'),
+)
+
+
+def _inline_html(text: str) -> str:
+    out = _html.escape(text, quote=False)
+    for pat, repl in _INLINE_RULES:
+        out = pat.sub(repl, out)
+    return out
+
+
+def spans_to_html(spans: list[dict]) -> str:
+    """Per-kind HTML rendering in the reference's pass order semantics
+    (code → tables → blockquotes → headers → lists → inline → paragraphs,
+    result.py:382-408) — here a single walk since spans are typed."""
+    parts: list[str] = []
+    list_open = False
+
+    def close_list() -> None:
+        nonlocal list_open
+        if list_open:
+            parts.append("</ul>")
+            list_open = False
+
+    for s in spans:
+        kind = s["kind"]
+        text = s.get("text", "")
+        if kind == "heading":
+            close_list()
+            lvl = _heading_level(text)
+            parts.append(f"<h{lvl}>{_inline_html(_heading_title(text))}</h{lvl}>")
+        elif kind == "code":
+            close_list()
+            body = re.sub(r"^```[^\n]*\n?|\n?```$", "", text)
+            parts.append(f"<pre><code>{_html.escape(body, quote=False)}</code></pre>")
+        elif kind == "table":
+            close_list()
+            grid = parse_table_text(text)
+            if grid:
+                rows = ["<tr>" + "".join(f"<th>{_inline_html(c)}</th>" for c in grid[0]) + "</tr>"]
+                rows += [
+                    "<tr>" + "".join(f"<td>{_inline_html(c)}</td>" for c in row) + "</tr>"
+                    for row in grid[1:]
+                ]
+                parts.append("<table>" + "".join(rows) + "</table>")
+        elif kind == "list_item":
+            if not list_open:
+                parts.append("<ul>")
+                list_open = True
+            item = re.sub(r"^([-*+]|\d+\.|[a-zA-Z]\.)\s+", "", text)
+            parts.append(f"<li>{_inline_html(item)}</li>")
+        elif kind == "image-ref":
+            close_list()
+            parts.append(
+                f'<img src="{_html.escape(s.get("media_ref", ""))}" alt="{_html.escape(text)}">'
+            )
+        else:
+            close_list()
+            if text.startswith(">"):
+                body = re.sub(r"^>\s?", "", text, flags=re.M)
+                parts.append(f"<blockquote>{_inline_html(body)}</blockquote>")
+            else:
+                parts.append(f"<p>{_inline_html(text)}</p>")
+    close_list()
+    return "\n".join(parts)
+
+
+# --- CSV --------------------------------------------------------------------
+
+
+def spans_to_csv(spans: list[dict], include_separators: bool = True) -> str:
+    """All table spans as CSV, '=== Table N ===' separators between
+    multiple tables (result.py:1028-1106)."""
+    tables = [parse_table_text(s["text"]) for s in spans if s["kind"] == "table"]
+    tables = [g for g in tables if g]
+    buf = io.StringIO()
+    writer = csv.writer(buf, lineterminator="\n")
+    for i, grid in enumerate(tables):
+        if include_separators and len(tables) > 1:
+            buf.write(f"=== Table {i + 1} ===\n")
+        writer.writerows(grid)
+        if include_separators and len(tables) > 1 and i < len(tables) - 1:
+            buf.write("\n")
+    return buf.getvalue()
+
+
+# --- Dataset-level projections ---------------------------------------------
+
+
+def add_projection(ds, fmt: str, column: str | None = None):
+    """Append a projection column to an extracted Dataset:
+    fmt in {'markdown','json','html','csv'}. Stateless map_batches."""
+    fns = {
+        "markdown": spans_to_markdown,
+        "json": lambda s: json.dumps(spans_to_json(s), sort_keys=True),
+        "html": spans_to_html,
+        "csv": spans_to_csv,
+    }
+    fn = fns[fmt]
+    col = column or fmt
+
+    def project(batch: pa.Table) -> pa.Table:
+        vals = [fn(spans or []) for spans in batch.column("spans").to_pylist()]
+        return batch.append_column(col, pa.array(vals, type=pa.string()))
+
+    return ds.map_batches(project, batch_format="pyarrow")

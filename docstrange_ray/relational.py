@@ -1,0 +1,318 @@
+"""Relational operator demonstrations over the driver testdata tables.
+
+These exercise the engine's wide operators — grouped aggregation with
+partial pre-aggregation, broadcast joins, global sort/top-k, and
+session windows — in the shapes the ray_guide prescribes:
+
+  * aggregates pre-combine inside ``map_batches`` (one partial row per
+    key per batch) before the small ``groupby`` shuffle;
+  * the small side of every join is broadcast via ``ray.put`` and
+    looked up per batch (no shuffle join at fixture scale; a bucketed
+    hash join is the documented fallback when both sides are large);
+  * money is aggregated in integer cents/e-4 units so results are
+    EXACT and hash-identical to the DuckDB oracle (float sums are
+    order-dependent; an engine that shuffles cannot reproduce them
+    bitwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+Q1_CUTOFF = "2000-01-01"
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(arr) -> np.ndarray:
+    return np.round(np.asarray(arr, dtype=np.float64) * 100).astype(np.int64)
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary with a shipdate filter pushed to
+    the read and per-batch partial aggregation before the groupby."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64(Q1_CUTOFF)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"].to_numpy() < cutoff]
+        if df.empty:
+            return pd.DataFrame(
+                columns=[
+                    "l_returnflag",
+                    "l_linestatus",
+                    "sum_qty",
+                    "sum_base_price_cents",
+                    "sum_disc_price_e4",
+                    "count_order",
+                ]
+            ).astype(
+                {
+                    "sum_qty": np.int64,
+                    "sum_base_price_cents": np.int64,
+                    "sum_disc_price_e4": np.int64,
+                    "count_order": np.int64,
+                }
+            )
+        df["qty_i"] = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        cents = _cents(df["l_extendedprice"])
+        disc_bp = _cents(df["l_discount"])  # discount in 1/100 units
+        df["base_c"] = cents
+        df["disc_e4"] = cents * (100 - disc_bp)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty_i", "sum"),
+            sum_base_price_cents=("base_c", "sum"),
+            sum_disc_price_e4=("disc_e4", "sum"),
+            count_order=("qty_i", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS sum_disc_price_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Revenue top-k: orders aggregated per customer (partial combine +
+    groupby), then the customer dimension joined in by broadcast."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["rev_c"] = _cents(df["o_totalprice"])
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue_cents=("rev_c", "sum"), n_orders=("rev_c", "size")
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).take_all()
+    }
+    cust_ref = ray.put(cust)
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        names = [lookup.get(ck, "") for ck in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("c_name", pa.array(names, type=pa.string()))
+
+    joined = per_cust.map_batches(attach_name, batch_format="pyarrow")
+    top = joined.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+    return top.select_columns(["o_custkey", "c_name", "revenue_cents", "n_orders"])
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, c_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue_cents DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+def revenue_by_region(sf_dir: str):
+    """Multi-hop dimension join by broadcast: orders → customer → nation
+    → region, aggregated to revenue per region name."""
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
+    }
+    chain_ref = ray.put((cust, nation, region))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c, n, rg = ray.get(chain_ref)
+        df = batch.to_pandas()
+        df["r_name"] = [
+            rg.get(n.get(c.get(ck, -1), -1), "") for ck in df["o_custkey"]
+        ]
+        df["rev_c"] = _cents(df["o_totalprice"])
+        return df.groupby("r_name", as_index=False).agg(
+            revenue_cents=("rev_c", "sum"), n_orders=("rev_c", "size")
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-hour aggregate over the event stream (the batch analogue
+    of a streaming window; ordering assumption: none needed — tumbling
+    windows are order-insensitive)."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        df["value_c"] = _cents(df["value"])
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY event_type, hour
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str):
+    """Session windows per user (30-minute inactivity gap): the
+    stream-shaped operator from ray_guide — partition by key, sort by ts
+    within the group, sessionize with pandas inside ``map_groups``."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        new_sess = (gaps.isna()) | (gaps > pd.Timedelta(minutes=SESSION_GAP_MIN))
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": np.array([len(g)], dtype=np.int64),
+                "n_sessions": np.array([int(new_sess.sum())], dtype=np.int64),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+USER_SESSIONS_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+GROUP BY user_id
+"""
+
+
+def docs_by_source(sf_dir: str):
+    """Per-source corpus stats over the documents table (partial combine
+    + groupby)."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["n_tokens"] = [len(t.split()) if t else 0 for t in df["text"]]
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            sum_chars=("n_chars", "sum"),
+            sum_tokens=("n_tokens", "sum"),
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+
+DOCS_BY_SOURCE_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+           AS sum_tokens
+FROM documents
+GROUP BY source
+"""

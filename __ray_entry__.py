@@ -38,8 +38,10 @@ def _corpus_size(sf_dir: str) -> int:
 
 
 def _synth_ds(sf_dir: str):
+    from docstrange_ray.shuffle import ensure_hash_shuffle
     from docstrange_ray.synth import synth_dataset
 
+    ensure_hash_shuffle()
     return synth_dataset(_corpus_size(sf_dir), seed=42)
 
 
@@ -68,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docstrange_ray.ops import ann, dedup, textstats
     from docstrange_ray import relational
     from docstrange_ray.projections import add_projection
+    from docstrange_ray.shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
 
     def read_docs(sf_dir):
         return ray.data.read_parquet(

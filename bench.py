@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: end-to-end document-extraction throughput (the BASELINE.json
+metric) over a deterministic synthetic interleaved corpus sized off the
+sf tier, plus representative per-operator timings over the driver
+testdata tables.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 then 32) on the same pre-generated corpus and reports both
+throughputs + scaling efficiency — the sandbox protocol for the
+N-vs-4N-nodes criterion (BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SEED = 42
+BENCH_DOCS_PER_SF_DOC = 2  # bench corpus = 2x the documents-table row count
+
+
+def corpus_dir(n_docs: int) -> str:
+    return f"/tmp/dsray_bench_corpus/seed{SEED}-n{n_docs}"
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Generate (distributed, once) and cache the bench corpus as
+    partitioned parquet. Untimed: corpus synthesis stands in for the
+    pre-existing Lance corpus, not for pipeline work."""
+    path = corpus_dir(n_docs)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    import shutil
+
+    from docstrange_ray.synth import synth_dataset
+
+    shutil.rmtree(path, ignore_errors=True)
+    ds = synth_dataset(n_docs, seed=SEED, parallelism=max(64, n_docs // 100))
+    ds.write_parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return path
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from docstrange_ray.shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    import pyarrow.parquet as pq
+
+    from docstrange_ray.pipeline import extract_pipeline
+
+    n_sf_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = n_sf_docs * BENCH_DOCS_PER_SF_DOC
+    cpath = ensure_corpus(n_docs)
+
+    # warm the page cache (untimed) so we measure compute+shuffle, not cold I/O
+    ray.data.read_parquet(cpath).count()
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full extraction pipeline ---
+    t0 = time.time()
+    out = extract_pipeline(ray.data.read_parquet(cpath))
+    n_out = out.count()
+    headline = time.time() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+    timings["extract_pipeline"] = round(headline, 3)
+
+    # --- representative per-operator timings ---
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "token_count",
+        "exact_dedup",
+        "minhash_near_dups",
+        "ann_topk",
+        "q1_pricing",
+        "events_hourly",
+        "user_sessions",
+    ):
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "end-to-end extraction seconds (headline) + per-op seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same corpus, two fresh processes at two parallelism levels."""
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "sf": sf_dir,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": results[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}": results[hi]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu)))

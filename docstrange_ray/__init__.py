@@ -16,3 +16,16 @@ batched, streaming substrate.
 """
 
 __version__ = "0.1.0"
+
+# Select Ray Data's hash-shuffle strategy process-wide at import time.
+# Datasets snapshot the DataContext at creation, so this must run before
+# any read_*/from_* call: key-based repartition (shuffle.grouped_blocks —
+# the engine's core co-location primitive) is only available under
+# HASH_SHUFFLE, and it also replaces sort-based shuffles in groupbys.
+try:  # pragma: no cover - trivial
+    from ray.data import DataContext as _DataContext
+    from ray.data.context import ShuffleStrategy as _ShuffleStrategy
+
+    _DataContext.get_current().shuffle_strategy = _ShuffleStrategy.HASH_SHUFFLE
+except Exception:  # noqa: BLE001 - never block import on context tuning
+    pass

@@ -69,24 +69,25 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 # --- exact dedup ------------------------------------------------------------
 
 
-def exact_dedup_groups(ds):
+def exact_dedup_groups(ds, num_partitions: int | None = None):
     """(content_md5, keep_doc_id, n_dups): hash-partitioned first-wins
-    exact dedup. One shuffle on the content hash."""
+    exact dedup. ONE shuffle on the content hash; grouping is block-local
+    vectorized pandas (see shuffle.grouped_blocks — no per-group Python
+    call)."""
+    from docstrange_ray.shuffle import grouped_blocks
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_md5": [g["content_md5"].iloc[0]],
-                "keep_doc_id": [g["doc_id"].min()],
-                "n_dups": np.array([len(g)], dtype=np.int64),
-            }
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_md5", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
+        g["n_dups"] = g["n_dups"].astype(np.int64)
+        return g
 
-    return (
-        ds.map_batches(content_fingerprint, batch_format="pyarrow")
-        .select_columns(["doc_id", "content_md5"])
-        .groupby("content_md5")
-        .map_groups(first_wins, batch_format="pandas")
+    withfp = ds.map_batches(content_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "content_md5"]
+    )
+    return grouped_blocks(
+        withfp, ["content_md5"], local, num_partitions, batch_format="pandas"
     )
 
 
@@ -94,73 +95,83 @@ def exact_dedup_groups(ds):
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch: signature + explode to (band, band_hash, doc_id) rows.
-    Emits BANDS rows per document; band_hash folds the band's minhash
-    values through md5 so bucket ids are compact and uniform."""
+    """Per-batch: signature + explode to (band_key, doc_id, sig) rows.
+    Emits BANDS rows per document; band_key folds the band index and the
+    band's minhash values through md5 into one int64 bucket id."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    out_doc, out_band, out_hash, out_sig = [], [], [], []
+    out_doc, out_key, out_sig = [], [], []
     for did, text in zip(doc_ids, texts):
         sig = minhash_signature(text)
         sig_bytes = sig.tobytes()
         for b in range(BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()
-            h = struct.unpack("<q", hashlib.md5(chunk).digest()[:8])[0]
+            chunk = bytes([b]) + sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()
             out_doc.append(did)
-            out_band.append(b)
-            out_hash.append(h)
+            out_key.append(struct.unpack("<q", hashlib.md5(chunk).digest()[:8])[0])
             out_sig.append(sig_bytes)
     return pa.Table.from_arrays(
         [
             pa.array(out_doc),
-            pa.array(out_band, type=pa.int32()),
-            pa.array(out_hash, type=pa.int64()),
+            pa.array(out_key, type=pa.int64()),
             pa.array(out_sig, type=pa.binary()),
         ],
-        names=["doc_id", "band", "band_hash", "sig"],
+        names=["doc_id", "band_key", "sig"],
     )
 
 
-def minhash_candidates(ds):
-    """Candidate near-dup pairs from LSH buckets: docs sharing any band
-    bucket. Returns Dataset[(doc_id_a, doc_id_b, est_jaccard)] with
-    est_jaccard = matching-minhash fraction from the full signatures
-    (the signature travels with the band row, so verification needs no
-    second join)."""
+def _dedup_pairs(pairs, num_partitions: int | None = None):
+    """Keep one row per (doc_id_a, doc_id_b): hash-co-locate + block-local
+    drop_duplicates (a pair found in several LSH bands surfaces once)."""
+    from docstrange_ray.shuffle import grouped_blocks
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_id_a": pd.Series([], dtype=g["doc_id"].dtype),
-                 "doc_id_b": pd.Series([], dtype=g["doc_id"].dtype),
-                 "est_jaccard": pd.Series([], dtype=np.float64)}
-            )
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+    return grouped_blocks(
+        pairs,
+        ["doc_id_a", "doc_id_b"],
+        lambda df: df.drop_duplicates(["doc_id_a", "doc_id_b"]),
+        num_partitions,
+        batch_format="pandas",
+    )
+
+
+def minhash_candidates(ds, num_partitions: int | None = None):
+    """Candidate near-dup pairs from LSH buckets: docs sharing any band
+    bucket. ONE shuffle on band_key; collision buckets are found with a
+    vectorized value_count per block (singleton buckets — the vast
+    majority — never touch Python). Returns
+    Dataset[(doc_id_a, doc_id_b, est_jaccard)] with est_jaccard = the
+    matching-minhash fraction (the signature travels with the band row,
+    so estimation needs no second join)."""
+    from docstrange_ray.shuffle import grouped_blocks
+
+    def bucket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["band_key"].value_counts()
+        hot = counts[counts > 1].index
         rows_a, rows_b, est = [], [], []
-        recs = list(zip(g["doc_id"], g["sig"]))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a = np.frombuffer(recs[i][1], dtype=np.int64)
-                b = np.frombuffer(recs[j][1], dtype=np.int64)
-                rows_a.append(recs[i][0])
-                rows_b.append(recs[j][0])
-                est.append(float((a == b).mean()))
+        if len(hot):
+            sub = df[df["band_key"].isin(hot)]
+            for _, g in sub.groupby("band_key", sort=False):
+                g = g.sort_values("doc_id").drop_duplicates("doc_id")
+                recs = list(zip(g["doc_id"], g["sig"]))
+                for i in range(len(recs)):
+                    a = np.frombuffer(recs[i][1], dtype=np.int64)
+                    for j in range(i + 1, len(recs)):
+                        b = np.frombuffer(recs[j][1], dtype=np.int64)
+                        rows_a.append(recs[i][0])
+                        rows_b.append(recs[j][0])
+                        est.append(float((a == b).mean()))
         return pd.DataFrame(
-            {"doc_id_a": rows_a, "doc_id_b": rows_b, "est_jaccard": np.round(est, 6)}
+            {
+                "doc_id_a": pd.Series(rows_a, dtype=df["doc_id"].dtype),
+                "doc_id_b": pd.Series(rows_b, dtype=df["doc_id"].dtype),
+                "est_jaccard": np.round(np.array(est, dtype=np.float64), 6),
+            }
         )
 
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = grouped_blocks(
+        bands, ["band_key"], bucket_pairs_block, num_partitions, batch_format="pandas"
     )
-
-    # One pair can surface from several bands — dedup on the pair key.
-    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        pair_first, batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
@@ -243,11 +254,13 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_near_pairs(ds, max_hamming: int = 3):
+def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = None):
     """Near-dup pairs by SimHash Hamming distance, found with 4-segment
     blocking: any pair within Hamming distance 3 shares at least one
-    identical 16-bit segment (pigeonhole), so one groupby per segment
-    replaces the quadratic scan."""
+    identical 16-bit segment (pigeonhole), so ONE hash shuffle on the
+    segment key replaces the quadratic scan; collision buckets are found
+    vectorized per block."""
+    from docstrange_ray.shuffle import grouped_blocks
 
     def explode_segments(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -256,39 +269,48 @@ def simhash_near_pairs(ds, max_hamming: int = 3):
         for d, s in zip(doc_ids, sims):
             u = (s + (1 << 63)) & 0xFFFFFFFFFFFFFFFF
             for seg in range(4):
+                # fold (seg, 16-bit value) into one key
                 rows.append(
                     {
-                        "seg": seg,
-                        "seg_val": (u >> (16 * seg)) & 0xFFFF,
+                        "seg_key": (seg << 16) | ((u >> (16 * seg)) & 0xFFFF),
                         "doc_id": d,
                         "simhash": s,
                     }
                 )
         return pa.Table.from_pylist(rows)
 
-    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+    def seg_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["seg_key"].value_counts()
+        hot = counts[counts > 1].index
         rows = []
-        recs = list(zip(g["doc_id"], g["simhash"]))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                x = (recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF
-                ham = bin(x).count("1")
-                if ham <= max_hamming:
-                    rows.append(
-                        {"doc_id_a": recs[i][0], "doc_id_b": recs[j][0], "hamming": ham}
-                    )
+        if len(hot):
+            sub = df[df["seg_key"].isin(hot)]
+            for _, g in sub.groupby("seg_key", sort=False):
+                g = g.sort_values("doc_id").drop_duplicates("doc_id")
+                recs = list(zip(g["doc_id"], g["simhash"]))
+                for i in range(len(recs)):
+                    for j in range(i + 1, len(recs)):
+                        x = (recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF
+                        ham = bin(x).count("1")
+                        if ham <= max_hamming:
+                            rows.append(
+                                {
+                                    "doc_id_a": recs[i][0],
+                                    "doc_id_b": recs[j][0],
+                                    "hamming": ham,
+                                }
+                            )
         return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
 
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
-    pairs = (
-        sigs.map_batches(explode_segments, batch_format="pyarrow")
-        .groupby(["seg", "seg_val"])
-        .map_groups(seg_pairs, batch_format="pandas")
+    pairs = grouped_blocks(
+        sigs.map_batches(explode_segments, batch_format="pyarrow"),
+        ["seg_key"],
+        seg_pairs_block,
+        num_partitions,
+        batch_format="pandas",
     )
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 # --- embedding cosine near-dup ---------------------------------------------

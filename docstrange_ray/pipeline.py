@@ -20,9 +20,10 @@ import pyarrow as pa
 from docstrange_ray.config import DEFAULT, ExtractConfig
 from docstrange_ray.extract.core import finalize_spans
 from docstrange_ray.schema import DOCUMENTS_SCHEMA
+from docstrange_ray.shuffle import grouped_blocks
 from docstrange_ray.stages import (
     ExtractUnitActor,
-    assemble_group,
+    assemble_block,
     make_extract_or_explode,
 )
 from docstrange_ray.state import manifest as mstate
@@ -35,6 +36,7 @@ def extract_pipeline(
     cfg: ExtractConfig = DEFAULT,
     skew_threshold_units: int | None = 16,
     layout_concurrency=None,
+    assemble_partitions: int | None = None,
 ):
     """Input Dataset[(doc_id, spans)] -> extracted Dataset[(doc_id, spans)].
 
@@ -42,8 +44,9 @@ def extract_pipeline(
     (every document extracted inside one stateless ``map_batches``) —
     correct when per-unit cost is small. The default plan explodes
     documents with >= 16 input spans into unit rows, runs the stateful
-    layout stage as an actor pool, and restores order with a
-    ``groupby(doc_id)`` reassembly shuffle.
+    layout stage as an actor pool, and restores order with ONE hash
+    shuffle keyed on doc_id + block-local reassembly
+    (shuffle.grouped_blocks).
     """
     if skew_threshold_units is None:
         fn = make_extract_or_explode(cfg, _INLINE)
@@ -71,57 +74,87 @@ def extract_pipeline(
         concurrency=layout_concurrency or cfg.layout_concurrency or (2, 16),
         num_cpus=1,
     )
-    return units.groupby("doc_id").map_groups(assemble_group, batch_format="pyarrow")
+    return grouped_blocks(units, ["doc_id"], assemble_block, assemble_partitions)
 
 
-def _assemble_partition(group: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
-    """Sink stage: one partition's unit rows -> assembled docs -> atomic
-    parquet + manifest. Returns the manifest as a one-row table."""
+_MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("n_spans", pa.int64()),
+        ("wall_sec", pa.float64()),
+    ]
+)
+
+
+def _assemble_and_write_block(block: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
+    """Sink stage (block-local): a hash-co-located block holds one or more
+    COMPLETE output partitions' unit rows. Assemble each partition's docs
+    and write its parquet + manifest atomically; emit one manifest summary
+    row per partition."""
     import pyarrow.compute as pc
 
-    started = time.time()
-    part_id = int(group.column("part_id")[0].as_py())
+    if block.num_rows == 0:
+        return pa.Table.from_pylist([], schema=_MANIFEST_ROW_SCHEMA)
     order = pc.sort_indices(
-        group, sort_keys=[("doc_id", "ascending"), ("seq", "ascending")]
+        block,
+        sort_keys=[("part_id", "ascending"), ("doc_id", "ascending"), ("seq", "ascending")],
     )
-    group = group.take(order)
-    doc_ids = group.column("doc_id").to_pylist()
-    span_lists = group.column("spans").to_pylist()
-    costs = group.column("est_cost").to_pylist()
+    block = block.take(order)
+    part_ids = block.column("part_id").to_pylist()
+    doc_ids = block.column("doc_id").to_pylist()
+    span_lists = block.column("spans").to_pylist()
+    costs = block.column("est_cost").to_pylist()
 
-    rows: list[dict] = []
-    total_cost = 0.0
-    cur_id: str | None = None
-    cur_spans: list[dict] = []
-    for did, spans, cost in zip(doc_ids, span_lists, costs):
-        if did != cur_id:
-            if cur_id is not None:
-                rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
-            cur_id, cur_spans = did, []
-        cur_spans.extend(spans or [])
-        total_cost += cost or 0.0
-    if cur_id is not None:
-        rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
+    out_rows: list[dict] = []
+    started = time.time()
 
-    table = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
-    man = mstate.write_partition(
-        out_dir,
-        part_id,
-        table,
-        fingerprint,
-        started,
-        metrics={"est_cost": round(total_cost, 1)},
-    )
-    return pa.Table.from_pylist(
-        [
+    def flush_partition(pid: int, rows: list[dict], total_cost: float) -> None:
+        table = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+        man = mstate.write_partition(
+            out_dir,
+            pid,
+            table,
+            fingerprint,
+            started,
+            metrics={"est_cost": round(total_cost, 1)},
+        )
+        out_rows.append(
             {
                 "part_id": man["part_id"],
                 "n_docs": man["n_docs"],
                 "n_spans": man["n_spans"],
                 "wall_sec": man["wall_sec"],
             }
-        ]
-    )
+        )
+
+    cur_pid: int | None = None
+    cur_did: str | None = None
+    rows: list[dict] = []
+    cur_spans: list[dict] = []
+    total_cost = 0.0
+
+    def close_doc() -> None:
+        nonlocal cur_did
+        if cur_did is not None:
+            rows.append({"doc_id": cur_did, "spans": finalize_spans(cur_spans)})
+        cur_did = None
+
+    for pid, did, spans, cost in zip(part_ids, doc_ids, span_lists, costs):
+        if pid != cur_pid:
+            close_doc()
+            if cur_pid is not None:
+                flush_partition(cur_pid, rows, total_cost)
+            cur_pid, rows, total_cost = pid, [], 0.0
+        if did != cur_did:
+            close_doc()
+            cur_did, cur_spans = did, []
+        cur_spans.extend(spans or [])
+        total_cost += cost or 0.0
+    close_doc()
+    if cur_pid is not None:
+        flush_partition(cur_pid, rows, total_cost)
+    return pa.Table.from_pylist(out_rows, schema=_MANIFEST_ROW_SCHEMA)
 
 
 def run_extract_job(
@@ -169,8 +202,10 @@ def run_extract_job(
         concurrency=layout_concurrency or cfg.layout_concurrency or (2, 16),
         num_cpus=1,
     )
-    manifests = units.groupby("part_id").map_groups(
-        lambda g: _assemble_partition(g, out_dir, input_fingerprint),
-        batch_format="pyarrow",
+    manifests = grouped_blocks(
+        units,
+        ["part_id"],
+        lambda b: _assemble_and_write_block(b, out_dir, input_fingerprint),
+        num_partitions=min(P, 64),
     )
     return manifests.take_all()  # small: one row per partition

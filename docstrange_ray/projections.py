@@ -49,7 +49,11 @@ def parse_table_text(text: str) -> list[list[str]]:
         line = line.strip()
         if not _TABLE_LINE.match(line) or _SEP_LINE.match(line):
             continue
-        cells = [c.strip().replace("\\|", "|") for c in line.strip("|").split("|")]
+        # split on unescaped pipes only, then unescape
+        cells = [
+            c.strip().replace("\\|", "|")
+            for c in re.split(r"(?<!\\)\|", line.strip("|"))
+        ]
         grid.append(cells)
     return grid
 

@@ -250,21 +250,25 @@ def user_sessions(sf_dir: str):
     """Session windows per user (30-minute inactivity gap): the
     stream-shaped operator from ray_guide — partition by key, sort by ts
     within the group, sessionize with pandas inside ``map_groups``."""
+    from docstrange_ray.shuffle import grouped_blocks
+
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
-        new_sess = (gaps.isna()) | (gaps > pd.Timedelta(minutes=SESSION_GAP_MIN))
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": np.array([len(g)], dtype=np.int64),
-                "n_sessions": np.array([int(new_sess.sum())], dtype=np.int64),
-            }
+    def sessionize_block(df: pd.DataFrame) -> pd.DataFrame:
+        # all of a user's events are in this block; one vectorized pass:
+        # sort by (user, ts), a session starts at a user change or a gap
+        df = df.sort_values(["user_id", "ts"])
+        gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_sess = new_user | (df["ts"].diff() > gap)
+        df = df.assign(new_sess=new_sess.astype(np.int64))
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("new_sess", "size"), n_sessions=("new_sess", "sum")
         )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
 
-    return ev.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return grouped_blocks(ev, ["user_id"], sessionize_block, batch_format="pandas")
 
 
 USER_SESSIONS_SQL = f"""

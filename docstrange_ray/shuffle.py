@@ -1,0 +1,62 @@
+"""Shuffle utilities: hash-co-located, block-local grouped processing.
+
+``groupby(key).map_groups(fn)`` invokes ``fn`` once per GROUP — at one
+group per document (or per LSH bucket) that is millions of per-group
+Python calls and dominates wall-clock. The scalable shape used across
+this engine is instead:
+
+    ds.repartition(P, keys=[...])        # ONE hash shuffle, keys co-located
+      .map_batches(fn, batch_size=None)  # fn sees whole blocks and handles
+                                         # all its groups vectorized
+
+Key-based repartition requires Ray Data's hash-shuffle strategy;
+``ensure_hash_shuffle()`` flips the ``DataContext`` (idempotent — also
+speeds up ordinary groupbys vs the sort-based default).
+"""
+
+from __future__ import annotations
+
+
+def _cluster_cpus(default: int = 8) -> int:
+    import ray
+
+    try:
+        if ray.is_initialized():
+            return max(2, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:  # noqa: BLE001
+        pass
+    return default
+
+
+def ensure_hash_shuffle() -> None:
+    """Idempotent: select HASH_SHUFFLE and size its aggregator pool to the
+    cluster. The defaults (200 partitions / 64 aggregator actors) assume a
+    large cluster and serialize a small node behind actor startup."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = _cluster_cpus()
+    ctx.max_hash_shuffle_aggregators = ncpu
+    ctx.default_hash_shuffle_parallelism = ncpu
+
+
+def grouped_blocks(
+    ds,
+    keys: list[str],
+    fn,
+    num_partitions: int | None = None,
+    batch_format: str = "pyarrow",
+):
+    """Hash-co-locate rows by ``keys`` into ``num_partitions`` blocks
+    (default: 2x cluster CPUs) and apply ``fn`` to each whole block
+    (every key's rows are guaranteed to be in exactly one block). ``fn``
+    must do its own within-block grouping (vectorized)."""
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = 2 * _cluster_cpus()
+    return ds.repartition(num_partitions, keys=keys).map_batches(
+        fn, batch_format=batch_format, batch_size=None
+    )

@@ -172,9 +172,8 @@ class ExtractUnitActor:
 
 
 def assemble_group(group: pa.Table) -> pa.Table:
-    """Stage 3: reassemble one document from its (seq-ordered) unit rows,
-    assigning final span order. Single-row (inline-extracted) groups are a
-    near-passthrough. Ordering contract: output span order is input-span
+    """Reassemble one document from its (seq-ordered) unit rows, assigning
+    final span order. Ordering contract: output span order is input-span
     order (seq), then within-unit emission order — identical to the
     sequential oracle's loop (SURVEY.md §7.4 item 3)."""
     import pyarrow.compute as pc
@@ -188,3 +187,30 @@ def assemble_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(
         [{"doc_id": doc_id, "spans": finalize_spans(spans)}], schema=DOCUMENTS_SCHEMA
     )
+
+
+def assemble_block(block: pa.Table) -> pa.Table:
+    """Stage 3 (block-local): reassemble ALL documents in one
+    hash-co-located block (see shuffle.grouped_blocks — every doc's unit
+    rows are guaranteed to be entirely in this block). One stable sort on
+    (doc_id, seq), then a single walk; no per-group Python dispatch."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        block, sort_keys=[("doc_id", "ascending"), ("seq", "ascending")]
+    )
+    block = block.take(order)
+    doc_ids = block.column("doc_id").to_pylist()
+    span_lists = block.column("spans").to_pylist()
+    rows: list[dict] = []
+    cur_id: str | None = None
+    cur_spans: list[dict] = []
+    for did, spans in zip(doc_ids, span_lists):
+        if did != cur_id:
+            if cur_id is not None:
+                rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
+            cur_id, cur_spans = did, []
+        cur_spans.extend(spans or [])
+    if cur_id is not None:
+        rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)

@@ -1,0 +1,25 @@
+import logging
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from docstrange_ray.shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # size hash-shuffle aggregators to this cluster
+    yield
+    ray.shutdown()

@@ -1,0 +1,188 @@
+"""Training-data ops tests: dedup family, ANN, text stats — verified
+against in-test DuckDB/numpy oracles on corpora constructed to contain
+known duplicates/neighbors."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from docstrange_ray.ops import ann, dedup, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    """20 base docs + exact dups + near dups (word-dropped copies)."""
+    rng = np.random.RandomState(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(20):
+        text = " ".join(rng.choice(words) for _ in range(60))
+        rows.append({"doc_id": i, "text": text})
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})        # exact dup
+    rows.append({"doc_id": 101, "text": "  " + rows[1]["text"] + "  "})  # ws dup
+    near = rows[2]["text"].split()
+    del near[5]
+    rows.append({"doc_id": 102, "text": " ".join(near)})          # near dup
+    return pa.Table.from_pylist(rows)
+
+
+class TestExactDedup:
+    def test_against_duckdb(self, docs_with_dups):
+        ds = ray.data.from_arrow(docs_with_dups)
+        got = dedup.exact_dedup_groups(ds).to_pandas()
+        got = got.sort_values("content_md5").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", docs_with_dups)
+        exp = con.sql(
+            r"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,
+                     MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+              FROM documents GROUP BY 1 ORDER BY 1"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got["n_dups"] > 1).sum() == 2  # the two exact-dup groups
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = a.replace("dog", "cat")
+        sa, sb = dedup.minhash_signature(a), dedup.minhash_signature(b)
+        sim = (sa == sb).mean()
+        assert 0.3 < sim < 1.0
+        assert (sa == dedup.minhash_signature(a)).all()  # deterministic
+
+    def test_near_dup_pairs_finds_planted(self, docs_with_dups):
+        ds = ray.data.from_arrow(docs_with_dups)
+        pairs = dedup.near_dup_pairs(ds, threshold=0.8)
+        found = {(p["doc_id_a"], p["doc_id_b"]) for p in pairs}
+        assert (0, 100) in found   # exact dup → jaccard 1.0
+        assert (1, 101) in found
+        assert (2, 102) in found   # near dup (1 word dropped)
+        for p in pairs:
+            assert p["jaccard"] >= 0.8
+
+
+class TestSimHash:
+    def test_near_pairs(self, docs_with_dups):
+        ds = ray.data.from_arrow(docs_with_dups)
+        pairs = dedup.simhash_near_pairs(ds, max_hamming=3).to_pandas()
+        found = {tuple(r) for r in pairs[["doc_id_a", "doc_id_b"]].values}
+        assert (0, 100) in found  # identical text → hamming 0
+        assert (pairs["hamming"] <= 3).all()
+
+    def test_simhash_stable(self):
+        assert dedup.simhash64("hello world") == dedup.simhash64("hello world")
+        assert dedup.simhash64("hello world") != dedup.simhash64("goodbye world")
+
+
+class TestEmbeddingOps:
+    def test_brute_force_topk_matches_numpy(self):
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        rows = ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        q = matn[:3]
+        got = ann.brute_force_topk(ds, mat[:3], ids[:3].tolist(), k=5).to_pandas()
+        for qi in range(3):
+            cos = np.round(matn @ q[qi], 6)
+            order = np.lexsort((ids, -cos))[:5]
+            exp = set(ids[order])
+            g = set(got[got["query_id"] == ids[qi]]["vec_id"])
+            assert g == exp
+
+    def test_lsh_topk_self_recall(self):
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        rows = ds.take(20)
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        ids = [r["vec_id"] for r in rows]
+        got = ann.lsh_topk(ds, mat, ids, k=5).to_pandas()
+        # every query's own vector lands in its bucket → top hit is itself
+        for qid in ids:
+            sub = got[got["query_id"] == qid]
+            assert len(sub) > 0 and qid in set(sub["vec_id"])
+
+    def test_embedding_dup_pairs_threshold(self):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "embedding": [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0]],
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        pairs = dedup.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+
+
+class TestTextStats:
+    def test_token_and_quality_vs_duckdb(self):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["The cat, sat.", "  ", "a b  c the of"],
+            }
+        )
+        got_t = textstats.token_stats(tbl).to_pydict()
+        assert got_t["n_ws_tokens"] == [3, 0, 5]
+        assert got_t["n_bpe_tokens"] == [5, 0, 5]
+        got_q = textstats.quality_stats(tbl).to_pydict()
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        exp = con.sql(
+            r"""SELECT CAST(length(text) AS BIGINT) AS n_chars_m,
+                     CAST(CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text,'\s','','g')) AS BIGINT) AS sum_word_len,
+                     CAST(length(regexp_replace(text,'[^.!?,;:]','','g')) AS BIGINT) AS n_punct,
+                     CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
+              FROM documents ORDER BY doc_id"""
+        ).df()
+        for col in exp.columns:
+            assert got_q[col] == exp[col].tolist(), col
+
+    def test_langid(self):
+        lid = textstats.LangId()
+        assert lid.predict("the cat is in the house and it is happy") == "en"
+        assert lid.predict("der hund ist nicht in der küche und das ist gut") == "de"
+        assert lid.predict("你好 世界") == "zh"
+        assert lid.predict("") == "und"
+
+    def test_quality_score_bounds(self):
+        tbl = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["the quick brown fox " * 30]})
+        q = textstats.quality_score(tbl).to_pydict()["quality"][0]
+        assert 0.0 <= q <= 1.0
+
+    def test_rolling_fingerprint_stable_and_shift_sensitive(self):
+        tbl = pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": ["one two three four five six seven eight nine",
+                      "one two three four five six seven eight nine",
+                      "totally different words in this one here now ok"]}
+        )
+        fp = textstats.rolling_fingerprint(tbl).to_pydict()["fingerprint"]
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self):
+        from docstrange_ray.ops import multimodal as mm
+
+        refs = [f"media://d/{i}" for i in range(40)]
+        media = mm.synth_media_table(refs)
+        ds = ray.data.from_arrow(media)
+        out = mm.decode_features(ds, concurrency=(1, 2)).to_pandas()
+        assert len(out) == 40
+        assert set(out["media_ref"]) == set(refs)
+        assert all(len(f) == 32 for f in out["feature"])
+        assert out["mean_intensity"].between(0, 255).all()
+
+    def test_pil_backend_is_gated(self):
+        from docstrange_ray.ops import multimodal as mm
+
+        with pytest.raises(NotImplementedError):
+            mm.ImageDecodeActor(backend="pil")

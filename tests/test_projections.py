@@ -1,0 +1,96 @@
+"""Projection tests: spans → markdown / JSON / HTML / CSV, mirroring the
+reference's conversion-fixture style (tests/test_json_structure.py,
+tests/test_html_generation.py) over typed spans."""
+
+import ray.data
+
+from docstrange_ray.extract.core import extract_document
+from docstrange_ray.extract.markdown_extract import markdown_to_spans
+from docstrange_ray.projections import (
+    add_projection,
+    parse_table_text,
+    spans_to_csv,
+    spans_to_html,
+    spans_to_json,
+    spans_to_markdown,
+)
+from docstrange_ray.synth import gen_corpus_table
+
+SPANS = [
+    {"kind": "heading", "text": "# Doc Title", "media_ref": "", "offset": 0},
+    {"kind": "text", "text": "Opening paragraph.", "media_ref": "", "offset": 1},
+    {"kind": "heading", "text": "## Section A", "media_ref": "", "offset": 2},
+    {"kind": "list_item", "text": "- first", "media_ref": "", "offset": 3},
+    {"kind": "list_item", "text": "- second", "media_ref": "", "offset": 4},
+    {"kind": "table", "text": "| a | b |\n| --- | --- |\n| 1 | 2 |", "media_ref": "", "offset": 5},
+    {"kind": "code", "text": "```python\nx = 1\n```", "media_ref": "", "offset": 6},
+    {"kind": "image-ref", "text": "pic", "media_ref": "media://d/0", "offset": 7},
+    {"kind": "heading", "text": "## Section B", "media_ref": "", "offset": 8},
+    {"kind": "text", "text": "> a quote", "media_ref": "", "offset": 9},
+]
+
+
+def test_markdown_roundtrip():
+    md = spans_to_markdown(SPANS)
+    reparsed = markdown_to_spans(md)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in reparsed] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in SPANS
+    ]
+
+
+def test_json_tree_structure():
+    doc = spans_to_json(SPANS)["document"]
+    assert len(doc["sections"]) == 1
+    root = doc["sections"][0]
+    assert root["title"] == "Doc Title" and root["level"] == 1
+    subs = root["subsections"]
+    assert [s["title"] for s in subs] == ["Section A", "Section B"]
+    a = subs[0]["content"]
+    assert a["lists"] == ["- first", "- second"]
+    assert a["tables"][0]["grid"] == [["a", "b"], ["1", "2"]]
+    assert a["tables"][0]["num_rows"] == 2
+    meta = doc["metadata"]
+    assert meta["section_count"] == 3
+    assert meta["max_heading_level"] == 2
+    assert meta["has_tables"] and meta["has_code"] and meta["has_lists"] and meta["has_images"]
+
+
+def test_html_rendering():
+    html = spans_to_html(SPANS)
+    assert "<h1>Doc Title</h1>" in html
+    assert "<li>first</li>" in html
+    assert "<th>a</th>" in html and "<td>1</td>" in html
+    assert "<pre><code>x = 1</code></pre>" in html
+    assert '<img src="media://d/0" alt="pic">' in html
+    assert "<blockquote>a quote</blockquote>" in html
+
+
+def test_html_escapes():
+    html = spans_to_html([{"kind": "text", "text": "a < b & c", "media_ref": "", "offset": 0}])
+    assert "a &lt; b &amp; c" in html
+
+
+def test_csv_export():
+    out = spans_to_csv(SPANS)
+    assert out == "a,b\n1,2\n"
+    two = SPANS + [
+        {"kind": "table", "text": "| x |\n| --- |\n| 9 |", "media_ref": "", "offset": 10}
+    ]
+    out2 = spans_to_csv(two)
+    assert "=== Table 1 ===" in out2 and "=== Table 2 ===" in out2
+
+
+def test_table_text_unescapes_pipes():
+    assert parse_table_text("| a\\|b |\n| --- |\n| v |") == [["a|b"], ["v"]]
+
+
+def test_dataset_projection_matches_scalar():
+    tbl = gen_corpus_table(42, 0, 20)
+    ds = ray.data.from_arrow(tbl)
+    from docstrange_ray.pipeline import extract_pipeline
+
+    out = add_projection(extract_pipeline(ds, skew_threshold_units=None), "markdown")
+    rows = {r["doc_id"]: r["markdown"] for r in out.take_all()}
+    for r in tbl.to_pylist():
+        exp = spans_to_markdown(extract_document(r)["spans"])
+        assert rows[r["doc_id"]] == exp

@@ -25,7 +25,10 @@ import sys
 import time
 
 SEED = 42
-BENCH_DOCS_PER_SF_DOC = 2  # bench corpus = 2x the documents-table row count
+# Bench corpus = 10x the documents-table row count (sf0.1 -> 50k docs):
+# large enough that scalable compute dominates the per-op fixed costs
+# (actor-pool + shuffle-aggregator startup, a few seconds) at 32 CPUs.
+BENCH_DOCS_PER_SF_DOC = 10
 
 
 def corpus_dir(n_docs: int) -> str:

@@ -35,10 +35,18 @@ class ExtractConfig:
     direct_text_threshold: int = 50
 
     # --- engine knobs (scale-facing, not fidelity-facing) -------------------
-    # Batch size for light stateless parse stages (rows per batch).
-    parse_batch_size: int = 256
-    # Batch size for the layout/OCR actor stage (page rows per batch).
-    layout_batch_size: int = 64
+    # Batch size for light stateless parse stages (rows per batch). Small
+    # enough that a batch containing several giant documents doesn't
+    # straggle the stage (load balance beats per-batch amortization here).
+    parse_batch_size: int = 64
+    # Batch size for the layout/OCR actor stage (unit rows per batch).
+    # Large batches matter doubly here: they amortize per-batch overhead
+    # AND set the stage's output block granularity — downstream hash
+    # shuffles pay per-block costs, and thousands of 64-row blocks made
+    # the reassembly shuffle 4x slower than ~1k-row blocks. A deployment
+    # with real OCR models (heavy per-unit compute, large page images)
+    # should lower this and rely on block coalescing instead.
+    layout_batch_size: int = 1024
     # Actor pool size for the layout stage; None -> let Ray autoscale between
     # (2, available_parallelism).
     layout_concurrency: int | None = None

@@ -168,10 +168,14 @@ def minhash_candidates(ds, num_partitions: int | None = None):
         )
 
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    pairs = grouped_blocks(
+    # NOTE: a pair colliding in several bands is emitted once per band;
+    # consumers dedup on (doc_id_a, doc_id_b) — driver-side when the
+    # candidate set is small (near_dup_pairs), or via _dedup_pairs for a
+    # distributed consumer. Keeping duplication here saves a full second
+    # shuffle in the common path.
+    return grouped_blocks(
         bands, ["band_key"], bucket_pairs_block, num_partitions, batch_format="pandas"
     )
-    return _dedup_pairs(pairs)
 
 
 def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
@@ -180,7 +184,14 @@ def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
     of the candidate id set; candidates << corpus)."""
     import ray
 
-    cands = minhash_candidates(ds).take_all()  # small: LSH survivors only
+    raw = minhash_candidates(ds).take_all()  # small: LSH survivors only
+    seen: set[tuple] = set()
+    cands = []
+    for p in raw:
+        key = (p["doc_id_a"], p["doc_id_b"])
+        if key not in seen:
+            seen.add(key)
+            cands.append(p)
     cand_ids = set()
     for p in cands:
         cand_ids.add(p["doc_id_a"])

@@ -20,7 +20,7 @@ import pyarrow as pa
 from docstrange_ray.config import DEFAULT, ExtractConfig
 from docstrange_ray.extract.core import finalize_spans
 from docstrange_ray.schema import DOCUMENTS_SCHEMA
-from docstrange_ray.shuffle import grouped_blocks
+from docstrange_ray.shuffle import _cluster_cpus, grouped_blocks
 from docstrange_ray.stages import (
     ExtractUnitActor,
     assemble_block,
@@ -71,7 +71,7 @@ def extract_pipeline(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
-        concurrency=layout_concurrency or cfg.layout_concurrency or (2, 16),
+        concurrency=layout_concurrency or cfg.layout_concurrency or (2, _cluster_cpus()),
         num_cpus=1,
     )
     return grouped_blocks(units, ["doc_id"], assemble_block, assemble_partitions)
@@ -199,7 +199,7 @@ def run_extract_job(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
-        concurrency=layout_concurrency or cfg.layout_concurrency or (2, 16),
+        concurrency=layout_concurrency or cfg.layout_concurrency or (2, _cluster_cpus()),
         num_cpus=1,
     )
     manifests = grouped_blocks(

@@ -61,15 +61,19 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10)
             names=["query_id", "vec_id", "score"],
         )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic tie-break: score desc, vec_id asc
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    # Final reduce over n_blocks x Q x k candidate rows — bounded, so a
+    # coalesced single-block combine beats a groupby shuffle. Tie-break:
+    # score desc, vec_id asc (deterministic vs the SQL oracle).
+    from docstrange_ray.shuffle import coalesced_blocks
 
-    return (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
-    )
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", as_index=False, sort=True)
+            .head(k)
+        )
+
+    return coalesced_blocks(ds.map_batches(local_topk, batch_format="pyarrow"), reduce_topk)
 
 
 # --- LSH-bucketed variant ---------------------------------------------------
@@ -131,12 +135,18 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
             names=["query_id", "vec_id", "score"],
         )
 
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    from docstrange_ray.shuffle import coalesced_blocks
 
-    return (
-        ds.map_batches(hyperplane_bucket, batch_format="pyarrow")
-        .map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", as_index=False, sort=True)
+            .head(k)
+        )
+
+    return coalesced_blocks(
+        ds.map_batches(hyperplane_bucket, batch_format="pyarrow").map_batches(
+            local_topk, batch_format="pyarrow"
+        ),
+        reduce_topk,
     )

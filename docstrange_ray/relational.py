@@ -23,9 +23,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+
+from docstrange_ray.shuffle import coalesced_blocks
 
 Q1_CUTOFF = "2000-01-01"
+
+
+def _combine_sums(keys: list[str], sum_cols: list[str]):
+    """Final combine for pre-aggregated partials over a BOUNDED key space
+    (region names, return flags, hours x event types): one single-block
+    pandas groupby via coalesced_blocks — no aggregator-pool shuffle.
+    Unbounded-key aggregations (e.g. per-customer) use the real
+    groupby/grouped_blocks shuffle instead."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[sum_cols].sum()
+
+    return combine
 
 
 def _read(sf_dir: str, name: str, columns=None):
@@ -88,11 +102,12 @@ def q1_pricing(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
-        Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
-        Sum("count_order", alias_name="count_order"),
+    return coalesced_blocks(
+        partials,
+        _combine_sums(
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_base_price_cents", "sum_disc_price_e4", "count_order"],
+        ),
     )
 
 
@@ -123,13 +138,17 @@ def top_customers(sf_dir: str, k: int = 10):
             revenue_cents=("rev_c", "sum"), n_orders=("rev_c", "size")
         )
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+    from docstrange_ray.shuffle import grouped_blocks
+
+    # custkey cardinality scales with the data -> a real hash shuffle,
+    # block-local vectorized combine (no per-group Python dispatch)
+    per_cust = grouped_blocks(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["o_custkey"],
+        lambda df: df.groupby("o_custkey", as_index=False)[
+            ["revenue_cents", "n_orders"]
+        ].sum(),
+        batch_format="pandas",
     )
 
     cust = {
@@ -144,7 +163,15 @@ def top_customers(sf_dir: str, k: int = 10):
         return batch.append_column("c_name", pa.array(names, type=pa.string()))
 
     joined = per_cust.map_batches(attach_name, batch_format="pyarrow")
-    top = joined.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+
+    # global top-k without a sort shuffle: per-block top-k candidates,
+    # then one coalesced final top-k over n_blocks x k rows
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    top = coalesced_blocks(joined.map_batches(local_topk, batch_format="pandas"), local_topk)
     return top.select_columns(["o_custkey", "c_name", "revenue_cents", "n_orders"])
 
 
@@ -188,13 +215,9 @@ def revenue_by_region(sf_dir: str):
             revenue_cents=("rev_c", "sum"), n_orders=("rev_c", "size")
         )
 
-    return (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("r_name")
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+    return coalesced_blocks(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        _combine_sums(["r_name"], ["revenue_cents", "n_orders"]),
     )
 
 
@@ -224,13 +247,9 @@ def events_hourly(sf_dir: str):
             n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
         )
 
-    return (
-        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_cents", alias_name="sum_value_cents"),
-        )
+    return coalesced_blocks(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        _combine_sums(["event_type", "hour"], ["n_events", "sum_value_cents"]),
     )
 
 
@@ -300,14 +319,9 @@ def docs_by_source(sf_dir: str):
             sum_tokens=("n_tokens", "sum"),
         )
 
-    return (
-        docs.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_chars", alias_name="sum_chars"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
-        )
+    return coalesced_blocks(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        _combine_sums(["source"], ["n_docs", "sum_chars", "sum_tokens"]),
     )
 
 

@@ -35,18 +35,23 @@ class ExtractConfig:
     direct_text_threshold: int = 50
 
     # --- engine knobs (scale-facing, not fidelity-facing) -------------------
-    # Batch size for light stateless parse stages (rows per batch). Small
-    # enough that a batch containing several giant documents doesn't
-    # straggle the stage (load balance beats per-batch amortization here).
-    parse_batch_size: int = 64
-    # Batch size for the layout/OCR actor stage (unit rows per batch).
-    # Large batches matter doubly here: they amortize per-batch overhead
-    # AND set the stage's output block granularity — downstream hash
-    # shuffles pay per-block costs, and thousands of 64-row blocks made
-    # the reassembly shuffle 4x slower than ~1k-row blocks. A deployment
-    # with real OCR models (heavy per-unit compute, large page images)
-    # should lower this and rely on block coalescing instead.
-    layout_batch_size: int = 1024
+    # Batch size for light stateless parse stages (rows per batch). 256
+    # docs/batch ~ 0.4s of work with the mock backend: coarse enough
+    # that per-task overhead is amortized (64-row tasks cost ~25% extra
+    # wall at 16 CPUs), fine enough that the cost-gated inline plan
+    # (documents above ~2s of work explode instead of riding a batch)
+    # cannot straggle a task.
+    parse_batch_size: int = 256
+    # Batch size for the layout/OCR actor stage. Ray fuses the explode
+    # task-map into the actor map, so this counts INPUT DOC rows and sets
+    # both the stage's task count (parallelism: n_docs / batch_size tasks
+    # must comfortably exceed the actor pool) and its output block
+    # granularity (downstream hash shuffles pay per-block costs; 64-row
+    # blocks made reassembly 4x slower, while 1024 left a 5k-doc corpus
+    # at 5-way parallelism). 256 docs/batch -> ~3k unit rows per block.
+    # A deployment with real OCR models (heavy per-unit compute, large
+    # page images) should lower this and rely on block coalescing.
+    layout_batch_size: int = 256
     # Actor pool size for the layout stage; None -> let Ray autoscale between
     # (2, available_parallelism).
     layout_concurrency: int | None = None
@@ -55,10 +60,29 @@ class ExtractConfig:
     # parallelism level so a resume at a different cluster size still skips
     # finished partitions.
     num_output_partitions: int = 32
-    # Cost model weights for est_cost (see stages.estimate_cost).
+    # Cost model weights for est_cost (see stages.estimate_cost),
+    # calibrated as approximate MICROSECONDS of single-core extraction
+    # with the active backend. The deterministic mock backend runs
+    # ~1us/char and ~2ms/page-descriptor; a real OCR/layout model is
+    # ~1e6 us (1s) per page — a deployment swapping real weights in
+    # must recalibrate cost_per_page accordingly.
     cost_per_char: float = 1.0
     cost_per_page: float = 2000.0
     cost_per_media_ref: float = 50.0
+    # Cost-based explode gate (skew_threshold_units='auto'): a document
+    # explodes into per-unit rows only when its estimated extraction cost
+    # exceeds this (i.e. it would straggle a task). 2e6 us = ~2s of
+    # single-core work. With mock-backend calibration no synthetic doc
+    # qualifies (max ~0.7s) — everything extracts inline at full width;
+    # with real-OCR calibration any multi-page scan qualifies.
+    explode_cost_threshold: float = 2_000_000.0
+    # Plan-time sample size for the 'auto' skew gate: extract_pipeline
+    # probes this many documents; if none crosses the explode gate the
+    # split-stream plan (second scan + actor pool + reassembly exchange,
+    # ~5s of fixed cost per run) is elided for a pure inline plan. A
+    # heavy doc the sample missed still extracts CORRECTLY inline — the
+    # gate only trades straggler risk against fixed plan cost.
+    plan_sample_docs: int = 1000
 
 
 DEFAULT = ExtractConfig()

@@ -21,6 +21,7 @@ _LIST_PATTERNS = (
 )
 
 _TABLE_ROW = re.compile(r"(\|)|(\t)|(\S+\s{2,}\S+\s{2,}\S+\s{2,}\S+)")
+_MULTISPACE_ROW = re.compile(r"\S+\s{2,}\S+\s{2,}\S+\s{2,}\S+")
 
 
 def classify_block(text: str, cfg: ExtractConfig = DEFAULT) -> str:
@@ -43,7 +44,7 @@ def classify_block(text: str, cfg: ExtractConfig = DEFAULT) -> str:
             return "list_item"
     if ("|" in t or "\t" in t) and len(words) >= 4:
         return "table_row"
-    if re.search(r"\S+\s{2,}\S+\s{2,}\S+\s{2,}\S+", t):
+    if _MULTISPACE_ROW.search(t):
         return "table_row"
     return "text"
 

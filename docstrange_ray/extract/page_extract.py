@@ -32,6 +32,7 @@ Reference semantics implemented here:
 from __future__ import annotations
 
 import json
+import re
 
 from docstrange_ray.config import DEFAULT, ExtractConfig
 from docstrange_ray.extract.cleaners import ocr_postprocess, smart_join
@@ -40,15 +41,16 @@ from docstrange_ray.extract.table_extract import grid_to_markdown
 from docstrange_ray.extract.text_extract import text_to_spans
 
 
+_CELL_SPLIT = re.compile(r"\s{2,}")
+
+
 def _split_table_cells(text: str) -> list[str]:
     if "|" in text:
         cells = [c.strip() for c in text.split("|")]
         return [c for c in cells if c != ""]
     if "\t" in text:
         return [c.strip() for c in text.split("\t") if c.strip()]
-    import re
-
-    return [c for c in re.split(r"\s{2,}", text.strip()) if c]
+    return [c for c in _CELL_SPLIT.split(text.strip()) if c]
 
 
 def page_to_spans(

@@ -18,12 +18,13 @@ import time
 import pyarrow as pa
 
 from docstrange_ray.config import DEFAULT, ExtractConfig
-from docstrange_ray.extract.core import finalize_spans
 from docstrange_ray.schema import DOCUMENTS_SCHEMA
 from docstrange_ray.shuffle import _cluster_cpus, grouped_blocks
 from docstrange_ray.stages import (
     ExtractUnitActor,
     assemble_block,
+    make_explode_heavy,
+    make_extract_light,
     make_extract_or_explode,
 )
 from docstrange_ray.state import manifest as mstate
@@ -34,35 +35,54 @@ _INLINE = 1 << 30  # skew threshold that disables the explode path
 def extract_pipeline(
     ds,
     cfg: ExtractConfig = DEFAULT,
-    skew_threshold_units: int | None = 16,
+    skew_threshold_units: int | str | None = "auto",
     layout_concurrency=None,
     assemble_partitions: int | None = None,
 ):
     """Input Dataset[(doc_id, spans)] -> extracted Dataset[(doc_id, spans)].
 
-    ``skew_threshold_units=None`` selects the shuffle-free inline plan
-    (every document extracted inside one stateless ``map_batches``) —
-    correct when per-unit cost is small. The default plan explodes
-    documents with >= 16 input spans into unit rows, runs the stateful
-    layout stage as an actor pool, and restores order with ONE hash
-    shuffle keyed on doc_id + block-local reassembly
-    (shuffle.grouped_blocks).
+    Split-stream plan: light documents (the vast majority; gate
+    semantics in stages.make_skew_gate — cost-based under the default
+    ``skew_threshold_units='auto'``) extract inline in stateless tasks at full
+    cluster width and NEVER touch a shuffle; only the heavy tail explodes
+    into unit rows, runs through the stateful layout actor pool, and is
+    reassembled with a hash shuffle keyed on doc_id (small: just the
+    skewed tail's units). The two branches stream concurrently in one
+    execution and union. The input is scanned twice (column-pruned
+    parquet scans are cheap; shuffling every finished document is not).
+
+    ``skew_threshold_units=None`` selects the single-branch inline plan
+    (everything extracted in one stateless ``map_batches``) — correct
+    when no document is large enough to straggle a task.
+
+    Under the default ``'auto'`` gate the plan is chosen adaptively: a
+    plan-time sample (cfg.plan_sample_docs) probes for documents that
+    cross the cost gate; when none does, the split plan's fixed cost is
+    elided entirely. Sampling can only cost straggler balance, never
+    correctness — inline extraction handles any document.
     """
+    if skew_threshold_units == "auto":
+        from docstrange_ray.stages import make_skew_gate
+
+        gate = make_skew_gate(cfg, "auto")
+        sample = ds.limit(cfg.plan_sample_docs).take_all()
+        if not any(gate(list(r["spans"] or [])) for r in sample):
+            skew_threshold_units = None
+
     if skew_threshold_units is None:
-        fn = make_extract_or_explode(cfg, _INLINE)
-
-        def project(batch: pa.Table) -> pa.Table:
-            return pa.Table.from_arrays(
-                [batch.column("doc_id"), batch.column("spans")],
-                schema=DOCUMENTS_SCHEMA,
-            )
-
         return ds.map_batches(
-            fn, batch_format="pyarrow", batch_size=cfg.parse_batch_size
-        ).map_batches(project, batch_format="pyarrow")
+            make_extract_light(cfg, _INLINE),
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+        )
 
+    light = ds.map_batches(
+        make_extract_light(cfg, skew_threshold_units),
+        batch_format="pyarrow",
+        batch_size=cfg.parse_batch_size,
+    )
     units = ds.map_batches(
-        make_extract_or_explode(cfg, skew_threshold_units),
+        make_explode_heavy(cfg, skew_threshold_units),
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
     )
@@ -71,10 +91,13 @@ def extract_pipeline(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
-        concurrency=layout_concurrency or cfg.layout_concurrency or (2, _cluster_cpus()),
+        concurrency=layout_concurrency
+        or cfg.layout_concurrency
+        or (2, max(2, (3 * _cluster_cpus()) // 4)),
         num_cpus=1,
     )
-    return grouped_blocks(units, ["doc_id"], assemble_block, assemble_partitions)
+    heavy = grouped_blocks(units, ["doc_id"], assemble_block, assemble_partitions)
+    return light.union(heavy)
 
 
 _MANIFEST_ROW_SCHEMA = pa.schema(
@@ -90,9 +113,13 @@ _MANIFEST_ROW_SCHEMA = pa.schema(
 def _assemble_and_write_block(block: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
     """Sink stage (block-local): a hash-co-located block holds one or more
     COMPLETE output partitions' unit rows. Assemble each partition's docs
-    and write its parquet + manifest atomically; emit one manifest summary
-    row per partition."""
+    columnar (stages.assemble_sorted over a zero-copy slice) and write its
+    parquet + manifest atomically; emit one manifest summary row per
+    partition."""
+    import numpy as np
     import pyarrow.compute as pc
+
+    from docstrange_ray.stages import assemble_sorted
 
     if block.num_rows == 0:
         return pa.Table.from_pylist([], schema=_MANIFEST_ROW_SCHEMA)
@@ -100,20 +127,23 @@ def _assemble_and_write_block(block: pa.Table, out_dir: str, fingerprint: str) -
         block,
         sort_keys=[("part_id", "ascending"), ("doc_id", "ascending"), ("seq", "ascending")],
     )
-    block = block.take(order)
-    part_ids = block.column("part_id").to_pylist()
-    doc_ids = block.column("doc_id").to_pylist()
-    span_lists = block.column("spans").to_pylist()
-    costs = block.column("est_cost").to_pylist()
+    block = block.combine_chunks().take(order)
+    pids = block.column("part_id").combine_chunks()
+    n = len(pids)
+    pids_np = pids.to_numpy()
+    starts = np.concatenate(([0], np.where(pids_np[1:] != pids_np[:-1])[0] + 1))
+    bounds = np.append(starts, n)
 
     out_rows: list[dict] = []
     started = time.time()
-
-    def flush_partition(pid: int, rows: list[dict], total_cost: float) -> None:
-        table = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        part = block.slice(s, e - s)
+        table = assemble_sorted(part.column("doc_id"), part.column("spans"))
+        total_cost = pc.sum(part.column("est_cost")).as_py() or 0.0
         man = mstate.write_partition(
             out_dir,
-            pid,
+            int(pids_np[s]),
             table,
             fingerprint,
             started,
@@ -127,33 +157,6 @@ def _assemble_and_write_block(block: pa.Table, out_dir: str, fingerprint: str) -
                 "wall_sec": man["wall_sec"],
             }
         )
-
-    cur_pid: int | None = None
-    cur_did: str | None = None
-    rows: list[dict] = []
-    cur_spans: list[dict] = []
-    total_cost = 0.0
-
-    def close_doc() -> None:
-        nonlocal cur_did
-        if cur_did is not None:
-            rows.append({"doc_id": cur_did, "spans": finalize_spans(cur_spans)})
-        cur_did = None
-
-    for pid, did, spans, cost in zip(part_ids, doc_ids, span_lists, costs):
-        if pid != cur_pid:
-            close_doc()
-            if cur_pid is not None:
-                flush_partition(cur_pid, rows, total_cost)
-            cur_pid, rows, total_cost = pid, [], 0.0
-        if did != cur_did:
-            close_doc()
-            cur_did, cur_spans = did, []
-        cur_spans.extend(spans or [])
-        total_cost += cost or 0.0
-    close_doc()
-    if cur_pid is not None:
-        flush_partition(cur_pid, rows, total_cost)
     return pa.Table.from_pylist(out_rows, schema=_MANIFEST_ROW_SCHEMA)
 
 
@@ -162,7 +165,7 @@ def run_extract_job(
     out_dir: str,
     input_fingerprint: str,
     cfg: ExtractConfig = DEFAULT,
-    skew_threshold_units: int = 16,
+    skew_threshold_units: int | str = "auto",
     num_partitions: int | None = None,
     resume: bool = True,
     layout_concurrency=None,
@@ -199,7 +202,11 @@ def run_extract_job(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
-        concurrency=layout_concurrency or cfg.layout_concurrency or (2, _cluster_cpus()),
+        # cap the pool below cluster width: a pool reserving every CPU
+        # starves the read tasks and shuffle aggregators (deadlock-adjacent)
+        concurrency=layout_concurrency
+        or cfg.layout_concurrency
+        or (2, max(2, (3 * _cluster_cpus()) // 4)),
         num_cpus=1,
     )
     manifests = grouped_blocks(

@@ -39,7 +39,12 @@ def ensure_hash_shuffle() -> None:
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ncpu = _cluster_cpus()
-    ctx.max_hash_shuffle_aggregators = ncpu
+    # Aggregators are block routers, not compute: a handful saturate a
+    # node's network/memcpy, while one-per-CPU pays ~6s of actor spawn
+    # per exchange and starves map stages of scheduling slots. Partition
+    # count (parallelism) stays high for granularity; aggregators each
+    # own several partitions.
+    ctx.max_hash_shuffle_aggregators = max(4, ncpu // 4)
     ctx.default_hash_shuffle_parallelism = ncpu
 
 

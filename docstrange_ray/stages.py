@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from docstrange_ray.config import DEFAULT, ExtractConfig
-from docstrange_ray.extract.core import extract_spans, extract_unit, finalize_spans
+from docstrange_ray.extract.core import extract_spans, extract_unit
 from docstrange_ray.schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
 
 # Inter-stage schema: either a finished doc (done=True, spans set) or an
@@ -60,6 +60,86 @@ def estimate_cost(spans: list[dict], cfg: ExtractConfig = DEFAULT) -> float:
     return cost
 
 
+def make_skew_gate(cfg: ExtractConfig, skew_threshold_units):
+    """Build the explode predicate. An explicit int keeps pure
+    span-count semantics (tests pin both paths with it); ``'auto'`` (the
+    production default) gates on estimated extraction COST so only
+    documents that would straggle a task pay the explode/shuffle tax —
+    with the mock backend's us-scale units that is nothing, with a
+    real-OCR cost model it is every multi-page scan (see
+    config.explode_cost_threshold)."""
+    if skew_threshold_units == "auto":
+        thr = cfg.explode_cost_threshold
+        return lambda spans: len(spans) >= 2 and estimate_cost(spans, cfg) >= thr
+    return lambda spans: len(spans) >= skew_threshold_units
+
+
+def make_extract_light(cfg: ExtractConfig = DEFAULT, skew_threshold_units: int = 16):
+    """Light-doc branch (stateless tasks, full cluster width): extract
+    documents with < threshold input spans inline and emit finished
+    (doc_id, spans) rows; heavy documents are DROPPED here (the heavy
+    branch re-reads the pruned input — two cheap scans beat shuffling
+    every finished document through the reassembly exchange)."""
+    explode = make_skew_gate(cfg, skew_threshold_units)
+
+    def extract_light(batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for doc_id, in_spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            in_spans = in_spans or []
+            if not explode(in_spans):
+                out.append(
+                    {"doc_id": doc_id, "spans": extract_spans(doc_id, in_spans, cfg)}
+                )
+        return pa.Table.from_pylist(out, schema=DOCUMENTS_SCHEMA)
+
+    return extract_light
+
+
+def make_explode_heavy(cfg: ExtractConfig = DEFAULT, skew_threshold_units: int = 16):
+    """Heavy-doc branch: documents with >= threshold input spans explode
+    into one unit row per input span (the actor stage's work queue);
+    light documents are dropped (they finish in the light branch)."""
+    explode = make_skew_gate(cfg, skew_threshold_units)
+
+    def explode_heavy(batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for doc_id, in_spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            in_spans = in_spans or []
+            if not explode(in_spans):
+                continue
+            cost = estimate_cost(in_spans, cfg)
+            ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
+            page_no = 0
+            table_idx = 0
+            for seq, s in enumerate(ordered):
+                kind = s.get("kind", "")
+                if kind == "page-src":
+                    page_no += 1
+                if kind == "table-src":
+                    table_idx += 1
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "seq": seq,
+                        "done": False,
+                        "unit_kind": kind,
+                        "payload": s.get("text", "") or "",
+                        "media_ref": s.get("media_ref", "") or "",
+                        "page_no": page_no,
+                        "table_idx": table_idx,
+                        "est_cost": cost / max(1, len(ordered)),
+                        "spans": [],
+                    }
+                )
+        return pa.Table.from_pylist(out, schema=UNITS_SCHEMA)
+
+    return explode_heavy
+
+
 def make_extract_or_explode(
     cfg: ExtractConfig = DEFAULT,
     skew_threshold_units: int = 16,
@@ -78,6 +158,8 @@ def make_extract_or_explode(
         else:
             schema = schema.append(pa.field(col, pa.string()))
 
+    explode = make_skew_gate(cfg, skew_threshold_units)
+
     def extract_or_explode(batch: pa.Table) -> pa.Table:
         out: list[dict] = []
         doc_ids = batch.column("doc_id").to_pylist()
@@ -87,7 +169,7 @@ def make_extract_or_explode(
             kept_vals = {c: kept[c][row_idx] for c in keep_columns}
             in_spans = in_spans or []
             cost = estimate_cost(in_spans, cfg)
-            if len(in_spans) < skew_threshold_units:
+            if not explode(in_spans):
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -150,13 +232,21 @@ class ExtractUnitActor:
         from docstrange_ray.extract import classify, cleaners, markdown_extract  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        done_mask = batch.column("done").to_pylist()
-        if all(done_mask):
+        import pyarrow.compute as pc
+
+        # Split on `done` with Arrow filters so finished documents (whose
+        # span lists are the expensive nested payload) pass through
+        # zero-copy; only pending unit rows (spans == []) cross the
+        # Arrow<->Python boundary. Row order within the batch changes, but
+        # reassembly sorts on (doc_id, seq) anyway.
+        done_col = batch.column("done")
+        n_done = pc.sum(pc.cast(done_col, pa.int32())).as_py() or 0
+        if n_done == batch.num_rows:
             return batch
-        rows = batch.to_pylist()
+        passthrough = batch.filter(done_col) if n_done else None
+        todo = batch.filter(pc.invert(done_col)) if n_done else batch
+        rows = todo.to_pylist()
         for r in rows:
-            if r["done"]:
-                continue
             r["spans"] = extract_unit(
                 r["unit_kind"],
                 r["payload"],
@@ -168,7 +258,8 @@ class ExtractUnitActor:
             )
             r["done"] = True
             r["payload"] = ""
-        return pa.Table.from_pylist(rows, schema=batch.schema)
+        out = pa.Table.from_pylist(rows, schema=batch.schema)
+        return pa.concat_tables([passthrough, out]) if passthrough is not None else out
 
 
 def assemble_group(group: pa.Table) -> pa.Table:
@@ -189,28 +280,82 @@ def assemble_group(group: pa.Table) -> pa.Table:
     )
 
 
+def assemble_sorted(doc_id_col, spans_col) -> pa.Table:
+    """Columnar reassembly of (doc_id, seq)-sorted unit rows into one row
+    per document — the vectorized equivalent of finalize_spans over each
+    doc's concatenated unit spans: doc boundaries from run-length change
+    points, span payloads re-nested zero-copy (ListArray.flatten /
+    from_arrays), and the output ``offset`` field rebuilt as the 0-based
+    per-doc position with one numpy subtraction. No Python touches a
+    span."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    dids = (
+        doc_id_col.combine_chunks()
+        if isinstance(doc_id_col, pa.ChunkedArray)
+        else doc_id_col
+    )
+    spans = (
+        spans_col.combine_chunks()
+        if isinstance(spans_col, pa.ChunkedArray)
+        else spans_col
+    )
+    n = len(dids)
+    if n == 0:
+        return pa.Table.from_pylist([], schema=DOCUMENTS_SCHEMA)
+
+    # per-unit span counts (null list -> 0; flatten skips null slots too)
+    lens = pc.list_value_length(spans)
+    lens = pc.fill_null(lens, 0).to_numpy().astype(np.int64)
+    cums = np.concatenate(([0], np.cumsum(lens)))
+
+    # doc boundaries = change points in the sorted doc_id run
+    if n == 1:
+        starts = np.array([0], dtype=np.int64)
+    else:
+        neq = pc.not_equal(dids.slice(1), dids.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.where(neq)[0] + 1))
+    doc_offsets = np.append(cums[starts], cums[-1])  # into flattened spans
+
+    flat = spans.flatten()
+    total = len(flat)
+    doc_nspans = doc_offsets[1:] - doc_offsets[:-1]
+    # output offset = global span index - owning doc's first span index
+    new_offset = np.arange(total, dtype=np.int64) - np.repeat(
+        doc_offsets[:-1], doc_nspans
+    )
+    struct = pa.StructArray.from_arrays(
+        [
+            pc.fill_null(flat.field("kind"), ""),
+            pc.fill_null(flat.field("text"), ""),
+            pc.fill_null(flat.field("media_ref"), ""),
+            pa.array(new_offset, type=pa.int32()),
+        ],
+        fields=[SPAN_STRUCT.field(i) for i in range(4)],
+    )
+    out_spans = pa.ListArray.from_arrays(
+        pa.array(doc_offsets, type=pa.int32()), struct
+    )
+    return pa.Table.from_arrays(
+        [dids.take(pa.array(starts)), out_spans], schema=DOCUMENTS_SCHEMA
+    )
+
+
 def assemble_block(block: pa.Table) -> pa.Table:
     """Stage 3 (block-local): reassemble ALL documents in one
     hash-co-located block (see shuffle.grouped_blocks — every doc's unit
     rows are guaranteed to be entirely in this block). One stable sort on
-    (doc_id, seq), then a single walk; no per-group Python dispatch."""
+    (doc_id, seq), then the columnar reassembly; no per-group Python
+    dispatch, no per-span Python."""
     import pyarrow.compute as pc
 
+    if block.num_rows == 0:
+        return pa.Table.from_pylist([], schema=DOCUMENTS_SCHEMA)
     order = pc.sort_indices(
         block, sort_keys=[("doc_id", "ascending"), ("seq", "ascending")]
     )
     block = block.take(order)
-    doc_ids = block.column("doc_id").to_pylist()
-    span_lists = block.column("spans").to_pylist()
-    rows: list[dict] = []
-    cur_id: str | None = None
-    cur_spans: list[dict] = []
-    for did, spans in zip(doc_ids, span_lists):
-        if did != cur_id:
-            if cur_id is not None:
-                rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
-            cur_id, cur_spans = did, []
-        cur_spans.extend(spans or [])
-    if cur_id is not None:
-        rows.append({"doc_id": cur_id, "spans": finalize_spans(cur_spans)})
-    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    return assemble_sorted(block.column("doc_id"), block.column("spans"))

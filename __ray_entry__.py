@@ -110,6 +110,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "markdown"]
         )
 
+    def extract_html(sf_dir):
+        return add_projection(_extracted(sf_dir), "html").select_columns(
+            ["doc_id", "html"]
+        )
+
+    def extract_csv(sf_dir):
+        return add_projection(_extracted(sf_dir), "csv").select_columns(
+            ["doc_id", "csv"]
+        )
+
+    def section_chunks(sf_dir):
+        from docstrange_ray.projections import chunk_documents
+
+        return chunk_documents(_extracted(sf_dir), token_budget=512)
+
     def extract_doc_meta(sf_dir):
         from docstrange_ray.projections import spans_to_json
 
@@ -173,8 +188,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def quality_filter(sf_dir):
+        import pyarrow.compute as pc
+
+        def score_and_filter(batch: pa.Table) -> pa.Table:
+            t = textstats.quality_score(batch)
+            return t.filter(pc.greater_equal(t.column("quality"), 0.5)).select(
+                ["doc_id", "quality"]
+            )
+
+        return read_docs(sf_dir).map_batches(score_and_filter, batch_format="pyarrow")
+
     def simhash_sigs(sf_dir):
         return read_docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+    def simhash_pairs(sf_dir):
+        return dedup.simhash_near_pairs(read_docs(sf_dir), max_hamming=3)
+
+    def lsh_ann_topk(sf_dir):
+        first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
+        first.sort(key=lambda r: r["vec_id"])
+        q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+        qids = [int(r["vec_id"]) for r in first]
+        return ann.lsh_topk(read_emb(sf_dir), q, qids, k=10)
+
+    def media_features(sf_dir):
+        import ray
+        from docstrange_ray.ops import multimodal
+
+        # deterministic fake media table keyed off the corpus image refs
+        refs = [f"media://img/{i}" for i in range(_corpus_size(sf_dir))]
+        media = ray.data.from_arrow(multimodal.synth_media_table(refs))
+        return multimodal.decode_features(media)
 
     def embedding_dups(sf_dir):
         # fixture embeddings are near-random (max pairwise cos ~0.5); the
@@ -196,18 +241,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction
         "extract_flagship": extract_flagship,
         "extract_markdown": extract_markdown,
+        "extract_html": extract_html,
+        "extract_csv": extract_csv,
         "extract_doc_meta": extract_doc_meta,
+        "section_chunks": section_chunks,
         # training-data ops
         "token_count": token_count,
         "quality_stats": quality_stats,
+        "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
         "exact_dedup": exact_dedup,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,
         "simhash_sigs": simhash_sigs,
+        "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
+        "lsh_ann_topk": lsh_ann_topk,
+        "media_features": media_features,
         # relational
         "q1_pricing": relational.q1_pricing,
         "top_customers": relational.top_customers,
@@ -245,6 +297,23 @@ def oracle_sql() -> dict[str, str]:
                             x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
                        AS n_stopwords
             FROM documents
+        """,
+        "quality_filter": r"""
+            SELECT doc_id, quality FROM (
+                SELECT doc_id,
+                       ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+                           + 0.3 * EXP(-0.5 * POW((CAST(sum_wlen AS DOUBLE) / GREATEST(n_words, 1) - 5.0) / 3.0, 2))
+                           + 0.3 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5.0, 1.0), 6)
+                           AS quality
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                           length(regexp_replace(text, '\s', '', 'g')) AS sum_wlen,
+                           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+                    FROM documents))
+            WHERE quality >= 0.5
         """,
         "content_fingerprint": r"""
             SELECT doc_id,

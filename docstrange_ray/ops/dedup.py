@@ -311,7 +311,14 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
                                     "hamming": ham,
                                 }
                             )
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+        out = pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+        if out.empty:
+            # typed empty frame: Ray's block size estimator chokes on
+            # object-dtype empty columns
+            out = out.astype(
+                {"doc_id_a": df["doc_id"].dtype, "doc_id_b": df["doc_id"].dtype, "hamming": np.int64}
+            )
+        return out
 
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
     pairs = grouped_blocks(

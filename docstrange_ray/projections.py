@@ -242,6 +242,92 @@ def spans_to_csv(spans: list[dict], include_separators: bool = True) -> str:
     return buf.getvalue()
 
 
+# --- Section chunking (MCP navigation surface) ------------------------------
+
+
+def spans_to_chunks(spans: list[dict], token_budget: int = 4000) -> list[dict]:
+    """Greedy token-budget section packing — the span-level rebuild of the
+    reference MCP server's chunking (mcp_server_module/server.py:183-220):
+    markdown is split into header-delimited sections, token counts are
+    estimated (len//4, the reference's tiktoken fallback,
+    server.py:78-86), and consecutive sections pack into chunks while the
+    budget holds; an oversize section becomes its own chunk."""
+    sections: list[tuple[str, str]] = []
+    cur_title = ""
+    cur_parts: list[str] = []
+
+    def close_section() -> None:
+        if cur_parts or cur_title:
+            sections.append((cur_title, "\n\n".join(p for p in cur_parts if p)))
+
+    for s in spans:
+        kind = s["kind"]
+        if kind == "heading":
+            close_section()
+            cur_title = s.get("text", "")
+            cur_parts = [cur_title]
+        elif kind == "image-ref":
+            cur_parts.append(f"![{s.get('text', '')}]({s.get('media_ref', '')})")
+        else:
+            cur_parts.append(s.get("text", ""))
+    close_section()
+
+    chunks: list[dict] = []
+    buf: list[tuple[str, str]] = []
+    buf_tokens = 0
+
+    def flush_chunk() -> None:
+        nonlocal buf, buf_tokens
+        if buf:
+            chunks.append(
+                {
+                    "chunk_id": len(chunks),
+                    "n_sections": len(buf),
+                    "n_tokens_est": buf_tokens,
+                    "first_section": buf[0][0],
+                    "text": "\n\n".join(t for _, t in buf),
+                }
+            )
+        buf, buf_tokens = [], 0
+
+    for title, text in sections:
+        t = max(1, len(text) // 4)
+        if buf and buf_tokens + t > token_budget:
+            flush_chunk()
+        buf.append((title, text))
+        buf_tokens += t
+    flush_chunk()
+    return chunks
+
+
+CHUNKS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("chunk_id", pa.int64()),
+        ("n_sections", pa.int64()),
+        ("n_tokens_est", pa.int64()),
+        ("first_section", pa.string()),
+        ("text", pa.string()),
+    ]
+)
+
+
+def chunk_documents(ds, token_budget: int = 4000):
+    """Dataset op: extracted (doc_id, spans) -> one row per chunk.
+    Stateless flat map (no shuffle; chunking is per-document)."""
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for c in spans_to_chunks(list(spans or []), token_budget):
+                rows.append({"doc_id": did, **c})
+        return pa.Table.from_pylist(rows, schema=CHUNKS_SCHEMA)
+
+    return ds.map_batches(explode_chunks, batch_format="pyarrow")
+
+
 # --- Dataset-level projections ---------------------------------------------
 
 

@@ -112,3 +112,81 @@ def test_deterministic_generation_is_order_independent():
     a = gen_corpus_table(SEED, 0, 10).to_pylist()
     b = [gen_corpus_table(SEED, i, 1).to_pylist()[0] for i in range(10)]
     assert a == b
+
+
+class TestSkewGate:
+    def test_explicit_int_is_span_count(self):
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.stages import make_skew_gate
+
+        gate = make_skew_gate(DEFAULT, 3)
+        assert not gate([{"kind": "text", "text": "hi"}] * 2)
+        assert gate([{"kind": "text", "text": "hi"}] * 3)
+
+    def test_auto_gate_is_cost_based(self):
+        from docstrange_ray.config import ExtractConfig
+        from docstrange_ray.stages import make_skew_gate
+
+        cfg = ExtractConfig(explode_cost_threshold=1000.0)
+        gate = make_skew_gate(cfg, "auto")
+        # two tiny spans: cost ~ chars -> below threshold
+        assert not gate([{"kind": "text", "text": "hi", "offset": 0}] * 2)
+        # one page-src costs cost_per_page=2000 > 1000, but single-span
+        # docs never explode (nothing to parallelize)
+        page = [{"kind": "page-src", "text": "{}", "offset": 0}]
+        assert not gate(page)
+        assert gate(page * 2)
+
+    def test_auto_plan_sampling_elides_split(self, ray_session):
+        """With no doc crossing the cost gate the auto plan equals the
+        inline plan's results (and the explode branch is elided)."""
+        import ray.data
+
+        from docstrange_ray.synth import gen_corpus_table
+
+        tbl = gen_corpus_table(7, 0, 50)
+        a = extract_pipeline(ray.data.from_arrow(tbl)).take_all()
+        b = extract_pipeline(
+            ray.data.from_arrow(tbl), skew_threshold_units=None
+        ).take_all()
+        key = lambda r: r["doc_id"]
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+
+class TestAssembleSorted:
+    def test_columnar_matches_finalize(self):
+        import pyarrow as pa
+
+        from docstrange_ray.extract.core import finalize_spans
+        from docstrange_ray.schema import SPAN_STRUCT
+        from docstrange_ray.stages import assemble_sorted
+
+        spans_a1 = [{"kind": "heading", "text": "# H", "media_ref": None, "offset": None}]
+        spans_a2 = [
+            {"kind": "text", "text": "p1", "media_ref": None, "offset": None},
+            {"kind": "image-ref", "text": "alt", "media_ref": "m://1", "offset": None},
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(["a", "a", "b", "c"]),
+                "spans": pa.array(
+                    [spans_a1, spans_a2, [], None], type=pa.list_(SPAN_STRUCT)
+                ),
+            }
+        )
+        out = assemble_sorted(tbl.column("doc_id"), tbl.column("spans"))
+        rows = {r["doc_id"]: r["spans"] for r in out.to_pylist()}
+        assert rows["a"] == finalize_spans(spans_a1 + spans_a2)
+        assert rows["b"] == []
+        assert rows["c"] == []
+
+    def test_empty_block(self):
+        import pyarrow as pa
+
+        from docstrange_ray.schema import SPAN_STRUCT
+        from docstrange_ray.stages import assemble_sorted
+
+        out = assemble_sorted(
+            pa.array([], type=pa.string()), pa.array([], type=pa.list_(SPAN_STRUCT))
+        )
+        assert out.num_rows == 0

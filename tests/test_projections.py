@@ -94,3 +94,46 @@ def test_dataset_projection_matches_scalar():
     for r in tbl.to_pylist():
         exp = spans_to_markdown(extract_document(r)["spans"])
         assert rows[r["doc_id"]] == exp
+
+
+class TestSectionChunks:
+    """Greedy token-budget section packing (reference MCP chunking,
+    mcp_server_module/server.py:183-220)."""
+
+    SPANS = [
+        {"kind": "heading", "text": "# A", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "x" * 400, "media_ref": "", "offset": 1},
+        {"kind": "heading", "text": "# B", "media_ref": "", "offset": 2},
+        {"kind": "text", "text": "y" * 400, "media_ref": "", "offset": 3},
+        {"kind": "heading", "text": "# C", "media_ref": "", "offset": 4},
+        {"kind": "text", "text": "z" * 4000, "media_ref": "", "offset": 5},
+    ]
+
+    def test_budget_packs_and_splits(self):
+        from docstrange_ray.projections import spans_to_chunks
+
+        # budget 250 tokens (= ~1000 chars): A+B pack together, C alone
+        chunks = spans_to_chunks(self.SPANS, token_budget=250)
+        assert [c["n_sections"] for c in chunks] == [2, 1]
+        assert chunks[0]["first_section"] == "# A"
+        assert chunks[1]["first_section"] == "# C"
+        # oversize section still becomes its own chunk
+        assert chunks[1]["n_tokens_est"] > 250
+
+    def test_chunk_ids_sequential(self):
+        from docstrange_ray.projections import spans_to_chunks
+
+        chunks = spans_to_chunks(self.SPANS, token_budget=1)
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+
+    def test_dataset_op(self, ray_session):
+        import ray.data
+
+        from docstrange_ray.projections import chunk_documents
+
+        ds = ray.data.from_items(
+            [{"doc_id": "d1", "spans": self.SPANS}, {"doc_id": "d2", "spans": []}]
+        )
+        rows = chunk_documents(ds, token_budget=250).take_all()
+        assert {r["doc_id"] for r in rows} == {"d1"}
+        assert len(rows) == 2

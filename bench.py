@@ -33,8 +33,11 @@ SEED = 42
 BENCH_DOCS_PER_SF_DOC = 40
 
 
+CORPUS_VERSION = 2  # bump when synth population mix changes (cache key)
+
+
 def corpus_dir(n_docs: int) -> str:
-    return f"/tmp/dsray_bench_corpus/seed{SEED}-n{n_docs}"
+    return f"/tmp/dsray_bench_corpus/v{CORPUS_VERSION}-seed{SEED}-n{n_docs}"
 
 
 def ensure_corpus(n_docs: int) -> str:

@@ -13,6 +13,11 @@ from __future__ import annotations
 from docstrange_ray.config import DEFAULT, ExtractConfig
 from docstrange_ray.extract.html_extract import html_to_spans
 from docstrange_ray.extract.markdown_extract import markdown_to_spans
+from docstrange_ray.extract.office_extract import (
+    docx_src_to_spans,
+    pptx_src_to_spans,
+    xlsx_src_to_spans,
+)
 from docstrange_ray.extract.page_extract import page_to_spans
 from docstrange_ray.extract.table_extract import table_src_to_spans
 from docstrange_ray.extract.text_extract import text_to_spans
@@ -55,6 +60,12 @@ def extract_unit(
         return table_src_to_spans(text, name=f"{doc_id}.t{table_idx}", cfg=cfg)
     if kind == "page-src":
         return page_to_spans(text, page_no, cfg)
+    if kind == "docx-src":
+        return docx_src_to_spans(text, cfg)
+    if kind == "pptx-src":
+        return pptx_src_to_spans(text)
+    if kind == "xlsx-src":
+        return xlsx_src_to_spans(text, name=doc_id, cfg=cfg)
     if kind == "image-ref":
         return [{"kind": "image-ref", "text": text, "media_ref": media_ref}]
     # Unknown input kinds are skipped (reference raises for unsupported

@@ -14,6 +14,10 @@ Input span kinds (raw, interleaved source material):
     'page-src'  — one scanned "page": JSON block descriptors (the
                   deterministic stand-in for a rasterized PDF page; see
                   FIXTURES.md §5)
+    'docx-src'  — parsed DOCX structure as JSON (paragraphs+styles,
+                  tables) — stand-in for the python-docx parse
+    'pptx-src'  — parsed PPTX structure as JSON (slides/shape texts)
+    'xlsx-src'  — parsed workbook as JSON (named sheets of grids)
     'image-ref' — media pointer in ``media_ref`` (no text payload)
 
 Output span kinds (extracted):
@@ -56,7 +60,17 @@ FLAT_SPANS_SCHEMA = pa.schema(
     ]
 )
 
-INPUT_KINDS = ("html", "text", "md", "table-src", "page-src", "image-ref")
+INPUT_KINDS = (
+    "html",
+    "text",
+    "md",
+    "table-src",
+    "page-src",
+    "docx-src",
+    "pptx-src",
+    "xlsx-src",
+    "image-ref",
+)
 OUTPUT_KINDS = ("heading", "text", "list_item", "table", "code", "image-ref")
 
 

@@ -33,11 +33,14 @@ _WORDS = (
 ).split()
 
 _POPULATIONS = (
-    ("html_page", 0.35),
-    ("plain_text", 0.20),
-    ("markdown_doc", 0.15),
-    ("tabular", 0.10),
-    ("paged_doc", 0.15),
+    ("html_page", 0.28),
+    ("plain_text", 0.15),
+    ("markdown_doc", 0.12),
+    ("tabular", 0.08),
+    ("docx_doc", 0.08),
+    ("pptx_doc", 0.05),
+    ("xlsx_doc", 0.06),
+    ("paged_doc", 0.13),
     ("giant_doc", 0.05),
 )
 
@@ -165,6 +168,56 @@ def _gen_tabular(rng: random.Random) -> list[dict]:
     return [{"kind": "table-src", "text": "\n".join(rows), "media_ref": "", "offset": 0}]
 
 
+def _gen_docx(rng: random.Random) -> list[dict]:
+    paras = [{"text": _sentence(rng, 2, 4).rstrip("."), "style": "Title"}]
+    for _ in range(rng.randint(3, 8)):
+        r = rng.random()
+        if r < 0.2:
+            paras.append(
+                {
+                    "text": _sentence(rng, 2, 4).rstrip("."),
+                    "style": f"Heading {rng.randint(1, 3)}",
+                }
+            )
+        elif r < 0.35:
+            for _ in range(rng.randint(2, 4)):
+                paras.append({"text": _sentence(rng, 2, 6), "style": "List Bullet"})
+        else:
+            paras.append({"text": _paragraph(rng), "style": "Normal"})
+    tables = []
+    if rng.random() < 0.6:
+        n_rows = rng.randint(2, 30)  # sometimes crosses the 20-row cap
+        tables.append(
+            [[f"h{i}" for i in range(3)]]
+            + [[rng.choice(_WORDS) for _ in range(3)] for _ in range(n_rows)]
+        )
+    payload = json.dumps({"paragraphs": paras, "tables": tables})
+    return [{"kind": "docx-src", "text": payload, "media_ref": "", "offset": 0}]
+
+
+def _gen_pptx(rng: random.Random) -> list[dict]:
+    slides = [
+        {"texts": [_sentence(rng, 2, 5) for _ in range(rng.randint(1, 4))]}
+        for _ in range(rng.randint(2, 8))
+    ]
+    payload = json.dumps({"slides": slides})
+    return [{"kind": "pptx-src", "text": payload, "media_ref": "", "offset": 0}]
+
+
+def _gen_xlsx(rng: random.Random) -> list[dict]:
+    sheets = []
+    for s in range(rng.randint(1, 3)):
+        n_cols = rng.randint(2, 6)
+        n_rows = rng.randint(2, 28)
+        grid = [[f"c{i}" for i in range(n_cols)]] + [
+            ["" if rng.random() < 0.05 else rng.choice(_WORDS) for _ in range(n_cols)]
+            for _ in range(n_rows)
+        ]
+        sheets.append({"name": f"Sheet{s + 1}", "grid": grid})
+    payload = json.dumps({"sheets": sheets})
+    return [{"kind": "xlsx-src", "text": payload, "media_ref": "", "offset": 0}]
+
+
 def _gen_page_payload(rng: random.Random) -> str:
     # 15% digital pages exercise the direct-text threshold (pdf_processor.py:97)
     if rng.random() < 0.15:
@@ -237,6 +290,12 @@ def gen_doc(seed: int, i: int) -> dict:
         spans = _gen_markdown(rng, doc_id)
     elif pop == "tabular":
         spans = _gen_tabular(rng)
+    elif pop == "docx_doc":
+        spans = _gen_docx(rng)
+    elif pop == "pptx_doc":
+        spans = _gen_pptx(rng)
+    elif pop == "xlsx_doc":
+        spans = _gen_xlsx(rng)
     else:
         spans = _gen_paged(rng, doc_id, giant=(pop == "giant_doc"))
     for j, s in enumerate(spans):

@@ -235,3 +235,71 @@ class TestPage:
         spans = page_to_spans(payload, 1)
         assert spans[1]["kind"] == "table"
         assert "| a | b | c | d |" in spans[1]["text"]
+
+
+class TestOfficeExtract:
+    """DOCX/PPTX/XLSX payload semantics (SURVEY.md S4-S9)."""
+
+    def test_docx_styles_and_cap(self):
+        import json
+
+        from docstrange_ray.extract.office_extract import docx_src_to_spans
+
+        payload = json.dumps(
+            {
+                "paragraphs": [
+                    {"text": "My Doc", "style": "Title"},
+                    {"text": "Intro", "style": "Heading 2"},
+                    {"text": "Body   text", "style": "Normal"},
+                    {"text": "item one", "style": "List Bullet"},
+                    {"text": "", "style": "Normal"},
+                ],
+                "tables": [[["h"]] + [[str(i)] for i in range(25)]],
+            }
+        )
+        spans = docx_src_to_spans(payload)
+        kinds = [s["kind"] for s in spans]
+        assert kinds == ["heading", "heading", "text", "list_item", "table", "text"]
+        assert spans[0]["text"] == "# My Doc"
+        assert spans[1]["text"] == "## Intro"
+        assert spans[2]["text"] == "Body text"  # whitespace cleaned
+        assert spans[3]["text"] == "- item one"
+        # 20-row cap + truncation notice (docx_processor.py:140-148)
+        assert spans[4]["text"].count("\n") == 21  # header + sep + 20 rows
+        assert "5 more rows truncated" in spans[5]["text"]
+
+    def test_pptx_slides(self):
+        import json
+
+        from docstrange_ray.extract.office_extract import pptx_src_to_spans
+
+        payload = json.dumps(
+            {"slides": [{"texts": ["a", ""]}, {"texts": ["b", "c"]}]}
+        )
+        spans = pptx_src_to_spans(payload)
+        assert [s["text"] for s in spans] == ["## Slide 1", "a", "## Slide 2", "b", "c"]
+
+    def test_xlsx_sheets(self):
+        import json
+
+        from docstrange_ray.extract.office_extract import xlsx_src_to_spans
+
+        payload = json.dumps(
+            {"sheets": [{"name": "S1", "grid": [["h1", "h2"], ["a", ""]]}]}
+        )
+        spans = xlsx_src_to_spans(payload, name="doc-1")
+        assert spans[0]["text"] == "# Excel Data: doc-1"
+        assert spans[1]["text"] == "## Sheet: S1"
+        assert spans[2]["kind"] == "table"
+        assert "| a |  |" in spans[2]["text"]
+
+    def test_bad_json_payloads(self):
+        from docstrange_ray.extract.office_extract import (
+            docx_src_to_spans,
+            pptx_src_to_spans,
+            xlsx_src_to_spans,
+        )
+
+        assert docx_src_to_spans("{not json") == []
+        assert pptx_src_to_spans("") == []
+        assert xlsx_src_to_spans("null", name="x") == []

@@ -240,25 +240,38 @@ def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (md5-based, deterministic)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in (text or "").lower().split():
-        h = np.uint64(
-            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    val = 0
-    for i in range(64):
-        if acc[i] > 0:
-            val |= 1 << i
+_SHIFTS = np.arange(64, dtype=np.uint64)
+_POW2 = (np.uint64(1) << _SHIFTS).astype(np.uint64)
+
+
+def _simhash_from_word_hashes(vals: np.ndarray) -> int:
+    """SimHash from an array of 64-bit word hashes: one vectorized
+    bit-unpack + column sum per document (no per-word Python)."""
+    if len(vals) == 0:
+        return -(1 << 63)
+    bits = (vals[:, None] >> _SHIFTS[None, :]) & np.uint64(1)  # (n_words, 64)
+    acc = 2 * bits.astype(np.int64).sum(axis=0) - len(vals)
+    val = int((_POW2[acc > 0]).sum())
     return val - (1 << 63)  # shift into signed int64 range for Arrow
 
 
+def simhash64(text: str, _cache: dict | None = None) -> int:
+    """64-bit SimHash over word features (md5-based, deterministic)."""
+    cache = _cache if _cache is not None else {}
+    words = (text or "").lower().split()
+    vals = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = cache.get(w)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            cache[w] = v
+        vals[i] = v
+    return _simhash_from_word_hashes(vals)
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    sims = [simhash64(t) for t in batch.column("text").to_pylist()]
+    cache: dict[str, int] = {}  # word-hash cache shared across the batch
+    sims = [simhash64(t, cache) for t in batch.column("text").to_pylist()]
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(sims, type=pa.int64())],
         names=["doc_id", "simhash"],

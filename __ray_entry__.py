@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "revenue_by_region": relational.revenue_by_region,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
+        "events_last_order": relational.events_last_order,
         "user_sessions": relational.user_sessions,
         "docs_by_source": relational.docs_by_source,
     }
@@ -348,6 +350,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "revenue_by_region": relational.REVENUE_BY_REGION_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_sliding": relational.EVENTS_SLIDING_SQL,
+        "events_last_order": relational.EVENTS_LAST_ORDER_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "docs_by_source": relational.DOCS_BY_SOURCE_SQL,
     }

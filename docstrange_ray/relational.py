@@ -305,6 +305,107 @@ GROUP BY user_id
 """
 
 
+def events_last_order(sf_dir: str):
+    """AS-OF JOIN: for each event, the user's most recent order date
+    at-or-before the event timestamp. Plan: the orders side is small per
+    key — broadcast {custkey: sorted order dates} once via ``ray.put``
+    and answer each event batch with one vectorized searchsorted per
+    user present (events NEVER shuffle). Fallback when both sides are
+    large: union the two tables on the key column, hash-co-locate with
+    grouped_blocks(key), and pandas merge_asof(by=key) per block."""
+    rows = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).take_all()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(int(r["o_custkey"]), []).append(r["o_orderdate"])
+    lookup = {
+        k: np.sort(np.array(v, dtype="datetime64[us]")) for k, v in by_cust.items()
+    }
+    ref = ray.put(lookup)
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def asof(batch: pa.Table) -> pd.DataFrame:
+        lk = ray.get(ref)
+        df = batch.to_pandas()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        out = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
+        users = df["user_id"].to_numpy()
+        for u in np.unique(users):
+            dates = lk.get(int(u))
+            if dates is None or not len(dates):
+                continue
+            m = users == u
+            idx = np.searchsorted(dates, ts[m], side="right") - 1
+            vals = np.where(idx >= 0, dates[np.maximum(idx, 0)], np.datetime64("NaT"))
+            out[m] = vals
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "last_orderdate": out,
+            }
+        )
+
+    return ev.map_batches(asof, batch_format="pyarrow", batch_size=65536)
+
+
+EVENTS_LAST_ORDER_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderdate AS last_orderdate
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def events_sliding(sf_dir: str):
+    """Sliding-window aggregate (1-hour window, 15-minute slide): each
+    event is flat-mapped to the 4 windows containing it, partially
+    aggregated per batch, and combined with a bounded-key coalesced
+    final — the batch expression of a streaming hopping window (ordering
+    assumption: none; hop windows are order-insensitive)."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        bucket = df["ts"].dt.floor("15min")
+        df["value_c"] = _cents(df["value"])
+        parts = []
+        for i in range(4):
+            w = bucket - pd.Timedelta(minutes=15 * i)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_start": w.dt.strftime("%Y-%m-%d %H:%M:00"),
+                        "value_c": df["value_c"],
+                    }
+                )
+            )
+        allp = pd.concat(parts, ignore_index=True)
+        return allp.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
+        )
+
+    return coalesced_blocks(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        _combine_sums(["event_type", "window_start"], ["n_events", "sum_value_cents"]),
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS i)
+SELECT event_type,
+       strftime(date_trunc('minute', ts)
+                - INTERVAL (CAST(EXTRACT(minute FROM ts) AS INT) % 15) MINUTE
+                - INTERVAL (15 * i) MINUTE,
+                '%Y-%m-%d %H:%M:00') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events, k
+GROUP BY event_type, window_start
+"""
+
+
 def docs_by_source(sf_dir: str):
     """Per-source corpus stats over the documents table (partial combine
     + groupby)."""

@@ -221,6 +221,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(refs))
         return multimodal.decode_features(media)
 
+    def curated_docs(sf_dir):
+        from docstrange_ray.ops.curate import curated_docs as _curate
+
+        return _curate(read_docs(sf_dir), min_quality=0.5)
+
+    def media_join(sf_dir):
+        """media_ref resolution (SURVEY.md §2.4): image-ref spans of the
+        extracted corpus joined to decoded media features by a
+        co-partitioned hash join (both sides as Datasets; ONE shuffle)."""
+        import ray
+        from docstrange_ray.ops import multimodal
+        from docstrange_ray.schema import FLAT_SPANS_SCHEMA  # noqa: F401
+        from docstrange_ray.shuffle import hash_join
+
+        def image_refs(batch: pa.Table) -> pa.Table:
+            rows = []
+            for did, spans in zip(
+                batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+            ):
+                for s in spans:
+                    if s["kind"] == "image-ref" and s["media_ref"]:
+                        rows.append({"doc_id": did, "media_ref": s["media_ref"]})
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema([("doc_id", pa.string()), ("media_ref", pa.string())]),
+            )
+
+        refs_ds = _extracted(sf_dir).map_batches(image_refs, batch_format="pyarrow")
+        # fixture-scale: distinct refs collected driver-side to build the
+        # fake media table; at scale the media table pre-exists
+        distinct = sorted({r["media_ref"] for r in refs_ds.take_all()})
+        media = ray.data.from_arrow(multimodal.synth_media_table(distinct))
+        feats = multimodal.decode_features(media).select_columns(
+            ["media_ref", "mean_intensity"]
+        )
+        return hash_join(refs_ds, feats, key="media_ref")
+
     def embedding_dups(sf_dir):
         # fixture embeddings are near-random (max pairwise cos ~0.5); the
         # fixture threshold 0.4 keeps the op's output non-degenerate
@@ -260,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann_topk,
         "media_features": media_features,
+        "media_join": media_join,
+        "curated_docs": curated_docs,
         # relational
         "q1_pricing": relational.q1_pricing,
         "top_customers": relational.top_customers,
@@ -316,6 +355,29 @@ def oracle_sql() -> dict[str, str]:
                                x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
                     FROM documents))
             WHERE quality >= 0.5
+        """,
+        "curated_docs": r"""
+            WITH scored AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,
+                       ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+                           + 0.3 * EXP(-0.5 * POW((CAST(sum_wlen AS DOUBLE) / GREATEST(n_words, 1) - 5.0) / 3.0, 2))
+                           + 0.3 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5.0, 1.0), 6)
+                           AS quality
+                FROM (
+                    SELECT doc_id, text,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                           length(regexp_replace(text, '\s', '', 'g')) AS sum_wlen,
+                           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+                    FROM documents)
+            ), filtered AS (SELECT * FROM scored WHERE quality >= 0.5)
+            SELECT doc_id, content_md5, quality FROM (
+                SELECT doc_id, content_md5, quality,
+                       MIN(doc_id) OVER (PARTITION BY content_md5) AS keep
+                FROM filtered)
+            WHERE doc_id = keep
         """,
         "content_fingerprint": r"""
             SELECT doc_id,

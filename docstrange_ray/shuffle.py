@@ -48,6 +48,65 @@ def ensure_hash_shuffle() -> None:
     ctx.default_hash_shuffle_parallelism = ncpu
 
 
+def hash_join(
+    left,
+    right,
+    key: str,
+    how: str = "inner",
+    num_partitions: int | None = None,
+):
+    """Co-partitioned hash join for two LARGE sides: tag each side, align
+    schemas (missing columns null), union, hash-repartition on ``key``
+    (ONE shuffle moves both sides), and pandas-merge block-locally —
+    every key's rows from both sides are guaranteed co-located. For a
+    SMALL side prefer the broadcast pattern instead (ray.put + lookup in
+    map_batches; see relational.py) — it moves nothing."""
+    import pandas as pd
+    import pyarrow as pa
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = [n for n in r_schema.names if n != key]
+    overlap = (set(l_names) - {key}) & set(r_names)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+
+    types = {}
+    for name, typ in zip(l_schema.names, l_schema.types):
+        types[name] = typ
+    for name, typ in zip(r_schema.names, r_schema.types):
+        types.setdefault(name, typ)
+    all_names = l_names + r_names
+    combined = pa.schema(
+        [(n, types[n]) for n in all_names] + [("__side", pa.int8())]
+    )
+
+    def tag(side: int, present: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            arrays = []
+            for n in all_names:
+                if n in present:
+                    arrays.append(batch.column(n))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=types[n]))
+            arrays.append(pa.array([side] * batch.num_rows, type=pa.int8()))
+            return pa.Table.from_arrays(arrays, schema=combined)
+
+        return fn
+
+    tagged = left.map_batches(tag(0, l_names), batch_format="pyarrow").union(
+        right.map_batches(tag(1, list(r_schema.names)), batch_format="pyarrow")
+    )
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][l_names]
+        r = df[df["__side"] == 1][[key] + r_names]
+        return l.merge(r, on=key, how=how)
+
+    return grouped_blocks(tagged, [key], merge_block, num_partitions, batch_format="pandas")
+
+
 def coalesced_blocks(ds, fn, batch_format: str = "pandas"):
     """Final-combine for BOUNDED-size intermediates: coalesce ``ds`` into
     one block (plain task-based repartition — no hash-shuffle aggregator

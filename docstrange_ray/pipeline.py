@@ -25,7 +25,6 @@ from docstrange_ray.stages import (
     assemble_block,
     make_explode_heavy,
     make_extract_light,
-    make_extract_or_explode,
 )
 from docstrange_ray.state import manifest as mstate
 
@@ -110,44 +109,30 @@ _MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 
-def _assemble_and_write_block(block: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
+def _write_partitions_block(block: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
     """Sink stage (block-local): a hash-co-located block holds one or more
-    COMPLETE output partitions' unit rows. Assemble each partition's docs
-    columnar (stages.assemble_sorted over a zero-copy slice) and write its
-    parquet + manifest atomically; emit one manifest summary row per
-    partition."""
+    COMPLETE output partitions' finished (doc_id, spans, part_id) rows.
+    Write each partition's zero-copy slice as an atomic parquet +
+    manifest; emit one manifest summary row per partition."""
     import numpy as np
     import pyarrow.compute as pc
-
-    from docstrange_ray.stages import assemble_sorted
 
     if block.num_rows == 0:
         return pa.Table.from_pylist([], schema=_MANIFEST_ROW_SCHEMA)
     order = pc.sort_indices(
-        block,
-        sort_keys=[("part_id", "ascending"), ("doc_id", "ascending"), ("seq", "ascending")],
+        block, sort_keys=[("part_id", "ascending"), ("doc_id", "ascending")]
     )
     block = block.combine_chunks().take(order)
-    pids = block.column("part_id").combine_chunks()
-    n = len(pids)
-    pids_np = pids.to_numpy()
+    pids_np = block.column("part_id").combine_chunks().to_numpy()
     starts = np.concatenate(([0], np.where(pids_np[1:] != pids_np[:-1])[0] + 1))
-    bounds = np.append(starts, n)
+    bounds = np.append(starts, len(pids_np))
 
     out_rows: list[dict] = []
     started = time.time()
     for i, s in enumerate(starts):
-        e = bounds[i + 1]
-        part = block.slice(s, e - s)
-        table = assemble_sorted(part.column("doc_id"), part.column("spans"))
-        total_cost = pc.sum(part.column("est_cost")).as_py() or 0.0
+        part = block.slice(s, bounds[i + 1] - s).select(["doc_id", "spans"])
         man = mstate.write_partition(
-            out_dir,
-            int(pids_np[s]),
-            table,
-            fingerprint,
-            started,
-            metrics={"est_cost": round(total_cost, 1)},
+            out_dir, int(pids_np[s]), part, fingerprint, started
         )
         out_rows.append(
             {
@@ -175,44 +160,43 @@ def run_extract_job(
     partitions with a valid manifest are filtered out at the head of the
     pipeline (no reprocessing — BASELINE.md resumability target).
 
+    Plan: resume-filter the INPUT (completed partitions never re-extract),
+    run the full adaptive extract_pipeline (split-stream: light docs
+    inline, heavy tail via the actor pool), recompute the deterministic
+    part_id on the finished rows (pure hash of doc_id — nothing carried
+    through extraction), and co-locate each output partition with ONE
+    part_id-keyed exchange feeding the atomic writer.
+
     Returns the list of partition-manifest summary rows written this run.
     """
+    import pyarrow.compute as pc
+
     P = num_partitions or cfg.num_output_partitions
     done = mstate.completed_partitions(out_dir, input_fingerprint) if resume else set()
 
-    def tag_and_filter(batch: pa.Table) -> pa.Table:
-        part = mstate.partition_column(batch.column("doc_id"), P)
-        batch = batch.append_column("part_id", part)
-        if done:
-            import pyarrow.compute as pc
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
 
-            mask = pc.invert(pc.is_in(batch.column("part_id"), pa.array(sorted(done), pa.int32())))
-            batch = batch.filter(mask)
-        return batch
+        def filter_done(batch: pa.Table) -> pa.Table:
+            part = mstate.partition_column(batch.column("doc_id"), P)
+            return batch.filter(pc.invert(pc.is_in(part, done_arr)))
 
-    ds = ds.map_batches(tag_and_filter, batch_format="pyarrow")
+        ds = ds.map_batches(filter_done, batch_format="pyarrow")
 
-    units = ds.map_batches(
-        make_extract_or_explode(cfg, skew_threshold_units, keep_columns=("part_id",)),
-        batch_format="pyarrow",
-        batch_size=cfg.parse_batch_size,
+    extracted = extract_pipeline(
+        ds, cfg, skew_threshold_units, layout_concurrency=layout_concurrency
     )
-    units = units.map_batches(
-        ExtractUnitActor,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.layout_batch_size,
-        # cap the pool below cluster width: a pool reserving every CPU
-        # starves the read tasks and shuffle aggregators (deadlock-adjacent)
-        concurrency=layout_concurrency
-        or cfg.layout_concurrency
-        or (2, max(2, (3 * _cluster_cpus()) // 4)),
-        num_cpus=1,
-    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part_id", mstate.partition_column(batch.column("doc_id"), P)
+        )
+
+    tagged = extracted.map_batches(tag, batch_format="pyarrow")
     manifests = grouped_blocks(
-        units,
+        tagged,
         ["part_id"],
-        lambda b: _assemble_and_write_block(b, out_dir, input_fingerprint),
+        lambda b: _write_partitions_block(b, out_dir, input_fingerprint),
         num_partitions=min(P, 64),
     )
     return manifests.take_all()  # small: one row per partition

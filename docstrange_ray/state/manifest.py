@@ -26,6 +26,7 @@ import time
 import zlib
 
 import pyarrow as pa
+import pyarrow.compute as _pc
 import pyarrow.parquet as pq
 
 
@@ -70,7 +71,7 @@ def write_partition(
         "part_id": part_id,
         "n_docs": len(doc_ids),
         "n_spans": int(
-            sum(len(s) for s in table.column("spans").to_pylist())
+            _pc.sum(_pc.fill_null(_pc.list_value_length(table.column("spans")), 0)).as_py() or 0
             if "spans" in table.column_names
             else 0
         ),

@@ -64,6 +64,10 @@ def hash_join(
     import pandas as pd
     import pyarrow as pa
 
+    # normalize both sides to Arrow blocks so schema types are Arrow
+    # DataTypes (pandas-backed datasets report numpy/object dtypes)
+    left = left.map_batches(lambda b: b, batch_format="pyarrow")
+    right = right.map_batches(lambda b: b, batch_format="pyarrow")
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)

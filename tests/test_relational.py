@@ -1,0 +1,147 @@
+"""Relational / composed ops vs DuckDB at sf0.001 — the pytest-side gate
+mirroring the driver's per-round oracle comparison (the driver runs the
+same comparisons at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_match(ray_res, sql: str, con) -> None:
+    rdf = ray_res.to_pandas() if hasattr(ray_res, "to_pandas") else pd.DataFrame(ray_res)
+    odf = con.execute(sql).fetchdf()
+    a, b = _norm(rdf), _norm(odf)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if np.issubdtype(a[c].dtype, np.number):
+            assert np.allclose(a[c], b[c], atol=1e-9), c
+        else:
+            assert a[c].equals(b[c]), c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelationalOracles:
+    def test_q1_pricing(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(relational.q1_pricing(SF), relational.Q1_SQL, con)
+
+    def test_events_hourly(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(relational.events_hourly(SF), relational.EVENTS_HOURLY_SQL, con)
+
+    def test_events_sliding(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(relational.events_sliding(SF), relational.EVENTS_SLIDING_SQL, con)
+
+    def test_events_last_order_asof(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.events_last_order(SF), relational.EVENTS_LAST_ORDER_SQL, con
+        )
+
+    def test_user_sessions(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(relational.user_sessions(SF), relational.USER_SESSIONS_SQL, con)
+
+    def test_curated_docs(self, con):
+        import ray.data
+
+        from docstrange_ray.ops.curate import curated_docs
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        sql = """
+            WITH scored AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_md5,
+                       ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+                           + 0.3 * EXP(-0.5 * POW((CAST(sum_wlen AS DOUBLE) / GREATEST(n_words, 1) - 5.0) / 3.0, 2))
+                           + 0.3 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5.0, 1.0), 6) AS quality
+                FROM (
+                    SELECT doc_id, text,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+                           length(regexp_replace(text, '\\s', '', 'g')) AS sum_wlen,
+                           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+                    FROM documents)
+            ), filtered AS (SELECT * FROM scored WHERE quality >= 0.5)
+            SELECT doc_id, content_md5, quality FROM (
+                SELECT doc_id, content_md5, quality,
+                       MIN(doc_id) OVER (PARTITION BY content_md5) AS keep
+                FROM filtered)
+            WHERE doc_id = keep
+        """
+        _assert_match(curated_docs(docs, min_quality=0.5), sql, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoin:
+    def test_inner_join_matches_pandas(self):
+        import ray.data
+
+        from docstrange_ray.shuffle import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+        right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [20, 30, 31, 40]})
+        out = hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), key="k"
+        ).to_pandas()
+        expect = left.merge(right, on="k", how="inner")
+        a = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        b = expect.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        # check_dtype=False: blocks whose right side is empty upcast the
+        # merged int column to float when Ray concatenates block outputs
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
+
+    def test_left_join_keeps_unmatched(self):
+        import ray.data
+
+        from docstrange_ray.shuffle import hash_join
+
+        left = pd.DataFrame({"k": [1, 2], "lv": ["a", "b"]})
+        right = pd.DataFrame({"k": [2], "rv": [20]})
+        out = hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), key="k", how="left"
+        ).to_pandas()
+        assert len(out) == 2
+        assert out[out["k"] == 1]["rv"].isna().all()
+
+    def test_column_collision_rejected(self):
+        import ray.data
+
+        from docstrange_ray.shuffle import hash_join
+
+        df = pd.DataFrame({"k": [1], "v": [2]})
+        with pytest.raises(ValueError, match="collision"):
+            hash_join(ray.data.from_pandas(df), ray.data.from_pandas(df), key="k")

@@ -88,6 +88,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    from docstrange_ray.io import read_corpus
     from docstrange_ray.shuffle import ensure_hash_shuffle
 
     ensure_hash_shuffle()
@@ -101,13 +102,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     cpath = ensure_corpus(n_docs)
 
     # warm the page cache (untimed) so we measure compute+shuffle, not cold I/O
-    ray.data.read_parquet(cpath).count()
+    read_corpus(cpath).count()
 
     timings: dict[str, float] = {}
 
     # --- headline: full extraction pipeline ---
     t0 = time.time()
-    out = extract_pipeline(ray.data.read_parquet(cpath))
+    out = extract_pipeline(read_corpus(cpath))
     n_out = out.count()
     headline = time.time() - t0
     assert n_out == n_docs, (n_out, n_docs)
@@ -163,14 +164,15 @@ def run_headline_only(sf_dir: str, num_cpus: int, n_docs: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from docstrange_ray.io import read_corpus
     from docstrange_ray.pipeline import extract_pipeline
     from docstrange_ray.shuffle import ensure_hash_shuffle
 
     ensure_hash_shuffle()
     cpath = ensure_corpus(n_docs)
-    ray.data.read_parquet(cpath).count()  # warm page cache (untimed)
+    read_corpus(cpath).count()  # warm page cache (untimed)
     t0 = time.time()
-    n_out = extract_pipeline(ray.data.read_parquet(cpath)).count()
+    n_out = extract_pipeline(read_corpus(cpath)).count()
     headline = time.time() - t0
     assert n_out == n_docs, (n_out, n_docs)
     ray.shutdown()

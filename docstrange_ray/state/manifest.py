@@ -118,3 +118,28 @@ def read_output(out_dir: str):
         if n.endswith(".parquet")
     ]
     return ray.data.read_parquet(paths)
+
+
+def job_summary(out_dir: str) -> dict:
+    """Aggregate all partition manifests into job-level metrics (the
+    'global job metrics' of SURVEY.md §2.5): totals plus per-partition
+    extremes for skew visibility."""
+    parts = []
+    for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        if name.endswith(".manifest.json"):
+            try:
+                with open(os.path.join(out_dir, name)) as f:
+                    parts.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                continue
+    if not parts:
+        return {"n_partitions": 0, "n_docs": 0, "n_spans": 0}
+    docs = [p.get("n_docs", 0) for p in parts]
+    return {
+        "n_partitions": len(parts),
+        "n_docs": int(sum(docs)),
+        "n_spans": int(sum(p.get("n_spans", 0) for p in parts)),
+        "max_partition_docs": int(max(docs)),
+        "min_partition_docs": int(min(docs)),
+        "wall_sec_max": max(p.get("wall_sec", 0.0) for p in parts),
+    }

@@ -190,3 +190,25 @@ class TestAssembleSorted:
             pa.array([], type=pa.string()), pa.array([], type=pa.list_(SPAN_STRUCT))
         )
         assert out.num_rows == 0
+
+
+def test_io_fallback_and_job_summary(ray_session, tmp_path):
+    """io.read_corpus/write_corpus round-trip (parquet fallback in this
+    sandbox; Lance when the package exists) + manifest job_summary."""
+    import ray.data
+
+    from docstrange_ray.io import read_corpus, write_corpus
+    from docstrange_ray.state.manifest import job_summary
+    from docstrange_ray.synth import gen_corpus_table
+
+    tbl = gen_corpus_table(3, 0, 20)
+    write_corpus(ray.data.from_arrow(tbl), str(tmp_path / "corpus"))
+    back = read_corpus(str(tmp_path / "corpus"), columns=["doc_id"])
+    assert back.count() == 20
+
+    out = str(tmp_path / "job")
+    man = run_extract_job(ray.data.from_arrow(tbl), out, "fp-x", num_partitions=4)
+    s = job_summary(out)
+    assert s["n_partitions"] == len(man) == 4
+    assert s["n_docs"] == 20
+    assert s["n_spans"] > 0

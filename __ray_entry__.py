@@ -85,23 +85,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- extraction family (rows-only: non-SQL-expressible semantics) --
     def extract_flagship(sf_dir):
         def flatten(batch: pa.Table) -> pa.Table:
-            rows = []
-            for did, spans in zip(
-                batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
-            ):
-                for s in spans:
-                    rows.append(
-                        {
-                            "doc_id": did,
-                            "offset": s["offset"],
-                            "kind": s["kind"],
-                            "text": s["text"],
-                            "media_ref": s["media_ref"],
-                        }
-                    )
+            # columnar explode: list flatten is zero-copy on the struct
+            # child; doc_id repeats by per-row span counts
+            import pyarrow.compute as pc
+
             from docstrange_ray.schema import FLAT_SPANS_SCHEMA
 
-            return pa.Table.from_pylist(rows, schema=FLAT_SPANS_SCHEMA)
+            spans = batch.column("spans").combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
+            flat = spans.flatten()
+            doc_ids = pa.array(
+                np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+            )
+            return pa.Table.from_arrays(
+                [
+                    doc_ids,
+                    flat.field("offset"),
+                    flat.field("kind"),
+                    flat.field("text"),
+                    flat.field("media_ref"),
+                ],
+                schema=FLAT_SPANS_SCHEMA,
+            )
 
         return _extracted(sf_dir).map_batches(flatten, batch_format="pyarrow")
 

@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "events_last_order": relational.events_last_order,
+        "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
         "docs_by_source": relational.docs_by_source,
     }
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sliding": relational.EVENTS_SLIDING_SQL,
         "events_last_order": relational.EVENTS_LAST_ORDER_SQL,
+        "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "docs_by_source": relational.DOCS_BY_SOURCE_SQL,
     }

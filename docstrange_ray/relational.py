@@ -406,6 +406,51 @@ GROUP BY event_type, window_start
 """
 
 
+def events_prop_stats(sf_dir: str):
+    """JSON scalar-function surface (SURVEY.md §2.8): parse the ``props``
+    JSON column per batch (orjson-free stdlib json — vectorization here
+    is the batch, not the parser), extract the 'k' field, aggregate
+    per event_type with a bounded-key coalesced final."""
+    import json as _json
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = np.fromiter(
+            (
+                int((_json.loads(p) or {}).get("k", 0)) if p else 0
+                for p in batch.column("props").to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        df = pd.DataFrame(
+            {"event_type": batch.column("event_type").to_pylist(), "k": ks}
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max")
+        )
+
+    return coalesced_blocks(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536), combine
+    )
+
+
+EVENTS_PROP_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def docs_by_source(sf_dir: str):
     """Per-source corpus stats over the documents table (partial combine
     + groupby)."""

@@ -114,6 +114,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert n_out == n_docs, (n_out, n_docs)
     timings["extract_pipeline"] = round(headline, 3)
 
+    # --- forced explode plan on a 50k-doc slice: documents the heavy-tail
+    # machinery (explode -> actor pool -> doc_id exchange -> columnar
+    # reassembly) cost transparently; the auto plan elides it when the
+    # cost gate finds no straggler-class documents ---
+    t0 = time.time()
+    n_slice = min(50000, n_docs)
+    out = extract_pipeline(
+        read_corpus(cpath).limit(n_slice), skew_threshold_units=16
+    )
+    assert out.count() == n_slice
+    timings["extract_forced_explode_50k"] = round(time.time() - t0, 3)
+
     # --- representative per-operator timings ---
     import __ray_entry__ as entrymod
 

@@ -74,32 +74,54 @@ def extract_unit(
     return []
 
 
+def error_span(exc: BaseException) -> dict:
+    """The swallow-and-continue error record: extraction failures surface
+    as an error text span in the OUTPUT rather than failing the job —
+    the reference's behavior for per-page errors
+    (gpu_processor.py:412-417). Shared by the oracle and every pipeline
+    path so span equality holds on poisoned documents too."""
+    return {
+        "kind": "text",
+        "text": f"[extraction error: {type(exc).__name__}]",
+        "media_ref": "",
+    }
+
+
 def extract_spans(
     doc_id: str, in_spans: list[dict], cfg: ExtractConfig = DEFAULT
 ) -> list[dict]:
     """Extract a whole document: process input spans in offset order,
-    concatenate unit outputs, assign final span order."""
-    ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
+    concatenate unit outputs, assign final span order. A unit that
+    raises contributes an error span (see :func:`error_span`); a
+    document whose span list itself is malformed reduces to a single
+    error span."""
     out: list[dict] = []
     page_no = 0
     table_idx = 0
+    try:
+        ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
+    except (TypeError, ValueError, AttributeError) as e:
+        return finalize_spans([error_span(e)])
     for s in ordered:
         kind = s.get("kind", "")
         if kind == "page-src":
             page_no += 1
         if kind == "table-src":
             table_idx += 1
-        out.extend(
-            extract_unit(
-                kind,
-                s.get("text", "") or "",
-                s.get("media_ref", "") or "",
-                doc_id,
-                page_no,
-                table_idx,
-                cfg,
+        try:
+            out.extend(
+                extract_unit(
+                    kind,
+                    s.get("text", "") or "",
+                    s.get("media_ref", "") or "",
+                    doc_id,
+                    page_no,
+                    table_idx,
+                    cfg,
+                )
             )
-        )
+        except Exception as e:  # noqa: BLE001 — job survival beats strictness
+            out.append(error_span(e))
     return finalize_spans(out)
 
 

@@ -247,15 +247,22 @@ class ExtractUnitActor:
         todo = batch.filter(pc.invert(done_col)) if n_done else batch
         rows = todo.to_pylist()
         for r in rows:
-            r["spans"] = extract_unit(
-                r["unit_kind"],
-                r["payload"],
-                r["media_ref"],
-                r["doc_id"],
-                r["page_no"],
-                r["table_idx"],
-                self.cfg,
-            )
+            try:
+                r["spans"] = extract_unit(
+                    r["unit_kind"],
+                    r["payload"],
+                    r["media_ref"],
+                    r["doc_id"],
+                    r["page_no"],
+                    r["table_idx"],
+                    self.cfg,
+                )
+            except Exception as e:  # noqa: BLE001 — same swallow-and-record
+                # policy as extract_spans (core.error_span): one bad unit
+                # must not fail a task of thousands
+                from docstrange_ray.extract.core import error_span
+
+                r["spans"] = [error_span(e)]
             r["done"] = True
             r["payload"] = ""
         out = pa.Table.from_pylist(rows, schema=batch.schema)

@@ -212,3 +212,69 @@ def test_io_fallback_and_job_summary(ray_session, tmp_path):
     assert s["n_partitions"] == len(man) == 4
     assert s["n_docs"] == 20
     assert s["n_spans"] > 0
+
+
+class TestErrorPolicy:
+    """Swallow-and-record: poisoned documents surface error spans in the
+    output (the reference's per-page behavior, gpu_processor.py:412-417)
+    instead of failing the job; the oracle and every plan agree."""
+
+    POISON = [
+        {"kind": "page-src", "text": "{}", "media_ref": "", "offset": "bogus"},
+        {"kind": "text", "text": "fine", "media_ref": "", "offset": 1},
+    ]
+
+    def test_oracle_emits_error_span(self):
+        from docstrange_ray.extract.core import extract_spans
+
+        spans = extract_spans("d", self.POISON)
+        assert len(spans) == 1
+        assert spans[0]["kind"] == "text"
+        assert spans[0]["text"].startswith("[extraction error:")
+
+    def test_pipeline_survives_and_matches_oracle(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.schema import DOCUMENTS_SCHEMA
+        from docstrange_ray.synth import gen_corpus_table
+
+        good = gen_corpus_table(5, 0, 10).to_pylist()
+        rows = good + [{"doc_id": "poison", "spans": self.POISON}]
+        # offsets are int32 in the schema; a poisoned offset arrives as a
+        # parse-level corruption, so build the table loosely typed
+        schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                (
+                    "spans",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.string()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+        loose = [
+            {
+                "doc_id": r["doc_id"],
+                "spans": [
+                    {**s, "offset": str(s.get("offset", ""))} for s in r["spans"]
+                ],
+            }
+            for r in rows
+        ]
+        # "bogus" offsets break int() in both oracle and pipeline the same way
+        oracle = {r["doc_id"]: extract_corpus([r])[0]["spans"] for r in loose}
+        ds = ray.data.from_arrow(pa.Table.from_pylist(loose, schema=schema))
+        out = extract_pipeline(ds, skew_threshold_units=None).take_all()
+        assert len(out) == len(loose)
+        for r in out:
+            assert [dict(s) for s in r["spans"]] == oracle[r["doc_id"]]

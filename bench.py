@@ -33,7 +33,7 @@ SEED = 42
 BENCH_DOCS_PER_SF_DOC = 40
 
 
-CORPUS_VERSION = 2  # bump when synth population mix changes (cache key)
+CORPUS_VERSION = 3  # bump when synth population mix changes (cache key)
 
 
 def corpus_dir(n_docs: int) -> str:

@@ -237,19 +237,35 @@ def _gen_page_payload(rng: random.Random) -> str:
         else:
             text = _sentence(rng, 5, 14)
         h = rng.uniform(10, 24)
-        blocks.append(
-            {
-                "text": text,
-                "x": round(rng.uniform(10, 80), 1),
-                "y": round(y, 1),
-                "w": round(rng.uniform(100, 500), 1),
-                "h": round(h, 1),
-                # ~10% of blocks fall below the 0.5 confidence floor (M19)
-                "conf": round(rng.uniform(0.35, 0.5), 3)
-                if rng.random() < 0.1
-                else round(rng.uniform(0.55, 0.99), 3),
-            }
-        )
+        block = {
+            "x": round(rng.uniform(10, 80), 1),
+            "y": round(y, 1),
+            "w": round(rng.uniform(100, 500), 1),
+            "h": round(h, 1),
+            # ~10% of blocks fall below the 0.5 confidence floor (M19)
+            "conf": round(rng.uniform(0.35, 0.5), 3)
+            if rng.random() < 0.1
+            else round(rng.uniform(0.55, 0.99), 3),
+        }
+        if rng.random() < 0.2:
+            # OCR word boxes instead of joined text: exercises the smart
+            # word join (M9 — punctuation, brackets, hyphen joins)
+            words = text.replace(".", "").split()
+            decorated = []
+            for w in words:
+                r2 = rng.random()
+                if r2 < 0.08:
+                    decorated += ["(", w, ")"]
+                elif r2 < 0.16:
+                    decorated += [w, ","]
+                elif r2 < 0.2 and len(w) > 4:
+                    decorated += [w[:2] + "-", w[2:]]
+                else:
+                    decorated.append(w)
+            block["words"] = decorated
+        else:
+            block["text"] = text
+        blocks.append(block)
         y += h + rng.uniform(2, 40)
     return json.dumps({"embedded_text": "", "blocks": blocks})
 

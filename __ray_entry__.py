@@ -56,8 +56,9 @@ def _extracted(sf_dir: str):
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: synthetic interleaved
-    corpus → full extraction (explode + actor pool + reassembly) →
-    markdown projection column."""
+    corpus → adaptive extraction (inline light docs at full width; the
+    explode → actor pool → reassembly branch engages when the cost gate
+    finds straggler-class documents) → markdown projection column."""
     from docstrange_ray.projections import add_projection
 
     out = _extracted("/root/testdata/sf0.001")
@@ -226,6 +227,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(refs))
         return multimodal.decode_features(media)
 
+    def hash_sample_10(sf_dir):
+        from docstrange_ray.ops.sampling import hash_sample
+
+        return hash_sample(read_docs(sf_dir), 0.10).select_columns(["doc_id"])
+
+    def ivf_ann_topk(sf_dir):
+        first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
+        first.sort(key=lambda r: r["vec_id"])
+        q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+        qids = [int(r["vec_id"]) for r in first]
+        return ann.ivf_topk(read_emb(sf_dir), q, qids, k=10)
+
     def curated_docs(sf_dir):
         from docstrange_ray.ops.curate import curated_docs as _curate
 
@@ -304,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_join": media_join,
         "curated_docs": curated_docs,
+        "hash_sample_10": hash_sample_10,
+        "ivf_ann_topk": ivf_ann_topk,
         # relational
         "q1_pricing": relational.q1_pricing,
         "top_customers": relational.top_customers,
@@ -361,6 +376,10 @@ def oracle_sql() -> dict[str, str]:
                                x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
                     FROM documents))
             WHERE quality >= 0.5
+        """,
+        "hash_sample_10": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         """,
         "curated_docs": r"""
             WITH scored AS (

@@ -76,6 +76,110 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10)
     return coalesced_blocks(ds.map_batches(local_topk, batch_format="pyarrow"), reduce_topk)
 
 
+# --- IVF (k-means centroid) variant -----------------------------------------
+
+
+def train_ivf_centroids(
+    ds, n_centroids: int = 16, n_iters: int = 10, sample_size: int = 2048
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means over a corpus sample.
+    Sample = first ``sample_size`` rows by vec_id (deterministic, one
+    bounded take); init = first ``n_centroids`` sample rows (seedless and
+    stable). Training is driver-side numpy over the small sample — the
+    assignment (the corpus-sized work) is distributed."""
+    rows = ds.limit(sample_size).take_all()
+    mat = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    k = min(n_centroids, len(mat))
+    cents = mat[:k].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_assign(ds, centroids: np.ndarray):
+    """Add the IVF 'bucket' column: nearest-centroid id per row (one
+    broadcast matmul per batch) — the partitioning key for bucketed
+    similarity ops at scale."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        bucket = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+):
+    """Approximate top-k via IVF: probe only the ``n_probe`` corpus
+    buckets nearest each query's centroid. Same reduce shape as
+    brute_force_topk; recall < 1.0 by construction, scan fraction
+    ~ n_probe / n_centroids."""
+    import ray
+
+    cents = train_ivf_centroids(ds, n_centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qprobes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q, qprobes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, probes = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        buckets = np.asarray(batch.column("bucket"), dtype=np.int32)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            mask = np.isin(buckets, probes[qi])
+            if not mask.any():
+                continue
+            cos = mat[mask] @ qmat[qi]
+            kk = min(k, len(cos))
+            idx = np.argpartition(-cos, kk - 1)[:kk]
+            sub_ids = ids[mask]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(int(sub_ids[j]) for j in idx)
+            out_s.extend(float(cos[j]) for j in idx)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_v, type=pa.int64()),
+                pa.array(np.round(out_s, 6), type=pa.float64()),
+            ],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    from docstrange_ray.shuffle import coalesced_blocks
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", as_index=False, sort=True)
+            .head(k)
+        )
+
+    return coalesced_blocks(
+        ivf_assign(ds, cents).map_batches(local_topk, batch_format="pyarrow"),
+        reduce_topk,
+    )
+
+
 # --- LSH-bucketed variant ---------------------------------------------------
 
 N_PLANES = 8  # 256 buckets

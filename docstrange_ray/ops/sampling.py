@@ -1,0 +1,62 @@
+"""Deterministic corpus sampling.
+
+``ds.random_shuffle`` / ``random_sample`` are seed-dependent and
+ordering-dependent across cluster sizes; a 10^12-doc training pipeline
+needs samples that are REPRODUCIBLE and resumable — a pure function of
+the row key. ``hash_sample`` keeps a row iff the first 4 hex chars of
+md5(key) fall below the fraction threshold: stable across processes,
+partitionings and cluster sizes, trivially SQL-expressible for the
+oracle, and composable (disjoint fractions -> disjoint splits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def _threshold_hex(fraction: float) -> str:
+    return format(max(0, min(65536, int(fraction * 65536))), "04x")
+
+
+def hash_sample(ds, fraction: float, key: str = "doc_id"):
+    """Deterministic Bernoulli sample of ~``fraction`` of rows by key
+    hash. SQL equivalent:
+    ``WHERE substr(md5(CAST(key AS VARCHAR)), 1, 4) < '<hex threshold>'``."""
+    thr = _threshold_hex(fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                hashlib.md5(str(k).encode("utf-8")).hexdigest()[:4] < thr
+                for k in batch.column(key).to_pylist()
+            ]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, train_fraction: float, key: str = "doc_id"):
+    """Deterministic train/holdout split: (train_ds, holdout_ds), disjoint
+    and exhaustive, stable under any re-partitioning. Each side is its
+    own lazy Dataset (the input plan is shared; two consumers)."""
+    thr = _threshold_hex(train_fraction)
+
+    def side(below: bool):
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [
+                    (hashlib.md5(str(k).encode("utf-8")).hexdigest()[:4] < thr) == below
+                    for k in batch.column(key).to_pylist()
+                ]
+            )
+            return batch.filter(mask)
+
+        return keep
+
+    return (
+        ds.map_batches(side(True), batch_format="pyarrow"),
+        ds.map_batches(side(False), batch_format="pyarrow"),
+    )

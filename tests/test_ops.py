@@ -186,3 +186,59 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             mm.ImageDecodeActor(backend="pil")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    def test_hash_sample_deterministic_and_fractional(self):
+        import ray.data
+
+        from docstrange_ray.ops.sampling import hash_sample
+
+        ds = ray.data.range(5000)
+        a = sorted(r["id"] for r in hash_sample(ds, 0.2, key="id").take_all())
+        b = sorted(r["id"] for r in hash_sample(ds, 0.2, key="id").take_all())
+        assert a == b  # deterministic
+        assert 0.15 < len(a) / 5000 < 0.25  # ~fraction
+
+    def test_hash_split_disjoint_exhaustive(self):
+        import ray.data
+
+        from docstrange_ray.ops.sampling import hash_split
+
+        ds = ray.data.range(2000)
+        train, hold = hash_split(ds, 0.8, key="id")
+        t = {r["id"] for r in train.take_all()}
+        h = {r["id"] for r in hold.take_all()}
+        assert t.isdisjoint(h)
+        assert len(t) + len(h) == 2000
+        assert 0.7 < len(t) / 2000 < 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIVF:
+    def test_ivf_topk_recall(self):
+        import ray.data
+
+        from docstrange_ray.ops import ann
+
+        rng = np.random.RandomState(11)
+        # clustered corpus so IVF buckets are meaningful
+        centers = rng.standard_normal((4, 16)) * 4
+        vecs = np.concatenate(
+            [c + rng.standard_normal((50, 16)) * 0.3 for c in centers]
+        )
+        rows = [
+            {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))
+        ]
+        ds = ray.data.from_items(rows)
+        q = vecs[:4]
+        approx = ann.ivf_topk(ds, q, [0, 1, 2, 3], k=5, n_centroids=8, n_probe=3)
+        exact = ann.brute_force_topk(ds, q, [0, 1, 2, 3], k=5)
+        adf, edf = approx.to_pandas(), exact.to_pandas()
+        recalls = []
+        for qid in range(4):
+            a = set(adf[adf.query_id == qid]["vec_id"])
+            e = set(edf[edf.query_id == qid]["vec_id"])
+            recalls.append(len(a & e) / len(e))
+        assert np.mean(recalls) >= 0.8, recalls

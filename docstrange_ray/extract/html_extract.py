@@ -35,6 +35,11 @@ STRUCTURAL_BOILERPLATE = frozenset({"nav", "header", "footer", "aside"})
 
 LINK_DENSITY_MAX = 0.6
 MIN_LINKS_FOR_PRUNE = 3
+# Text-density pruning: a tag-dense, text-sparse container (icon bars,
+# button rows, social widgets) averaging under this many text chars per
+# element across at least MIN_ELEMS elements is chrome, not content.
+TEXT_DENSITY_MIN_CHARS_PER_ELEM = 3
+TEXT_DENSITY_MIN_ELEMS = 5
 
 # Main-content selectors in reference priority order (url_processor.py:316-325).
 _MAIN_SELECTORS = (
@@ -136,9 +141,10 @@ def _text_len(node: Node | str) -> int:
     return sum(_text_len(c) for c in node.children)
 
 
-def _link_stats(node: Node) -> tuple[int, int, int]:
-    """(total_text_chars, linked_text_chars, n_links) for a subtree."""
-    total, linked, links = 0, 0, 0
+def _link_stats(node: Node) -> tuple[int, int, int, int]:
+    """(total_text_chars, linked_text_chars, n_links, n_elements) for a
+    subtree."""
+    total, linked, links, elems = 0, 0, 0, 0
     stack: list[tuple[Node | str, bool]] = [(c, False) for c in node.children]
     while stack:
         item, in_link = stack.pop()
@@ -148,20 +154,28 @@ def _link_stats(node: Node) -> tuple[int, int, int]:
             if in_link:
                 linked += n
         else:
+            elems += 1
             is_link = in_link or item.tag == "a"
             if item.tag == "a":
                 links += 1
             stack.extend((c, is_link) for c in item.children)
-    return total, linked, links
+    return total, linked, links, elems
 
 
 def is_boilerplate(node: Node) -> bool:
-    """Structural + link-density boilerplate test for a container node."""
+    """Structural + link-density + text-density boilerplate test for a
+    container node (north rule: DOM tree pruning with
+    link-density/text-density heuristics)."""
     if node.tag in STRUCTURAL_BOILERPLATE:
         return True
     if node.tag in ("div", "section", "ul", "ol", "p"):
-        total, linked, links = _link_stats(node)
+        total, linked, links, elems = _link_stats(node)
         if links >= MIN_LINKS_FOR_PRUNE and total > 0 and linked / total > LINK_DENSITY_MAX:
+            return True
+        if (
+            elems >= TEXT_DENSITY_MIN_ELEMS
+            and total < elems * TEXT_DENSITY_MIN_CHARS_PER_ELEM
+        ):
             return True
     return False
 

@@ -303,3 +303,32 @@ class TestOfficeExtract:
         assert docx_src_to_spans("{not json") == []
         assert pptx_src_to_spans("") == []
         assert xlsx_src_to_spans("null", name="x") == []
+
+
+class TestTextDensityPruning:
+    def test_tag_dense_text_sparse_container_pruned(self):
+        from docstrange_ray.extract.html_extract import html_to_spans
+
+        icons = "".join(f'<span class="ico"><i>{c}</i></span>' for c in "abcde")
+        html = (
+            "<html><body><main>"
+            "<p>Real paragraph content with enough words to keep.</p>"
+            f'<div class="toolbar">{icons}</div>'
+            "</main></body></html>"
+        )
+        spans = html_to_spans(html)
+        text = " ".join(s["text"] for s in spans)
+        assert "Real paragraph content" in text
+        # the icon bar (10 elements, 5 chars total) is pruned
+        assert "a b c d e" not in text and "abcde" not in text
+
+    def test_normal_list_not_pruned(self):
+        from docstrange_ray.extract.html_extract import html_to_spans
+
+        html = (
+            "<html><body><main><ul>"
+            + "".join(f"<li>meaningful list item number {i}</li>" for i in range(6))
+            + "</ul></main></body></html>"
+        )
+        spans = html_to_spans(html)
+        assert sum(1 for s in spans if s["kind"] == "list_item") == 6

@@ -5,10 +5,11 @@ Two terminal shapes over the same stages (docstrange_ray.stages):
 
   * ``extract_pipeline(ds)``  -> Dataset[(doc_id, spans)] — streaming
     result for composition / queries.
-  * ``run_extract_job(ds, out_dir)`` — the production shape: assembly and
-    the sink share ONE shuffle keyed on the deterministic partition id,
-    each partition is written atomically with a lineage+metrics manifest,
-    and a rerun skips completed partitions (resume).
+  * ``run_extract_job(ds, out_dir)`` — the production shape: the same
+    adaptive pipeline feeding ONE exchange keyed on the deterministic
+    partition id; each partition is written atomically with a
+    lineage+metrics manifest, and a rerun skips completed partitions
+    (resume).
 """
 
 from __future__ import annotations

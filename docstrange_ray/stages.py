@@ -1,22 +1,22 @@
 """Ray Data pipeline stages for the extraction engine.
 
-Physical plan (see SURVEY.md §3.4):
+Physical plan (split-stream; see pipeline.extract_pipeline):
 
-    read (Arrow blocks)
-      → map_batches(extract_or_explode)     # stateless tasks: light docs
-                                            #   finish inline; docs with
-                                            #   >= skew_threshold page units
-                                            #   explode into unit rows
-      → map_batches(ExtractUnitActor, ...)  # actor pool: layout/OCR units
-      → groupby(doc_id).map_groups(assemble)# ordered reassembly (shuffle
-                                            #   keyed on doc_id)
+    read ──┬─ map_batches(extract_light)       # stateless tasks, full
+           │                                   #   width; finished docs
+           │                                   #   never touch a shuffle
+           └─ map_batches(explode_heavy)       # heavy tail -> unit rows
+                → map_batches(ExtractUnitActor)# actor pool: layout/OCR
+                → hash-repartition(doc_id)     # ONE exchange, tail only
+                → map_batches(assemble_block)  # columnar reassembly
+    union(light, heavy)
 
 Skew handling: a multi-hundred-page document (the reference's sequential
 per-page loop, pdf_processor.py:135-161) becomes many independent unit
 rows whose extraction spreads across the actor pool; ordering is
-restored by the ``seq`` column at reassembly. Light documents never pay
-the explode — they carry their finished spans through as single-row
-groups.
+restored by the ``seq`` column at reassembly. The explode gate is
+cost-based by default (make_skew_gate) so only straggler-class
+documents pay the explode/shuffle tax.
 """
 
 from __future__ import annotations
@@ -138,81 +138,6 @@ def make_explode_heavy(cfg: ExtractConfig = DEFAULT, skew_threshold_units: int =
         return pa.Table.from_pylist(out, schema=UNITS_SCHEMA)
 
     return explode_heavy
-
-
-def make_extract_or_explode(
-    cfg: ExtractConfig = DEFAULT,
-    skew_threshold_units: int = 16,
-    keep_columns: tuple[str, ...] = (),
-):
-    """Stage 1 (stateless tasks). Documents with fewer than
-    ``skew_threshold_units`` input spans are extracted inline (no shuffle
-    ever touches them as units); heavier documents are exploded into one
-    row per input span for the actor stage. ``keep_columns`` (e.g. the
-    sink's ``part_id``) are propagated onto every emitted row."""
-
-    schema = UNITS_SCHEMA
-    for col in keep_columns:
-        if col == "part_id":
-            schema = schema.append(pa.field("part_id", pa.int32()))
-        else:
-            schema = schema.append(pa.field(col, pa.string()))
-
-    explode = make_skew_gate(cfg, skew_threshold_units)
-
-    def extract_or_explode(batch: pa.Table) -> pa.Table:
-        out: list[dict] = []
-        doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        kept = {c: batch.column(c).to_pylist() for c in keep_columns}
-        for row_idx, (doc_id, in_spans) in enumerate(zip(doc_ids, spans_col)):
-            kept_vals = {c: kept[c][row_idx] for c in keep_columns}
-            in_spans = in_spans or []
-            cost = estimate_cost(in_spans, cfg)
-            if not explode(in_spans):
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "seq": 0,
-                        "done": True,
-                        "unit_kind": "",
-                        "payload": "",
-                        "media_ref": "",
-                        "page_no": 0,
-                        "table_idx": 0,
-                        "est_cost": cost,
-                        "spans": extract_spans(doc_id, in_spans, cfg),
-                        **kept_vals,
-                    }
-                )
-            else:
-                page_no = 0
-                table_idx = 0
-                ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
-                for seq, s in enumerate(ordered):
-                    kind = s.get("kind", "")
-                    if kind == "page-src":
-                        page_no += 1
-                    if kind == "table-src":
-                        table_idx += 1
-                    out.append(
-                        {
-                            "doc_id": doc_id,
-                            "seq": seq,
-                            "done": False,
-                            "unit_kind": kind,
-                            "payload": s.get("text", "") or "",
-                            "media_ref": s.get("media_ref", "") or "",
-                            "page_no": page_no,
-                            "table_idx": table_idx,
-                            "est_cost": cost / max(1, len(ordered)),
-                            "spans": [],
-                            **kept_vals,
-                        }
-                    )
-        return pa.Table.from_pylist(out, schema=schema)
-
-    return extract_or_explode
 
 
 class ExtractUnitActor:

@@ -32,6 +32,21 @@ from docstrange_ray.state import manifest as mstate
 _INLINE = 1 << 30  # skew threshold that disables the explode path
 
 
+def resolve_auto_plan(ds, cfg: ExtractConfig = DEFAULT):
+    """The 'auto' plan decision: probe a plan-time sample for documents
+    crossing the cost-based explode gate. Returns ``None`` (inline plan)
+    when none does, else ``'auto'`` (split-stream plan with the cost
+    gate). Exposed for tests and for callers that want to log the chosen
+    plan."""
+    from docstrange_ray.stages import make_skew_gate
+
+    gate = make_skew_gate(cfg, "auto")
+    sample = ds.limit(cfg.plan_sample_docs).take_all()
+    if any(gate(list(r["spans"] or [])) for r in sample):
+        return "auto"
+    return None
+
+
 def extract_pipeline(
     ds,
     cfg: ExtractConfig = DEFAULT,
@@ -62,12 +77,7 @@ def extract_pipeline(
     correctness — inline extraction handles any document.
     """
     if skew_threshold_units == "auto":
-        from docstrange_ray.stages import make_skew_gate
-
-        gate = make_skew_gate(cfg, "auto")
-        sample = ds.limit(cfg.plan_sample_docs).take_all()
-        if not any(gate(list(r["spans"] or [])) for r in sample):
-            skew_threshold_units = None
+        skew_threshold_units = resolve_auto_plan(ds, cfg)
 
     if skew_threshold_units is None:
         return ds.map_batches(

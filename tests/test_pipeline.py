@@ -278,3 +278,40 @@ class TestErrorPolicy:
         assert len(out) == len(loose)
         for r in out:
             assert [dict(s) for s in r["spans"]] == oracle[r["doc_id"]]
+
+
+class TestAutoPlanChoice:
+    def _straggler_doc(self):
+        # 1001 page-src units: est_cost ~ 1001 * cost_per_page (2e3) > 2e6
+        spans = [
+            {"kind": "page-src", "text": "{}", "media_ref": "", "offset": i}
+            for i in range(1001)
+        ]
+        return {"doc_id": "giant", "spans": spans}
+
+    def test_uniform_corpus_selects_inline(self, ray_session):
+        import ray.data
+
+        from docstrange_ray.pipeline import resolve_auto_plan
+        from docstrange_ray.synth import gen_corpus_table
+
+        assert resolve_auto_plan(ray.data.from_arrow(gen_corpus_table(9, 0, 50))) is None
+
+    def test_straggler_corpus_selects_split_and_matches_oracle(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.pipeline import resolve_auto_plan
+        from docstrange_ray.schema import DOCUMENTS_SCHEMA
+        from docstrange_ray.synth import gen_corpus_table
+
+        rows = gen_corpus_table(9, 0, 30).to_pylist() + [self._straggler_doc()]
+        tbl = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+        ds = ray.data.from_arrow(tbl)
+        assert resolve_auto_plan(ds) == "auto"
+        oracle = {r["doc_id"]: r["spans"] for r in extract_corpus(rows)}
+        out = extract_pipeline(ds, skew_threshold_units="auto").take_all()
+        assert len(out) == len(rows)
+        for r in out:
+            assert [dict(s) for s in r["spans"]] == oracle[r["doc_id"]]

@@ -23,7 +23,7 @@ def curated_docs(ds, min_quality: float = 0.5, num_partitions: int | None = None
     its exact-content group."""
     from docstrange_ray.shuffle import grouped_blocks
 
-    def score_fp_filter(batch: pa.Table) -> pa.Table:
+    def score_fp_filter(batch: pa.Table) -> pd.DataFrame:
         scored = quality_score(batch)
         fp = content_fingerprint(batch)
         t = pa.Table.from_arrays(
@@ -34,7 +34,12 @@ def curated_docs(ds, min_quality: float = 0.5, num_partitions: int | None = None
             ],
             names=["doc_id", "content_md5", "quality"],
         )
-        return t.filter(pc.greater_equal(t.column("quality"), min_quality))
+        df = t.filter(pc.greater_equal(t.column("quality"), min_quality)).to_pandas()
+        # hot-key safety: local first-wins per batch bounds any one
+        # content hash to n_batches rows through the exchange
+        return df.sort_values(["content_md5", "doc_id"]).drop_duplicates(
+            "content_md5", keep="first"
+        )
 
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["content_md5", "doc_id"]).drop_duplicates(

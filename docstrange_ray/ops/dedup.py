@@ -71,23 +71,38 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
 
 def exact_dedup_groups(ds, num_partitions: int | None = None):
     """(content_md5, keep_doc_id, n_dups): hash-partitioned first-wins
-    exact dedup. ONE shuffle on the content hash; grouping is block-local
-    vectorized pandas (see shuffle.grouped_blocks — no per-group Python
-    call)."""
+    exact dedup. Hot-key safe: each batch pre-reduces to ONE partial row
+    per distinct hash (min doc_id + count) BEFORE the shuffle, so a
+    pathological key duplicated across millions of documents ships
+    n_batches rows — never n_docs — through the exchange. The single
+    content-hash shuffle then combines partials block-locally (min of
+    mins, sum of counts)."""
     from docstrange_ray.shuffle import grouped_blocks
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        fp = content_fingerprint(batch)
+        df = pd.DataFrame(
+            {
+                "content_md5": fp.column("content_md5").to_pylist(),
+                "doc_id": batch.column("doc_id").to_pylist(),
+            }
+        )
         g = df.groupby("content_md5", as_index=False).agg(
             keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
         g["n_dups"] = g["n_dups"].astype(np.int64)
         return g
 
-    withfp = ds.map_batches(content_fingerprint, batch_format="pyarrow").select_columns(
-        ["doc_id", "content_md5"]
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_md5", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), n_dups=("n_dups", "sum")
+        )
+        g["n_dups"] = g["n_dups"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_blocks(
-        withfp, ["content_md5"], local, num_partitions, batch_format="pandas"
+        partials, ["content_md5"], combine, num_partitions, batch_format="pandas"
     )
 
 

@@ -35,6 +35,11 @@ from docstrange_ray.ops.textstats import content_fingerprint
 NUM_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
+# Collision buckets larger than this switch from all-pairs to the
+# star pattern (every member vs the bucket's min doc_id): a band bucket
+# holding k near-identical documents would otherwise generate k^2/2
+# pairs — quadratic blowup on mass-duplicated content.
+MAX_BUCKET_PAIRWISE = 64
 # Fixed random linear permutations a*x+b (mod 2^64, natural uint64 wrap —
 # fast, fully vectorized, and sufficient mixing for minhash), seeded.
 _rng = np.random.RandomState(0xD0C5)
@@ -167,6 +172,19 @@ def minhash_candidates(ds, num_partitions: int | None = None):
             for _, g in sub.groupby("band_key", sort=False):
                 g = g.sort_values("doc_id").drop_duplicates("doc_id")
                 recs = list(zip(g["doc_id"], g["sig"]))
+                if len(recs) > MAX_BUCKET_PAIRWISE:
+                    # hot-bucket cap: pair every member against the
+                    # bucket representative (min doc_id) instead of all
+                    # O(n^2) pairs — keeps each near-dup connected to a
+                    # representative in linear work; mass-duplicate
+                    # content is exact-dedup's job, not LSH's
+                    a0 = np.frombuffer(recs[0][1], dtype=np.int64)
+                    for j in range(1, len(recs)):
+                        b = np.frombuffer(recs[j][1], dtype=np.int64)
+                        rows_a.append(recs[0][0])
+                        rows_b.append(recs[j][0])
+                        est.append(float((a0 == b).mean()))
+                    continue
                 for i in range(len(recs)):
                     a = np.frombuffer(recs[i][1], dtype=np.int64)
                     for j in range(i + 1, len(recs)):
@@ -327,18 +345,26 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
             for _, g in sub.groupby("seg_key", sort=False):
                 g = g.sort_values("doc_id").drop_duplicates("doc_id")
                 recs = list(zip(g["doc_id"], g["simhash"]))
-                for i in range(len(recs)):
-                    for j in range(i + 1, len(recs)):
-                        x = (recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF
-                        ham = bin(x).count("1")
-                        if ham <= max_hamming:
-                            rows.append(
-                                {
-                                    "doc_id_a": recs[i][0],
-                                    "doc_id_b": recs[j][0],
-                                    "hamming": ham,
-                                }
-                            )
+                if len(recs) > MAX_BUCKET_PAIRWISE:
+                    # hot-bucket star cap (see bucket_pairs_block)
+                    pair_iter = (((0, j)) for j in range(1, len(recs)))
+                else:
+                    pair_iter = (
+                        (i, j)
+                        for i in range(len(recs))
+                        for j in range(i + 1, len(recs))
+                    )
+                for i, j in pair_iter:
+                    x = (recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF
+                    ham = bin(x).count("1")
+                    if ham <= max_hamming:
+                        rows.append(
+                            {
+                                "doc_id_a": recs[i][0],
+                                "doc_id_b": recs[j][0],
+                                "hamming": ham,
+                            }
+                        )
         out = pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
         if out.empty:
             # typed empty frame: Ray's block size estimator chokes on

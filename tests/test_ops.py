@@ -242,3 +242,28 @@ class TestIVF:
             e = set(edf[edf.query_id == qid]["vec_id"])
             recalls.append(len(a & e) / len(e))
         assert np.mean(recalls) >= 0.8, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotBucketCap:
+    def test_mass_duplicate_bucket_is_linear(self):
+        import ray.data
+
+        from docstrange_ray.ops import dedup
+
+        # 200 identical docs + 2 distinct: every band bucket for the
+        # identical text holds 200 members -> all-pairs would be ~20k
+        # pairs/band; the star cap bounds it to n-1 per band
+        rows = [{"doc_id": i, "text": "the same exact text " * 5} for i in range(200)]
+        rows += [
+            {"doc_id": 900, "text": "completely different words entirely"},
+            {"doc_id": 901, "text": "another unrelated document body"},
+        ]
+        ds = ray.data.from_items(rows)
+        cands = dedup.minhash_candidates(ds).take_all()
+        # dedup on pair: star pattern emits (0, j) pairs only
+        pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in cands}
+        assert len(pairs) <= 199  # linear, not quadratic
+        assert all(a == 0 for a, _ in pairs)
+        # every duplicate is still connected to the representative
+        assert {b for _, b in pairs} == set(range(1, 200))

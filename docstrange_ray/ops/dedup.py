@@ -388,12 +388,56 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
 # --- embedding cosine near-dup ---------------------------------------------
 
 
+def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95, num_partitions=None):
+    """Scale path for embedding near-dup: LSH-bucket the corpus on
+    random-hyperplane signatures (ops.ann.hyperplane_bucket), hash
+    co-locate each bucket with ONE shuffle, and pair only within
+    buckets (vectorized matmul per bucket, star-capped for hot
+    buckets). Recall < 1.0 by construction — near-identical vectors
+    land in the same bucket with high probability; pairs crossing a
+    hyperplane are missed (mitigation at scale: multi-probe or a
+    second rotated bucket set)."""
+    from docstrange_ray.ops.ann import hyperplane_bucket
+    from docstrange_ray.shuffle import grouped_blocks
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, vals = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            if len(g) > MAX_BUCKET_PAIRWISE:
+                cos = mat[1:] @ mat[0]
+                hits = np.where(cos >= threshold)[0]
+                for j in hits:
+                    rows_a.append(int(ids[0]))
+                    rows_b.append(int(ids[j + 1]))
+                    vals.append(round(float(cos[j]), 6))
+                continue
+            cos = mat @ mat.T
+            ii, jj = np.where(np.triu(cos >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                rows_a.append(int(ids[i]))
+                rows_b.append(int(ids[j]))
+                vals.append(round(float(cos[i, j]), 6))
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "cos": vals}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+        )
+
+    bucketed = ds.map_batches(hyperplane_bucket, batch_format="pyarrow")
+    return grouped_blocks(
+        bucketed, ["bucket"], bucket_pairs, num_partitions, batch_format="pandas"
+    )
+
+
 def embedding_dup_pairs(ds, threshold: float = 0.95):
     """(id_a, id_b, cos) for all embedding pairs with cosine above the
     threshold. Fixture-scale plan: broadcast the normalized matrix once
     (ray.put) and matmul per batch — O(N*B) per batch, no shuffle. The
-    10^12-row path replaces the broadcast with LSH bucketing
-    (ops.ann.hyperplane_bucket) + per-bucket pairing."""
+    10^12-row path is :func:`embedding_dup_pairs_bucketed`."""
     import ray
 
     mat_rows = ds.select_columns(["vec_id", "embedding"]).take_all()

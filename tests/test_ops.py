@@ -267,3 +267,30 @@ class TestHotBucketCap:
         assert all(a == 0 for a, _ in pairs)
         # every duplicate is still connected to the representative
         assert {b for _, b in pairs} == set(range(1, 200))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedEmbeddingDedup:
+    def test_finds_planted_near_dups(self):
+        import ray.data
+
+        from docstrange_ray.ops import dedup
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((40, 16))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+        # planted near-duplicates: tiny perturbations of vectors 0..4
+        for k in range(5):
+            rows.append(
+                {
+                    "vec_id": 100 + k,
+                    "embedding": (base[k] + rng.standard_normal(16) * 0.01).tolist(),
+                }
+            )
+        ds = ray.data.from_items(rows)
+        pairs = dedup.embedding_dup_pairs_bucketed(ds, threshold=0.98).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        # identical-bucket probability is high for near-identical vectors;
+        # require most planted pairs recovered
+        planted = {(k, 100 + k) for k in range(5)}
+        assert len(found & planted) >= 4, found

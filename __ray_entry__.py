@@ -239,6 +239,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = [int(r["vec_id"]) for r in first]
         return ann.ivf_topk(read_emb(sf_dir), q, qids, k=10)
 
+    def embedding_dups_bucketed(sf_dir):
+        return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
+
+    def media_frames(sf_dir):
+        import ray
+        from docstrange_ray.ops import multimodal
+
+        refs = [f"media://vid/{i}" for i in range(200)]
+        tbl = multimodal.synth_media_table(refs)
+        # fake multi-frame payloads: widen n_frames deterministically
+        import pyarrow as _pa
+        n_frames = _pa.array(
+            [8 + (i % 5) * 4 for i in range(len(refs))], type=_pa.int32()
+        )
+        tbl = tbl.set_column(tbl.schema.get_field_index("n_frames"), "n_frames", n_frames)
+        return multimodal.sample_frames(ray.data.from_arrow(tbl))
+
     def curated_docs(sf_dir):
         from docstrange_ray.ops.curate import curated_docs as _curate
 
@@ -318,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_join": media_join,
         "curated_docs": curated_docs,
         "hash_sample_10": hash_sample_10,
+        "embedding_dups_bucketed": embedding_dups_bucketed,
+        "media_frames": media_frames,
         "ivf_ann_topk": ivf_ann_topk,
         # relational
         "q1_pricing": relational.q1_pricing,

@@ -118,6 +118,70 @@ class ImageDecodeActor:
         )
 
 
+class FrameSampleActor:
+    """Actor-pool stage: uniform frame sampling + per-frame features for
+    video payloads (the frame-sample stage of a multimodal training
+    pipeline). ``backend='ffmpeg'`` raises until a real decoder is
+    present; ``backend='fake'`` derives deterministic per-frame pseudo
+    features from payload bytes so schema/batching/actor plumbing is
+    fully testable. Emits one ROW PER SAMPLED FRAME (flat output beats
+    nested lists for downstream shuffles)."""
+
+    def __init__(self, backend: str = "fake", n_sample: int = 4):
+        self.backend = backend
+        self.n_sample = n_sample
+        if backend == "ffmpeg":
+            raise NotImplementedError(
+                "ffmpeg backend unavailable in this sandbox; use backend='fake'"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for ref, payload, n_frames in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            total = max(1, int(n_frames))
+            k = min(self.n_sample, total)
+            # uniform, deterministic frame indices
+            idxs = [int(i * total / k) for i in range(k)]
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            for fi in idxs:
+                # fake per-frame feature: byte-slice mean keyed by index
+                sl = arr[fi % max(1, len(arr) - 16) :][:16]
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "frame_index": fi,
+                        "frame_mean": round(float(sl.mean()) if len(sl) else 0.0, 6),
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("frame_index", pa.int32()),
+                    ("frame_mean", pa.float64()),
+                ]
+            ),
+        )
+
+
+def sample_frames(media_ds, n_sample: int = 4, concurrency=(1, 4)):
+    """Frame-sampling pipeline: actor pool, small batches (binary
+    payloads), one output row per sampled frame."""
+    return media_ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"backend": "fake", "n_sample": n_sample},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def decode_features(media_ds, concurrency=(1, 4)):
     """The media feature pipeline: actor pool, small batches (binary
     payloads), Arrow end-to-end."""

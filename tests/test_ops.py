@@ -294,3 +294,31 @@ class TestBucketedEmbeddingDedup:
         # require most planted pairs recovered
         planted = {(k, 100 + k) for k in range(5)}
         assert len(found & planted) >= 4, found
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFrameSampling:
+    def test_frame_plumbing(self):
+        import ray.data
+
+        from docstrange_ray.ops import multimodal
+
+        tbl = multimodal.synth_media_table([f"m://{i}" for i in range(10)])
+        import pyarrow as pa
+
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("n_frames"),
+            "n_frames",
+            pa.array([12] * 10, type=pa.int32()),
+        )
+        rows = multimodal.sample_frames(ray.data.from_arrow(tbl), n_sample=4).take_all()
+        assert len(rows) == 40  # 4 frames x 10 videos
+        assert all(0 <= r["frame_index"] < 12 for r in rows)
+
+    def test_ffmpeg_backend_gated(self):
+        from docstrange_ray.ops.multimodal import FrameSampleActor
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            FrameSampleActor(backend="ffmpeg")

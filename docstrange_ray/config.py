@@ -76,6 +76,12 @@ class ExtractConfig:
     # qualifies (max ~0.7s) — everything extracts inline at full width;
     # with real-OCR calibration any multi-page scan qualifies.
     explode_cost_threshold: float = 2_000_000.0
+    # Simulated per-unit backend cost (milliseconds) — models a real
+    # layout/OCR model's inference time in benchmarks and scale demos
+    # (scripts/skew_demo.py). 0.0 (default) = pure mock extraction. A
+    # config using this should scale cost_per_page to match (~1000 us
+    # per simulated ms) so the explode gate sees the true cost.
+    simulated_unit_cost_ms: float = 0.0
     # Plan-time sample size for the 'auto' skew gate: extract_pipeline
     # probes this many documents; if none crosses the explode gate the
     # split-stream plan (second scan + actor pool + reassembly exchange,

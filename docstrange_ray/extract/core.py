@@ -50,6 +50,10 @@ def extract_unit(
     ``table_idx`` are the 1-based ordinals of this unit among the doc's
     page-src / table-src spans (page numbering mirrors the reference's
     page loop index, pdf_processor.py:135)."""
+    if cfg.simulated_unit_cost_ms:
+        import time as _time
+
+        _time.sleep(cfg.simulated_unit_cost_ms / 1000.0)
     if kind == "html":
         return html_to_spans(text)
     if kind == "text":

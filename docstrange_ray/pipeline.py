@@ -91,11 +91,19 @@ def extract_pipeline(
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
     )
+    n_dist = 2 * _cluster_cpus()
     units = ds.map_batches(
-        make_explode_heavy(cfg, skew_threshold_units),
+        make_explode_heavy(cfg, skew_threshold_units, n_dist=n_dist),
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
     )
+    # DISTRIBUTE exchange: spread each document's units across the
+    # cluster before extraction. Without it, operator fusion keeps a
+    # giant doc's units in the task that exploded them and one worker
+    # straggles through a 500-page scan alone (distribute -> extract ->
+    # gather is the canonical heavy-tail shape; both exchanges carry
+    # only the skewed tail).
+    units = units.repartition(n_dist, keys=["dist_key"])
     units = units.map_batches(
         ExtractUnitActor,
         fn_constructor_kwargs={"cfg": cfg},

@@ -40,6 +40,12 @@ UNITS_SCHEMA = pa.schema(
         ("page_no", pa.int32()),
         ("table_idx", pa.int32()),
         ("est_cost", pa.float64()),
+        # distribution salt: (seq % n_dist) — the key of the DISTRIBUTE
+        # exchange that spreads one giant document's units across the
+        # cluster before the actor stage (without it, operator fusion
+        # keeps all of a doc's units in the task that exploded them and
+        # a 500-page scan still straggles one worker)
+        ("dist_key", pa.int32()),
         ("spans", pa.list_(SPAN_STRUCT)),
     ]
 )
@@ -97,10 +103,14 @@ def make_extract_light(cfg: ExtractConfig = DEFAULT, skew_threshold_units: int =
     return extract_light
 
 
-def make_explode_heavy(cfg: ExtractConfig = DEFAULT, skew_threshold_units: int = 16):
+def make_explode_heavy(
+    cfg: ExtractConfig = DEFAULT, skew_threshold_units: int = 16, n_dist: int = 64
+):
     """Heavy-doc branch: documents with >= threshold input spans explode
     into one unit row per input span (the actor stage's work queue);
-    light documents are dropped (they finish in the light branch)."""
+    light documents are dropped (they finish in the light branch).
+    ``n_dist`` sizes the round-robin distribution salt (see
+    UNITS_SCHEMA.dist_key)."""
     explode = make_skew_gate(cfg, skew_threshold_units)
 
     def explode_heavy(batch: pa.Table) -> pa.Table:
@@ -132,6 +142,7 @@ def make_explode_heavy(cfg: ExtractConfig = DEFAULT, skew_threshold_units: int =
                         "page_no": page_no,
                         "table_idx": table_idx,
                         "est_cost": cost / max(1, len(ordered)),
+                        "dist_key": seq % n_dist,
                         "spans": [],
                     }
                 )

@@ -60,9 +60,10 @@ def extract_pipeline(
     semantics in stages.make_skew_gate — cost-based under the default
     ``skew_threshold_units='auto'``) extract inline in stateless tasks at full
     cluster width and NEVER touch a shuffle; only the heavy tail explodes
-    into unit rows, runs through the stateful layout actor pool, and is
-    reassembled with a hash shuffle keyed on doc_id (small: just the
-    skewed tail's units). The two branches stream concurrently in one
+    into unit rows, is DISTRIBUTED cluster-wide by a round-robin salt
+    exchange, runs through the stateful layout actor pool, and is
+    gathered back with a hash shuffle keyed on doc_id (both exchanges
+    carry just the skewed tail's units). The two branches stream concurrently in one
     execution and union. The input is scanned twice (column-pruned
     parquet scans are cheap; shuffling every finished document is not).
 

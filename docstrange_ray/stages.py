@@ -6,10 +6,12 @@ Physical plan (split-stream; see pipeline.extract_pipeline):
            │                                   #   width; finished docs
            │                                   #   never touch a shuffle
            └─ map_batches(explode_heavy)       # heavy tail -> unit rows
+                → hash-repartition(dist_key)   # DISTRIBUTE: spread one
+                                               #   doc's units cluster-wide
                 → map_batches(ExtractUnitActor)# actor pool: layout/OCR
-                → hash-repartition(doc_id)     # ONE exchange, tail only
+                → hash-repartition(doc_id)     # GATHER for reassembly
                 → map_batches(assemble_block)  # columnar reassembly
-    union(light, heavy)
+    union(light, heavy)                        # both exchanges tail-only
 
 Skew handling: a multi-hundred-page document (the reference's sequential
 per-page loop, pdf_processor.py:135-161) becomes many independent unit

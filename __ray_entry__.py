@@ -131,6 +131,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return chunk_documents(_extracted(sf_dir), token_budget=512)
 
+    def search_docs(sf_dir):
+        from docstrange_ray.projections import search_documents
+
+        return search_documents(_extracted(sf_dir), "shuffle", context_lines=2)
+
     def extract_doc_meta(sf_dir):
         from docstrange_ray.projections import spans_to_json
 
@@ -317,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_csv": extract_csv,
         "extract_doc_meta": extract_doc_meta,
         "section_chunks": section_chunks,
+        "search_docs": search_docs,
         # training-data ops
         "token_count": token_count,
         "quality_stats": quality_stats,

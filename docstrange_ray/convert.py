@@ -1,0 +1,67 @@
+"""Batch conversion CLI — the engine's analogue of the reference's
+``docstrange file1 file2 --output markdown`` surface (cli.py:165-556),
+lifted from per-file to per-corpus:
+
+    python -m docstrange_ray.convert \\
+        --input /data/corpus --output /data/out --format markdown
+
+Runs the adaptive extraction pipeline and writes partitioned parquet of
+(doc_id, <format>) rows — markdown / html / json / csv — via the
+streaming executor (never materialized on the driver). Owns its Ray
+session (guarded init), like every CLI in this repo.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+FORMATS = ("markdown", "html", "json", "csv", "chunks")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="corpus directory (Lance or parquet)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--format", choices=FORMATS, default="markdown")
+    p.add_argument("--token-budget", type=int, default=4000, help="chunks format only")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local")
+
+    from docstrange_ray.io import read_corpus
+    from docstrange_ray.pipeline import extract_pipeline
+    from docstrange_ray.projections import add_projection, chunk_documents
+    from docstrange_ray.shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    t0 = time.time()
+    extracted = extract_pipeline(read_corpus(args.input, columns=["doc_id", "spans"]))
+    if args.format == "chunks":
+        out = chunk_documents(extracted, token_budget=args.token_budget)
+    else:
+        out = add_projection(extracted, args.format).select_columns(
+            ["doc_id", args.format]
+        )
+    out.write_parquet(args.output)
+    n = read_corpus(args.output).count()
+    print(
+        json.dumps(
+            {
+                "rows_written": n,
+                "format": args.format,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -328,6 +328,47 @@ def chunk_documents(ds, token_budget: int = 4000):
     return ds.map_batches(explode_chunks, batch_format="pyarrow")
 
 
+# --- Search (MCP navigation surface) ----------------------------------------
+
+SEARCH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("line_no", pa.int32()),
+        ("snippet", pa.string()),
+    ]
+)
+
+
+def search_documents(ds, needle: str, context_lines: int = 2):
+    """Substring search over each document's markdown rendering with
+    +-``context_lines`` of context — the batch rebuild of the reference
+    MCP server's search tool (mcp_server_module/server.py:265-296;
+    case-insensitive substring, line numbers 1-based). Stateless
+    map_batches; search is per-document, no shuffle."""
+    low = needle.lower()
+
+    def search(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            lines = spans_to_markdown(list(spans or [])).split("\n")
+            for i, line in enumerate(lines):
+                if low in line.lower():
+                    lo = max(0, i - context_lines)
+                    hi = min(len(lines), i + context_lines + 1)
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "line_no": i + 1,
+                            "snippet": "\n".join(lines[lo:hi]),
+                        }
+                    )
+        return pa.Table.from_pylist(rows, schema=SEARCH_SCHEMA)
+
+    return ds.map_batches(search, batch_format="pyarrow")
+
+
 # --- Dataset-level projections ---------------------------------------------
 
 

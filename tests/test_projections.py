@@ -137,3 +137,30 @@ class TestSectionChunks:
         rows = chunk_documents(ds, token_budget=250).take_all()
         assert {r["doc_id"] for r in rows} == {"d1"}
         assert len(rows) == 2
+
+
+def test_search_documents(ray_session):
+    import ray.data
+
+    from docstrange_ray.projections import search_documents
+
+    ds = ray.data.from_items(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "heading", "text": "# Title", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "before", "media_ref": "", "offset": 1},
+                    {"kind": "text", "text": "the NEEDLE line", "media_ref": "", "offset": 2},
+                    {"kind": "text", "text": "after", "media_ref": "", "offset": 3},
+                ],
+            },
+            {"doc_id": "d2", "spans": []},
+        ]
+    )
+    hits = search_documents(ds, "needle", context_lines=1).take_all()
+    assert len(hits) == 1
+    h = hits[0]
+    assert h["doc_id"] == "d1"
+    # markdown joins spans with blank lines: hit line is 5 (1-based)
+    assert "NEEDLE" in h["snippet"] and "after" not in h["snippet"].split("\n")[0]

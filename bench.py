@@ -135,8 +135,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "exact_dedup",
         "minhash_near_dups",
         "ann_topk",
+        "curated_docs",
         "q1_pricing",
         "events_hourly",
+        "events_sliding",
+        "events_last_order",
         "user_sessions",
     ):
         t0 = time.time()

@@ -1,0 +1,98 @@
+"""Property-based invariants (hypothesis) over the span data model.
+
+These complement the example-based golden tests: any well-formed span
+sequence must project and re-parse without crashing, and structural
+invariants (section counts, chunk budgets, order preservation) must
+hold for ALL inputs, not just fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+KINDS = ("heading", "text", "list_item", "table", "code", "image-ref")
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=80
+)
+
+
+@st.composite
+def span(draw):
+    kind = draw(st.sampled_from(KINDS))
+    text = draw(_text)
+    if kind == "heading":
+        level = draw(st.integers(1, 6))
+        text = "#" * level + " " + text.replace("\n", " ")
+    elif kind == "table":
+        text = "| a | b |\n| --- | --- |\n| c | d |"
+    elif kind == "code":
+        text = f"```\n{text}\n```"
+    media = draw(_text) if kind == "image-ref" else ""
+    return {"kind": kind, "text": text, "media_ref": media, "offset": 0}
+
+
+spans_lists = st.lists(span(), min_size=0, max_size=30).map(
+    lambda ss: [{**s, "offset": i} for i, s in enumerate(ss)]
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(spans_lists)
+def test_projections_never_crash_and_are_strings(spans):
+    from docstrange_ray.projections import (
+        spans_to_csv,
+        spans_to_html,
+        spans_to_json,
+        spans_to_markdown,
+    )
+
+    assert isinstance(spans_to_markdown(spans), str)
+    assert isinstance(spans_to_html(spans), str)
+    assert isinstance(spans_to_csv(spans), str)
+    tree = spans_to_json(spans)
+    meta = tree["document"]["metadata"]
+    # section count == number of heading spans (hierarchy never drops one)
+    assert meta["section_count"] == sum(1 for s in spans if s["kind"] == "heading")
+    assert meta["has_images"] == any(s["kind"] == "image-ref" for s in spans)
+
+
+@settings(max_examples=60, deadline=None)
+@given(spans_lists, st.integers(1, 500))
+def test_chunks_cover_all_sections_within_budget(spans, budget):
+    from docstrange_ray.projections import spans_to_chunks
+
+    chunks = spans_to_chunks(spans, token_budget=budget)
+    n_headings = sum(1 for s in spans if s["kind"] == "heading")
+    has_preamble = bool(spans) and spans[0]["kind"] != "heading"
+    # every section lands in exactly one chunk
+    assert sum(c["n_sections"] for c in chunks) == n_headings + (1 if has_preamble else 0)
+    # no chunk except single-oversize-section ones exceeds the budget
+    for c in chunks:
+        assert c["n_sections"] == 1 or c["n_tokens_est"] <= budget
+    assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(spans_lists)
+def test_finalize_preserves_order_and_normalizes(spans):
+    from docstrange_ray.extract.core import finalize_spans
+
+    out = finalize_spans([{k: v for k, v in s.items() if k != "offset"} for s in spans])
+    assert [s["offset"] for s in out] == list(range(len(spans)))
+    assert [s["kind"] for s in out] == [s["kind"] for s in spans]
+    assert all(s["media_ref"] is not None and s["text"] is not None for s in out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(min_size=0, max_size=400))
+def test_text_extraction_roundtrip_stable(payload):
+    """Extracting plain text twice is idempotent at the text level: the
+    markdown rendering of the spans re-extracts to the same spans."""
+    from docstrange_ray.extract.text_extract import text_to_spans
+    from docstrange_ray.projections import spans_to_markdown
+
+    first = text_to_spans(payload)
+    again = text_to_spans(spans_to_markdown(first))
+    assert again == first

@@ -135,12 +135,6 @@ def select_main_content(root: Node) -> Node | None:
     return body if body is not None else root
 
 
-def _text_len(node: Node | str) -> int:
-    if isinstance(node, str):
-        return len(node.split()) and len(" ".join(node.split()))
-    return sum(_text_len(c) for c in node.children)
-
-
 def _link_stats(node: Node) -> tuple[int, int, int, int]:
     """(total_text_chars, linked_text_chars, n_links, n_elements) for a
     subtree."""

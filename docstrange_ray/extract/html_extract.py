@@ -16,9 +16,10 @@ behavior-faithful to the reference:
 
 North-rule augmentation beyond the reference: structural boilerplate
 pruning (``nav/header/footer/aside`` dropped inside the selected
-content) and link-density pruning (a container whose anchor-text
-fraction exceeds ``LINK_DENSITY_MAX`` with >= ``MIN_LINKS_FOR_PRUNE``
-links is navigation, not content).
+content), link-density pruning (a container whose anchor-text fraction
+exceeds ``LINK_DENSITY_MAX`` with >= ``MIN_LINKS_FOR_PRUNE`` links is
+navigation, not content), and text-density pruning (tag-dense,
+text-sparse containers — icon bars, button rows — are chrome).
 """
 
 from __future__ import annotations

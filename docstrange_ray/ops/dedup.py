@@ -270,6 +270,43 @@ def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
     return sorted(out, key=lambda r: (r["doc_id_a"], r["doc_id_b"]))
 
 
+def dup_clusters(pairs: list[dict]) -> dict:
+    """Union-find over verified near-dup pairs -> {doc_id: representative}
+    (representative = cluster's min doc_id). Pairs are the LSH+verify
+    survivors — a tiny fraction of the corpus — so driver-side
+    union-find is the right tool (distributed label propagation only
+    pays off when the EDGE set itself exceeds driver memory)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for p in pairs:
+        a, b = find(p["doc_id_a"]), find(p["doc_id_b"])
+        if a != b:
+            lo, hi = (a, b) if a <= b else (b, a)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def near_dup_drop_list(ds, threshold: float = 0.8, ngram: int = 3):
+    """The actionable dedup output: doc_ids to DROP so each near-dup
+    cluster keeps exactly its min-doc_id representative. Composes the
+    full chain: MinHash signatures -> LSH banding (ONE shuffle) ->
+    exact-Jaccard verification -> union-find clustering."""
+    pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram)
+    assign = dup_clusters(pairs)
+    return sorted(
+        (doc for doc, rep in assign.items() if doc != rep),
+        key=str,
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -322,3 +322,30 @@ class TestFrameSampling:
 
         with _pytest.raises(NotImplementedError):
             FrameSampleActor(backend="ffmpeg")
+
+
+class TestDupClusters:
+    def test_union_find_transitive(self):
+        from docstrange_ray.ops.dedup import dup_clusters
+
+        pairs = [
+            {"doc_id_a": 1, "doc_id_b": 2},
+            {"doc_id_a": 2, "doc_id_b": 3},
+            {"doc_id_a": 7, "doc_id_b": 9},
+        ]
+        assign = dup_clusters(pairs)
+        assert assign[2] == assign[3] == 1
+        assert assign[9] == 7
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_drop_list_keeps_representative(self, docs_with_dups):
+        import ray.data
+
+        from docstrange_ray.ops.dedup import near_dup_drop_list
+
+        ds = ray.data.from_arrow(docs_with_dups)
+        drops = near_dup_drop_list(ds, threshold=0.8)
+        # each planted near-dup cluster keeps exactly one member
+        assert drops  # fixtures plant at least one dup pair
+        all_ids = set(docs_with_dups.column("doc_id").to_pylist())
+        assert set(drops) < all_ids  # strictly fewer than all docs dropped

@@ -288,7 +288,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 schema=pa.schema([("doc_id", pa.string()), ("media_ref", pa.string())]),
             )
 
-        refs_ds = _extracted(sf_dir).map_batches(image_refs, batch_format="pyarrow")
+        # materialize the (doc_id, media_ref) rows once: they are a tiny
+        # projection of the corpus, and both the distinct-ref collection
+        # and the join consume them (re-running extraction twice is the
+        # alternative)
+        refs_ds = (
+            _extracted(sf_dir)
+            .map_batches(image_refs, batch_format="pyarrow")
+            .materialize()
+        )
         # fixture-scale: distinct refs collected driver-side to build the
         # fake media table; at scale the media table pre-exists
         distinct = sorted({r["media_ref"] for r in refs_ds.take_all()})

@@ -315,3 +315,37 @@ class TestAutoPlanChoice:
         assert len(out) == len(rows)
         for r in out:
             assert [dict(s) for s in r["spans"]] == oracle[r["doc_id"]]
+
+
+class TestCLIs:
+    def test_convert_cli(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from docstrange_ray.convert import main as convert_main
+        from docstrange_ray.synth import gen_corpus_table
+
+        src = str(tmp_path / "corpus")
+        ray.data.from_arrow(gen_corpus_table(13, 0, 30)).write_parquet(src)
+        out = str(tmp_path / "md")
+        assert convert_main(["--input", src, "--output", out, "--format", "markdown"]) == 0
+        tbl = pq.read_table(out)
+        assert tbl.num_rows == 30
+        assert set(tbl.column_names) == {"doc_id", "markdown"}
+
+    def test_job_cli(self, ray_session, tmp_path):
+        import ray.data
+
+        from docstrange_ray.job import main as job_main
+        from docstrange_ray.synth import gen_corpus_table
+
+        src = str(tmp_path / "corpus")
+        ray.data.from_arrow(gen_corpus_table(13, 0, 30)).write_parquet(src)
+        out = str(tmp_path / "job")
+        rc = job_main(
+            ["--input", src, "--output", out, "--fingerprint", "t", "--partitions", "4"]
+        )
+        assert rc == 0
+        from docstrange_ray.state.manifest import job_summary
+
+        assert job_summary(out)["n_docs"] == 30

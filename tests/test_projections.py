@@ -164,3 +164,88 @@ def test_search_documents(ray_session):
     assert h["doc_id"] == "d1"
     # markdown joins spans with blank lines: hit line is 5 (1-based)
     assert "NEEDLE" in h["snippet"] and "after" not in h["snippet"].split("\n")[0]
+
+
+class TestContentTypeMatrix:
+    """The reference's test_json_structure-style content matrix (every
+    markdown construct in one document) driven through md extraction ->
+    JSON tree, asserting structure like the reference does (section
+    counts, titles, hierarchy, per-type buckets)."""
+
+    SAMPLE = "\n".join(
+        [
+            "# Top Title",
+            "",
+            "Intro paragraph one.",
+            "",
+            "## Features",
+            "",
+            "- first item",
+            "- second item",
+            "",
+            "1. numbered one",
+            "",
+            "### Details",
+            "",
+            "```python",
+            "x = 1",
+            "```",
+            "",
+            "| h1 | h2 |",
+            "| --- | --- |",
+            "| a | b |",
+            "",
+            "> a quoted line",
+            "",
+            "![logo](media://x/1)",
+            "",
+            "## Second Section",
+            "",
+            "Closing text.",
+        ]
+    )
+
+    def _tree(self):
+        from docstrange_ray.extract.markdown_extract import markdown_to_spans
+        from docstrange_ray.extract.core import finalize_spans
+        from docstrange_ray.projections import spans_to_json
+
+        return spans_to_json(finalize_spans(markdown_to_spans(self.SAMPLE)))
+
+    def test_section_structure(self):
+        tree = self._tree()
+        doc = tree["document"]
+        assert doc["metadata"]["section_count"] == 4
+        assert doc["metadata"]["max_heading_level"] == 3
+        top = doc["sections"][0]
+        assert top["title"] == "Top Title"
+        titles = [s["title"] for s in top["subsections"]]
+        assert titles == ["Features", "Second Section"]
+        feats = top["subsections"][0]
+        assert [s["title"] for s in feats["subsections"]] == ["Details"]
+
+    def test_content_buckets(self):
+        tree = self._tree()
+        doc = tree["document"]
+        feats = doc["sections"][0]["subsections"][0]
+        assert len(feats["content"]["lists"]) == 3  # 2 bullets + 1 numbered
+        details = feats["subsections"][0]
+        assert len(details["content"]["code_blocks"]) == 1
+        table = details["content"]["tables"][0]
+        assert table["grid"] == [["h1", "h2"], ["a", "b"]]
+        assert table["num_rows"] == 2 and table["num_cols"] == 2
+        assert details["content"]["images"][0]["src"] == "media://x/1"
+        meta = doc["metadata"]
+        assert meta["has_tables"] and meta["has_code"] and meta["has_lists"] and meta["has_images"]
+
+    def test_csv_and_html_from_same_spans(self):
+        from docstrange_ray.extract.core import finalize_spans
+        from docstrange_ray.extract.markdown_extract import markdown_to_spans
+        from docstrange_ray.projections import spans_to_csv, spans_to_html
+
+        spans = finalize_spans(markdown_to_spans(self.SAMPLE))
+        csv_out = spans_to_csv(spans)
+        assert "h1,h2" in csv_out and "a,b" in csv_out
+        html_out = spans_to_html(spans)
+        assert "<h1>Top Title</h1>" in html_out
+        assert "<table>" in html_out and "<pre><code>" in html_out

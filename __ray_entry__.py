@@ -75,13 +75,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ensure_hash_shuffle()
 
+    from docstrange_ray.io import read_parquet_clean
+
     def read_docs(sf_dir):
-        return ray.data.read_parquet(
+        # clean read: the driver parquet carries b'pandas' schema
+        # metadata that breaks Ray's schema-hash dedup on every exchange
+        return read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
 
     def read_emb(sf_dir):
-        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
     # -- extraction family (rows-only: non-SQL-expressible semantics) --
     def extract_flagship(sf_dir):

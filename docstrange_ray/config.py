@@ -91,4 +91,28 @@ class ExtractConfig:
     plan_sample_docs: int = 1000
 
 
+    def fingerprint(self) -> str:
+        """md5 over the FIDELITY-facing fields (the ones that change
+        extraction OUTPUT). Recorded in every partition manifest so a
+        resume under different heuristics invalidates prior partitions;
+        engine knobs (batch sizes, pool sizes, cost model) deliberately
+        do NOT participate — retuning performance must not force a
+        10^12-doc reprocess."""
+        import hashlib
+
+        parts = [
+            f"{name}={getattr(self, name)!r}"
+            for name in (
+                "ocr_confidence_floor",
+                "paragraph_gap_factor",
+                "heading_max_words",
+                "h1_max_words",
+                "h2_max_words",
+                "table_row_cap",
+                "direct_text_threshold",
+            )
+        ]
+        return hashlib.md5(";".join(parts).encode("utf-8")).hexdigest()
+
+
 DEFAULT = ExtractConfig()

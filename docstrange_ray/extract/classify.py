@@ -20,32 +20,31 @@ _LIST_PATTERNS = (
     re.compile(r"^[a-zA-Z]\.\s+"),   # a. lettered
 )
 
-_TABLE_ROW = re.compile(r"(\|)|(\t)|(\S+\s{2,}\S+\s{2,}\S+\s{2,}\S+)")
-_MULTISPACE_ROW = re.compile(r"\S+\s{2,}\S+\s{2,}\S+\s{2,}\S+")
-
-
 def classify_block(text: str, cfg: ExtractConfig = DEFAULT) -> str:
     """'heading' | 'list_item' | 'table_row' | 'text' for one OCR block.
 
-    Reference rules (layout_detector.py:188-239):
-      * <=5 words AND (ends with '.' OR all-caps) -> heading
+    Reference rules AND check order (layout_detector.py:188-239:
+    _classify_paragraph checks list, then table, then heading):
       * list regexes -> list_item
-      * '|' / tab / double-space-separated with >=4 words -> table_row
+      * '|' or tab anywhere -> table_row (no word-count gate);
+        else >=4 words with a double space -> table_row
+        (_is_table_row, layout_detector.py:224-237)
+      * <=5 words AND (ends with '.' OR all-caps) -> heading
       * else text
     """
     t = text.strip()
     if not t:
         return "text"
-    words = t.split()
-    if len(words) <= cfg.heading_max_words and (t.endswith(".") or t.isupper()):
-        return "heading"
     for pat in _LIST_PATTERNS:
         if pat.match(t):
             return "list_item"
-    if ("|" in t or "\t" in t) and len(words) >= 4:
+    if "|" in t or "\t" in t:
         return "table_row"
-    if _MULTISPACE_ROW.search(t):
+    words = t.split()
+    if len(words) >= 4 and "  " in t:
         return "table_row"
+    if len(words) <= cfg.heading_max_words and (t.endswith(".") or t.isupper()):
+        return "heading"
     return "text"
 
 

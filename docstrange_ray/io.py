@@ -20,6 +20,31 @@ def _have_lance() -> bool:
         return False
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None):
+    """``ray.data.read_parquet`` with the file's ``b'pandas'`` schema
+    metadata stripped at the source (``schema=`` override). Pandas-written
+    parquet carries metadata whose value Ray's schema-hash dedup cannot
+    hash — every downstream re-batch and exchange then logs "Failed to
+    hash the schemas (for deduplication)" and silently skips dedup."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    try:
+        schema = pq.read_schema(path).remove_metadata()
+    except (OSError, IsADirectoryError):  # directory input: let Ray infer
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        schema = pq.read_schema(files[0]).remove_metadata() if files else None
+    if schema is not None and columns:
+        import pyarrow as pa
+
+        # the schema override must match the projected columns
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=schema, columns=columns)
+
+
 def read_corpus(path: str, columns: list[str] | None = None):
     """Dataset[(doc_id, spans, ...)] from a corpus directory — Lance when
     available, else parquet. Always pass ``columns`` for projection
@@ -28,7 +53,7 @@ def read_corpus(path: str, columns: list[str] | None = None):
 
     if _have_lance():
         return ray.data.read_lance(path, columns=columns)
-    return ray.data.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)
 
 
 def write_corpus(ds, path: str):

@@ -105,7 +105,9 @@ def exact_dedup_groups(ds, num_partitions: int | None = None):
         g["n_dups"] = g["n_dups"].astype(np.int64)
         return g
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from docstrange_ray.shuffle import arrow_out
+
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow")
     return grouped_blocks(
         partials, ["content_md5"], combine, num_partitions, batch_format="pandas"
     )

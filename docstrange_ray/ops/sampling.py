@@ -17,7 +17,15 @@ import pyarrow as pa
 
 
 def _threshold_hex(fraction: float) -> str:
-    return format(max(0, min(65536, int(fraction * 65536))), "04x")
+    """4-hex-char threshold compared lexicographically against md5
+    prefixes. fraction >= 1.0 maps to 'g' — a character above every hex
+    digit — so the comparison keeps ALL rows (the naive '10000' is
+    5 chars and lexicographically BELOW most 4-char prefixes, which
+    would silently keep only ~6% of rows at the full-fraction edge)."""
+    n = int(fraction * 65536)
+    if n >= 65536:
+        return "g"
+    return format(max(0, n), "04x")
 
 
 def hash_sample(ds, fraction: float, key: str = "doc_id"):

@@ -129,7 +129,9 @@ _MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 
-def _write_partitions_block(block: pa.Table, out_dir: str, fingerprint: str) -> pa.Table:
+def _write_partitions_block(
+    block: pa.Table, out_dir: str, fingerprint: str, cfg_fingerprint: str
+) -> pa.Table:
     """Sink stage (block-local): a hash-co-located block holds one or more
     COMPLETE output partitions' finished (doc_id, spans, part_id) rows.
     Write each partition's zero-copy slice as an atomic parquet +
@@ -152,7 +154,12 @@ def _write_partitions_block(block: pa.Table, out_dir: str, fingerprint: str) -> 
     for i, s in enumerate(starts):
         part = block.slice(s, bounds[i + 1] - s).select(["doc_id", "spans"])
         man = mstate.write_partition(
-            out_dir, int(pids_np[s]), part, fingerprint, started
+            out_dir,
+            int(pids_np[s]),
+            part,
+            fingerprint,
+            started,
+            config_fingerprint=cfg_fingerprint,
         )
         out_rows.append(
             {
@@ -192,7 +199,12 @@ def run_extract_job(
     import pyarrow.compute as pc
 
     P = num_partitions or cfg.num_output_partitions
-    done = mstate.completed_partitions(out_dir, input_fingerprint) if resume else set()
+    cfg_fp = cfg.fingerprint()
+    done = (
+        mstate.completed_partitions(out_dir, input_fingerprint, cfg_fp)
+        if resume
+        else set()
+    )
 
     if done:
         done_arr = pa.array(sorted(done), pa.int32())
@@ -216,7 +228,7 @@ def run_extract_job(
     manifests = grouped_blocks(
         tagged,
         ["part_id"],
-        lambda b: _write_partitions_block(b, out_dir, input_fingerprint),
+        lambda b: _write_partitions_block(b, out_dir, input_fingerprint, cfg_fp),
         num_partitions=min(P, 64),
     )
     return manifests.take_all()  # small: one row per partition

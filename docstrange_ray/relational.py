@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from docstrange_ray.shuffle import coalesced_blocks
+from docstrange_ray.shuffle import arrow_out, coalesced_blocks
 
 Q1_CUTOFF = "2000-01-01"
 
@@ -43,7 +43,9 @@ def _combine_sums(keys: list[str], sum_cols: list[str]):
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from docstrange_ray.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _cents(arr) -> np.ndarray:
@@ -101,7 +103,7 @@ def q1_pricing(sf_dir: str):
         )
         return g
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536)
     return coalesced_blocks(
         partials,
         _combine_sums(
@@ -143,7 +145,7 @@ def top_customers(sf_dir: str, k: int = 10):
     # custkey cardinality scales with the data -> a real hash shuffle,
     # block-local vectorized combine (no per-group Python dispatch)
     per_cust = grouped_blocks(
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        orders.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         ["o_custkey"],
         lambda df: df.groupby("o_custkey", as_index=False)[
             ["revenue_cents", "n_orders"]
@@ -171,7 +173,7 @@ def top_customers(sf_dir: str, k: int = 10):
             ["revenue_cents", "o_custkey"], ascending=[False, True]
         ).head(k)
 
-    top = coalesced_blocks(joined.map_batches(local_topk, batch_format="pandas"), local_topk)
+    top = coalesced_blocks(joined.map_batches(arrow_out(local_topk), batch_format="pandas"), local_topk)
     return top.select_columns(["o_custkey", "c_name", "revenue_cents", "n_orders"])
 
 
@@ -216,7 +218,7 @@ def revenue_by_region(sf_dir: str):
         )
 
     return coalesced_blocks(
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        orders.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         _combine_sums(["r_name"], ["revenue_cents", "n_orders"]),
     )
 
@@ -248,7 +250,7 @@ def events_hourly(sf_dir: str):
         )
 
     return coalesced_blocks(
-        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         _combine_sums(["event_type", "hour"], ["n_events", "sum_value_cents"]),
     )
 
@@ -387,7 +389,7 @@ def events_sliding(sf_dir: str):
         )
 
     return coalesced_blocks(
-        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         _combine_sums(["event_type", "window_start"], ["n_events", "sum_value_cents"]),
     )
 
@@ -437,7 +439,7 @@ def events_prop_stats(sf_dir: str):
         )
 
     return coalesced_blocks(
-        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536), combine
+        ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536), combine
     )
 
 
@@ -466,7 +468,7 @@ def docs_by_source(sf_dir: str):
         )
 
     return coalesced_blocks(
-        docs.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        docs.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         _combine_sums(["source"], ["n_docs", "sum_chars", "sum_tokens"]),
     )
 

@@ -48,6 +48,47 @@ def ensure_hash_shuffle() -> None:
     ctx.default_hash_shuffle_parallelism = ncpu
 
 
+def _strip_schema_metadata(ds):
+    """Drop Arrow schema metadata before an exchange. Blocks produced by
+    ``batch_format="pandas"`` stages carry a ``b'pandas'`` metadata entry
+    whose value Ray's schema-dedup cannot hash ("Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'" spam on every
+    HashShuffleAggregator, and schema dedup silently disabled).
+    ``replace_schema_metadata(None)`` is zero-copy and the map fuses
+    with the upstream stage."""
+
+    def strip(batch):
+        if batch.schema.metadata:
+            return batch.replace_schema_metadata(None)
+        return batch
+
+    # batch_size=None: strip whole blocks — re-batching would itself
+    # concat metadata-bearing blocks and trip the same warning upstream
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=None)
+
+
+def arrow_out(fn):
+    """Wrap a batch UDF so its output enters Ray as a metadata-free Arrow
+    block: pandas results are converted via ``from_pandas`` and the
+    ``b'pandas'`` schema metadata (unhashable for Ray's schema dedup —
+    see :func:`_strip_schema_metadata`) is dropped at the source."""
+    import functools
+
+    import pandas as pd
+    import pyarrow as pa
+
+    @functools.wraps(fn)
+    def wrapped(batch):
+        out = fn(batch)
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        if isinstance(out, pa.Table) and out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
+
+    return wrapped
+
+
 def hash_join(
     left,
     right,
@@ -120,7 +161,9 @@ def coalesced_blocks(ds, fn, batch_format: str = "pandas"):
     rows). For unbounded key cardinality use :func:`grouped_blocks` — the
     real shuffle. Saves the aggregator-pool startup (~6s measured) that
     dominates small finals."""
-    return ds.repartition(1).map_batches(fn, batch_format=batch_format, batch_size=None)
+    return _strip_schema_metadata(ds).repartition(1).map_batches(
+        arrow_out(fn), batch_format=batch_format, batch_size=None
+    )
 
 
 def grouped_blocks(
@@ -137,6 +180,6 @@ def grouped_blocks(
     ensure_hash_shuffle()
     if num_partitions is None:
         num_partitions = 2 * _cluster_cpus()
-    return ds.repartition(num_partitions, keys=keys).map_batches(
-        fn, batch_format=batch_format, batch_size=None
+    return _strip_schema_metadata(ds).repartition(num_partitions, keys=keys).map_batches(
+        arrow_out(fn), batch_format=batch_format, batch_size=None
     )

@@ -124,7 +124,34 @@ def make_explode_heavy(
             if not explode(in_spans):
                 continue
             cost = estimate_cost(in_spans, cfg)
-            ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
+            try:
+                # identical sort key + exception set to the sequential
+                # oracle (core.extract_spans) so heavy-path output stays
+                # span-equal on malformed documents
+                ordered = sorted(in_spans, key=lambda s: int(s.get("offset", 0)))
+            except (TypeError, ValueError, AttributeError) as e:
+                # same per-document swallow-and-record policy as
+                # extract_spans (core.error_span): a malformed offset in
+                # one document must not fail the whole task — emit a
+                # single finished error-span row for it instead
+                from docstrange_ray.extract.core import error_span, finalize_spans
+
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "seq": 0,
+                        "done": True,
+                        "unit_kind": "",
+                        "payload": "",
+                        "media_ref": "",
+                        "page_no": 0,
+                        "table_idx": 0,
+                        "est_cost": cost,
+                        "dist_key": 0,
+                        "spans": finalize_spans([error_span(e)]),
+                    }
+                )
+                continue
             page_no = 0
             table_idx = 0
             for seq, s in enumerate(ordered):
@@ -205,24 +232,6 @@ class ExtractUnitActor:
             r["payload"] = ""
         out = pa.Table.from_pylist(rows, schema=batch.schema)
         return pa.concat_tables([passthrough, out]) if passthrough is not None else out
-
-
-def assemble_group(group: pa.Table) -> pa.Table:
-    """Reassemble one document from its (seq-ordered) unit rows, assigning
-    final span order. Ordering contract: output span order is input-span
-    order (seq), then within-unit emission order — identical to the
-    sequential oracle's loop (SURVEY.md §7.4 item 3)."""
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(group, sort_keys=[("seq", "ascending")])
-    group = group.take(order)
-    doc_id = group.column("doc_id")[0].as_py()
-    spans: list[dict] = []
-    for unit_spans in group.column("spans").to_pylist():
-        spans.extend(unit_spans or [])
-    return pa.Table.from_pylist(
-        [{"doc_id": doc_id, "spans": finalize_spans(spans)}], schema=DOCUMENTS_SCHEMA
-    )
 
 
 def assemble_sorted(doc_id_col, spans_col) -> pa.Table:

@@ -56,6 +56,7 @@ def write_partition(
     input_fingerprint: str,
     started: float,
     metrics: dict | None = None,
+    config_fingerprint: str = "",
 ) -> dict:
     """Atomically write one partition's data + manifest; returns the
     manifest dict (also the sink stage's output row)."""
@@ -77,6 +78,7 @@ def write_partition(
         ),
         "doc_ids_md5": digest,
         "input_fingerprint": input_fingerprint,
+        "config_fingerprint": config_fingerprint,
         "wall_sec": round(time.time() - started, 4),
         **(metrics or {}),
     }
@@ -87,9 +89,14 @@ def write_partition(
     return manifest
 
 
-def completed_partitions(out_dir: str, input_fingerprint: str) -> set[int]:
-    """Partitions with a valid manifest matching the input fingerprint
-    (a manifest from a different input invalidates the partition)."""
+def completed_partitions(
+    out_dir: str, input_fingerprint: str, config_fingerprint: str = ""
+) -> set[int]:
+    """Partitions with a valid manifest matching BOTH the input
+    fingerprint and the extraction-config fingerprint (a manifest from a
+    different input OR from different extraction heuristics invalidates
+    the partition — resuming after changing ExtractConfig must not
+    silently keep partitions extracted under the old heuristics)."""
     done: set[int] = set()
     if not os.path.isdir(out_dir):
         return done
@@ -99,8 +106,10 @@ def completed_partitions(out_dir: str, input_fingerprint: str) -> set[int]:
         try:
             with open(os.path.join(out_dir, name)) as f:
                 m = json.load(f)
-            if m.get("input_fingerprint") == input_fingerprint and os.path.exists(
-                _data_path(out_dir, int(m["part_id"]))
+            if (
+                m.get("input_fingerprint") == input_fingerprint
+                and m.get("config_fingerprint", "") == config_fingerprint
+                and os.path.exists(_data_path(out_dir, int(m["part_id"])))
             ):
                 done.add(int(m["part_id"]))
         except (json.JSONDecodeError, KeyError, ValueError, OSError):

@@ -60,6 +60,21 @@ class TestClassify:
     def test_plain_text(self):
         assert classify_block("This is a normal sentence with several words") == "text"
 
+    def test_reference_check_order_list_before_heading(self):
+        # reference checks list -> table -> heading
+        # (_classify_paragraph, layout_detector.py:188-203): a short
+        # all-caps bullet is a LIST item, not a heading
+        assert classify_block("• DONE") == "list_item"
+        assert classify_block("1. Done.") == "list_item"
+
+    def test_pipe_row_has_no_word_count_gate(self):
+        # _is_table_row (layout_detector.py:224-237): '|' or tab anywhere
+        # -> table row, regardless of word count
+        assert classify_block("A | B") == "table_row"
+        assert classify_block("x\ty") == "table_row"
+        # the >=4-word gate applies only to the double-space rule
+        assert classify_block("a  b") == "text"
+
     def test_heading_levels(self):
         # reference layout_detector.py:206-216
         assert heading_level_by_words("One Two") == 1

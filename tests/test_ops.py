@@ -201,6 +201,20 @@ class TestSampling:
         assert a == b  # deterministic
         assert 0.15 < len(a) / 5000 < 0.25  # ~fraction
 
+    def test_full_and_zero_fraction_edges(self):
+        # fraction >= 1.0 must keep EVERYTHING (regression: the naive
+        # 5-char '10000' threshold lexicographically kept only ~6%)
+        import ray.data
+
+        from docstrange_ray.ops.sampling import hash_sample, hash_split
+
+        ds = ray.data.range(1000)
+        assert len(hash_sample(ds, 1.0, key="id").take_all()) == 1000
+        assert len(hash_sample(ds, 0.0, key="id").take_all()) == 0
+        train, hold = hash_split(ds, 1.0, key="id")
+        assert len(train.take_all()) == 1000
+        assert len(hold.take_all()) == 0
+
     def test_hash_split_disjoint_exhaustive(self):
         import ray.data
 

@@ -99,6 +99,20 @@ class TestResumableJob:
         man = run_extract_job(ds, self.OUT, self.FP + "-v2", num_partitions=8)
         assert len(man) == 8
 
+    def test_config_change_invalidates(self, corpus):
+        """Resuming with different extraction HEURISTICS must reprocess
+        (the manifest carries a config fingerprint; ADVICE round 1)."""
+        from docstrange_ray.config import ExtractConfig
+
+        ds = ray.data.from_arrow(corpus)
+        cfg2 = ExtractConfig(heading_max_words=4)  # fidelity-facing change
+        man = run_extract_job(ds, self.OUT, self.FP + "-v2", cfg=cfg2, num_partitions=8)
+        assert len(man) == 8  # all partitions rewritten
+        # …but an engine-knob change (batch size) resumes as a no-op
+        cfg3 = ExtractConfig(heading_max_words=4, parse_batch_size=64)
+        man = run_extract_job(ds, self.OUT, self.FP + "-v2", cfg=cfg3, num_partitions=8)
+        assert man == []
+
     def test_partition_assignment_is_parallelism_independent(self):
         # crc32-based: same doc → same partition regardless of cluster size
         assert mstate.partition_of("doc-00000042", 32) == mstate.partition_of(
@@ -278,6 +292,69 @@ class TestErrorPolicy:
         assert len(out) == len(loose)
         for r in out:
             assert [dict(s) for s in r["spans"]] == oracle[r["doc_id"]]
+
+    def test_heavy_path_swallows_malformed_offset(self, ray_session):
+        """The EXPLODE branch must apply the same per-document
+        swallow-and-record policy as the light path: a heavy document
+        with a null/bogus offset becomes one error-span row instead of
+        failing the whole Ray task (ADVICE round 1)."""
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.synth import gen_corpus_table
+
+        poison = {
+            "doc_id": "poison-heavy",
+            "spans": [
+                {
+                    "kind": "text",
+                    "text": f"unit {i}",
+                    "media_ref": "",
+                    "offset": "bogus" if i == 3 else str(i),
+                }
+                for i in range(8)
+            ],
+        }
+        good = [
+            {
+                "doc_id": r["doc_id"],
+                "spans": [
+                    {**s, "offset": str(s.get("offset", ""))} for s in r["spans"]
+                ],
+            }
+            for r in gen_corpus_table(7, 0, 6).to_pylist()
+        ]
+        rows = good + [poison]
+        schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                (
+                    "spans",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.string()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+        oracle = {r["doc_id"]: extract_corpus([r])[0]["spans"] for r in rows}
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+        # threshold 2 forces the poisoned 8-span doc down the explode path
+        out = extract_pipeline(ds, skew_threshold_units=2).take_all()
+        assert len(out) == len(rows)
+        for r in out:
+            assert [dict(s) for s in r["spans"]] == oracle[r["doc_id"]]
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id["poison-heavy"]["spans"][0]["text"].startswith(
+            "[extraction error:"
+        )
 
 
 class TestAutoPlanChoice:

@@ -213,63 +213,140 @@ def minhash_candidates(ds, num_partitions: int | None = None):
     )
 
 
-def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
-    """MinHash-LSH candidates verified by EXACT n-gram Jaccard. The
-    verification recomputes shingles for candidate docs only (broadcast
-    of the candidate id set; candidates << corpus)."""
-    import ray
+def _rename(ds, mapping: dict):
+    """Zero-copy column rename on a Dataset of Arrow blocks."""
 
-    raw = minhash_candidates(ds).take_all()  # small: LSH survivors only
-    seen: set[tuple] = set()
-    cands = []
-    for p in raw:
-        key = (p["doc_id_a"], p["doc_id_b"])
-        if key not in seen:
-            seen.add(key)
-            cands.append(p)
-    cand_ids = set()
-    for p in cands:
-        cand_ids.add(p["doc_id_a"])
-        cand_ids.add(p["doc_id_b"])
-    if not cands:
-        return []
-    ids_ref = ray.put(cand_ids)
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
 
-    def shingle_candidates(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def near_dup_pairs_ds(ds, threshold: float = 0.8, ngram: int = 3, num_partitions=None):
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard — fully
+    DISTRIBUTED (nothing collects to the driver). Plan:
+
+      1. LSH candidates (ONE band shuffle) -> pair dedup (ONE shuffle);
+      2. distinct candidate doc ids (ONE shuffle of pair rows);
+      3. shingle the CANDIDATE docs only: corpus semi-joined to the id
+         set with the co-partitioned hash_join (candidates << corpus, so
+         only the tiny matched slice is shingled);
+      4. hash-join shingle sets back onto the pairs (per side) and
+         verify Jaccard block-locally.
+
+    Every exchange carries candidate-scale data; at a 100-TB corpus with
+    a heavy dup tail the candidate set never rides the driver (the
+    round-1 ``take_all`` version died exactly there)."""
+    from docstrange_ray.shuffle import grouped_blocks, hash_join
+
+    # Candidate-scale intermediates are MATERIALIZED (object store, not
+    # driver memory): hash_join needs each side's schema, and fetching a
+    # schema from a deep lazy plan re-executes every upstream exchange —
+    # at 8 CPUs the re-executions alone deadlocked the worker pool.
+    cands = _dedup_pairs(minhash_candidates(ds, num_partitions), num_partitions)
+    cands = cands.map_batches(
+        lambda b: b.select(["doc_id_a", "doc_id_b"]), batch_format="pyarrow"
+    ).materialize()
+
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                batch.column("doc_id_a").combine_chunks(),
+                batch.column("doc_id_b").combine_chunks(),
+            ]
+        )
+        return pa.Table.from_arrays([ids], names=["doc_id"])
+
+    ids = grouped_blocks(
+        cands.map_batches(explode_ids, batch_format="pyarrow"),
+        ["doc_id"],
+        lambda df: df.drop_duplicates("doc_id"),
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    cand_docs = hash_join(
+        ds.select_columns(["doc_id", "text"]), ids, key="doc_id",
+        num_partitions=num_partitions,
+    )
+
+    def shingle_batch(batch: pa.Table) -> pa.Table:
         rows = [
             {"doc_id": d, "shingles": sorted(_shingles(t, ngram))}
             for d, t in zip(
                 batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
             )
-            if d in ids
         ]
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(
-                [("doc_id", batch.schema.field("doc_id").type),
-                 ("shingles", pa.list_(pa.int64()))]
+                [
+                    ("doc_id", batch.schema.field("doc_id").type),
+                    ("shingles", pa.list_(pa.int64())),
+                ]
             ),
         )
 
-    sh = {
-        r["doc_id"]: set(r["shingles"])
-        for r in ds.map_batches(shingle_candidates, batch_format="pyarrow").take_all()
-    }
-    out = []
-    for p in cands:
-        a, b = sh.get(p["doc_id_a"], set()), sh.get(p["doc_id_b"], set())
-        union = len(a | b)
-        jac = (len(a & b) / union) if union else 0.0
-        if jac >= threshold:
-            out.append(
-                {
-                    "doc_id_a": p["doc_id_a"],
-                    "doc_id_b": p["doc_id_b"],
-                    "jaccard": round(jac, 6),
-                }
-            )
-    return sorted(out, key=lambda r: (r["doc_id_a"], r["doc_id_b"]))
+    shingled = cand_docs.map_batches(shingle_batch, batch_format="pyarrow").materialize()
+
+    a = hash_join(
+        _rename(cands, {"doc_id_a": "doc_id"}),
+        _rename(shingled, {"shingles": "sh_a"}),
+        key="doc_id",
+        num_partitions=num_partitions,
+    )
+    a = _rename(a, {"doc_id": "doc_id_a"}).materialize()
+    b = hash_join(
+        _rename(a, {"doc_id_b": "doc_id"}),
+        _rename(shingled, {"shingles": "sh_b"}),
+        key="doc_id",
+        num_partitions=num_partitions,
+    )
+    b = _rename(b, {"doc_id": "doc_id_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for da, db, sa, sb in zip(
+            batch.column("doc_id_a").to_pylist(),
+            batch.column("doc_id_b").to_pylist(),
+            batch.column("sh_a").to_pylist(),
+            batch.column("sh_b").to_pylist(),
+        ):
+            x, y = set(sa or []), set(sb or [])
+            union = len(x | y)
+            jac = (len(x & y) / union) if union else 0.0
+            if jac >= threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_j.append(round(jac, 6))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, type=batch.schema.field("doc_id_a").type),
+                pa.array(out_b, type=batch.schema.field("doc_id_b").type),
+                pa.array(out_j, type=pa.float64()),
+            ],
+            names=["doc_id_a", "doc_id_b", "jaccard"],
+        )
+
+    return b.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):
+    """Verified near-dup pairs as a sorted driver-side list (the VERIFIED
+    result is tiny; all candidate-scale work runs distributed in
+    :func:`near_dup_pairs_ds`)."""
+    rows = near_dup_pairs_ds(ds, threshold=threshold, ngram=ngram).take_all()
+    return sorted(
+        (
+            {
+                "doc_id_a": r["doc_id_a"],
+                "doc_id_b": r["doc_id_b"],
+                "jaccard": r["jaccard"],
+            }
+            for r in rows
+        ),
+        key=lambda r: (r["doc_id_a"], r["doc_id_b"]),
+    )
 
 
 def dup_clusters(pairs: list[dict]) -> dict:
@@ -294,6 +371,87 @@ def dup_clusters(pairs: list[dict]) -> dict:
             lo, hi = (a, b) if a <= b else (b, a)
             parent[hi] = lo
     return {x: find(x) for x in parent}
+
+
+def dup_clusters_ds(pairs, max_iters: int = 30, num_partitions=None):
+    """DISTRIBUTED connected components over a near-dup pair Dataset:
+    min-label propagation. Each iteration hash-joins current labels onto
+    the (symmetrized) edge set and takes the per-node min over incoming
+    labels and the node's own label (ONE edge shuffle + ONE node shuffle
+    per iteration); iteration stops when the label assignment's hash
+    signature stops changing (labels only decrease, so convergence is
+    monotone). Converges in O(component diameter) rounds — near-dup
+    clusters are shallow (stars/cliques), so a handful of rounds
+    suffices even when the PAIR set exceeds driver memory (the
+    driver-side :func:`dup_clusters` union-find is for small pair sets).
+
+    Returns Dataset[(node, label)] with label = the component's min
+    node id (every node appears, representatives included)."""
+    import pandas as pd
+
+    from docstrange_ray.shuffle import grouped_blocks, hash_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").combine_chunks()
+        b = batch.column("doc_id_b").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, b]), pa.concat_arrays([b, a])],
+            names=["node", "dst"],
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    labels = grouped_blocks(
+        edges,
+        ["node"],
+        lambda df: pd.DataFrame({"node": df["node"].unique()}).assign(
+            label=lambda d: d["node"]
+        ),
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    def _signature(lbl_ds) -> int:
+        # order/partitioning-independent assignment digest: sum of
+        # per-row md5 over (node, label)
+        def sig_batch(batch: pa.Table) -> pa.Table:
+            total = 0
+            for n, l in zip(
+                batch.column("node").to_pylist(), batch.column("label").to_pylist()
+            ):
+                h = hashlib.md5(f"{n}\x00{l}".encode("utf-8")).digest()[:8]
+                total = (total + int.from_bytes(h, "big")) & ((1 << 63) - 1)
+            return pa.Table.from_arrays(
+                [pa.array([total], type=pa.int64())], names=["sig"]
+            )
+
+        import pyarrow.compute as pc
+
+        parts = lbl_ds.map_batches(sig_batch, batch_format="pyarrow").take_all()
+        return sum(r["sig"] for r in parts) & ((1 << 63) - 1)
+
+    prev_sig = _signature(labels)
+    for _ in range(max_iters):
+        msgs = hash_join(edges, labels, key="node", num_partitions=num_partitions)
+        incoming = msgs.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("dst"), b.column("label")], names=["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = grouped_blocks(
+            incoming.union(labels),
+            ["node"],
+            lambda df: df.groupby("node", as_index=False)["label"].min(),
+            num_partitions,
+            batch_format="pandas",
+        ).materialize()
+        sig = _signature(new_labels)
+        labels = new_labels
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
 
 
 def near_dup_drop_list(ds, threshold: float = 0.8, ngram: int = 3):

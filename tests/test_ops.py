@@ -363,3 +363,43 @@ class TestDupClusters:
         assert drops  # fixtures plant at least one dup pair
         all_ids = set(docs_with_dups.column("doc_id").to_pylist())
         assert set(drops) < all_ids  # strictly fewer than all docs dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedDedup:
+    """Round-2 scale fixes: the MinHash verify path and connected
+    components run Dataset-to-Dataset (no candidate collection on the
+    driver)."""
+
+    def test_near_dup_pairs_ds_finds_planted(self, docs_with_dups):
+        # the same assertions as the (driver-wrapper) TestMinHash test,
+        # but consumed as a Dataset — no candidate ever rides the driver
+        ds = ray.data.from_arrow(docs_with_dups)
+        got = dedup.near_dup_pairs_ds(ds, threshold=0.8).take_all()
+        flat = {(r["doc_id_a"], r["doc_id_b"]) for r in got}
+        assert (0, 100) in flat
+        assert (1, 101) in flat
+        assert (2, 102) in flat
+        assert all(r["jaccard"] >= 0.8 for r in got)
+
+    def test_label_propagation_matches_union_find_on_chain(self):
+        # a chain forces multi-round propagation (diameter 4)
+        pairs = [
+            {"doc_id_a": f"d{i:02d}", "doc_id_b": f"d{i + 1:02d}"}
+            for i in range(4)
+        ] + [{"doc_id_a": "x50", "doc_id_b": "x51"}]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(pairs))
+        labels = {
+            r["node"]: r["label"]
+            for r in dedup.dup_clusters_ds(ds).take_all()
+        }
+        from docstrange_ray.ops.dedup import dup_clusters
+
+        uf = dup_clusters(pairs)
+        # every chained node resolves to the component min
+        for i in range(5):
+            assert labels[f"d{i:02d}"] == "d00"
+        assert labels["x50"] == "x50" and labels["x51"] == "x50"
+        # agreement with the driver union-find on non-representatives
+        for node, rep in uf.items():
+            assert labels[node] == rep

@@ -301,9 +301,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(image_refs, batch_format="pyarrow")
             .materialize()
         )
-        # fixture-scale: distinct refs collected driver-side to build the
-        # fake media table; at scale the media table pre-exists
-        distinct = sorted({r["media_ref"] for r in refs_ds.take_all()})
+        # distinct refs computed DISTRIBUTED (one hash shuffle of the
+        # tiny (media_ref) projection); the collected result is the
+        # already-distinct set, needed driver-side only to synthesize
+        # the fake media table — at scale the media table pre-exists
+        from docstrange_ray.shuffle import grouped_blocks
+
+        distinct_ds = grouped_blocks(
+            refs_ds.select_columns(["media_ref"]),
+            ["media_ref"],
+            lambda df: df.drop_duplicates("media_ref"),
+            batch_format="pandas",
+        )
+        distinct = sorted(r["media_ref"] for r in distinct_ds.take_all())
         media = ray.data.from_arrow(multimodal.synth_media_table(distinct))
         feats = multimodal.decode_features(media).select_columns(
             ["media_ref", "mean_intensity"]

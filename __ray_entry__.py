@@ -115,6 +115,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _extracted(sf_dir).map_batches(flatten, batch_format="pyarrow")
 
+    def real_format_extract(sf_dir):
+        """REAL file bytes end-to-end: deterministic .docx/.xlsx/.pptx/
+        .pdf/.csv/.txt/.html fixture files (stdlib writers; genuinely
+        valid formats) → read_binary_files → stdlib binary parsers →
+        the full adaptive extract_pipeline → flat span rows. Gated by
+        span equality vs the sequential oracle in
+        tests/test_real_formats.py (no SQL oracle: extraction
+        semantics)."""
+        import hashlib
+        import os
+
+        from docstrange_ray.sources import extract_files
+        from docstrange_ray.synth_files import write_fixture_corpus
+
+        out = f"/tmp/dsray_real_fixtures_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        if not os.path.isdir(out):
+            write_fixture_corpus(out)
+
+        def flatten(batch: pa.Table) -> pa.Table:
+            from docstrange_ray.schema import FLAT_SPANS_SCHEMA
+
+            rows = []
+            for did, spans in zip(
+                batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+            ):
+                for s in spans:
+                    rows.append({"doc_id": did, **s})
+            return pa.Table.from_pylist(rows, schema=FLAT_SPANS_SCHEMA)
+
+        return extract_files(out).map_batches(flatten, batch_format="pyarrow")
+
     def extract_markdown(sf_dir):
         return add_projection(_extracted(sf_dir), "markdown").select_columns(
             ["doc_id", "markdown"]
@@ -339,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction
         "extract_flagship": extract_flagship,
+        "real_format_extract": real_format_extract,
         "extract_markdown": extract_markdown,
         "extract_html": extract_html,
         "extract_csv": extract_csv,

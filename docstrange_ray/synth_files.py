@@ -1,0 +1,362 @@
+"""Deterministic REAL-file fixture writers: .docx/.xlsx/.pptx/.pdf/.csv
+/.txt/.html built from stdlib only.
+
+These emit genuinely valid files (the OOXML parts a conformant reader
+needs, a well-formed PDF with xref table) so the binary ingest layer
+(`extract.binary_formats`) is exercised against real bytes, not against
+descriptors it co-designed. Used by `tests/test_real_formats.py` and the
+``real_format_extract`` driver query (fixtures synthesized under /tmp —
+the brief's "synthesise deterministically at small scale" rule; the
+sandbox has no sample binary corpus)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+
+_CONTENT_TYPES_DOCX = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+<Override PartName="/word/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.styles+xml"/>
+</Types>"""
+
+_RELS_DOCX = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+</Relationships>"""
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def make_docx(paragraphs: list[tuple[str, str]], tables: list[list[list[str]]] | None = None) -> bytes:
+    """Build a minimal valid .docx. ``paragraphs`` = [(text, style_id)]
+    with style ids like 'Heading1', 'Title', 'ListParagraph', '' (body);
+    ``tables`` = list of row-major grids appended after the body."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body_parts = []
+    for text, style in paragraphs:
+        style_xml = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+        body_parts.append(
+            f"<w:p>{style_xml}<w:r><w:t xml:space=\"preserve\">{_xml_escape(text)}</w:t></w:r></w:p>"
+        )
+    for grid in tables or []:
+        rows = []
+        for row in grid:
+            cells = "".join(
+                f"<w:tc><w:p><w:r><w:t xml:space=\"preserve\">{_xml_escape(c)}</w:t></w:r></w:p></w:tc>"
+                for c in row
+            )
+            rows.append(f"<w:tr>{cells}</w:tr>")
+        body_parts.append(f"<w:tbl>{''.join(rows)}</w:tbl>")
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{w}"><w:body>{"".join(body_parts)}</w:body></w:document>'
+    )
+    # style id -> display name map (what python-docx would report)
+    style_defs = "".join(
+        f'<w:style w:type="paragraph" w:styleId="{sid}"><w:name w:val="{name}"/></w:style>'
+        for sid, name in [
+            ("Title", "Title"),
+            ("Heading1", "Heading 1"),
+            ("Heading2", "Heading 2"),
+            ("Heading3", "Heading 3"),
+            ("ListParagraph", "List Paragraph"),
+        ]
+    )
+    styles = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:styles xmlns:w="{w}">{style_defs}</w:styles>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES_DOCX)
+        zf.writestr("_rels/.rels", _RELS_DOCX)
+        zf.writestr("word/document.xml", document)
+        zf.writestr("word/styles.xml", styles)
+    return buf.getvalue()
+
+
+def make_xlsx(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
+    """Build a minimal valid .xlsx (shared-strings for text cells, inline
+    numbers). ``sheets`` = [(name, grid)]."""
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+
+    def cell_xml(ref: str, value: object) -> str:
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return f'<c r="{ref}"><v>{value}</v></c>'
+        text = str(value)
+        if text not in shared_idx:
+            shared_idx[text] = len(shared)
+            shared.append(text)
+        return f'<c r="{ref}" t="s"><v>{shared_idx[text]}</v></c>'
+
+    def col_letter(idx: int) -> str:
+        out = ""
+        idx += 1
+        while idx:
+            idx, rem = divmod(idx - 1, 26)
+            out = chr(ord("A") + rem) + out
+        return out
+
+    sheet_parts = []
+    for name, grid in sheets:
+        rows = []
+        for ri, row in enumerate(grid, start=1):
+            cells = "".join(
+                cell_xml(f"{col_letter(ci)}{ri}", v) for ci, v in enumerate(row)
+            )
+            rows.append(f'<row r="{ri}">{cells}</row>')
+        sheet_parts.append(
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{s}"><sheetData>{"".join(rows)}</sheetData></worksheet>'
+        )
+    wb_sheets = "".join(
+        f'<sheet name="{_xml_escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (name, _) in enumerate(sheets)
+    )
+    workbook = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{s}" xmlns:r="{r}"><sheets>{wb_sheets}</sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{r}/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+    shared_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{s}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t xml:space=\"preserve\">{_xml_escape(t)}</t></si>" for t in shared)
+        + "</sst>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(sheets))
+        )
+        + '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId1" Type="{r}/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", shared_xml)
+        for i, part in enumerate(sheet_parts):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", part)
+    return buf.getvalue()
+
+
+def make_pptx(slides: list[list[str]]) -> bytes:
+    """Build a minimal valid .pptx. ``slides`` = list of shape-text lists
+    (one <p:sp> per string; '\\n' in a string becomes multiple a:p
+    paragraphs inside one shape)."""
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    slide_parts = []
+    for texts in slides:
+        shapes = []
+        for text in texts:
+            paras = "".join(
+                f"<a:p><a:r><a:t>{_xml_escape(line)}</a:t></a:r></a:p>"
+                for line in text.split("\n")
+            )
+            shapes.append(f"<p:sp><p:txBody>{paras}</p:txBody></p:sp>")
+        slide_parts.append(
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:sld xmlns:p="{p}" xmlns:a="{a}"><p:cSld><p:spTree>{"".join(shapes)}</p:spTree></p:cSld></p:sld>'
+        )
+    pres = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{p}" xmlns:r="{r}"><p:sldIdLst>'
+        + "".join(
+            f'<p:sldId id="{256 + i}" r:id="rId{i + 1}"/>' for i in range(len(slides))
+        )
+        + "</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{r}/slide" Target="slides/slide{i + 1}.xml"/>'
+            for i in range(len(slides))
+        )
+        + "</Relationships>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/ppt/slides/slide{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+            for i in range(len(slides))
+        )
+        + "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId1" Type="{r}/officeDocument" Target="ppt/presentation.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("ppt/presentation.xml", pres)
+        zf.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
+        for i, part in enumerate(slide_parts):
+            zf.writestr(f"ppt/slides/slide{i + 1}.xml", part)
+    return buf.getvalue()
+
+
+def make_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Build a well-formed single-generation PDF (catalog, page tree,
+    Helvetica, one Flate-compressed content stream per page, xref table)
+    with each page's text drawn line-by-line via Tj/Td — the layout the
+    from-scratch parser (and any real reader) understands. ``pages`` of
+    empty strings produce textless pages (the scanned-PDF shape that
+    routes to the OCR path)."""
+
+    def esc(line: str) -> str:
+        return line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objects: list[bytes] = []  # 1-indexed bodies, object i+1
+    n_pages = len(pages)
+    # 1: catalog, 2: pages tree, 3: font; pages at 4..3+n; contents after
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content_ids = []
+    for i in range(n_pages):
+        cid = 4 + n_pages + i
+        content_ids.append(cid)
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> /Contents {cid} 0 R >>"
+            ).encode()
+        )
+    for text in pages:
+        ops = ["BT", "/F1 11 Tf", "72 720 Td"]
+        for j, line in enumerate(text.split("\n")):
+            if j > 0:
+                ops.append("0 -14 Td")
+            if line:
+                ops.append(f"({esc(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        if compress:
+            comp = zlib.compress(stream)
+            objects.append(
+                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            objects.append(
+                b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+                + stream
+                + b"\nendstream"
+            )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def write_fixture_corpus(out_dir: str) -> list[str]:
+    """Write the deterministic mixed-format fixture corpus used by the
+    ``real_format_extract`` driver query; returns the file paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    files: dict[str, bytes] = {
+        "report.docx": make_docx(
+            [
+                ("Annual Report", "Title"),
+                ("Overview", "Heading1"),
+                ("The year went well.", ""),
+                ("Details", "Heading2"),
+                ("first item", "ListParagraph"),
+                ("second item", "ListParagraph"),
+            ],
+            tables=[[["metric", "value"], ["revenue", "100"], ["costs", "40"]]],
+        ),
+        "numbers.xlsx": make_xlsx(
+            [
+                ("Summary", [["region", "total"], ["north", 10], ["south", 7]]),
+                ("Detail", [["day", "count"], ["mon", 3], ["tue", 4]]),
+            ]
+        ),
+        "deck.pptx": make_pptx(
+            [["Quarterly Update", "Prepared by the team"], ["Thanks!\nQuestions?"]]
+        ),
+        "paper.pdf": make_pdf(
+            [
+                "Introduction\nThis paper explains the approach in detail, "
+                "covering background and methods over several sentences.",
+                "Results\nEverything improved across the board in every "
+                "measured dimension of the study, as the tables show.",
+            ]
+        ),
+        "scan.pdf": make_pdf(["", ""]),  # textless: routes to the OCR path
+        "data.csv": b"name,qty\nwidget,3\ngadget,5\n",
+        "notes.txt": "plain notes\nwith two lines\n".encode("utf-8"),
+        "page.html": (
+            b"<html><head><title>A Page</title><script>x()</script></head>"
+            b"<body><main><h1>Hello</h1><p>World body text.</p></main></body></html>"
+        ),
+    }
+    paths = []
+    for name, data in sorted(files.items()):
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(data)
+        paths.append(path)
+    return paths

@@ -171,6 +171,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return search_documents(_extracted(sf_dir), "shuffle", context_lines=2)
 
+    def doc_headers(sf_dir):
+        from docstrange_ray.projections import document_headers
+
+        return document_headers(_extracted(sf_dir))
+
+    def doc_summaries(sf_dir):
+        from docstrange_ray.projections import section_summaries
+
+        return section_summaries(_extracted(sf_dir))
+
+    def doc_structure(sf_dir):
+        from docstrange_ray.projections import hierarchical_structure
+
+        return hierarchical_structure(_extracted(sf_dir))
+
+    def field_extraction(sf_dir):
+        """Schema-driven field extraction over the real-format fixture
+        corpus (its DOCX/XLSX tables carry extractable key/value
+        fields)."""
+        import hashlib
+        import os
+
+        from docstrange_ray.ops.fields import extract_fields
+        from docstrange_ray.sources import extract_files
+        from docstrange_ray.synth_files import write_fixture_corpus
+
+        out = f"/tmp/dsray_real_fixtures_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        if not os.path.isdir(out):
+            write_fixture_corpus(out)
+        return extract_fields(
+            extract_files(out), ["revenue", "costs", "region", "name"]
+        )
+
     def extract_doc_meta(sf_dir):
         from docstrange_ray.projections import spans_to_json
 
@@ -377,6 +410,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_doc_meta": extract_doc_meta,
         "section_chunks": section_chunks,
         "search_docs": search_docs,
+        "doc_headers": doc_headers,
+        "doc_summaries": doc_summaries,
+        "doc_structure": doc_structure,
+        "field_extraction": field_extraction,
         # training-data ops
         "token_count": token_count,
         "quality_stats": quality_stats,

@@ -82,6 +82,11 @@ class ExtractConfig:
     # config using this should scale cost_per_page to match (~1000 us
     # per simulated ms) so the explode gate sees the true cost.
     simulated_unit_cost_ms: float = 0.0
+    # Layout/OCR backend for 'page-src' units in the actor stage:
+    # 'mock' (deterministic descriptor-passthrough; hermetic default) or
+    # 'docling' (real-weights adapter, import-gated — extract/backends.py,
+    # the A8 provider switch of ocr_service.py:190-222).
+    page_backend: str = "mock"
     # Plan-time sample size for the 'auto' skew gate: extract_pipeline
     # probes this many documents; if none crosses the explode gate the
     # split-stream plan (second scan + actor pool + reassembly exchange,

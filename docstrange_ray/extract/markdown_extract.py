@@ -12,7 +12,10 @@ Emission rules (all text kept verbatim so projections are lossless):
   * pipe table (header + separator)     -> 'table' span
   * list-item lines (-, *, +, 1., a.)   -> one 'list_item' span per item
   * standalone ``![alt](src)`` line     -> 'image-ref' span (media_ref=src)
-  * blockquote run                      -> 'text' span ('>' prefixes kept)
+  * blockquote run                      -> 'blockquote' span ('>' prefixes
+    kept verbatim; projections strip them — reference result.py:27, :514)
+  * ``---`` rule line                   -> 'hr' span (reference
+    horizontal_rule_pattern ``^---+$``, result.py:370, rendered <hr> :510-512)
   * other contiguous lines              -> 'text' paragraph span
 """
 
@@ -27,6 +30,7 @@ _TABLE_ROW = re.compile(r"^\|(.+)\|$")
 _LIST_ITEM = re.compile(r"^(\s*)([-*+]|\d+\.|[a-zA-Z]\.)\s+\S")
 _IMAGE_LINE = re.compile(r"^!\[([^\]]*)\]\(([^)]+)\)\s*$")
 _BLOCKQUOTE = re.compile(r"^>\s?")
+_HR = re.compile(r"^---+$")
 
 
 def markdown_to_spans(payload: str) -> list[dict]:
@@ -42,7 +46,9 @@ def markdown_to_spans(payload: str) -> list[dict]:
 
     def flush_quote() -> None:
         if quote:
-            spans.append({"kind": "text", "text": "\n".join(quote), "media_ref": ""})
+            spans.append(
+                {"kind": "blockquote", "text": "\n".join(quote), "media_ref": ""}
+            )
             quote.clear()
 
     i, n = 0, len(lines)
@@ -76,6 +82,13 @@ def markdown_to_spans(payload: str) -> list[dict]:
             flush_para()
             flush_quote()
             spans.append({"kind": "heading", "text": stripped, "media_ref": ""})
+            i += 1
+            continue
+
+        if _HR.match(stripped):
+            flush_para()
+            flush_quote()
+            spans.append({"kind": "hr", "text": stripped, "media_ref": ""})
             i += 1
             continue
 

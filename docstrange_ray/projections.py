@@ -125,6 +125,14 @@ def spans_to_json(spans: list[dict]) -> dict:
             bucket("images").append(
                 {"alt": text, "src": s.get("media_ref", "")}
             )
+        elif kind == "blockquote":
+            # reference extracts the quote text with '>' prefixes stripped
+            # (result.py:304-312)
+            for line in text.split("\n"):
+                stripped = re.sub(r"^>\s?", "", line).strip()
+                if stripped:
+                    bucket("blockquotes").append(stripped)
+        # 'hr' has no JSON-tree presence (the reference's parser drops it)
 
     def strip_empty(sec: dict) -> dict:
         out = {"title": sec["title"], "level": sec["level"]}
@@ -212,6 +220,13 @@ def spans_to_html(spans: list[dict]) -> str:
             parts.append(
                 f'<img src="{_html.escape(s.get("media_ref", ""))}" alt="{_html.escape(text)}">'
             )
+        elif kind == "blockquote":
+            close_list()
+            body = re.sub(r"^>\s?", "", text, flags=re.M)
+            parts.append(f"<blockquote>{_inline_html(body)}</blockquote>")
+        elif kind == "hr":
+            close_list()
+            parts.append("<hr>")  # reference result.py:510-512
         else:
             close_list()
             if text.startswith(">"):
@@ -367,6 +382,210 @@ def search_documents(ds, needle: str, context_lines: int = 2):
         return pa.Table.from_pylist(rows, schema=SEARCH_SCHEMA)
 
     return ds.map_batches(search, batch_format="pyarrow")
+
+
+# --- Section navigation (MCP surface: headers / sections / summaries /
+# hierarchy — mcp_server_module/server.py:346-509) ---------------------------
+
+
+def parse_sections(spans: list[dict]) -> list[dict]:
+    """Header-delimited sections over the markdown rendering — the span
+    rebuild of the reference's ``_parse_markdown_sections``
+    (server.py:94-144): each section runs from its header line to the
+    line before the next header; token counts use the len//4 fallback
+    (server.py:78-86); a header-less document becomes one level-0
+    'Document Content' section."""
+    md = spans_to_markdown(spans)
+    lines = md.split("\n")
+    sections: list[dict] = []
+    current: dict | None = None
+
+    def close(end_line: int) -> None:
+        if current is not None:
+            content = "\n".join(lines[current["start_line"] : end_line + 1])
+            current["end_line"] = end_line
+            current["content"] = content
+            current["token_count"] = max(1, len(content) // 4) if content else 0
+            sections.append(current)
+
+    for i, line in enumerate(lines):
+        m = _HEADING_LEVEL.match(line)
+        if m:
+            close(i - 1)
+            current = {
+                "level": len(m.group(1)),
+                "title": line[m.end() :].strip(),
+                "start_line": i,
+                "end_line": i,
+            }
+    close(len(lines) - 1)
+    if not sections and md:
+        sections.append(
+            {
+                "level": 0,
+                "title": "Document Content",
+                "start_line": 0,
+                "end_line": len(lines) - 1,
+                "content": md,
+                "token_count": max(1, len(md) // 4),
+            }
+        )
+    return sections
+
+
+_SECTION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("level", pa.int32()),
+        ("title", pa.string()),
+        ("start_line", pa.int32()),
+        ("end_line", pa.int32()),
+        ("token_count", pa.int64()),
+        ("content", pa.string()),
+    ]
+)
+
+
+def document_sections(ds, section_title: str | None = None):
+    """Dataset op: one row per section (the 'get_section' /
+    'get_headers' data, server.py:346-446). ``section_title`` filters to
+    matching sections (case-insensitive exact title match — the
+    reference's get_section lookup). Stateless, no shuffle."""
+    want = section_title.lower() if section_title else None
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sec in parse_sections(list(spans or [])):
+                if want is not None and sec["title"].lower() != want:
+                    continue
+                rows.append({"doc_id": did, **sec})
+        return pa.Table.from_pylist(rows, schema=_SECTION_SCHEMA)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def document_headers(ds, max_level: int = 6):
+    """Dataset op: the 'get_headers' projection — (doc_id, level, title,
+    start_line, token_count) for headers up to ``max_level``
+    (server.py:360-377)."""
+    secs = document_sections(ds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.less_equal(batch.column("level"), max_level),
+            pc.greater(batch.column("level"), 0),
+        )
+        return batch.filter(mask).select(
+            ["doc_id", "level", "title", "start_line", "token_count"]
+        )
+
+    return secs.map_batches(keep, batch_format="pyarrow")
+
+
+def section_summaries(ds, max_length: int = 200):
+    """Dataset op: 'get_section_summaries' — first ``max_length`` chars
+    of each section's content with '...' past the cap
+    (server.py:298-305)."""
+    secs = document_sections(ds)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            content = r["content"].strip()
+            summary = (
+                content if len(content) <= max_length else content[:max_length] + "..."
+            )
+            rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "level": r["level"],
+                    "title": r["title"],
+                    "token_count": r["token_count"],
+                    "summary": summary,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("level", pa.int32()),
+                    ("title", pa.string()),
+                    ("token_count", pa.int64()),
+                    ("summary", pa.string()),
+                ]
+            ),
+        )
+
+    return secs.map_batches(summarize, batch_format="pyarrow")
+
+
+def _context_recommendation(total_tokens: int) -> str:
+    """The reference's context-window recommendation tiers
+    (server.py:307-337)."""
+    if total_tokens < 8000:
+        return "full_document"
+    if total_tokens < 32000:
+        return "full_document_or_chunked"
+    if total_tokens < 128000:
+        return "chunked_processing"
+    return "hierarchical_navigation"
+
+
+def hierarchical_structure(ds):
+    """Dataset op: 'get_hierarchical_structure' — one row per doc with
+    the section tree (level-nested by a header-level stack,
+    server.py:147-181) as a JSON string, total token count, and the
+    processing recommendation tier."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            secs = parse_sections(list(spans or []))
+            root: list = []
+            stack: list[tuple[int, list]] = [(0, root)]
+            for sec in secs:
+                node = {
+                    "title": sec["title"],
+                    "level": sec["level"],
+                    "token_count": sec["token_count"],
+                    "children": [],
+                }
+                while stack and stack[-1][0] >= sec["level"] and len(stack) > 1:
+                    stack.pop()
+                stack[-1][1].append(node)
+                stack.append((sec["level"], node["children"]))
+            total = sum(s["token_count"] for s in secs)
+            rows.append(
+                {
+                    "doc_id": did,
+                    "n_sections": len(secs),
+                    "total_tokens": total,
+                    "recommendation": _context_recommendation(total),
+                    "structure": json.dumps(root, sort_keys=True),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("n_sections", pa.int64()),
+                    ("total_tokens", pa.int64()),
+                    ("recommendation", pa.string()),
+                    ("structure", pa.string()),
+                ]
+            ),
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
 
 
 # --- Dataset-level projections ---------------------------------------------

@@ -71,7 +71,16 @@ INPUT_KINDS = (
     "xlsx-src",
     "image-ref",
 )
-OUTPUT_KINDS = ("heading", "text", "list_item", "table", "code", "image-ref")
+OUTPUT_KINDS = (
+    "heading",
+    "text",
+    "list_item",
+    "table",
+    "code",
+    "image-ref",
+    "blockquote",  # '>'-prefixed run, verbatim (reference result.py:27)
+    "hr",  # horizontal rule line (reference result.py:370)
+)
 
 
 def spans_from_pylist(spans: list[dict]) -> list[dict]:

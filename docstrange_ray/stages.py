@@ -195,6 +195,11 @@ class ExtractUnitActor:
         self.cfg = cfg or DEFAULT
         # Force-compile all classification/cleaning regexes once per actor.
         from docstrange_ray.extract import classify, cleaners, markdown_extract  # noqa: F401
+        from docstrange_ray.extract.backends import make_backend
+
+        # Layout/OCR backend constructed ONCE per actor (A1-A3/A7
+        # co-residency; real weights select via cfg.page_backend).
+        self.backend = make_backend(self.cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -213,9 +218,15 @@ class ExtractUnitActor:
         rows = todo.to_pylist()
         for r in rows:
             try:
+                payload = r["payload"]
+                if r["unit_kind"] == "page-src":
+                    # backend turns the raw page payload into the
+                    # canonical descriptor (mock = identity; docling =
+                    # layout+OCR+table models over the page image)
+                    payload = self.backend.analyze_page(payload)
                 r["spans"] = extract_unit(
                     r["unit_kind"],
-                    r["payload"],
+                    payload,
                     r["media_ref"],
                     r["doc_id"],
                     r["page_no"],

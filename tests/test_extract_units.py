@@ -140,7 +140,7 @@ class TestMarkdown:
             "code",
             "table",
             "image-ref",
-            "text",
+            "blockquote",
         ]
         assert spans[0]["text"] == "# Title"
         assert spans[1]["text"] == "Intro paragraph spanning two lines."

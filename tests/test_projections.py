@@ -26,7 +26,7 @@ SPANS = [
     {"kind": "code", "text": "```python\nx = 1\n```", "media_ref": "", "offset": 6},
     {"kind": "image-ref", "text": "pic", "media_ref": "media://d/0", "offset": 7},
     {"kind": "heading", "text": "## Section B", "media_ref": "", "offset": 8},
-    {"kind": "text", "text": "> a quote", "media_ref": "", "offset": 9},
+    {"kind": "blockquote", "text": "> a quote", "media_ref": "", "offset": 9},
 ]
 
 
@@ -249,3 +249,57 @@ class TestContentTypeMatrix:
         html_out = spans_to_html(spans)
         assert "<h1>Top Title</h1>" in html_out
         assert "<table>" in html_out and "<pre><code>" in html_out
+
+
+class TestBlockquoteHr:
+    """Golden coverage for the blockquote/hr span kinds (reference
+    markdown surface: result.py:27 blockquote pattern, :370 hr pattern,
+    :510-512 <hr> render, :304-312 JSON quote extraction)."""
+
+    MD = "\n".join(
+        [
+            "# Doc",
+            "",
+            "intro text",
+            "",
+            "---",
+            "",
+            "> quoted one",
+            "> quoted two",
+            "",
+            "closing",
+        ]
+    )
+
+    def _spans(self):
+        from docstrange_ray.extract.core import finalize_spans
+        from docstrange_ray.extract.markdown_extract import markdown_to_spans
+
+        return finalize_spans(markdown_to_spans(self.MD))
+
+    def test_span_kinds(self):
+        kinds = [s["kind"] for s in self._spans()]
+        assert kinds == ["heading", "text", "hr", "blockquote", "text"]
+        quote = self._spans()[3]
+        assert quote["text"] == "> quoted one\n> quoted two"
+
+    def test_markdown_round_trip_is_verbatim(self):
+        from docstrange_ray.projections import spans_to_markdown
+
+        md = spans_to_markdown(self._spans())
+        assert "---" in md
+        assert "> quoted one" in md
+
+    def test_html_render(self):
+        from docstrange_ray.projections import spans_to_html
+
+        html = spans_to_html(self._spans())
+        assert "<hr>" in html
+        assert "<blockquote>quoted one\nquoted two</blockquote>" in html
+
+    def test_json_blockquote_bucket(self):
+        from docstrange_ray.projections import spans_to_json
+
+        tree = spans_to_json(self._spans())
+        sec = tree["document"]["sections"][0]
+        assert sec["content"]["blockquotes"] == ["quoted one", "quoted two"]

@@ -126,11 +126,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert out.count() == n_slice
     timings["extract_forced_explode_50k"] = round(time.time() - t0, 3)
 
+    # --- production sink: the resumable partitioned job (manifests +
+    # atomic parquet), plus the resume no-op — regressions in the sink
+    # path are visible per round, not just the streaming headline ---
+    import shutil
+
+    from docstrange_ray.pipeline import run_extract_job
+
+    job_dir = "/tmp/dsray_bench_job"
+    shutil.rmtree(job_dir, ignore_errors=True)
+    fp = f"bench-{n_docs}"
+    t0 = time.time()
+    man = run_extract_job(read_corpus(cpath), job_dir, fp, num_partitions=64)
+    timings["run_extract_job"] = round(time.time() - t0, 3)
+    assert sum(m["n_docs"] for m in man) == n_docs
+    t0 = time.time()
+    assert run_extract_job(read_corpus(cpath), job_dir, fp, num_partitions=64) == []
+    timings["run_extract_job_resume_noop"] = round(time.time() - t0, 3)
+
     # --- representative per-operator timings ---
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
     for name in (
+        "real_format_extract",
         "token_count",
         "exact_dedup",
         "minhash_near_dups",

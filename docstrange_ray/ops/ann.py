@@ -79,20 +79,37 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10)
 # --- IVF (k-means centroid) variant -----------------------------------------
 
 
+def _kmeanspp_init(mat: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-means++-style seeding (farthest-point variant):
+    start from the sample's first row, then greedily add the point with
+    the maximum distance to its nearest chosen centroid. Spread-out
+    seeds avoid the empty/duplicate centroids the old first-k init
+    produced on clustered data (round-1 backlog #1); argmax instead of
+    D^2 sampling keeps it seedless and reproducible."""
+    cents = [mat[0]]
+    d2 = 1.0 - mat @ cents[0]  # cosine distance on normalized rows
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        cents.append(mat[nxt])
+        d2 = np.minimum(d2, 1.0 - mat @ cents[-1])
+    return np.stack(cents)
+
+
 def train_ivf_centroids(
     ds, n_centroids: int = 16, n_iters: int = 10, sample_size: int = 2048
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means over a corpus sample.
     Sample = first ``sample_size`` rows by vec_id (deterministic, one
-    bounded take); init = first ``n_centroids`` sample rows (seedless and
-    stable). Training is driver-side numpy over the small sample — the
-    assignment (the corpus-sized work) is distributed."""
+    bounded take); init = deterministic k-means++ farthest-point seeding
+    (:func:`_kmeanspp_init`). Training is driver-side numpy over the
+    small sample — the assignment (the corpus-sized work) is
+    distributed."""
     rows = ds.limit(sample_size).take_all()
     mat = _normalize(
         np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     )
     k = min(n_centroids, len(mat))
-    cents = mat[:k].copy()
+    cents = _kmeanspp_init(mat, k)
     for _ in range(n_iters):
         assign = np.argmax(mat @ cents.T, axis=1)
         for c in range(k):
@@ -200,6 +217,38 @@ def hyperplane_bucket(batch: pa.Table) -> pa.Table:
     similarity ops (search, near-dup) at scale."""
     mat = _normalize(_as_matrix(batch.column("embedding")))
     return batch.append_column("bucket", pa.array(_bucket_of(mat), type=pa.int32()))
+
+
+# Independent rotated hyperplane sets for multi-set bucketing: a near
+# pair split by one set's hyperplane collides in another set with
+# independent probability, so recall ~ 1 - (1-p)^n_sets.
+_SET_SEEDS = (0xA27, 0xB51, 0xC73, 0xD95)
+_PLANE_SETS = [
+    np.random.RandomState(seed).standard_normal((N_PLANES, 256))
+    for seed in _SET_SEEDS
+]
+
+
+def hyperplane_bucket_multi(batch: pa.Table, n_sets: int = 2) -> pa.Table:
+    """Explode each row into ``n_sets`` bucket rows, one per independent
+    hyperplane set; the bucket key folds the set id into the high bits
+    so different sets never collide. ONE shuffle still co-locates every
+    bucket; pair consumers must dedup (a pair close in both sets
+    surfaces twice — ``dedup._dedup_pairs``)."""
+    mat = _normalize(_as_matrix(batch.column("embedding")))
+    n = len(mat)
+    parts = []
+    for si in range(n_sets):
+        planes = _PLANE_SETS[si][:, : mat.shape[1]]
+        bits = (mat @ planes.T) > 0
+        bucket = (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+        bucket |= np.int64(si) << np.int64(32)
+        parts.append(
+            batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        )
+    out = pa.concat_tables(parts)
+    assert out.num_rows == n * n_sets
+    return out
 
 
 def lsh_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):

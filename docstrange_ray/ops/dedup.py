@@ -585,16 +585,19 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
 # --- embedding cosine near-dup ---------------------------------------------
 
 
-def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95, num_partitions=None):
+def embedding_dup_pairs_bucketed(
+    ds, threshold: float = 0.95, num_partitions=None, n_sets: int = 2
+):
     """Scale path for embedding near-dup: LSH-bucket the corpus on
-    random-hyperplane signatures (ops.ann.hyperplane_bucket), hash
-    co-locate each bucket with ONE shuffle, and pair only within
-    buckets (vectorized matmul per bucket, star-capped for hot
-    buckets). Recall < 1.0 by construction — near-identical vectors
-    land in the same bucket with high probability; pairs crossing a
-    hyperplane are missed (mitigation at scale: multi-probe or a
-    second rotated bucket set)."""
-    from docstrange_ray.ops.ann import hyperplane_bucket
+    ``n_sets`` INDEPENDENT rotated hyperplane sets
+    (ops.ann.hyperplane_bucket_multi), hash co-locate every bucket with
+    ONE shuffle over the n_sets-times-exploded rows, and pair only
+    within buckets (vectorized matmul per bucket, star-capped for hot
+    buckets); a second exchange dedups pairs found by several sets.
+    Recall ~ 1-(1-p)^n_sets: a near pair split by one set's hyperplane
+    collides in another set independently (the round-1 single-set
+    version missed every pair crossing any of its 8 planes)."""
+    from docstrange_ray.ops.ann import hyperplane_bucket_multi
     from docstrange_ray.shuffle import grouped_blocks
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -624,9 +627,18 @@ def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95, num_partitions=Non
             {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
         )
 
-    bucketed = ds.map_batches(hyperplane_bucket, batch_format="pyarrow")
-    return grouped_blocks(
+    bucketed = ds.map_batches(
+        lambda b: hyperplane_bucket_multi(b, n_sets=n_sets), batch_format="pyarrow"
+    )
+    pairs = grouped_blocks(
         bucketed, ["bucket"], bucket_pairs, num_partitions, batch_format="pandas"
+    )
+    return grouped_blocks(
+        pairs,
+        ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        num_partitions,
+        batch_format="pandas",
     )
 
 

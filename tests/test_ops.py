@@ -309,6 +309,38 @@ class TestBucketedEmbeddingDedup:
         planted = {(k, 100 + k) for k in range(5)}
         assert len(found & planted) >= 4, found
 
+    def test_multi_set_recall_vs_brute(self):
+        """Round-2 recall fix: two independent hyperplane sets recover
+        >= 0.9 of the brute-force pair set on a planted-dup corpus (the
+        single-set version misses every pair crossing any of its 8
+        planes)."""
+        import ray.data
+
+        from docstrange_ray.ops import dedup
+
+        rng = np.random.RandomState(17)
+        base = rng.standard_normal((60, 16))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+        for k in range(20):
+            rows.append(
+                {
+                    "vec_id": 200 + k,
+                    "embedding": (base[k] + rng.standard_normal(16) * 0.02).tolist(),
+                }
+            )
+        ds = ray.data.from_items(rows)
+        brute = dedup.embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+        exact = {(a, b) for a, b in zip(brute["id_a"], brute["id_b"])}
+        approx_df = dedup.embedding_dup_pairs_bucketed(
+            ds, threshold=0.95, n_sets=2
+        ).to_pandas()
+        approx = {(a, b) for a, b in zip(approx_df["id_a"], approx_df["id_b"])}
+        assert approx <= exact  # no false positives (same threshold)
+        assert len(approx & exact) / max(1, len(exact)) >= 0.9, (
+            len(approx & exact),
+            len(exact),
+        )
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestFrameSampling:

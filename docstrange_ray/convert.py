@@ -23,7 +23,14 @@ FORMATS = ("markdown", "html", "json", "csv", "chunks")
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="corpus directory (Lance or parquet)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="corpus directory (Lance or parquet)")
+    src.add_argument(
+        "--files",
+        help="directory (or file) of REAL documents — .docx/.xlsx/.pptx/"
+        ".pdf/.csv/.txt/.html/.md — ingested via the binary parsers "
+        "(the reference's `docstrange <files>` input mode)",
+    )
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--format", choices=FORMATS, default="markdown")
     p.add_argument("--token-budget", type=int, default=4000, help="chunks format only")
@@ -41,7 +48,13 @@ def main(argv: list[str] | None = None) -> int:
 
     ensure_hash_shuffle()
     t0 = time.time()
-    extracted = extract_pipeline(read_corpus(args.input, columns=["doc_id", "spans"]))
+    if args.files:
+        from docstrange_ray.sources import read_files
+
+        source = read_files(args.files)
+    else:
+        source = read_corpus(args.input, columns=["doc_id", "spans"])
+    extracted = extract_pipeline(source)
     if args.format == "chunks":
         out = chunk_documents(extracted, token_budget=args.token_budget)
     else:

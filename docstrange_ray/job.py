@@ -30,7 +30,13 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="corpus directory (Lance or parquet)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="corpus directory (Lance or parquet)")
+    src.add_argument(
+        "--files",
+        help="directory of REAL documents (.docx/.xlsx/.pptx/.pdf/...) "
+        "ingested via the binary parsers",
+    )
     p.add_argument("--output", required=True, help="output directory for partitions")
     p.add_argument(
         "--fingerprint",
@@ -53,8 +59,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ensure_hash_shuffle()
     t0 = time.time()
+    if args.files:
+        from docstrange_ray.sources import read_files
+
+        source = read_files(args.files)
+    else:
+        source = read_corpus(args.input, columns=["doc_id", "spans"])
     written = run_extract_job(
-        read_corpus(args.input, columns=["doc_id", "spans"]),
+        source,
         args.output,
         args.fingerprint,
         num_partitions=args.partitions,

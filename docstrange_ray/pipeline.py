@@ -206,6 +206,10 @@ def run_extract_job(
         else set()
     )
 
+    if len(done) >= P:
+        # every partition already written under this (input, config)
+        # lineage: a resume is a pure no-op — skip even the input scan
+        return []
     if done:
         done_arr = pa.array(sorted(done), pa.int32())
 

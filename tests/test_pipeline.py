@@ -410,6 +410,23 @@ class TestCLIs:
         assert tbl.num_rows == 30
         assert set(tbl.column_names) == {"doc_id", "markdown"}
 
+    def test_convert_cli_real_files(self, ray_session, tmp_path):
+        """The reference's `docstrange <files>` input mode: --files over
+        a directory of real binary documents."""
+        import pyarrow.parquet as pq
+
+        from docstrange_ray.convert import main as convert_main
+        from docstrange_ray.synth_files import write_fixture_corpus
+
+        src = str(tmp_path / "files")
+        write_fixture_corpus(src)
+        out = str(tmp_path / "md")
+        assert convert_main(["--files", src, "--output", out, "--format", "markdown"]) == 0
+        tbl = pq.read_table(out)
+        assert tbl.num_rows == 8
+        md = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("markdown").to_pylist()))
+        assert "# Annual Report" in md["report.docx"]
+
     def test_job_cli(self, ray_session, tmp_path):
         import ray.data
 

@@ -224,111 +224,154 @@ def _rename(ds, mapping: dict):
 
 def near_dup_pairs_ds(ds, threshold: float = 0.8, ngram: int = 3, num_partitions=None):
     """MinHash-LSH candidates verified by EXACT n-gram Jaccard — fully
-    DISTRIBUTED (nothing collects to the driver). Plan:
+    DISTRIBUTED (nothing collects to the driver), THREE exchanges total:
 
-      1. LSH candidates (ONE band shuffle) -> pair dedup (ONE shuffle);
-      2. distinct candidate doc ids (ONE shuffle of pair rows);
-      3. shingle the CANDIDATE docs only: corpus semi-joined to the id
-         set with the co-partitioned hash_join (candidates << corpus, so
-         only the tiny matched slice is shingled);
-      4. hash-join shingle sets back onto the pairs (per side) and
-         verify Jaccard block-locally.
+      1. band shuffle -> candidate pairs (possibly duplicated across
+         bands — dedup is free later, see 3);
+      2. repartition join on doc_id: pair-membership rows
+         ``(doc_id, a, b, side)`` union the corpus's (doc_id, text)
+         projection; block-locally, each candidate doc's shingle set is
+         computed ONCE and attached to its membership rows (this is the
+         textbook repartition semi-join — the corpus text projection
+         crosses one exchange; a distributed bloom pre-filter of
+         non-candidate docs is the documented optimization for corpora
+         where even that projection shuffle dominates);
+      3. pair shuffle on (a, b): both sides' shingle sets co-locate,
+         exact Jaccard verifies block-locally — and because the combine
+         is keyed by pair, multi-band duplicate candidates collapse here
+         for free (no separate pair-dedup exchange).
 
-    Every exchange carries candidate-scale data; at a 100-TB corpus with
-    a heavy dup tail the candidate set never rides the driver (the
-    round-1 ``take_all`` version died exactly there)."""
-    from docstrange_ray.shuffle import grouped_blocks, hash_join
+    The round-1 ``take_all`` version died at a 100-TB dup tail; the
+    first distributed rewrite paid SIX sequential materialized exchanges
+    (hash_join schema fetches force materialization) and quadrupled the
+    fixture bench — this shape streams end-to-end."""
+    from docstrange_ray.shuffle import grouped_blocks
 
-    # Candidate-scale intermediates are MATERIALIZED (object store, not
-    # driver memory): hash_join needs each side's schema, and fetching a
-    # schema from a deep lazy plan re-executes every upstream exchange —
-    # at 8 CPUs the re-executions alone deadlocked the worker pool.
-    cands = _dedup_pairs(minhash_candidates(ds, num_partitions), num_partitions)
-    cands = cands.map_batches(
-        lambda b: b.select(["doc_id_a", "doc_id_b"]), batch_format="pyarrow"
-    ).materialize()
+    import numpy as np
 
-    def explode_ids(batch: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays(
+    cands = minhash_candidates(ds, num_partitions)
+
+    def explode_membership(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").combine_chunks()
+        b = batch.column("doc_id_b").combine_chunks()
+        n = len(a)
+        return pa.Table.from_arrays(
             [
-                batch.column("doc_id_a").combine_chunks(),
-                batch.column("doc_id_b").combine_chunks(),
+                pa.concat_arrays([a, b]),
+                pa.concat_arrays([a, a]),
+                pa.concat_arrays([b, b]),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                pa.nulls(2 * n, type=pa.string()),
+            ],
+            names=["doc_id", "a", "b", "side", "text"],
+        )
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        id_t = batch.schema.field("doc_id").type
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                doc,
+                pa.nulls(n, type=id_t),
+                pa.nulls(n, type=id_t),
+                pa.array(np.full(n, -1, dtype=np.int8)),
+                batch.column("text"),
+            ],
+            names=["doc_id", "a", "b", "side", "text"],
+        )
+
+    mem = cands.map_batches(explode_membership, batch_format="pyarrow")
+    corpus = ds.select_columns(["doc_id", "text"]).map_batches(
+        tag_corpus, batch_format="pyarrow"
+    )
+
+    def attach_shingles(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        id_t = block.schema.field("doc_id").type
+        out_schema = pa.schema(
+            [
+                ("a", id_t),
+                ("b", id_t),
+                ("side", pa.int8()),
+                ("shingles", pa.list_(pa.int64())),
             ]
         )
-        return pa.Table.from_arrays([ids], names=["doc_id"])
-
-    ids = grouped_blocks(
-        cands.map_batches(explode_ids, batch_format="pyarrow"),
-        ["doc_id"],
-        lambda df: df.drop_duplicates("doc_id"),
-        num_partitions,
-        batch_format="pandas",
-    )
-
-    cand_docs = hash_join(
-        ds.select_columns(["doc_id", "text"]), ids, key="doc_id",
-        num_partitions=num_partitions,
-    )
-
-    def shingle_batch(batch: pa.Table) -> pa.Table:
-        rows = [
-            {"doc_id": d, "shingles": sorted(_shingles(t, ngram))}
-            for d, t in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        is_mem = pc.not_equal(block.column("side"), pa.scalar(-1, pa.int8()))
+        mem_t = block.filter(is_mem)
+        if mem_t.num_rows == 0:
+            return out_schema.empty_table()
+        corpus_t = block.filter(pc.invert(is_mem))
+        texts = dict(
+            zip(
+                corpus_t.column("doc_id").to_pylist(),
+                corpus_t.column("text").to_pylist(),
             )
-        ]
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("doc_id", batch.schema.field("doc_id").type),
-                    ("shingles", pa.list_(pa.int64())),
-                ]
-            ),
+        )
+        cache: dict = {}
+        out_a, out_b, out_side, out_sh = [], [], [], []
+        for did, aa, bb, sd in zip(
+            mem_t.column("doc_id").to_pylist(),
+            mem_t.column("a").to_pylist(),
+            mem_t.column("b").to_pylist(),
+            mem_t.column("side").to_pylist(),
+        ):
+            sh = cache.get(did)
+            if sh is None:
+                sh = sorted(_shingles(texts.get(did, "") or "", ngram))
+                cache[did] = sh
+            out_a.append(aa)
+            out_b.append(bb)
+            out_side.append(sd)
+            out_sh.append(sh)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, type=id_t),
+                pa.array(out_b, type=id_t),
+                pa.array(out_side, type=pa.int8()),
+                pa.array(out_sh, type=pa.list_(pa.int64())),
+            ],
+            schema=out_schema,
         )
 
-    shingled = cand_docs.map_batches(shingle_batch, batch_format="pyarrow").materialize()
-
-    a = hash_join(
-        _rename(cands, {"doc_id_a": "doc_id"}),
-        _rename(shingled, {"shingles": "sh_a"}),
-        key="doc_id",
-        num_partitions=num_partitions,
+    attached = grouped_blocks(
+        mem.union(corpus), ["doc_id"], attach_shingles, num_partitions
     )
-    a = _rename(a, {"doc_id": "doc_id_a"}).materialize()
-    b = hash_join(
-        _rename(a, {"doc_id_b": "doc_id"}),
-        _rename(shingled, {"shingles": "sh_b"}),
-        key="doc_id",
-        num_partitions=num_partitions,
-    )
-    b = _rename(b, {"doc_id": "doc_id_b"})
 
-    def verify(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for da, db, sa, sb in zip(
-            batch.column("doc_id_a").to_pylist(),
-            batch.column("doc_id_b").to_pylist(),
-            batch.column("sh_a").to_pylist(),
-            batch.column("sh_b").to_pylist(),
+    def verify_block(block: pa.Table) -> pa.Table:
+        id_t = block.schema.field("a").type
+        pairs: dict = {}
+        for aa, bb, sd, sh in zip(
+            block.column("a").to_pylist(),
+            block.column("b").to_pylist(),
+            block.column("side").to_pylist(),
+            block.column("shingles").to_pylist(),
         ):
+            pairs.setdefault((aa, bb), [None, None])[sd] = sh
+        out_a, out_b, out_j = [], [], []
+        for (aa, bb), (sa, sb) in sorted(pairs.items(), key=lambda kv: str(kv[0])):
             x, y = set(sa or []), set(sb or [])
             union = len(x | y)
             jac = (len(x & y) / union) if union else 0.0
             if jac >= threshold:
-                out_a.append(da)
-                out_b.append(db)
+                out_a.append(aa)
+                out_b.append(bb)
                 out_j.append(round(jac, 6))
         return pa.Table.from_arrays(
             [
-                pa.array(out_a, type=batch.schema.field("doc_id_a").type),
-                pa.array(out_b, type=batch.schema.field("doc_id_b").type),
+                pa.array(out_a, type=id_t),
+                pa.array(out_b, type=id_t),
                 pa.array(out_j, type=pa.float64()),
             ],
             names=["doc_id_a", "doc_id_b", "jaccard"],
         )
 
-    return b.map_batches(verify, batch_format="pyarrow")
+    return grouped_blocks(attached, ["a", "b"], verify_block, num_partitions)
 
 
 def near_dup_pairs(ds, threshold: float = 0.8, ngram: int = 3):

@@ -5,10 +5,14 @@ partial pre-aggregation, broadcast joins, global sort/top-k, and
 session windows — in the shapes the ray_guide prescribes:
 
   * aggregates pre-combine inside ``map_batches`` (one partial row per
-    key per batch) before the small ``groupby`` shuffle;
-  * the small side of every join is broadcast via ``ray.put`` and
-    looked up per batch (no shuffle join at fixture scale; a bucketed
-    hash join is the documented fallback when both sides are large);
+    key per batch) before the small ``groupby`` shuffle; bounded-key
+    finals go through the guarded ``adaptive_final`` (coalesce under a
+    row bound, real hash shuffle above it);
+  * join strategy is chosen by which sides SCALE with the corpus:
+    fixed-cardinality dimensions (nation/region) broadcast via
+    ``ray.put``; sides that grow with SF (customer, orders) go through
+    the co-partitioned ``hash_join`` / tag-union exchanges — nothing
+    corpus-sized ever collects on the driver;
   * money is aggregated in integer cents/e-4 units so results are
     EXACT and hash-identical to the DuckDB oracle (float sums are
     order-dependent; an engine that shuffles cannot reproduce them

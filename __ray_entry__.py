@@ -267,6 +267,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def near_dup_drops(sf_dir):
+        """The fully distributed actionable dedup chain: LSH candidates
+        -> bloom-prefiltered repartition verify -> label-propagation
+        connected components -> drop list (doc_ids losing to their
+        cluster representative)."""
+        return dedup.near_dup_drop_list_ds(read_docs(sf_dir), threshold=0.8)
+
     def quality_filter(sf_dir):
         import pyarrow.compute as pc
 
@@ -423,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,
+        "near_dup_drops": near_dup_drops,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,

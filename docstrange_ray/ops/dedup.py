@@ -222,7 +222,50 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def near_dup_pairs_ds(ds, threshold: float = 0.8, ngram: int = 3, num_partitions=None):
+_BLOOM_BITS = 1 << 23  # 8 Mbit = 1 MiB bitmap; fpr ~2% at 1M candidate ids
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(doc_id, m_bits: int) -> list[int]:
+    h = hashlib.md5(str(doc_id).encode("utf-8")).digest()
+    return [
+        int.from_bytes(h[4 * i : 4 * i + 4], "big") % m_bits
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Distributed bloom-filter build over candidate doc ids: each block
+    emits a fixed-size bitmap (m_bits/8 bytes — BOUNDED regardless of
+    candidate count), OR-reduced on the driver. The driver holds
+    n_blocks bitmaps transiently, never the id set."""
+    words = m_bits // 64
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        for col in ("doc_id_a", "doc_id_b"):
+            for d in batch.column(col).to_pylist():
+                for pos in _bloom_positions(d, m_bits):
+                    bits[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+        return pa.Table.from_arrays(
+            [pa.array([bits.tobytes()], type=pa.binary())], names=["bloom"]
+        )
+
+    acc = np.zeros(words, dtype=np.uint64)
+    for r in cands.map_batches(
+        block_bloom, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        acc |= np.frombuffer(r["bloom"], dtype=np.uint64)
+    return acc
+
+
+def near_dup_pairs_ds(
+    ds,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    num_partitions=None,
+    prefilter: bool = True,
+):
     """MinHash-LSH candidates verified by EXACT n-gram Jaccard — fully
     DISTRIBUTED (nothing collects to the driver), THREE exchanges total:
 
@@ -241,6 +284,15 @@ def near_dup_pairs_ds(ds, threshold: float = 0.8, ngram: int = 3, num_partitions
          is keyed by pair, multi-band duplicate candidates collapse here
          for free (no separate pair-dedup exchange).
 
+    With ``prefilter=True`` (default) a BLOOM FILTER of the candidate
+    ids (built distributed: fixed-size per-block bitmaps OR-reduced on
+    the driver — 1 MiB regardless of candidate count) is broadcast and
+    applied to the corpus BEFORE exchange 2, so only candidate docs
+    (plus ~2% false positives) ship their text through the repartition
+    join — the difference between shuffling the dup tail and shuffling
+    100 TB. Candidates are materialized (candidate-scale, object store)
+    since both the bloom build and the membership explode consume them.
+
     The round-1 ``take_all`` version died at a 100-TB dup tail; the
     first distributed rewrite paid SIX sequential materialized exchanges
     (hash_join schema fetches force materialization) and quadrupled the
@@ -250,6 +302,12 @@ def near_dup_pairs_ds(ds, threshold: float = 0.8, ngram: int = 3, num_partitions
     import numpy as np
 
     cands = minhash_candidates(ds, num_partitions)
+    bloom_ref = None
+    if prefilter:
+        import ray as _ray
+
+        cands = cands.materialize()  # two consumers: bloom build + membership
+        bloom_ref = _ray.put(_candidate_bloom(cands))
 
     def explode_membership(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").combine_chunks()
@@ -286,9 +344,25 @@ def near_dup_pairs_ds(ds, threshold: float = 0.8, ngram: int = 3, num_partitions
         )
 
     mem = cands.map_batches(explode_membership, batch_format="pyarrow")
-    corpus = ds.select_columns(["doc_id", "text"]).map_batches(
-        tag_corpus, batch_format="pyarrow"
-    )
+    corpus_src = ds.select_columns(["doc_id", "text"])
+    if bloom_ref is not None:
+
+        def bloom_keep(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            bits = _ray.get(bloom_ref)
+            mask = []
+            for d in batch.column("doc_id").to_pylist():
+                hit = True
+                for pos in _bloom_positions(d, _BLOOM_BITS):
+                    if not (bits[pos >> 6] >> np.uint64(pos & 63)) & np.uint64(1):
+                        hit = False
+                        break
+                mask.append(hit)
+            return batch.filter(pa.array(mask))
+
+        corpus_src = corpus_src.map_batches(bloom_keep, batch_format="pyarrow")
+    corpus = corpus_src.map_batches(tag_corpus, batch_format="pyarrow")
 
     def attach_shingles(block: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -495,6 +569,33 @@ def dup_clusters_ds(pairs, max_iters: int = 30, num_partitions=None):
             break
         prev_sig = sig
     return labels
+
+
+def near_dup_drop_list_ds(
+    ds, threshold: float = 0.8, ngram: int = 3, num_partitions=None
+):
+    """Fully distributed actionable dedup output: verified pairs
+    (:func:`near_dup_pairs_ds`) → distributed connected components
+    (:func:`dup_clusters_ds`) → Dataset[(doc_id,)] of documents to DROP
+    (everything but each cluster's min-id representative). Nothing —
+    candidates, pairs, labels — ever collects on the driver; the result
+    composes with an anti-join filter over the corpus."""
+    pairs = near_dup_pairs_ds(
+        ds, threshold=threshold, ngram=ngram, num_partitions=num_partitions
+    )
+    labels = dup_clusters_ds(pairs, num_partitions=num_partitions)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(batch.column("node"), batch.column("label")))
+        return (
+            batch.filter(keep)
+            .select(["node"])
+            .rename_columns(["doc_id"])
+        )
+
+    return labels.map_batches(drops, batch_format="pyarrow")
 
 
 def near_dup_drop_list(ds, threshold: float = 0.8, ngram: int = 3):

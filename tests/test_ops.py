@@ -414,6 +414,28 @@ class TestDistributedDedup:
         assert (2, 102) in flat
         assert all(r["jaccard"] >= 0.8 for r in got)
 
+    def test_bloom_prefilter_loses_nothing(self, docs_with_dups):
+        # bloom filters have false positives, never false negatives:
+        # the filtered plan returns exactly the unfiltered plan's pairs
+        ds = ray.data.from_arrow(docs_with_dups)
+        with_bloom = sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in dedup.near_dup_pairs_ds(ds, threshold=0.8, prefilter=True).take_all()
+        )
+        without = sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in dedup.near_dup_pairs_ds(ds, threshold=0.8, prefilter=False).take_all()
+        )
+        assert with_bloom == without
+        assert len(with_bloom) >= 3
+
+    def test_drop_list_ds_matches_driver_path(self, docs_with_dups):
+        ds = ray.data.from_arrow(docs_with_dups)
+        got = sorted(r["doc_id"] for r in dedup.near_dup_drop_list_ds(ds).take_all())
+        exp = dedup.near_dup_drop_list(ds)
+        assert got == sorted(exp)
+        assert 100 in got and 101 in got and 102 in got
+
     def test_label_propagation_matches_union_find_on_chain(self):
         # a chain forces multi-round propagation (diameter 4)
         pairs = [

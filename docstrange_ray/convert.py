@@ -18,7 +18,9 @@ import json
 import sys
 import time
 
-FORMATS = ("markdown", "html", "json", "csv", "chunks")
+# 'text' mirrors the reference's extract_text(): the content verbatim
+# (result.py:1020-1027 returns self.content — i.e. the markdown IR)
+FORMATS = ("markdown", "html", "json", "csv", "chunks", "text")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -58,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.format == "chunks":
         out = chunk_documents(extracted, token_budget=args.token_budget)
     else:
-        out = add_projection(extracted, args.format).select_columns(
+        fmt = "markdown" if args.format == "text" else args.format
+        out = add_projection(extracted, fmt, column=args.format).select_columns(
             ["doc_id", args.format]
         )
     out.write_parquet(args.output)

@@ -322,6 +322,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
+    def media_metadata(sf_dir):
+        """REAL media bytes (valid PNG/GIF/WAV + JPEG headers, stdlib
+        writers) → header-sniffed metadata columns (ops/media_meta):
+        the non-stubbed half of the multimodal story."""
+        import ray
+        from docstrange_ray.ops.media_meta import media_metadata as _meta
+        from docstrange_ray.synth_files import real_media_table
+
+        media = ray.data.from_arrow(real_media_table(_corpus_size(sf_dir)))
+        return _meta(media).select_columns(
+            ["media_ref", "mime", "width", "height", "channels", "sample_rate", "duration_ms"]
+        )
+
     def media_frames(sf_dir):
         import ray
         from docstrange_ray.ops import multimodal
@@ -437,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann_topk,
         "media_features": media_features,
+        "media_metadata": media_metadata,
         "media_join": media_join,
         "curated_docs": curated_docs,
         "hash_sample_10": hash_sample_10,

@@ -310,6 +310,107 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def make_png(width: int, height: int, shade: int = 128) -> bytes:
+    """A fully valid grayscale PNG (stdlib zlib + struct): signature,
+    IHDR, one IDAT of filter-0 scanlines, IEND — decodable by any PNG
+    reader."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + bytes([shade]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """A minimal valid single-frame GIF89a (2-color palette, one clear
+    code frame)."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\xf0\x00\x00"  # GCT flag, 2 colors
+        + b"\x00\x00\x00\xff\xff\xff"  # palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + b"\x02\x02\x44\x01\x00"  # LZW min 2, one block
+        + b"\x3b"
+    )
+
+
+def make_wav(duration_ms: int, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """A fully valid PCM WAV of silence (stdlib ``wave``)."""
+    import io as _io
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        n = int(sample_rate * duration_ms / 1000)
+        w.writeframes(b"\x00\x00" * n * channels)
+    return buf.getvalue()
+
+
+def make_jpeg_header(width: int, height: int) -> bytes:
+    """A structurally valid JPEG prefix (SOI, JFIF APP0, SOF0 with the
+    given dimensions, EOI) — header-sniffable; carries no entropy-coded
+    scan data (writing a decodable JPEG needs a codec; metadata is the
+    tested surface here)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"  # 1 component
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def real_media_table(n: int = 60):
+    """Deterministic media table of REAL bytes — valid PNGs/GIFs/WAVs
+    plus structurally-valid JPEG headers — for the real-metadata path
+    (`ops/media_meta`). Columns (media_ref, payload)."""
+    import pyarrow as pa
+
+    refs, payloads = [], []
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            data = make_png(16 + (i % 5) * 8, 16 + (i % 3) * 8, shade=(i * 37) % 256)
+        elif kind == 1:
+            data = make_gif(8 + (i % 4) * 4, 8 + (i % 2) * 4)
+        elif kind == 2:
+            data = make_wav(50 + (i % 5) * 25)
+        else:
+            data = make_jpeg_header(32 + (i % 3) * 16, 24 + (i % 2) * 8)
+        refs.append(f"media://real/{i}")
+        payloads.append(data)
+    return pa.Table.from_arrays(
+        [pa.array(refs), pa.array(payloads, type=pa.binary())],
+        names=["media_ref", "payload"],
+    )
+
+
 def write_fixture_corpus(out_dir: str) -> list[str]:
     """Write the deterministic mixed-format fixture corpus used by the
     ``real_format_extract`` driver query; returns the file paths."""

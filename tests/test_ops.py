@@ -457,3 +457,59 @@ class TestDistributedDedup:
         # agreement with the driver union-find on non-representatives
         for node, rep in uf.items():
             assert labels[node] == rep
+
+
+class TestMediaMetadata:
+    """Real media header sniffing (ops/media_meta) over genuinely valid
+    bytes written by the stdlib makers (synth_files)."""
+
+    def test_png_round_trip(self):
+        from docstrange_ray.ops.media_meta import sniff_media
+        from docstrange_ray.synth_files import make_png
+
+        m = sniff_media(make_png(40, 24))
+        assert m["mime"] == "image/png" and (m["width"], m["height"]) == (40, 24)
+        # the PNG is genuinely decodable: filter-0 scanlines inflate to w*h
+        import zlib as _z
+
+        data = make_png(10, 5, shade=200)
+        idat = data[data.index(b"IDAT") + 4 :]
+        raw = _z.decompressobj().decompress(idat)
+        assert len(raw) == 5 * (10 + 1)
+        assert raw[1] == 200
+
+    def test_gif_wav_jpeg_bmp(self):
+        from docstrange_ray.ops.media_meta import sniff_media
+        from docstrange_ray.synth_files import make_gif, make_jpeg_header, make_wav
+
+        g = sniff_media(make_gif(12, 8))
+        assert g["mime"] == "image/gif" and (g["width"], g["height"]) == (12, 8)
+        w = sniff_media(make_wav(250, sample_rate=8000, channels=1))
+        assert w["mime"] == "audio/wav"
+        assert w["channels"] == 1 and w["sample_rate"] == 8000
+        assert abs(w["duration_ms"] - 250) <= 1
+        j = sniff_media(make_jpeg_header(64, 32))
+        assert j["mime"] == "image/jpeg" and (j["width"], j["height"]) == (64, 32)
+
+    def test_unknown_bytes(self):
+        from docstrange_ray.ops.media_meta import sniff_media
+
+        assert sniff_media(b"not a media file....")["mime"] == ""
+        assert sniff_media(b"")["mime"] == ""
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_dataset_op(self):
+        import ray.data
+
+        from docstrange_ray.ops.media_meta import media_metadata
+        from docstrange_ray.synth_files import real_media_table
+
+        out = media_metadata(ray.data.from_arrow(real_media_table(40))).take_all()
+        assert len(out) == 40
+        mimes = {r["mime"] for r in out}
+        assert mimes == {"image/png", "image/gif", "audio/wav", "image/jpeg"}
+        for r in out:
+            if r["mime"].startswith("image"):
+                assert r["width"] > 0 and r["height"] > 0
+            if r["mime"] == "audio/wav":
+                assert r["duration_ms"] > 0 and r["channels"] == 1

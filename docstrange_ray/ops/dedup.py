@@ -24,7 +24,6 @@ distributed dedup.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pandas as pd
@@ -116,26 +115,58 @@ def exact_dedup_groups(ds, num_partitions: int | None = None):
 # --- MinHash + LSH ----------------------------------------------------------
 
 
+# Band-key fold: per-band random odd multipliers + a band-index offset,
+# mixed with a final multiply-xor-shift (splitmix-style). Vectorized over
+# (n_docs, BANDS) in one numpy pass — the md5-per-(doc, band) fold it
+# replaces was 16 Python hash calls per document.
+_BK_A = (
+    np.random.RandomState(0xBA4D).randint(1, 1 << 62, size=(BANDS, ROWS_PER_BAND))
+    .astype(np.uint64)
+    << np.uint64(1)
+) | np.uint64(1)
+_BK_OFF = np.random.RandomState(0xBA4E).randint(1, 1 << 62, size=BANDS).astype(np.uint64)
+_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, NUM_PERM) signatures -> (n_docs, BANDS) int64 bucket
+    keys; equal band slices map to equal keys, different bands never
+    collide by construction (band-specific multipliers + offset)."""
+    v = sigs.astype(np.uint64).reshape(-1, BANDS, ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        acc = (v * _BK_A[None, :, :]).sum(axis=2) + _BK_OFF[None, :]
+        acc ^= acc >> np.uint64(31)
+        acc *= _MIX
+        acc ^= acc >> np.uint64(29)
+    return (acc >> np.uint64(1)).astype(np.int64)
+
+
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """Per-batch: signature + explode to (band_key, doc_id, sig) rows.
-    Emits BANDS rows per document; band_key folds the band index and the
-    band's minhash values through md5 into one int64 bucket id."""
-    doc_ids = batch.column("doc_id").to_pylist()
+    Emits BANDS rows per document; signatures stack into one matrix and
+    the band keys compute in a single vectorized fold (:func:`_band_keys`
+    — no per-band Python)."""
+    doc_ids = batch.column("doc_id")
     texts = batch.column("text").to_pylist()
-    out_doc, out_key, out_sig = [], [], []
-    for did, text in zip(doc_ids, texts):
-        sig = minhash_signature(text)
-        sig_bytes = sig.tobytes()
-        for b in range(BANDS):
-            chunk = bytes([b]) + sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()
-            out_doc.append(did)
-            out_key.append(struct.unpack("<q", hashlib.md5(chunk).digest()[:8])[0])
-            out_sig.append(sig_bytes)
+    n = len(texts)
+    if n == 0:
+        return pa.Table.from_arrays(
+            [
+                pa.array([], type=batch.schema.field("doc_id").type),
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.binary()),
+            ],
+            names=["doc_id", "band_key", "sig"],
+        )
+    sigs = np.stack([minhash_signature(t) for t in texts])  # (n, NUM_PERM)
+    keys = _band_keys(sigs)  # (n, BANDS)
+    sig_bytes = pa.array([s.tobytes() for s in sigs], type=pa.binary())
+    idx = pa.array(np.repeat(np.arange(n), BANDS))
     return pa.Table.from_arrays(
         [
-            pa.array(out_doc),
-            pa.array(out_key, type=pa.int64()),
-            pa.array(out_sig, type=pa.binary()),
+            doc_ids.take(idx),
+            pa.array(keys.reshape(-1), type=pa.int64()),
+            sig_bytes.take(idx),
         ],
         names=["doc_id", "band_key", "sig"],
     )
@@ -661,21 +692,24 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
     from docstrange_ray.shuffle import grouped_blocks
 
     def explode_segments(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        sims = batch.column("simhash").to_pylist()
-        rows = []
-        for d, s in zip(doc_ids, sims):
-            u = (s + (1 << 63)) & 0xFFFFFFFFFFFFFFFF
-            for seg in range(4):
-                # fold (seg, 16-bit value) into one key
-                rows.append(
-                    {
-                        "seg_key": (seg << 16) | ((u >> (16 * seg)) & 0xFFFF),
-                        "doc_id": d,
-                        "simhash": s,
-                    }
-                )
-        return pa.Table.from_pylist(rows)
+        # vectorized 4-segment explode: one numpy pass over the batch
+        n = batch.num_rows
+        sims = np.asarray(batch.column("simhash"), dtype=np.int64)
+        u = sims.astype(np.uint64) + np.uint64(1 << 63)
+        segs = np.arange(4, dtype=np.uint64)
+        # (n, 4): fold (seg index, 16-bit value) into one key
+        keys = (segs << np.uint64(16)) | (
+            (u[:, None] >> (np.uint64(16) * segs[None, :])) & np.uint64(0xFFFF)
+        )
+        idx = pa.array(np.repeat(np.arange(n), 4))
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys.reshape(-1).astype(np.int64), type=pa.int64()),
+                batch.column("doc_id").take(idx),
+                batch.column("simhash").take(idx),
+            ],
+            names=["seg_key", "doc_id", "simhash"],
+        )
 
     def seg_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         counts = df["seg_key"].value_counts()

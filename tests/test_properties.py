@@ -96,3 +96,130 @@ def test_text_extraction_roundtrip_stable(payload):
     first = text_to_spans(payload)
     again = text_to_spans(spans_to_markdown(first))
     assert again == first
+
+
+# --- binary-format round trips ----------------------------------------------
+# The stdlib writers (synth_files) and the stdlib parsers (binary_formats)
+# are independent implementations of each format; round-tripping arbitrary
+# content through bytes is the strongest in-sandbox correctness check for
+# both.
+
+_cell = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"),  # no surrogates/control chars
+    ),
+    min_size=0,
+    max_size=20,
+)
+_word_text = _cell.map(lambda s: " ".join(s.split()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    paras=st.lists(
+        st.tuples(
+            _word_text.filter(lambda s: s.strip()),
+            st.sampled_from(["", "Title", "Heading1", "Heading2", "ListParagraph"]),
+        ),
+        max_size=8,
+    ),
+    grid=st.lists(
+        st.lists(_word_text, min_size=1, max_size=4), min_size=1, max_size=5
+    ),
+)
+def test_docx_bytes_round_trip(paras, grid):
+    from docstrange_ray.extract.binary_formats import parse_docx_bytes
+    from docstrange_ray.synth_files import make_docx
+
+    width = max(len(r) for r in grid)
+    grid = [r + [""] * (width - len(r)) for r in grid]
+    doc = parse_docx_bytes(make_docx(paras, tables=[grid]))
+    style_names = {
+        "": "",
+        "Title": "Title",
+        "Heading1": "Heading 1",
+        "Heading2": "Heading 2",
+        "ListParagraph": "List Paragraph",
+    }
+    assert doc["paragraphs"] == [
+        {"text": t, "style": style_names[s]} for t, s in paras
+    ]
+    # cell newlines are flattened by the parser (none generated here)
+    assert doc["tables"] == [[[c.strip() for c in row] for row in grid]]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sheets=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+                min_size=1,
+                max_size=10,
+            ),
+            st.lists(
+                st.lists(
+                    st.one_of(_word_text, st.integers(-1000, 1000)),
+                    min_size=1,
+                    max_size=4,
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_xlsx_bytes_round_trip(sheets):
+    from docstrange_ray.extract.binary_formats import parse_xlsx_bytes
+    from docstrange_ray.synth_files import make_xlsx
+
+    book = parse_xlsx_bytes(make_xlsx(sheets))
+    assert [s["name"] for s in book["sheets"]] == [n for n, _ in sheets]
+    for parsed, (_, grid) in zip(book["sheets"], sheets):
+        exp = [[str(c) for c in row] for row in grid]
+        assert parsed["grid"] == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pages=st.lists(
+        st.lists(_word_text.filter(lambda s: s.strip()), max_size=5).map(
+            "\n".join
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_pdf_bytes_round_trip(pages):
+    from docstrange_ray.extract.binary_formats import parse_pdf_pages
+    from docstrange_ray.synth_files import make_pdf
+
+    # the writer draws line-by-line; latin-1 is the PDF literal-string
+    # encoding, so constrain content to it
+    pages = ["\n".join(p.split("\n")) for p in pages]
+    pages = [
+        p.encode("latin-1", "replace").decode("latin-1") for p in pages
+    ]
+    assert parse_pdf_pages(make_pdf(pages)) == pages
+    assert parse_pdf_pages(make_pdf(pages, compress=False)) == pages
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    slides=st.lists(
+        st.lists(
+            _word_text.filter(lambda s: s.strip()), min_size=0, max_size=4
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_pptx_bytes_round_trip(slides):
+    from docstrange_ray.extract.binary_formats import parse_pptx_bytes
+    from docstrange_ray.synth_files import make_pptx
+
+    deck = parse_pptx_bytes(make_pptx(slides))
+    assert deck == {"slides": [{"texts": [t for t in texts]} for texts in slides]}

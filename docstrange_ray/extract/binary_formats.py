@@ -207,10 +207,98 @@ def parse_pptx_bytes(data: bytes) -> dict:
     return {"slides": slides}
 
 
+# --- legacy DOC (Word 97 binary, [MS-DOC]) ----------------------------------
+
+# FIB layout constants (nFib 0x00C1): fibRgLw.ccpText at byte 76;
+# fibRgFcLcb97 pair index 33 = (fcClx, lcbClx) -> bytes 418/422.
+_FIB_CCPTEXT = 76
+_FIB_CBRGFCLCB = 152
+_FIB_FCCLX = 154 + 33 * 8
+
+
+def _doc_paragraphs(text: str) -> list[dict]:
+    """Word stores one long character stream with '\\r' paragraph marks
+    and 0x07 cell/row marks; split on both, strip remaining control
+    characters."""
+    import re as _re
+
+    paras = []
+    for part in _re.split(r"[\r\x07]", text):
+        clean = "".join(c if c >= " " or c == "\t" else " " for c in part).strip()
+        if clean:
+            paras.append({"text": clean, "style": ""})
+    return paras
+
+
+def parse_doc_bytes(data: bytes) -> dict:
+    """.doc bytes -> the 'docx-src' structure payload (paragraphs only;
+    legacy table structure is out of scope — cell text surfaces as
+    paragraphs via the 0x07 marks). From-scratch Word 97 reader over the
+    CFB container (`extract.cfb`): FIB -> CLX piece table in the
+    0Table/1Table stream -> ANSI (cp1252) / UTF-16 text pieces. The
+    reference shells out to pypandoc for .doc (docx_processor.py:63-84);
+    this covers the dominant single-piece and multi-piece layouts."""
+    import struct as _struct
+
+    from docstrange_ray.extract.cfb import CfbReader
+
+    cfb = CfbReader(data)
+    wd = cfb.streams.get("WordDocument")
+    if not wd or len(wd) < _FIB_FCCLX + 8:
+        raise ValueError("no WordDocument stream")
+    (ident,) = _struct.unpack_from("<H", wd, 0)
+    if ident != 0xA5EC:
+        raise ValueError("not a Word binary file")
+    (flags,) = _struct.unpack_from("<H", wd, 10)
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    table = cfb.streams.get(table_name) or cfb.streams.get(
+        "1Table" if table_name == "0Table" else "0Table", b""
+    )
+    (ccp_text,) = _struct.unpack_from("<I", wd, _FIB_CCPTEXT)
+    (fc_clx,) = _struct.unpack_from("<I", wd, _FIB_FCCLX)
+    (lcb_clx,) = _struct.unpack_from("<I", wd, _FIB_FCCLX + 4)
+
+    text = ""
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    i = 0
+    # skip Prc blocks (clxt=1) to the Pcdt (clxt=2)
+    while i < len(clx) and clx[i] == 1:
+        (cb,) = _struct.unpack_from("<H", clx, i + 1)
+        i += 3 + cb
+    if i < len(clx) and clx[i] == 2:
+        (lcb,) = _struct.unpack_from("<I", clx, i + 1)
+        plc = clx[i + 5 : i + 5 + lcb]
+        n = (lcb - 4) // 12
+        cps = _struct.unpack_from(f"<{n + 1}I", plc, 0)
+        pieces = []
+        for p in range(n):
+            (fc,) = _struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * p + 2)
+            cp_len = cps[p + 1] - cps[p]
+            if fc & 0x40000000:  # compressed: ANSI at fc/2
+                off = (fc & 0x3FFFFFFF) // 2
+                pieces.append(wd[off : off + cp_len].decode("cp1252", "replace"))
+            else:
+                off = fc & 0x3FFFFFFF
+                pieces.append(
+                    wd[off : off + 2 * cp_len].decode("utf-16-le", "replace")
+                )
+        # no char-count truncation: cp ranges already bound each piece,
+        # and ccpText counts UTF-16 code units, not Python characters
+        text = "".join(pieces)
+    else:
+        # degenerate fallback: legacy fcMin/fcMac ANSI range
+        fc_min, fc_mac = _struct.unpack_from("<II", wd, 24)
+        if fc_mac > fc_min:
+            text = wd[fc_min:fc_mac].decode("cp1252", "replace")
+    return {"paragraphs": _doc_paragraphs(text), "tables": []}
+
+
 # --- PDF --------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_STREAM_FALLBACK_RE = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _TEXT_TOKEN = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"  # literal string
@@ -293,9 +381,8 @@ def parse_pdf_pages(data: bytes) -> list[str]:
         m = _CONTENTS_RE.search(head)
         if m and int(m.group(1)) in objects:
             cbody = objects[int(m.group(1))]
-            sm = _STREAM_RE.search(cbody)
-            if sm:
-                raw = sm.group(1)
+            raw = _extract_stream(cbody)
+            if raw is not None:
                 if b"/FlateDecode" in cbody.split(b"stream", 1)[0]:
                     try:
                         raw = zlib.decompress(raw)
@@ -304,6 +391,23 @@ def parse_pdf_pages(data: bytes) -> list[str]:
                 text = _stream_text(raw)
         pages.append(text)
     return pages
+
+
+def _extract_stream(cbody: bytes) -> bytes | None:
+    """Stream payload of one object body. The declared /Length is
+    authoritative — delimiter-regex extraction silently truncates
+    compressed data whose last byte happens to be '\\r' (the optional
+    ``\\r?`` before ``endstream`` eats it); the regex path survives only
+    as the fallback for indirect-reference lengths."""
+    m = _STREAM_START_RE.search(cbody)
+    if not m:
+        return None
+    start = m.end()
+    lm = _LENGTH_RE.search(cbody[: m.start()])
+    if lm:
+        return cbody[start : start + int(lm.group(1))]
+    fm = _STREAM_FALLBACK_RE.match(cbody, start)
+    return fm.group(1) if fm else None
 
 
 # --- dispatch ---------------------------------------------------------------
@@ -327,6 +431,9 @@ def file_bytes_to_input_spans(
     try:
         if ext == "docx":
             payload = json.dumps(parse_docx_bytes(data))
+            spans = [{"kind": "docx-src", "text": payload, "media_ref": ""}]
+        elif ext == "doc":
+            payload = json.dumps(parse_doc_bytes(data))
             spans = [{"kind": "docx-src", "text": payload, "media_ref": ""}]
         elif ext == "xlsx":
             payload = json.dumps(parse_xlsx_bytes(data))

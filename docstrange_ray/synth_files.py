@@ -310,6 +310,46 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def make_doc(paragraphs: list[str], ansi: bool = False) -> bytes:
+    """Build a minimal valid legacy .doc (Word 97 binary in a CFB
+    container): FIB with a CLX piece table in 0Table pointing at one
+    UTF-16 (or cp1252 when ``ansi``) text piece. Paragraphs are joined
+    with Word's '\\r' paragraph marks."""
+    import struct
+
+    from docstrange_ray.extract.cfb import build_cfb
+
+    text = "\r".join(paragraphs) + ("\r" if paragraphs else "")
+    text_off = 2048
+    if ansi:
+        body = text.encode("cp1252")
+        ccp = len(body)  # ccpText counts cp positions = bytes for ANSI
+        fc = (text_off * 2) | (1 << 30)  # compressed: fc = 2*offset
+    else:
+        body = text.encode("utf-16-le")
+        ccp = len(body) // 2  # ccpText counts UTF-16 CODE UNITS
+        fc = text_off
+
+    # FIB: base + csw/fibRgW + cslw/fibRgLw + cbRgFcLcb + 93 (fc,lcb) pairs
+    fib = bytearray(1024)
+    struct.pack_into("<HH", fib, 0, 0xA5EC, 0x00C1)  # wIdent, nFib (Word 97)
+    struct.pack_into("<H", fib, 10, 0x0000)  # flags: table stream = 0Table
+    struct.pack_into("<II", fib, 24, text_off, text_off + len(body))  # fcMin/fcMac
+    struct.pack_into("<H", fib, 32, 0x000E)  # csw
+    struct.pack_into("<H", fib, 62, 0x0016)  # cslw
+    struct.pack_into("<I", fib, 64, text_off + len(body))  # cbMac
+    struct.pack_into("<I", fib, 76, ccp)  # ccpText
+    struct.pack_into("<H", fib, 152, 0x005D)  # cbRgFcLcb (93 pairs)
+
+    # 0Table: Pcdt clx — CP[0], CP[1]=ccp, one PCD
+    plc = struct.pack("<II", 0, ccp) + struct.pack("<HIH", 0, fc, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<II", fib, 154 + 33 * 8, 0, len(clx))  # fcClx, lcbClx
+
+    wd = bytes(fib) + b"\x00" * (text_off - len(fib)) + body
+    return build_cfb({"WordDocument": wd, "0Table": clx})
+
+
 def make_png(width: int, height: int, shade: int = 128) -> bytes:
     """A fully valid grayscale PNG (stdlib zlib + struct): signature,
     IHDR, one IDAT of filter-0 scanlines, IEND — decodable by any PNG
@@ -447,6 +487,9 @@ def write_fixture_corpus(out_dir: str) -> list[str]:
             ]
         ),
         "scan.pdf": make_pdf(["", ""]),  # textless: routes to the OCR path
+        "legacy.doc": make_doc(
+            ["Legacy memo.", "Written long ago in the binary format."]
+        ),
         "data.csv": b"name,qty\nwidget,3\ngadget,5\n",
         "notes.txt": "plain notes\nwith two lines\n".encode("utf-8"),
         "page.html": (

@@ -223,3 +223,30 @@ def test_pptx_bytes_round_trip(slides):
 
     deck = parse_pptx_bytes(make_pptx(slides))
     assert deck == {"slides": [{"texts": [t for t in texts]} for texts in slides]}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    paras=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=1,
+            max_size=40,
+        )
+        .map(lambda s: " ".join(s.split()))
+        .filter(lambda s: s.strip()),
+        max_size=6,
+    ),
+    ansi=st.booleans(),
+)
+def test_doc_bytes_round_trip(paras, ansi):
+    from docstrange_ray.extract.binary_formats import parse_doc_bytes
+    from docstrange_ray.synth_files import make_doc
+
+    if ansi:
+        paras = [
+            p.encode("cp1252", "replace").decode("cp1252") for p in paras
+        ]
+        paras = [" ".join(p.split()) for p in paras if p.strip()]
+    doc = parse_doc_bytes(make_doc(paras, ansi=ansi))
+    assert [p["text"] for p in doc["paragraphs"]] == [p for p in paras if p.strip()]

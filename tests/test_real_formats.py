@@ -104,6 +104,85 @@ class TestPptxParser:
         }
 
 
+class TestDocParser:
+    """Legacy .doc: Word 97 FIB + CLX piece table inside a from-scratch
+    CFB container reader/writer (extract/cfb.py, [MS-CFB]/[MS-DOC])."""
+
+    def test_utf16_and_ansi_pieces(self):
+        from docstrange_ray.extract.binary_formats import parse_doc_bytes
+        from docstrange_ray.synth_files import make_doc
+
+        paras = ["First paragraph.", "Café naïve — unicode ✓"]
+        doc = parse_doc_bytes(make_doc(paras))
+        assert [p["text"] for p in doc["paragraphs"]] == paras
+        ansi = parse_doc_bytes(make_doc(["Plain ANSI only."], ansi=True))
+        assert ansi["paragraphs"] == [{"text": "Plain ANSI only.", "style": ""}]
+
+    def test_dispatch_and_error_policy(self):
+        from docstrange_ray.extract.binary_formats import file_bytes_to_input_spans
+        from docstrange_ray.synth_files import make_doc
+
+        spans = file_bytes_to_input_spans("m.doc", make_doc(["hi there"]))
+        assert spans[0]["kind"] == "docx-src"
+        bad = file_bytes_to_input_spans("m.doc", b"not a cfb container")
+        assert bad[0]["text"].startswith("[extraction error:")
+
+    def test_cfb_mini_stream_read(self):
+        """Real-world .doc files keep small streams in the MINI stream;
+        hand-build a container using mini sectors to exercise that
+        reader path (our writer only emits regular sectors)."""
+        import struct
+
+        from docstrange_ray.extract.cfb import CfbReader
+
+        payload = b"mini stream payload " * 5  # 100 bytes < 4096 cutoff
+        SECT = 512
+        # sectors: 0=FAT, 1=dir, 2=miniFAT, 3=mini-stream container
+        fat = [0xFFFFFFFD, 0xFFFFFFFE, 0xFFFFFFFE, 0xFFFFFFFE] + [0xFFFFFFFF] * 124
+        minifat = [1, 0xFFFFFFFE] + [0xFFFFFFFF] * 126  # 2 mini sectors
+        container = payload + b"\x00" * (SECT - len(payload))
+
+        def entry(name, etype, start, size, child=0xFFFFFFFF):
+            raw = name.encode("utf-16-le") + b"\x00\x00"
+            e = bytearray(128)
+            e[: len(raw)] = raw
+            struct.pack_into("<H", e, 64, len(raw))
+            e[66] = etype
+            struct.pack_into("<III", e, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+            struct.pack_into("<I", e, 116, start)
+            struct.pack_into("<Q", e, 120, size)
+            return bytes(e)
+
+        directory = entry("Root Entry", 5, 3, len(container), child=1) + entry(
+            "Small", 2, 0, len(payload)
+        )
+        directory += b"\x00" * (SECT - len(directory))
+        header = bytearray(512)
+        header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        struct.pack_into("<H", header, 26, 3)
+        struct.pack_into("<H", header, 28, 0xFFFE)
+        struct.pack_into("<H", header, 30, 9)
+        struct.pack_into("<H", header, 32, 6)
+        struct.pack_into("<I", header, 44, 1)  # 1 FAT sector
+        struct.pack_into("<I", header, 48, 1)  # dir at sector 1
+        struct.pack_into("<I", header, 56, 4096)
+        struct.pack_into("<I", header, 60, 2)  # miniFAT at sector 2
+        struct.pack_into("<I", header, 64, 1)
+        struct.pack_into("<I", header, 68, 0xFFFFFFFE)
+        struct.pack_into("<I", header, 76, 0)  # DIFAT[0]
+        for i in range(1, 109):
+            struct.pack_into("<I", header, 76 + 4 * i, 0xFFFFFFFF)
+        data = (
+            bytes(header)
+            + struct.pack("<128I", *fat)
+            + directory
+            + struct.pack("<128I", *minifat)
+            + container
+        )
+        cfb = CfbReader(data)
+        assert cfb.streams["Small"] == payload
+
+
 class TestPdfParser:
     def test_text_layer_with_escapes(self):
         pages = ["Alpha (one)\nBeta \\ two", "Second page"]
@@ -166,6 +245,7 @@ class TestRealFormatPipeline:
         rows, _ = extracted
         assert set(rows) == {
             "report.docx",
+            "legacy.doc",
             "numbers.xlsx",
             "deck.pptx",
             "paper.pdf",

@@ -438,8 +438,18 @@ def file_bytes_to_input_spans(
         elif ext == "xlsx":
             payload = json.dumps(parse_xlsx_bytes(data))
             spans = [{"kind": "xlsx-src", "text": payload, "media_ref": ""}]
+        elif ext == "xls":
+            from docstrange_ray.extract.legacy_office import parse_xls_bytes
+
+            payload = json.dumps(parse_xls_bytes(data))
+            spans = [{"kind": "xlsx-src", "text": payload, "media_ref": ""}]
         elif ext == "pptx":
             payload = json.dumps(parse_pptx_bytes(data))
+            spans = [{"kind": "pptx-src", "text": payload, "media_ref": ""}]
+        elif ext == "ppt":
+            from docstrange_ray.extract.legacy_office import parse_ppt_bytes
+
+            payload = json.dumps(parse_ppt_bytes(data))
             spans = [{"kind": "pptx-src", "text": payload, "media_ref": ""}]
         elif ext == "pdf":
             spans = [

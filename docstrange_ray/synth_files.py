@@ -350,6 +350,110 @@ def make_doc(paragraphs: list[str], ansi: bool = False) -> bytes:
     return build_cfb({"WordDocument": wd, "0Table": clx})
 
 
+def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
+    """Build a minimal valid legacy .xls (BIFF8 in a CFB container):
+    workbook globals (BOF, SST, BOUNDSHEETs, EOF) + one substream per
+    sheet (BOF, LABELSST/NUMBER cells, EOF)."""
+    import struct
+
+    from docstrange_ray.extract.cfb import build_cfb
+
+    def rec(rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HH", rtype, len(body)) + body
+
+    def bof(dt: int) -> bytes:
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0, 0, 0, 0))
+
+    sst_strings: list[str] = []
+    sst_index: dict[str, int] = {}
+
+    def sst_id(text: str) -> int:
+        if text not in sst_index:
+            sst_index[text] = len(sst_strings)
+            sst_strings.append(text)
+        return sst_index[text]
+
+    sheet_bodies: list[bytes] = []
+    for _name, grid in sheets:
+        cells = []
+        for r, row in enumerate(grid):
+            for c, v in enumerate(row):
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    cells.append(
+                        rec(0x0203, struct.pack("<HHH", r, c, 0) + struct.pack("<d", float(v)))
+                    )
+                else:
+                    cells.append(
+                        rec(0x00FD, struct.pack("<HHHI", r, c, 0, sst_id(str(v))))
+                    )
+        sheet_bodies.append(bof(0x0010) + b"".join(cells) + rec(0x000A, b""))
+
+    def xlstr(text: str) -> bytes:
+        # cch counts UTF-16 CODE UNITS (astral chars = 2), not characters
+        try:
+            raw = text.encode("latin-1")
+            return struct.pack("<HB", len(raw), 0x00) + raw
+        except UnicodeEncodeError:
+            raw = text.encode("utf-16-le")
+            return struct.pack("<HB", len(raw) // 2, 0x01) + raw
+
+    sst_body = struct.pack("<II", len(sst_strings), len(sst_strings)) + b"".join(
+        xlstr(s) for s in sst_strings
+    )
+
+    def boundsheet(name: str, pos: int) -> bytes:
+        try:
+            raw = name.encode("latin-1")
+            flags = 0x00
+        except UnicodeEncodeError:
+            raw = name.encode("utf-16-le")
+            return rec(0x0085, struct.pack("<IHBB", pos, 0, len(raw) // 2, 0x01) + raw)
+        return rec(0x0085, struct.pack("<IHBB", pos, 0, len(raw), flags) + raw)
+
+    # two passes: globals length depends only on record sizes, not offsets
+    def globals_body(positions: list[int]) -> bytes:
+        return (
+            bof(0x0005)
+            + rec(0x00FC, sst_body)
+            + b"".join(boundsheet(n, p) for (n, _), p in zip(sheets, positions))
+            + rec(0x000A, b"")
+        )
+
+    glen = len(globals_body([0] * len(sheets)))
+    positions = []
+    off = glen
+    for body in sheet_bodies:
+        positions.append(off)
+        off += len(body)
+    stream = globals_body(positions) + b"".join(sheet_bodies)
+    return build_cfb({"Workbook": stream})
+
+
+def make_ppt(slides: list[list[str]]) -> bytes:
+    """Build a minimal legacy .ppt (PPT97 record stream in a CFB
+    container): a Document container holding SlideListWithText with one
+    SlidePersistAtom per slide followed by its text atoms."""
+    import struct
+
+    from docstrange_ray.extract.cfb import build_cfb
+
+    def atom(rtype: int, body: bytes, ver_inst: int = 0) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+    inner = b""
+    for texts in slides:
+        inner += atom(0x03F3, b"\x00" * 20)  # SlidePersistAtom
+        for text in texts:
+            body = text.replace("\n", "\r")
+            try:
+                inner += atom(0x0FA8, body.encode("cp1252"))  # TextBytesAtom
+            except UnicodeEncodeError:
+                inner += atom(0x0FA0, body.encode("utf-16-le"))  # TextCharsAtom
+    slw = atom(0x0FF0, inner, ver_inst=0x000F)  # SlideListWithText container
+    doc = atom(0x03E8, slw, ver_inst=0x000F)  # Document container
+    return build_cfb({"PowerPoint Document": doc})
+
+
 def make_png(width: int, height: int, shade: int = 128) -> bytes:
     """A fully valid grayscale PNG (stdlib zlib + struct): signature,
     IHDR, one IDAT of filter-0 scanlines, IEND — decodable by any PNG
@@ -490,6 +594,10 @@ def write_fixture_corpus(out_dir: str) -> list[str]:
         "legacy.doc": make_doc(
             ["Legacy memo.", "Written long ago in the binary format."]
         ),
+        "ledger.xls": make_xls(
+            [("Accounts", [["account", "balance"], ["ops", 250], ["eng", 410]])]
+        ),
+        "talk.ppt": make_ppt([["Old Deck", "Legacy bullets"], ["The End"]]),
         "data.csv": b"name,qty\nwidget,3\ngadget,5\n",
         "notes.txt": "plain notes\nwith two lines\n".encode("utf-8"),
         "page.html": (

@@ -250,3 +250,69 @@ def test_doc_bytes_round_trip(paras, ansi):
         paras = [" ".join(p.split()) for p in paras if p.strip()]
     doc = parse_doc_bytes(make_doc(paras, ansi=ansi))
     assert [p["text"] for p in doc["paragraphs"]] == [p for p in paras if p.strip()]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sheets=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+                min_size=1,
+                max_size=8,
+            ),
+            st.lists(
+                st.lists(
+                    st.one_of(
+                        _word_text.filter(lambda s: s.strip()),
+                        st.integers(-10_000, 10_000),
+                        st.floats(
+                            allow_nan=False,
+                            allow_infinity=False,
+                            min_value=-1e6,
+                            max_value=1e6,
+                        ),
+                    ),
+                    min_size=1,
+                    max_size=4,
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_xls_bytes_round_trip(sheets):
+    from docstrange_ray.extract.legacy_office import parse_xls_bytes
+    from docstrange_ray.synth_files import make_xls
+
+    book = parse_xls_bytes(make_xls(sheets))
+    assert [s["name"] for s in book["sheets"]] == [n for n, _ in sheets]
+    for parsed, (_, grid) in zip(book["sheets"], sheets):
+        for prow, row in zip(parsed["grid"], grid):
+            for pcell, cell in zip(prow, row):
+                if isinstance(cell, (int, float)) and not isinstance(cell, bool):
+                    assert float(pcell) == float(cell)
+                else:
+                    assert pcell == str(cell)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    slides=st.lists(
+        st.lists(
+            _word_text.filter(lambda s: s.strip()), min_size=0, max_size=3
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_ppt_bytes_round_trip(slides):
+    from docstrange_ray.extract.legacy_office import parse_ppt_bytes
+    from docstrange_ray.synth_files import make_ppt
+
+    deck = parse_ppt_bytes(make_ppt(slides))
+    assert deck == {"slides": [{"texts": list(t)} for t in slides]}

@@ -183,6 +183,55 @@ class TestDocParser:
         assert cfb.streams["Small"] == payload
 
 
+class TestLegacyOffice:
+    """BIFF8 .xls and PPT97 .ppt record parsers (extract/legacy_office)
+    over from-scratch CFB containers."""
+
+    def test_xls_strings_numbers_rk(self):
+        import struct
+
+        from docstrange_ray.extract.legacy_office import (
+            _rk_value,
+            parse_xls_bytes,
+        )
+        from docstrange_ray.synth_files import make_xls
+
+        book = parse_xls_bytes(
+            make_xls(
+                [
+                    ("S1", [["k", "v"], ["a", 1], ["b", 2.5]]),
+                    ("Ünï", [["x"], ["Ünïcödé ✓"]]),
+                ]
+            )
+        )
+        assert [s["name"] for s in book["sheets"]] == ["S1", "Ünï"]
+        assert book["sheets"][0]["grid"] == [["k", "v"], ["a", "1"], ["b", "2.5"]]
+        assert book["sheets"][1]["grid"][1] == ["Ünïcödé ✓"]
+        # RK decode: int, int/100, and float forms
+        assert _rk_value((7 << 2) | 0x02) == 7.0
+        assert _rk_value((750 << 2) | 0x03) == 7.5
+        (float_rk,) = struct.unpack("<I", struct.pack("<d", 2.5)[4:])
+        assert _rk_value(float_rk & 0xFFFFFFFC) == 2.5
+
+    def test_ppt_slides_and_dispatch(self):
+        from docstrange_ray.extract.binary_formats import file_bytes_to_input_spans
+        from docstrange_ray.extract.legacy_office import parse_ppt_bytes
+        from docstrange_ray.synth_files import make_ppt, make_xls
+
+        deck = parse_ppt_bytes(make_ppt([["One", "Two"], ["Multi\nline"]]))
+        assert deck == {
+            "slides": [{"texts": ["One", "Two"]}, {"texts": ["Multi\nline"]}]
+        }
+        assert file_bytes_to_input_spans("a.xls", make_xls([("S", [["x"]])]))[0][
+            "kind"
+        ] == "xlsx-src"
+        assert file_bytes_to_input_spans("a.ppt", make_ppt([["t"]]))[0][
+            "kind"
+        ] == "pptx-src"
+        bad = file_bytes_to_input_spans("a.xls", b"not cfb")
+        assert bad[0]["text"].startswith("[extraction error:")
+
+
 class TestPdfParser:
     def test_text_layer_with_escapes(self):
         pages = ["Alpha (one)\nBeta \\ two", "Second page"]
@@ -247,7 +296,9 @@ class TestRealFormatPipeline:
             "report.docx",
             "legacy.doc",
             "numbers.xlsx",
+            "ledger.xls",
             "deck.pptx",
+            "talk.ppt",
             "paper.pdf",
             "scan.pdf",
             "data.csv",

@@ -468,6 +468,33 @@ def file_bytes_to_input_spans(
             spans = [{"kind": "md", "text": decode_bytes(data), "media_ref": ""}]
         elif ext == "txt":
             spans = [{"kind": "text", "text": decode_bytes(data), "media_ref": ""}]
+        elif ext in ("png", "jpg", "jpeg", "gif", "bmp", "tif", "tiff", "webp"):
+            # image files route to the OCR path (reference ImageProcessor,
+            # image_processor.py:47-92 — S12): one page descriptor whose
+            # blocks a real layout/OCR backend would predict from the
+            # pixels (extract/backends.py seam); header metadata is
+            # sniffed for real (ops/media_meta), the payload itself rides
+            # as a base64 field for the backend
+            import base64
+
+            from docstrange_ray.ops.media_meta import sniff_media
+
+            meta = sniff_media(data)
+            spans = [
+                {
+                    "kind": "page-src",
+                    "text": json.dumps(
+                        {
+                            "embedded_text": "",
+                            "mime": meta["mime"],
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "image_b64": base64.b64encode(data).decode("ascii"),
+                        }
+                    ),
+                    "media_ref": "",
+                }
+            ]
         else:
             # unsupported format: record-and-drop (extract_unit policy)
             spans = []

@@ -598,6 +598,7 @@ def write_fixture_corpus(out_dir: str) -> list[str]:
             [("Accounts", [["account", "balance"], ["ops", 250], ["eng", 410]])]
         ),
         "talk.ppt": make_ppt([["Old Deck", "Legacy bullets"], ["The End"]]),
+        "photo.png": make_png(48, 32, shade=90),
         "data.csv": b"name,qty\nwidget,3\ngadget,5\n",
         "notes.txt": "plain notes\nwith two lines\n".encode("utf-8"),
         "page.html": (

@@ -301,6 +301,7 @@ class TestRealFormatPipeline:
             "talk.ppt",
             "paper.pdf",
             "scan.pdf",
+            "photo.png",
             "data.csv",
             "notes.txt",
             "page.html",
@@ -357,6 +358,18 @@ class TestRealFormatPipeline:
         # no text layer → page headings only (mock OCR sees no blocks)
         rows, _ = extracted
         assert self._texts(rows["scan.pdf"]) == ["## Page 1", "## Page 2"]
+
+    def test_image_file_routes_to_ocr_path(self, extracted):
+        # a real PNG: one page descriptor carrying sniffed metadata +
+        # the payload for a real OCR backend; the mock sees no blocks
+        import json as _json
+
+        rows, inputs = extracted
+        assert self._texts(rows["photo.png"]) == ["## Page 1"]
+        desc = _json.loads(inputs["photo.png"]["spans"][0]["text"])
+        assert desc["mime"] == "image/png"
+        assert (desc["width"], desc["height"]) == (48, 32)
+        assert len(desc["image_b64"]) > 0
 
     def test_csv_and_html(self, extracted):
         rows, _ = extracted

@@ -309,28 +309,49 @@ SESSION_GAP_MIN = 30
 
 
 def user_sessions(sf_dir: str):
-    """Session windows per user (30-minute inactivity gap): the
-    stream-shaped operator from ray_guide — partition by key, sort by ts
-    within the group, sessionize with pandas inside ``map_groups``."""
-    from docstrange_ray.shuffle import grouped_blocks
+    """Session windows per user (30-minute inactivity gap), with
+    INTERVAL partial reduction: each batch sessionizes its own slice
+    into per-(user, session) intervals ``(start, end, n_events)``, so
+    the exchange ships interval rows — orders of magnitude fewer than
+    raw events for active users — and the block-local combine merges
+    interval lists under the same gap rule (sessionization is connected
+    components on the time line; merging interval unions with the gap
+    rule yields identical components regardless of how events were
+    batched). The round-1 version shuffled every raw event."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
 
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
 
-    def sessionize_block(df: pd.DataFrame) -> pd.DataFrame:
-        # all of a user's events are in this block; one vectorized pass:
-        # sort by (user, ts), a session starts at a user change or a gap
-        df = df.sort_values(["user_id", "ts"])
-        gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
         new_user = df["user_id"].ne(df["user_id"].shift())
         new_sess = new_user | (df["ts"].diff() > gap)
-        df = df.assign(new_sess=new_sess.astype(np.int64))
-        g = df.groupby("user_id", as_index=False).agg(
-            n_events=("new_sess", "size"), n_sessions=("new_sess", "sum")
+        df = df.assign(sess=new_sess.cumsum())
+        g = df.groupby(["user_id", "sess"], as_index=False).agg(
+            start=("ts", "min"), end=("ts", "max"), n_events=("ts", "size")
         )
         g["n_events"] = g["n_events"].astype(np.int64)
+        return g[["user_id", "start", "end", "n_events"]]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "start"], kind="mergesort")
+        # running max end per user; a new session starts when the next
+        # interval begins more than `gap` after everything seen so far
+        cummax_end = df.groupby("user_id")["end"].cummax()
+        prev_end = cummax_end.groupby(df["user_id"].values).shift()
+        new_sess = prev_end.isna() | (df["start"] - prev_end > gap)
+        g = (
+            df.assign(ns=new_sess.astype(np.int64))
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("n_events", "sum"), n_sessions=("ns", "sum"))
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["n_sessions"] = g["n_sessions"].astype(np.int64)
         return g
 
-    return grouped_blocks(ev, ["user_id"], sessionize_block, batch_format="pandas")
+    partials = ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536)
+    return grouped_blocks(partials, ["user_id"], combine, batch_format="pandas")
 
 
 USER_SESSIONS_SQL = f"""

@@ -129,7 +129,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from docstrange_ray.sources import extract_files
         from docstrange_ray.synth_files import write_fixture_corpus
 
-        out = f"/tmp/dsray_real_fixtures_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        from docstrange_ray.synth_files import FIXTURE_VERSION
+
+        out = (
+            f"/tmp/dsray_real_fixtures_v{FIXTURE_VERSION}_"
+            f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
         if not os.path.isdir(out):
             write_fixture_corpus(out)
 
@@ -197,7 +202,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from docstrange_ray.sources import extract_files
         from docstrange_ray.synth_files import write_fixture_corpus
 
-        out = f"/tmp/dsray_real_fixtures_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        from docstrange_ray.synth_files import FIXTURE_VERSION
+
+        out = (
+            f"/tmp/dsray_real_fixtures_v{FIXTURE_VERSION}_"
+            f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
         if not os.path.isdir(out):
             write_fixture_corpus(out)
         return extract_fields(

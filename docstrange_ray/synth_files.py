@@ -530,6 +530,12 @@ def make_jpeg_header(width: int, height: int) -> bytes:
     )
 
 
+# bump when write_fixture_corpus's file set/content changes — cached
+# fixture dirs under /tmp are keyed on it (stale caches otherwise
+# survive across rounds)
+FIXTURE_VERSION = 3
+
+
 def real_media_table(n: int = 60):
     """Deterministic media table of REAL bytes — valid PNGs/GIFs/WAVs
     plus structurally-valid JPEG headers — for the real-metadata path

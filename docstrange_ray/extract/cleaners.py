@@ -71,3 +71,26 @@ def smart_join(words: list[str]) -> str:
         else:
             out.append(w)
     return " ".join(out)
+
+
+_BARE_KEY = re.compile(r"(\w+):")
+
+
+def repair_json(text: str):
+    """Tolerant JSON parse with the reference's repair ladder (M18;
+    gpu_processor.py:176-189, duplicated in ollama_service.py:124-135):
+    plain ``json.loads``; on failure wrap bare keys in double quotes and
+    replace single quotes, retry; else fall back to
+    ``{"raw_text": <text>}`` — the model-output salvage used by the
+    VLM/LLM stages."""
+    import json as _json
+
+    try:
+        return _json.loads(text)
+    except (ValueError, TypeError):
+        try:
+            fixed = _BARE_KEY.sub(r'"\1":', text or "")
+            fixed = fixed.replace("'", '"')
+            return _json.loads(fixed)
+        except (ValueError, TypeError):
+            return {"raw_text": text}

@@ -347,3 +347,25 @@ class TestTextDensityPruning:
         )
         spans = html_to_spans(html)
         assert sum(1 for s in spans if s["kind"] == "list_item") == 6
+
+
+class TestJsonRepair:
+    """M18: the reference's JSON-repair ladder
+    (gpu_processor.py:176-189)."""
+
+    def test_valid_passthrough(self):
+        from docstrange_ray.extract.cleaners import repair_json
+
+        assert repair_json('{"a": 1}') == {"a": 1}
+
+    def test_bare_keys_and_single_quotes(self):
+        from docstrange_ray.extract.cleaners import repair_json
+
+        assert repair_json("{name: 'x', count: 2}") == {"name": "x", "count": 2}
+
+    def test_unsalvageable_falls_back_to_raw(self):
+        from docstrange_ray.extract.cleaners import repair_json
+
+        out = repair_json("totally not json {{{")
+        assert out == {"raw_text": "totally not json {{{"}
+        assert repair_json(None) == {"raw_text": None}

@@ -96,6 +96,86 @@ def sniff_media(data: bytes) -> dict:
     return out
 
 
+def decode_png(data: bytes):
+    """REAL stdlib PNG decode -> grayscale ``numpy (h, w) uint8``:
+    IDAT inflate + per-scanline unfiltering (None/Sub/Up/Average/Paeth)
+    for 8-bit grayscale, RGB and RGBA color types (palette/16-bit out of
+    scope). Color converts via the standard luma weights. This makes the
+    image DECODE path real for PNG payloads with zero dependencies —
+    JPEG decode still needs a codec (the gated PIL backend)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width = height = None
+    bit_depth = color_type = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = _struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = _struct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if width is None or bit_depth != 8 or color_type not in (0, 2, 6):
+        raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * channels
+    raw = _zlib.decompress(bytes(idat))
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG data")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += stride + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the left neighbor: sequential pass
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    v = line[x] + a
+                elif ftype == 3:  # Average
+                    v = line[x] + (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = v & 0xFF
+        out[y] = cur
+        prev = cur
+
+    pixels = out.reshape(height, width, channels)
+    if channels == 1:
+        return pixels[:, :, 0]
+    luma = (
+        0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+    )
+    return np.round(luma).astype(np.uint8)
+
+
 _META_FIELDS = (
     ("mime", pa.string()),
     ("width", pa.int32()),

@@ -60,10 +60,14 @@ def synth_media_table(refs: list[str], seed: int = 42) -> pa.Table:
 class ImageDecodeActor:
     """Actor-pool stage: decode + feature-extract image payloads.
 
-    ``backend='fake'`` (default here) derives deterministic pseudo-pixels
-    from the payload bytes so the full pipeline (including downstream
-    resize/embed stages) is testable hermetically. ``backend='pil'``
-    raises until a real imaging library is present.
+    Backends:
+      * ``'fake'`` — deterministic pseudo-pixels from the payload bytes
+        (hermetic default for synthetic media tables);
+      * ``'auto'`` — REAL stdlib PNG decode (ops/media_meta.decode_png:
+        inflate + unfilter + luma) when the payload is a PNG, fake
+        otherwise — real pixels with zero dependencies;
+      * ``'pil'`` — raises until a real imaging library is present
+        (JPEG and friends need a codec).
     """
 
     def __init__(self, backend: str = "fake", resize_to: int = 32):
@@ -84,17 +88,32 @@ class ImageDecodeActor:
         tiled = np.resize(arr, need).reshape(h, w)
         return tiled
 
+    def _decode(self, payload: bytes, w: int, h: int):
+        if self.backend == "auto" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from docstrange_ray.ops.media_meta import decode_png
+
+            return decode_png(payload)  # REAL pixels
+        return self._decode_fake(payload, max(1, w), max(1, h))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend != "fake":
-            raise NotImplementedError("only the deterministic fake backend runs here")
+        if self.backend not in ("fake", "auto"):
+            raise NotImplementedError(
+                "only the 'fake'/'auto' backends run in this sandbox"
+            )
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        widths = batch.column("width").to_pylist()
-        heights = batch.column("height").to_pylist()
+        names = set(batch.column_names)
+        widths = (
+            batch.column("width").to_pylist() if "width" in names else [0] * len(refs)
+        )
+        heights = (
+            batch.column("height").to_pylist() if "height" in names else [0] * len(refs)
+        )
         out = []
         r = self.resize_to
         for ref, payload, w, h in zip(refs, payloads, widths, heights):
-            img = self._decode_fake(payload, w, h)
+            img = self._decode(payload, w, h)
+            h, w = img.shape
             # nearest-neighbor "resize" to r x r
             yi = (np.arange(r) * (h / r)).astype(int)
             xi = (np.arange(r) * (w / r)).astype(int)
@@ -182,12 +201,14 @@ def sample_frames(media_ds, n_sample: int = 4, concurrency=(1, 4)):
     )
 
 
-def decode_features(media_ds, concurrency=(1, 4)):
+def decode_features(media_ds, concurrency=(1, 4), backend: str = "fake"):
     """The media feature pipeline: actor pool, small batches (binary
-    payloads), Arrow end-to-end."""
+    payloads), Arrow end-to-end. ``backend='auto'`` decodes real PNG
+    payloads with the stdlib decoder and falls back to the deterministic
+    fake for other formats."""
     return media_ds.map_batches(
         ImageDecodeActor,
-        fn_constructor_kwargs={"backend": "fake"},
+        fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

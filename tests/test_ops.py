@@ -513,3 +513,91 @@ class TestMediaMetadata:
                 assert r["width"] > 0 and r["height"] > 0
             if r["mime"] == "audio/wav":
                 assert r["duration_ms"] > 0 and r["channels"] == 1
+
+
+class TestPngDecode:
+    """REAL stdlib PNG decode (ops/media_meta.decode_png): inflate +
+    unfilter + luma."""
+
+    def test_gray_round_trip(self):
+        from docstrange_ray.ops.media_meta import decode_png
+        from docstrange_ray.synth_files import make_png
+
+        img = decode_png(make_png(20, 10, shade=170))
+        assert img.shape == (10, 20)
+        assert (img == 170).all()
+
+    def test_all_filters_rgb(self):
+        import struct
+        import zlib
+
+        from docstrange_ray.ops.media_meta import decode_png
+
+        rng = np.random.RandomState(5)
+        h, w, ch = 6, 8, 3
+        pixels = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = int(a) + int(b) - int(c)
+            pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y, f in enumerate([0, 1, 2, 3, 4, 1]):
+            line = pixels[y].reshape(-1).astype(np.int32)
+            raw.append(f)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - (a + b) // 2
+                else:
+                    v = line[x] - paeth(a, b, c)
+                raw.append(v & 0xFF)
+            prev = line
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(png)
+        exp = np.round(
+            0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+        ).astype(np.uint8)
+        assert (got == exp).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_auto_backend_decodes_real_pngs(self):
+        import ray.data
+
+        from docstrange_ray.ops import multimodal as mm
+        from docstrange_ray.synth_files import real_media_table
+
+        ds = ray.data.from_arrow(real_media_table(20))
+        out = {
+            r["media_ref"]: r
+            for r in mm.decode_features(ds, concurrency=(1, 2), backend="auto").take_all()
+        }
+        # PNG entries (i % 4 == 0) decode for REAL: constant-shade image
+        # -> mean_intensity equals the shade exactly
+        for i in range(0, 20, 4):
+            shade = (i * 37) % 256
+            assert out[f"media://real/{i}"]["mean_intensity"] == float(shade)

@@ -199,12 +199,21 @@ def grouped_blocks(
     batch_format: str = "pyarrow",
 ):
     """Hash-co-locate rows by ``keys`` into ``num_partitions`` blocks
-    (default: 2x cluster CPUs) and apply ``fn`` to each whole block
-    (every key's rows are guaranteed to be in exactly one block). ``fn``
-    must do its own within-block grouping (vectorized)."""
+    and apply ``fn`` to each whole block (every key's rows are
+    guaranteed to be in exactly one block). ``fn`` must do its own
+    within-block grouping (vectorized).
+
+    Partition sizing: the default (cluster CPU count) keeps every
+    combine slot busy while minimizing per-partition fixed cost
+    (measured ~30ms/partition/exchange on this host — 64 partitions
+    cost ~2s more than 8 on a fixture-scale exchange). Production
+    callers MUST size ``num_partitions`` to the DATA instead
+    (>= input_bytes / target_partition_bytes, and >= 4x max
+    parallelism) — one partition's rows must fit a worker's heap, which
+    no cluster-relative default can guarantee at 100 TB."""
     ensure_hash_shuffle()
     if num_partitions is None:
-        num_partitions = 2 * _cluster_cpus()
+        num_partitions = max(8, _cluster_cpus())
     return _strip_schema_metadata(ds).repartition(num_partitions, keys=keys).map_batches(
         arrow_out(fn), batch_format=batch_format, batch_size=None
     )

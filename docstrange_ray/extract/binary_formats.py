@@ -302,6 +302,7 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _TEXT_TOKEN = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"  # literal string
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string
     rb"|T[dDJj*]"  # text-positioning / show operators
 )
 _ESCAPES = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}  # n r t b f
@@ -347,6 +348,11 @@ def _stream_text(content: bytes) -> str:
             t = tok.group(0)
             if t.startswith(b"("):
                 pending.append(_pdf_string(t[1:-1]))
+            elif t.startswith(b"<"):
+                hexdigits = bytes(c for c in t[1:-1] if not chr(c).isspace())
+                if len(hexdigits) % 2:
+                    hexdigits += b"0"  # PDF pads an odd final digit
+                pending.append(bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"))
             elif t in (b"Tj", b"TJ"):
                 current.extend(pending)
                 pending = []
@@ -360,23 +366,68 @@ def _stream_text(content: bytes) -> str:
     return "\n".join(lines)
 
 
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _page_order(objects: dict[int, bytes]) -> list[int]:
+    """Page object numbers in DOCUMENT order: catalog -> /Pages tree ->
+    depth-first /Kids walk (page objects need not appear in object-number
+    order in real PDFs). Falls back to object-number scan order when the
+    tree can't be resolved."""
+    catalog = next(
+        (
+            b
+            for b in objects.values()
+            if b"/Type" in b and b"/Catalog" in b.split(b"stream", 1)[0]
+        ),
+        None,
+    )
+    ordered: list[int] = []
+    if catalog is not None:
+        m = _PAGES_REF_RE.search(catalog)
+        stack = [int(m.group(1))] if m else []
+        seen: set[int] = set()
+        while stack:
+            num = stack.pop(0)
+            if num in seen or num not in objects:
+                continue
+            seen.add(num)
+            head = objects[num].split(b"stream", 1)[0]
+            km = _KIDS_RE.search(head)
+            if km:  # a Pages node: queue kids in order
+                kids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+                stack = kids + stack
+            elif b"/Page" in head:
+                ordered.append(num)
+    if ordered:
+        return ordered
+    return [
+        num
+        for num in sorted(objects)
+        if b"/Type" in (h := objects[num].split(b"stream", 1)[0])
+        and b"/Page" in h
+        and b"/Pages" not in h
+    ]
+
+
 def parse_pdf_pages(data: bytes) -> list[str]:
     """Per-page text layer of a PDF (empty string per page with no
     recoverable text — e.g. a scanned page). From-scratch parser for the
-    common single-generation layout: object scan, /Type /Page objects in
-    document order, /Contents streams, FlateDecode. Matches the
-    reference's PyMuPDF ``page.get_text()`` direct-extraction role
-    (pdf_processor.py:83-99); encrypted/multi-generation PDFs are out of
-    scope (they would route to the OCR path)."""
+    common single-generation layout: object scan, pages in /Pages-tree
+    (Kids) order, /Contents streams, FlateDecode, literal + hex string
+    operands. Matches the reference's PyMuPDF ``page.get_text()``
+    direct-extraction role (pdf_processor.py:83-99);
+    encrypted/multi-generation PDFs are out of scope (they would route
+    to the OCR path)."""
     objects: dict[int, bytes] = {
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
     }
     pages: list[str] = []
-    for num in sorted(objects):
+    for num in _page_order(objects):
         body = objects[num]
         head = body.split(b"stream", 1)[0]
-        if b"/Type" not in head or b"/Page" not in head or b"/Pages" in head:
-            continue
         text = ""
         m = _CONTENTS_RE.search(head)
         if m and int(m.group(1)) in objects:

@@ -379,3 +379,42 @@ class TestRealFormatPipeline:
         html_texts = self._texts(rows["page.html"])
         assert any("Hello" in t for t in html_texts)
         assert not any("x()" in t for t in html_texts)  # script stripped
+
+
+class TestPdfParserFidelity:
+    """Round-2 hardening: Kids-order page walk and hex-string operands."""
+
+    def test_pages_follow_kids_order_not_object_order(self):
+        # hand-build a PDF whose /Kids order REVERSES object order
+        import zlib as _z
+
+        from docstrange_ray.extract.binary_formats import parse_pdf_pages
+
+        def stream_obj(text):
+            ops = f"BT /F1 11 Tf 72 720 Td ({text}) Tj ET".encode()
+            comp = _z.compress(ops)
+            return (
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+            )
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R 3 0 R] /Count 2 >>",  # reversed!
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            4: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            5: stream_obj("object-order-first"),
+            6: stream_obj("kids-order-first"),
+        }
+        data = b"%PDF-1.4\n" + b"".join(
+            f"{n} 0 obj\n".encode() + b + b"\nendobj\n" for n, b in objs.items()
+        ) + b"%%EOF\n"
+        assert parse_pdf_pages(data) == ["kids-order-first", "object-order-first"]
+
+    def test_hex_string_operands(self):
+        from docstrange_ray.extract.binary_formats import _stream_text
+
+        content = b"BT <48656C6C 6F> Tj ET"
+        assert _stream_text(content) == "Hello"
+        # odd final digit pads with 0 per the PDF spec
+        assert _stream_text(b"BT <484> Tj ET") == "H@"

@@ -304,7 +304,11 @@ _TEXT_TOKEN = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"  # literal string
     rb"|<[0-9A-Fa-f\s]*>"  # hex string
     rb"|T[dDJj*]"  # text-positioning / show operators
+    rb"|-\d+(?:\.\d+)?"  # negative kern adjustments inside TJ arrays
 )
+# a TJ adjustment more negative than this (in thousandths of text space)
+# renders as a word gap (the PyMuPDF/pdftotext convention)
+_TJ_SPACE_KERN = -150.0
 _ESCAPES = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}  # n r t b f
 
 
@@ -353,6 +357,12 @@ def _stream_text(content: bytes) -> str:
                 if len(hexdigits) % 2:
                     hexdigits += b"0"  # PDF pads an odd final digit
                 pending.append(bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"))
+            elif t.startswith(b"-"):
+                # between TJ-array strings a large negative adjustment is
+                # a word gap; numbers with nothing pending are positioning
+                # operands (Td/TD args) and are ignored
+                if pending and float(t) < _TJ_SPACE_KERN:
+                    pending.append(" ")
             elif t in (b"Tj", b"TJ"):
                 current.extend(pending)
                 pending = []

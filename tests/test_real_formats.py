@@ -418,3 +418,11 @@ class TestPdfParserFidelity:
         assert _stream_text(content) == "Hello"
         # odd final digit pads with 0 per the PDF spec
         assert _stream_text(b"BT <484> Tj ET") == "H@"
+
+    def test_tj_kern_word_gaps(self):
+        from docstrange_ray.extract.binary_formats import _stream_text
+
+        # large negative adjustment = word gap; small kern = none
+        assert _stream_text(b"BT [(Hel) -30 (lo) -250 (world)] TJ ET") == "Hello world"
+        # Td operands with nothing pending never inject spaces
+        assert _stream_text(b"BT 72 -720 Td (x) Tj ET") == "x"

@@ -760,6 +760,23 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
     return _dedup_pairs(pairs)
 
 
+def simhash_drop_list_ds(ds, max_hamming: int = 3, num_partitions=None):
+    """Distributed drop list over SIMHASH near-pairs: the same
+    label-propagation clustering as the MinHash chain
+    (:func:`dup_clusters_ds` consumes any (doc_id_a, doc_id_b) pair
+    Dataset), keeping each cluster's min-id representative."""
+    pairs = simhash_near_pairs(ds, max_hamming=max_hamming, num_partitions=num_partitions)
+    labels = dup_clusters_ds(pairs, num_partitions=num_partitions)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(batch.column("node"), batch.column("label")))
+        return batch.filter(keep).select(["node"]).rename_columns(["doc_id"])
+
+    return labels.map_batches(drops, batch_format="pyarrow")
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 

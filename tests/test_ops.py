@@ -436,6 +436,14 @@ class TestDistributedDedup:
         assert got == sorted(exp)
         assert 100 in got and 101 in got and 102 in got
 
+    def test_simhash_drop_list_ds(self, docs_with_dups):
+        ds = ray.data.from_arrow(docs_with_dups)
+        drops = sorted(
+            r["doc_id"] for r in dedup.simhash_drop_list_ds(ds, max_hamming=3).take_all()
+        )
+        assert 100 in drops  # exact dup loses to representative 0
+        assert 0 not in drops  # the minimal id always survives as rep
+
     def test_label_propagation_matches_union_find_on_chain(self):
         # a chain forces multi-round propagation (diameter 4)
         pairs = [

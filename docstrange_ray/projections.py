@@ -29,6 +29,9 @@ import pyarrow as pa
 _TABLE_LINE = re.compile(r"^\|(.+)\|$")
 _SEP_LINE = re.compile(r"^\|[-\s|:]+\|$")
 _HEADING_LEVEL = re.compile(r"^(#{1,6})\s+")
+# inline [text](url) links (reference link_pattern, result.py:25; images
+# are separate spans in this engine so no negative lookbehind needed)
+_LINK = re.compile(r"\[([^\]]+)\]\(([^)]+)\)")
 
 
 def _heading_level(text: str) -> int:
@@ -107,6 +110,9 @@ def spans_to_json(spans: list[dict]) -> dict:
             counts["max_level"] = max(counts["max_level"], level)
         elif kind == "text":
             bucket("paragraphs").append(text)
+            for m in _LINK.finditer(text):
+                # per-section links bucket (reference result.py:289-302)
+                bucket("links").append({"text": m.group(1), "url": m.group(2)})
         elif kind == "list_item":
             bucket("lists").append(text)
         elif kind == "code":

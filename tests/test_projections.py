@@ -303,3 +303,18 @@ class TestBlockquoteHr:
         tree = spans_to_json(self._spans())
         sec = tree["document"]["sections"][0]
         assert sec["content"]["blockquotes"] == ["quoted one", "quoted two"]
+
+
+def test_json_links_bucket():
+    """Per-section links extraction (reference result.py:289-302)."""
+    from docstrange_ray.extract.core import finalize_spans
+    from docstrange_ray.extract.markdown_extract import markdown_to_spans
+    from docstrange_ray.projections import spans_to_json
+
+    md = "# Doc\n\nSee [the docs](https://x.test/d) and [more](https://y.test/m)."
+    tree = spans_to_json(finalize_spans(markdown_to_spans(md)))
+    sec = tree["document"]["sections"][0]
+    assert sec["content"]["links"] == [
+        {"text": "the docs", "url": "https://x.test/d"},
+        {"text": "more", "url": "https://y.test/m"},
+    ]

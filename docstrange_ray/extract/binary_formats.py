@@ -180,17 +180,40 @@ def parse_xlsx_bytes(data: bytes) -> dict:
 # --- PPTX -------------------------------------------------------------------
 
 
-def parse_pptx_bytes(data: bytes) -> dict:
-    """.pptx bytes -> the 'pptx-src' structure payload:
-    ``{"slides": [{"texts": [str]}]}``. Slides in slide-number order
-    (``ppt/slides/slideN.xml``); one text per shape, paragraphs joined
-    with newlines (python-pptx ``shape.text`` semantics as the reference
-    consumes it, pptx_processor.py:112-118)."""
-    zf = zipfile.ZipFile(io.BytesIO(data))
-    slide_parts = sorted(
+def _pptx_slide_order(zf: zipfile.ZipFile) -> list[str]:
+    """Slide part names in PRESENTATION order: the sldIdLst's r:id refs
+    resolved through presentation.xml.rels (decks reorder slides without
+    renaming parts); slide-number sort is the fallback."""
+    _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+    try:
+        pres = ElementTree.fromstring(zf.read("ppt/presentation.xml"))
+        rels = ElementTree.fromstring(zf.read("ppt/_rels/presentation.xml.rels"))
+        rel_map = {r.get("Id"): r.get("Target") for r in rels.iter(_REL)}
+        ordered = []
+        for sld in pres.iter(_P + "sldId"):
+            target = rel_map.get(sld.get(_R + "id"), "")
+            part = "ppt/" + target.lstrip("/") if not target.startswith("ppt/") else target
+            if part in zf.namelist():
+                ordered.append(part)
+        if ordered:
+            return ordered
+    except (KeyError, ElementTree.ParseError):
+        pass
+    return sorted(
         (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
         key=lambda n: int(re.search(r"(\d+)", n).group(1)),
     )
+
+
+def parse_pptx_bytes(data: bytes) -> dict:
+    """.pptx bytes -> the 'pptx-src' structure payload:
+    ``{"slides": [{"texts": [str]}]}``. Slides in sldIdLst presentation
+    order (:func:`_pptx_slide_order`); one text per shape, paragraphs
+    joined with newlines (python-pptx ``shape.text`` semantics as the
+    reference consumes it, pptx_processor.py:112-118)."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    slide_parts = _pptx_slide_order(zf)
     slides: list[dict] = []
     for part in slide_parts:
         root = ElementTree.fromstring(zf.read(part))

@@ -426,3 +426,29 @@ class TestPdfParserFidelity:
         assert _stream_text(b"BT [(Hel) -30 (lo) -250 (world)] TJ ET") == "Hello world"
         # Td operands with nothing pending never inject spaces
         assert _stream_text(b"BT 72 -720 Td (x) Tj ET") == "x"
+
+
+class TestPptxSlideOrder:
+    def test_sldidlst_order_overrides_part_numbers(self):
+        # rewrite the presentation to list slide2 BEFORE slide1
+        import io
+        import zipfile
+
+        from docstrange_ray.extract.binary_formats import parse_pptx_bytes
+        from docstrange_ray.synth_files import make_pptx
+
+        data = make_pptx([["first"], ["second"]])
+        src = zipfile.ZipFile(io.BytesIO(data))
+        pres = src.read("ppt/presentation.xml").decode()
+        pres = pres.replace(
+            '<p:sldId id="256" r:id="rId1"/><p:sldId id="257" r:id="rId2"/>',
+            '<p:sldId id="257" r:id="rId2"/><p:sldId id="256" r:id="rId1"/>',
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as out:
+            for n in src.namelist():
+                out.writestr(
+                    n, pres if n == "ppt/presentation.xml" else src.read(n)
+                )
+        deck = parse_pptx_bytes(buf.getvalue())
+        assert deck["slides"] == [{"texts": ["second"]}, {"texts": ["first"]}]

@@ -619,3 +619,21 @@ def write_fixture_corpus(out_dir: str) -> list[str]:
             f.write(data)
         paths.append(path)
     return paths
+
+
+def make_bmp(width: int, height: int, shade: int = 128) -> bytes:
+    """A fully valid 8-bit-per-pixel-free 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows padded to 4 bytes)."""
+    import struct
+
+    row = (bytes([shade, shade, shade]) * width + b"\x00" * 3)[
+        : (width * 3 + 3) // 4 * 4
+    ]
+    pixel_data = row * height
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(pixel_data), 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+        + pixel_data
+    )

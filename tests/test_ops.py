@@ -499,6 +499,20 @@ class TestMediaMetadata:
         j = sniff_media(make_jpeg_header(64, 32))
         assert j["mime"] == "image/jpeg" and (j["width"], j["height"]) == (64, 32)
 
+    def test_bmp_header(self):
+        from docstrange_ray.ops.media_meta import sniff_media
+        from docstrange_ray.synth_files import make_bmp
+
+        m = sniff_media(make_bmp(30, 12))
+        assert m["mime"] == "image/bmp"
+        assert (m["width"], m["height"]) == (30, 12)
+        # top-down (negative height) BMPs normalize
+        import struct
+
+        data = bytearray(make_bmp(10, 4))
+        struct.pack_into("<i", data, 22, -4)
+        assert sniff_media(bytes(data))["height"] == 4
+
     def test_unknown_bytes(self):
         from docstrange_ray.ops.media_meta import sniff_media
 

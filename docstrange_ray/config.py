@@ -115,6 +115,11 @@ class ExtractConfig:
                 "h2_max_words",
                 "table_row_cap",
                 "direct_text_threshold",
+                # page_backend changes extraction OUTPUT for every
+                # 'page-src' unit (ExtractUnitActor routes payloads
+                # through backend.analyze_page) — a resume after
+                # switching mock<->docling must invalidate partitions.
+                "page_backend",
             )
         ]
         return hashlib.md5(";".join(parts).encode("utf-8")).hexdigest()

@@ -321,7 +321,12 @@ def parse_doc_bytes(data: bytes) -> dict:
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_FALLBACK_RE = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?![0-9]) anchors the number so the engine cannot backtrack into a
+# prefix of an indirect reference: without it '/Length 12 0 R' matches
+# '1' as a literal length (the lookahead then sees '2 0 R', not ' 0 R')
+# and the stream silently truncates to 1 byte.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _TEXT_TOKEN = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"  # literal string
@@ -465,7 +470,7 @@ def parse_pdf_pages(data: bytes) -> list[str]:
         m = _CONTENTS_RE.search(head)
         if m and int(m.group(1)) in objects:
             cbody = objects[int(m.group(1))]
-            raw = _extract_stream(cbody)
+            raw = _extract_stream(cbody, objects)
             if raw is not None:
                 if b"/FlateDecode" in cbody.split(b"stream", 1)[0]:
                     try:
@@ -477,19 +482,31 @@ def parse_pdf_pages(data: bytes) -> list[str]:
     return pages
 
 
-def _extract_stream(cbody: bytes) -> bytes | None:
+def _extract_stream(
+    cbody: bytes, objects: dict[int, bytes] | None = None
+) -> bytes | None:
     """Stream payload of one object body. The declared /Length is
     authoritative — delimiter-regex extraction silently truncates
     compressed data whose last byte happens to be '\\r' (the optional
-    ``\\r?`` before ``endstream`` eats it); the regex path survives only
-    as the fallback for indirect-reference lengths."""
+    ``\\r?`` before ``endstream`` eats it). An indirect '/Length n 0 R'
+    (the dominant layout in generator-produced PDFs) is resolved against
+    the object table; the delimiter regex survives only as the last
+    fallback when neither form resolves."""
     m = _STREAM_START_RE.search(cbody)
     if not m:
         return None
     start = m.end()
-    lm = _LENGTH_RE.search(cbody[: m.start()])
+    head = cbody[: m.start()]
+    lm = _LENGTH_RE.search(head)
     if lm:
         return cbody[start : start + int(lm.group(1))]
+    rm = _LENGTH_REF_RE.search(head)
+    if rm and objects is not None:
+        ref_body = objects.get(int(rm.group(1)))
+        if ref_body is not None:
+            nm = re.search(rb"\d+", ref_body)
+            if nm:
+                return cbody[start : start + int(nm.group(0))]
     fm = _STREAM_FALLBACK_RE.match(cbody, start)
     return fm.group(1) if fm else None
 

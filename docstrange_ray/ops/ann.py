@@ -235,6 +235,11 @@ def hyperplane_bucket_multi(batch: pa.Table, n_sets: int = 2) -> pa.Table:
     so different sets never collide. ONE shuffle still co-locates every
     bucket; pair consumers must dedup (a pair close in both sets
     surfaces twice — ``dedup._dedup_pairs``)."""
+    if not 1 <= n_sets <= len(_PLANE_SETS):
+        raise ValueError(
+            f"n_sets must be in [1, {len(_PLANE_SETS)}] "
+            f"(got {n_sets}); only {len(_PLANE_SETS)} seeded plane sets exist"
+        )
     mat = _normalize(_as_matrix(batch.column("embedding")))
     n = len(mat)
     parts = []

@@ -120,6 +120,11 @@ def decode_png(data: bytes):
         body = data[i + 8 : i + 8 + length]
         if tag == b"IHDR":
             width, height, bit_depth, color_type = _struct.unpack(">IIBB", body[:10])
+            # byte 12 is the interlace flag: Adam7 payloads have per-pass
+            # scanline layout, so the sequential unfilter below would
+            # emit garbage pixels — reject clearly instead.
+            if len(body) >= 13 and body[12] != 0:
+                raise ValueError("interlaced PNG unsupported")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":

@@ -191,9 +191,10 @@ class FrameSampleActor:
 def sample_frames(media_ds, n_sample: int = 4, concurrency=(1, 4)):
     """Frame-sampling pipeline: actor pool, small batches (binary
     payloads), one output row per sampled frame."""
+    from docstrange_ray.stages import bind_actor
+
     return media_ds.map_batches(
-        FrameSampleActor,
-        fn_constructor_kwargs={"backend": "fake", "n_sample": n_sample},
+        bind_actor(FrameSampleActor, backend="fake", n_sample=n_sample),
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
@@ -206,9 +207,10 @@ def decode_features(media_ds, concurrency=(1, 4), backend: str = "fake"):
     payloads), Arrow end-to-end. ``backend='auto'`` decodes real PNG
     payloads with the stdlib decoder and falls back to the deterministic
     fake for other formats."""
+    from docstrange_ray.stages import bind_actor
+
     return media_ds.map_batches(
-        ImageDecodeActor,
-        fn_constructor_kwargs={"backend": backend},
+        bind_actor(ImageDecodeActor, backend=backend),
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

@@ -24,6 +24,7 @@ from docstrange_ray.shuffle import _cluster_cpus, grouped_blocks
 from docstrange_ray.stages import (
     ExtractUnitActor,
     assemble_block,
+    bind_actor,
     make_explode_heavy,
     make_extract_light,
 )
@@ -53,6 +54,7 @@ def extract_pipeline(
     skew_threshold_units: int | str | None = "auto",
     layout_concurrency=None,
     assemble_partitions: int | None = None,
+    actor_cls: type | None = None,
 ):
     """Input Dataset[(doc_id, spans)] -> extracted Dataset[(doc_id, spans)].
 
@@ -105,9 +107,11 @@ def extract_pipeline(
     # gather is the canonical heavy-tail shape; both exchanges carry
     # only the skewed tail).
     units = units.repartition(n_dist, keys=["dist_key"])
+    # bind_actor bakes cfg into the class (see stages.bind_actor on
+    # ray#53727 restart semantics); actor_cls overrides for tests
+    # (fault injection) and real-weights deployments.
     units = units.map_batches(
-        ExtractUnitActor,
-        fn_constructor_kwargs={"cfg": cfg},
+        actor_cls or bind_actor(ExtractUnitActor, cfg=cfg),
         batch_format="pyarrow",
         batch_size=cfg.layout_batch_size,
         concurrency=layout_concurrency

@@ -180,6 +180,25 @@ def make_explode_heavy(
     return explode_heavy
 
 
+def bind_actor(cls: type, **kwargs) -> type:
+    """Bake constructor kwargs into a zero-arg subclass for actor-pool
+    ``map_batches`` stages, so the UDF's own state rides inside the
+    cloudpickled class definition rather than as separate constructor
+    arguments. Context: Ray warns (ray#53727) that actor ctor args
+    living in the object store make restart fail if those objects are
+    lost. With Ray Data 2.49 the warning fires regardless of
+    ``fn_constructor_kwargs`` — the residual ctor args are Ray Data's
+    own ``_MapWorker.__init__(ctx, ..., map_transformer, ...)``, which
+    are DRIVER-owned (a lost copy is re-fetched from the owner), so an
+    actor killed mid-job does restart and the job completes —
+    exercised by tests/test_pipeline.py::TestActorRestart."""
+
+    def __init__(self):
+        cls.__init__(self, **kwargs)
+
+    return type(f"{cls.__name__}Bound", (cls,), {"__init__": __init__})
+
+
 class ExtractUnitActor:
     """Stage 2: the stateful layout/OCR stage as an actor-pool callable.
 

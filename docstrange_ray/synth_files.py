@@ -240,13 +240,18 @@ def make_pptx(slides: list[list[str]]) -> bytes:
     return buf.getvalue()
 
 
-def make_pdf(pages: list[str], compress: bool = True) -> bytes:
+def make_pdf(
+    pages: list[str], compress: bool = True, indirect_length: bool = False
+) -> bytes:
     """Build a well-formed single-generation PDF (catalog, page tree,
     Helvetica, one Flate-compressed content stream per page, xref table)
     with each page's text drawn line-by-line via Tj/Td — the layout the
     from-scratch parser (and any real reader) understands. ``pages`` of
     empty strings produce textless pages (the scanned-PDF shape that
-    routes to the OCR path)."""
+    routes to the OCR path). ``indirect_length`` emits each content
+    stream's /Length as an indirect reference to a trailing integer
+    object — the dominant layout of incremental PDF generators, which
+    write the stream before its length is known."""
 
     def esc(line: str) -> str:
         return line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -270,7 +275,9 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
                 f"/Resources << /Font << /F1 3 0 R >> >> /Contents {cid} 0 R >>"
             ).encode()
         )
-    for text in pages:
+    length_objects: list[bytes] = []  # appended after all content objects
+    length_base = 4 + 2 * n_pages  # first /Length-value object number
+    for i, text in enumerate(pages):
         ops = ["BT", "/F1 11 Tf", "72 720 Td"]
         for j, line in enumerate(text.split("\n")):
             if j > 0:
@@ -279,19 +286,19 @@ def make_pdf(pages: list[str], compress: bool = True) -> bytes:
                 ops.append(f"({esc(line)}) Tj")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1")
-        if compress:
-            comp = zlib.compress(stream)
-            objects.append(
-                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
-                + comp
-                + b"\nendstream"
-            )
+        payload = zlib.compress(stream) if compress else stream
+        filt = b" /Filter /FlateDecode" if compress else b""
+        if indirect_length:
+            length_tok = f"{length_base + i} 0 R".encode()
+            length_objects.append(str(len(payload)).encode())
         else:
-            objects.append(
-                b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
-                + stream
-                + b"\nendstream"
-            )
+            length_tok = str(len(payload)).encode()
+        objects.append(
+            b"<< /Length " + length_tok + filt + b" >>\nstream\n"
+            + payload
+            + b"\nendstream"
+        )
+    objects.extend(length_objects)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -443,3 +443,43 @@ class TestCLIs:
         from docstrange_ray.state.manifest import job_summary
 
         assert job_summary(out)["n_docs"] == 30
+
+
+class TestActorRestart:
+    """bind_actor ships ctor kwargs inside the cloudpickled class so the
+    actor creation task carries zero object-store args (ray#53727): an
+    actor killed mid-job restarts and the job completes."""
+
+    def test_bound_actor_needs_no_args(self):
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.stages import ExtractUnitActor, bind_actor
+
+        bound = bind_actor(ExtractUnitActor, cfg=DEFAULT)
+        inst = bound()  # zero-arg construction
+        assert inst.cfg is DEFAULT
+        assert isinstance(inst, ExtractUnitActor)
+
+    def test_job_survives_actor_kill(self, ray_session, tmp_path, corpus, oracle):
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.stages import ExtractUnitActor, bind_actor
+
+        marker = str(tmp_path / "killed-once")
+        bound = bind_actor(ExtractUnitActor, cfg=DEFAULT)
+
+        # Defined inside the test fn so cloudpickle serializes it by
+        # value (module-level test classes pickle by reference and fail
+        # on workers).
+        class FlakyActor(bound):
+            def __call__(self, batch):
+                if not os.path.exists(marker):
+                    with open(marker, "w"):
+                        pass
+                    os._exit(1)  # hard-kill this actor process
+                return super().__call__(batch)
+
+        ds = ray.data.from_arrow(corpus)
+        rows = extract_pipeline(
+            ds, skew_threshold_units=4, actor_cls=FlakyActor
+        ).take_all()
+        assert os.path.exists(marker), "fault was never injected"
+        _assert_equal(rows, oracle)

@@ -251,6 +251,29 @@ class TestPdfParser:
         assert data.rstrip().endswith(b"%%EOF")
         assert b"xref" in data and b"trailer" in data
 
+    def test_indirect_multidigit_length(self):
+        # '/Length 12 0 R' must resolve via the object table, not match
+        # '1' as a literal length (the round-2 backtracking bug): 4 pages
+        # push the /Length-value objects to numbers 12-15.
+        pages = [f"page {i} body text with enough bytes" for i in range(4)]
+        data = make_pdf(pages, indirect_length=True)
+        assert b"/Length 12 0 R" in data
+        assert parse_pdf_pages(data) == pages
+
+    def test_indirect_length_uncompressed(self):
+        pages = ["alpha", "beta", "gamma", "delta"]
+        data = make_pdf(pages, compress=False, indirect_length=True)
+        assert parse_pdf_pages(data) == pages
+
+    def test_literal_length_not_prefix_truncated(self):
+        # A literal '/Length 34' followed by other dict keys must parse
+        # as 34, never a backtracked prefix.
+        from docstrange_ray.extract.binary_formats import _LENGTH_RE
+
+        m = _LENGTH_RE.search(b"<< /Length 345 /Filter /FlateDecode >>")
+        assert m and m.group(1) == b"345"
+        assert _LENGTH_RE.search(b"<< /Length 12 0 R >>") is None
+
 
 class TestDispatch:
     def test_extension_routing(self):

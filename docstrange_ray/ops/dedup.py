@@ -46,28 +46,111 @@ _PERM_A = (_rng.randint(1, 1 << 62, size=NUM_PERM).astype(np.uint64) << np.uint6
 _PERM_B = _rng.randint(0, 1 << 62, size=NUM_PERM).astype(np.uint64)
 
 
+# Splitmix64 finalizer constants (public-domain mixing function) — used
+# to finalize composed n-gram hashes and to derive bloom positions.
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 in, uint64 out)."""
+    with np.errstate(over="ignore"):
+        v = v.copy()
+        v ^= v >> np.uint64(30)
+        v *= _SM_C1
+        v ^= v >> np.uint64(27)
+        v *= _SM_C2
+        v ^= v >> np.uint64(31)
+    return v
+
+
+# Position-specific odd multipliers for composing word hashes into
+# n-gram hashes ("a b c" != "c b a"); indexed by gram position.
+_GRAM_MULTS = (
+    (np.random.RandomState(0x5419).randint(1, 1 << 62, size=16).astype(np.uint64))
+    << np.uint64(1)
+) | np.uint64(1)
+
+
+def _word_hashes_u64(words: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, unique_hashes): factorize the word list and md5-hash each
+    DISTINCT word exactly once — batch-level vocabulary hashing. The
+    per-instance hash array is ``unique_hashes[codes]`` (one numpy
+    take). md5 keeps the word-level hash process-stable and citable;
+    Zipf makes the vocabulary far smaller than the instance stream."""
+    codes, uniques = pd.factorize(np.asarray(words, dtype=object))
+    digest = b"".join(
+        hashlib.md5(w.encode("utf-8")).digest()[:8] for w in uniques
+    )
+    uh = np.frombuffer(digest, dtype=">u8").astype(np.uint64)
+    return codes, uh
+
+
+def _shingle_arrays(texts: list[str], n: int = 3) -> list[np.ndarray]:
+    """Per-document arrays of DISTINCT word-n-gram shingle hashes
+    (uint64 >> 1, int64-safe). The round-2 kernel md5-hashed every
+    joined n-gram string per document (the dominant CPU of the whole
+    dedup path); this one md5-hashes each distinct WORD once per batch
+    and composes grams with position multipliers + a splitmix finalizer
+    in one numpy pass — no per-gram Python, no per-gram string
+    allocation. A document with fewer than ``n`` words yields one
+    shingle composed over all its words (matching the old semantics of
+    hashing the whole joined text)."""
+    word_lists = [(t or "").lower().split() for t in texts]
+    all_words = [w for ws in word_lists for w in ws]
+    if not all_words:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    codes, uh = _word_hashes_u64(all_words)
+    wh = uh[codes]
+    out: list[np.ndarray] = []
+    pos = 0
+    for ws in word_lists:
+        k = len(ws)
+        if k == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        w = wh[pos : pos + k]
+        pos += k
+        m = min(n, k)
+        acc = np.zeros(k - m + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(m):
+                acc += w[j : k - m + 1 + j] * _GRAM_MULTS[j]
+        out.append(np.unique(_mix64(acc)) >> np.uint64(1))
+    return out
+
+
 def _shingles(text: str, n: int = 3) -> set[int]:
-    """Word n-gram shingles as stable 64-bit ints."""
-    words = (text or "").lower().split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return {
-        int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big") >> 3
-        for g in grams
-    }
+    """Word n-gram shingles as stable 64-bit ints (single-doc wrapper
+    over the batch kernel :func:`_shingle_arrays`)."""
+    return set(_shingle_arrays([text], n)[0].astype(np.int64).tolist())
+
+
+def minhash_signatures_batch(texts: list[str], n: int = 3) -> np.ndarray:
+    """(n_docs, NUM_PERM) int64 signature matrix, fully vectorized: ONE
+    (NUM_PERM, total_shingles) permute pass over the concatenated
+    shingle stream + ``np.minimum.reduceat`` at document boundaries.
+    Documents with no shingles get the all-zero signature."""
+    arrs = _shingle_arrays(texts, n)
+    sigs = np.zeros((len(arrs), NUM_PERM), dtype=np.int64)
+    lens = np.array([a.size for a in arrs], dtype=np.int64)
+    nz = np.where(lens > 0)[0]
+    if nz.size == 0:
+        return sigs
+    concat = np.concatenate([arrs[i] for i in nz])
+    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    # (total_shingles, NUM_PERM) layout: contiguous per-doc row segments
+    # make the reduceat stride-friendly and the outer product measurably
+    # faster than the (NUM_PERM, total) orientation.
+    with np.errstate(over="ignore"):
+        vals = concat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+    mins = np.minimum.reduceat(vals, starts, axis=0)  # (n_nz, NUM_PERM)
+    sigs[nz] = (mins >> np.uint64(1)).astype(np.int64)
+    return sigs
 
 
 def minhash_signature(text: str, n: int = 3) -> np.ndarray:
-    sh = _shingles(text, n)
-    if not sh:
-        return np.zeros(NUM_PERM, dtype=np.int64)
-    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-    # (a*x + b) mod 2^64, min over shingles, vectorized over both axes
-    with np.errstate(over="ignore"):
-        vals = x[None, :] * _PERM_A[:, None] + _PERM_B[:, None]
-    return (vals.min(axis=1) >> np.uint64(1)).astype(np.int64)
+    return minhash_signatures_batch([text], n)[0]
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -158,7 +241,7 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
             ],
             names=["doc_id", "band_key", "sig"],
         )
-    sigs = np.stack([minhash_signature(t) for t in texts])  # (n, NUM_PERM)
+    sigs = minhash_signatures_batch(texts)  # (n, NUM_PERM), one numpy pass
     keys = _band_keys(sigs)  # (n, BANDS)
     sig_bytes = pa.array([s.tobytes() for s in sigs], type=pa.binary())
     idx = pa.array(np.repeat(np.arange(n), BANDS))
@@ -257,12 +340,37 @@ _BLOOM_BITS = 1 << 23  # 8 Mbit = 1 MiB bitmap; fpr ~2% at 1M candidate ids
 _BLOOM_HASHES = 4
 
 
-def _bloom_positions(doc_id, m_bits: int) -> list[int]:
-    h = hashlib.md5(str(doc_id).encode("utf-8")).digest()
-    return [
-        int.from_bytes(h[4 * i : 4 * i + 4], "big") % m_bits
-        for i in range(_BLOOM_HASHES)
-    ]
+_BLOOM_SALTS = (
+    np.uint64(0xA076_1D64_78BD_642F),
+    np.uint64(0xE703_7ED1_A0B4_28DB),
+    np.uint64(0x8EBC_6AF0_9C88_C6E3),
+    np.uint64(0x5899_65CC_7537_4CC3),
+)
+
+
+def _bloom_positions_vec(ids: list, m_bits: int) -> np.ndarray:
+    """(n, _BLOOM_HASHES) bit positions for a batch of doc ids, fully
+    vectorized: md5 once per DISTINCT id (factorize — the candidate
+    tail repeats ids across pairs), then ``_BLOOM_HASHES`` independent
+    splitmix mixes of that base hash. Build and probe share this
+    function, so agreement (the no-false-negative property) holds by
+    construction. Replaces the round-2 per-row md5 + Python bit loop
+    that ran over the FULL corpus scan — the exact place the bloom
+    exists to protect."""
+    codes, uniques = pd.factorize(
+        np.asarray([str(d) for d in ids], dtype=object)
+    )
+    digest = b"".join(
+        hashlib.md5(u.encode("utf-8")).digest()[:8] for u in uniques
+    )
+    base = np.frombuffer(digest, dtype=">u8").astype(np.uint64)[codes]
+    out = np.empty((len(ids), _BLOOM_HASHES), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_HASHES):
+            out[:, i] = (_mix64(base + _BLOOM_SALTS[i]) % np.uint64(m_bits)).astype(
+                np.int64
+            )
+    return out
 
 
 def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
@@ -274,10 +382,15 @@ def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
 
     def block_bloom(batch: pa.Table) -> pa.Table:
         bits = np.zeros(words, dtype=np.uint64)
-        for col in ("doc_id_a", "doc_id_b"):
-            for d in batch.column(col).to_pylist():
-                for pos in _bloom_positions(d, m_bits):
-                    bits[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+        ids = (
+            batch.column("doc_id_a").to_pylist()
+            + batch.column("doc_id_b").to_pylist()
+        )
+        if ids:
+            pos = _bloom_positions_vec(ids, m_bits).reshape(-1)
+            np.bitwise_or.at(
+                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
         return pa.Table.from_arrays(
             [pa.array([bits.tobytes()], type=pa.binary())], names=["bloom"]
         )
@@ -381,16 +494,16 @@ def near_dup_pairs_ds(
         def bloom_keep(batch: pa.Table) -> pa.Table:
             import ray as _ray
 
+            if batch.num_rows == 0:
+                return batch
             bits = _ray.get(bloom_ref)
-            mask = []
-            for d in batch.column("doc_id").to_pylist():
-                hit = True
-                for pos in _bloom_positions(d, _BLOOM_BITS):
-                    if not (bits[pos >> 6] >> np.uint64(pos & 63)) & np.uint64(1):
-                        hit = False
-                        break
-                mask.append(hit)
-            return batch.filter(pa.array(mask))
+            pos = _bloom_positions_vec(
+                batch.column("doc_id").to_pylist(), _BLOOM_BITS
+            )  # (n, k)
+            hit = (
+                (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            ).all(axis=1)
+            return batch.filter(pa.array(hit))
 
         corpus_src = corpus_src.map_batches(bloom_keep, batch_format="pyarrow")
     corpus = corpus_src.map_batches(tag_corpus, batch_format="pyarrow")
@@ -412,13 +525,15 @@ def near_dup_pairs_ds(
         if mem_t.num_rows == 0:
             return out_schema.empty_table()
         corpus_t = block.filter(pc.invert(is_mem))
-        texts = dict(
-            zip(
-                corpus_t.column("doc_id").to_pylist(),
-                corpus_t.column("text").to_pylist(),
-            )
-        )
-        cache: dict = {}
+        # one batch shingle pass over every corpus doc in the block
+        # (vocabulary-hashed; _shingle_arrays) instead of per-doc calls
+        corpus_ids = corpus_t.column("doc_id").to_pylist()
+        corpus_texts = [t or "" for t in corpus_t.column("text").to_pylist()]
+        arrs = _shingle_arrays(corpus_texts, ngram)
+        sh_by_doc = {
+            did: arr.astype(np.int64).tolist()  # np.unique output: sorted
+            for did, arr in zip(corpus_ids, arrs)
+        }
         out_a, out_b, out_side, out_sh = [], [], [], []
         for did, aa, bb, sd in zip(
             mem_t.column("doc_id").to_pylist(),
@@ -426,14 +541,10 @@ def near_dup_pairs_ds(
             mem_t.column("b").to_pylist(),
             mem_t.column("side").to_pylist(),
         ):
-            sh = cache.get(did)
-            if sh is None:
-                sh = sorted(_shingles(texts.get(did, "") or "", ngram))
-                cache[did] = sh
             out_a.append(aa)
             out_b.append(bb)
             out_side.append(sd)
-            out_sh.append(sh)
+            out_sh.append(sh_by_doc.get(did, []))
         return pa.Table.from_arrays(
             [
                 pa.array(out_a, type=id_t),
@@ -649,34 +760,43 @@ _SHIFTS = np.arange(64, dtype=np.uint64)
 _POW2 = (np.uint64(1) << _SHIFTS).astype(np.uint64)
 
 
-def _simhash_from_word_hashes(vals: np.ndarray) -> int:
-    """SimHash from an array of 64-bit word hashes: one vectorized
-    bit-unpack + column sum per document (no per-word Python)."""
-    if len(vals) == 0:
-        return -(1 << 63)
-    bits = (vals[:, None] >> _SHIFTS[None, :]) & np.uint64(1)  # (n_words, 64)
-    acc = 2 * bits.astype(np.int64).sum(axis=0) - len(vals)
-    val = int((_POW2[acc > 0]).sum())
-    return val - (1 << 63)  # shift into signed int64 range for Arrow
+def _simhash_values(texts: list[str]) -> np.ndarray:
+    """int64 SimHash per text, fully vectorized across the batch:
+    factorize the concatenated word stream (md5 once per DISTINCT word
+    — values identical to the round-2 per-word kernel), unpack bits for
+    every word instance in one numpy pass, and majority-sum at document
+    boundaries with ``np.add.reduceat``. Wordless documents get the
+    sentinel ``-(1 << 63)``."""
+    word_lists = [(t or "").lower().split() for t in texts]
+    lens = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+    sims = np.full(len(texts), -(1 << 63), dtype=np.int64)
+    nz = np.where(lens > 0)[0]
+    if nz.size == 0:
+        return sims
+    all_words = [w for ws in word_lists for w in ws]
+    codes, uh = _word_hashes_u64(all_words)
+    wh = uh[codes]
+    bits = ((wh[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )  # (total_words, 64)
+    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    sums = np.add.reduceat(bits, starts, axis=0)  # (n_nz, 64)
+    acc = 2 * sums - lens[nz][:, None]
+    vals = ((acc > 0).astype(np.uint64) * _POW2[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    # val - 2^63 (shift into signed range) == flip the MSB, view signed
+    sims[nz] = (vals ^ np.uint64(1 << 63)).view(np.int64)
+    return sims
 
 
-def simhash64(text: str, _cache: dict | None = None) -> int:
+def simhash64(text: str) -> int:
     """64-bit SimHash over word features (md5-based, deterministic)."""
-    cache = _cache if _cache is not None else {}
-    words = (text or "").lower().split()
-    vals = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        v = cache.get(w)
-        if v is None:
-            v = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-            cache[w] = v
-        vals[i] = v
-    return _simhash_from_word_hashes(vals)
+    return int(_simhash_values([text])[0])
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    cache: dict[str, int] = {}  # word-hash cache shared across the batch
-    sims = [simhash64(t, cache) for t in batch.column("text").to_pylist()]
+    sims = _simhash_values(batch.column("text").to_pylist())
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(sims, type=pa.int64())],
         names=["doc_id", "simhash"],
@@ -837,12 +957,46 @@ def embedding_dup_pairs_bucketed(
     )
 
 
-def embedding_dup_pairs(ds, threshold: float = 0.95):
+# Above this row count the brute plan is wrong twice over: the driver
+# materializes the full N x D float64 matrix (100k x 256 dims = 200 MB —
+# the broadcast ceiling), and the per-batch matmul is O(N) per row
+# (quadratic in corpus size). Mirrors relational.ASOF_BROADCAST_ROW_LIMIT.
+EMBED_BRUTE_ROW_LIMIT = 100_000
+
+
+def resolve_embedding_plan(ds, brute_limit: int = EMBED_BRUTE_ROW_LIMIT) -> str:
+    """'broadcast' (exact, driver-held matrix) under the row bound,
+    'bucketed' (LSH, fully distributed) above it. ``ds.count()`` on a
+    parquet read is metadata-only — no scan."""
+    return "broadcast" if ds.count() <= brute_limit else "bucketed"
+
+
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    plan: str = "auto",
+    brute_limit: int = EMBED_BRUTE_ROW_LIMIT,
+    num_partitions=None,
+):
     """(id_a, id_b, cos) for all embedding pairs with cosine above the
-    threshold. Fixture-scale plan: broadcast the normalized matrix once
-    (ray.put) and matmul per batch — O(N*B) per batch, no shuffle. The
-    10^12-row path is :func:`embedding_dup_pairs_bucketed`."""
+    threshold. Two physical plans, auto-selected by row count
+    (``plan='auto'``, :func:`resolve_embedding_plan`):
+
+      * ``'broadcast'`` — exact: broadcast the normalized matrix once
+        (ray.put) and matmul per batch, no shuffle. Only sane under
+        ``brute_limit`` rows (driver matrix + O(N^2) compute).
+      * ``'bucketed'`` — the 10^12-row path
+        (:func:`embedding_dup_pairs_bucketed`): multi-set hyperplane
+        LSH, ONE bucket shuffle, recall ~1-(1-p)^n_sets.
+    """
     import ray
+
+    if plan == "auto":
+        plan = resolve_embedding_plan(ds, brute_limit)
+    if plan == "bucketed":
+        return embedding_dup_pairs_bucketed(
+            ds, threshold=threshold, num_partitions=num_partitions
+        )
 
     mat_rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.array([r["vec_id"] for r in mat_rows], dtype=np.int64)

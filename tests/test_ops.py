@@ -118,6 +118,26 @@ class TestEmbeddingOps:
         pairs = dedup.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
         assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
 
+    def test_auto_plan_selection_both_sizes(self):
+        # the round-2 scale-killer: plan='auto' must route a corpus over
+        # the brute limit to the bucketed (distributed) plan instead of
+        # take_all()-ing the embedding table onto the driver
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(range(8)), pa.int64()),
+                "embedding": [[1.0, 0.0]] * 4 + [[0.0, 1.0]] * 4,
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        assert dedup.resolve_embedding_plan(ds) == "broadcast"
+        assert dedup.resolve_embedding_plan(ds, brute_limit=4) == "bucketed"
+        # dispatch above the limit produces bucketed-plan results (exact
+        # duplicates always collide in every hyperplane set -> found)
+        pairs = dedup.embedding_dup_pairs(
+            ds, threshold=0.99, brute_limit=4
+        ).to_pandas()
+        assert {(0, 1), (0, 2), (4, 5)} <= set(zip(pairs["id_a"], pairs["id_b"]))
+
 
 class TestTextStats:
     def test_token_and_quality_vs_duckdb(self):

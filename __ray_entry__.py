@@ -557,6 +557,118 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
             FROM documents
         """,
+        # lang_id heuristic is deterministic + SQL-expressible: stopword
+        # hits per language with strict-improvement tie-break (the
+        # Python iterates sorted lang keys, so first-at-max wins).
+        "lang_id": r"""
+            WITH words AS (
+                SELECT doc_id, lower(w) AS w
+                FROM documents,
+                     UNNEST(regexp_extract_all(text, '[a-zA-Zäöüéèêàçñ]+')) AS t(w)
+            ), hits AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE w IN ('der','die','das','und','ist','nicht','ein','mit','für','von')) AS h_de,
+                       COUNT(*) FILTER (WHERE w IN ('the','and','of','to','is','in','that','it','for','with')) AS h_en,
+                       COUNT(*) FILTER (WHERE w IN ('el','la','los','las','es','un','una','para','que','con')) AS h_es,
+                       COUNT(*) FILTER (WHERE w IN ('le','la','les','et','est','un','une','pour','que','dans')) AS h_fr
+                FROM words GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+                        WHEN COALESCE(GREATEST(h_de, h_en, h_es, h_fr), 0) = 0 THEN 'und'
+                        WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # word hash parity: ('0x' || substr(md5(w),1,16))::UBIGINT equals
+        # Python's int.from_bytes(md5(w).digest()[:8], 'big') exactly.
+        "simhash_sigs": r"""
+            WITH words AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS v
+                FROM (SELECT doc_id,
+                             UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                x -> x <> '')) AS w
+                      FROM documents)
+            ), bits AS (
+                SELECT doc_id, k,
+                       SUM(CAST((v >> k) & 1 AS BIGINT)) AS ones,
+                       COUNT(*) AS n
+                FROM words, UNNEST(range(64)) AS t(k)
+                GROUP BY doc_id, k
+            ), vals AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN 2 * ones > n THEN (1::HUGEINT << k) ELSE 0 END) AS uval
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(v.uval, 0) - 9223372036854775808 AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN vals v USING (doc_id)
+        """,
+        # exact all-pairs Hamming: valid as the oracle for the blocked
+        # plan because pigeonhole blocking is COMPLETE for hamming<=3
+        # and no segment bucket at this scale exceeds the star cap.
+        "simhash_pairs": r"""
+            WITH words AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS v
+                FROM (SELECT doc_id,
+                             UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                x -> x <> '')) AS w
+                      FROM documents)
+            ), bits AS (
+                SELECT doc_id, k,
+                       SUM(CAST((v >> k) & 1 AS BIGINT)) AS ones,
+                       COUNT(*) AS n
+                FROM words, UNNEST(range(64)) AS t(k)
+                GROUP BY doc_id, k
+            ), vals AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN 2 * ones > n THEN (1::HUGEINT << k) ELSE 0 END) AS uval
+                FROM bits GROUP BY doc_id
+            ), sims AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(v.uval, 0) - 9223372036854775808 AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN vals v USING (doc_id)
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # rolling polynomial min-hash fingerprint, word values as above;
+        # HUGEINT keeps the (2^61-1)-mod arithmetic exact.
+        "doc_fingerprint": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws0
+                FROM documents
+            ), padded AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws0) < 8
+                            THEN list_concat(ws0, list_transform(range(8 - len(ws0)),
+                                                                 x -> chr(0)))
+                            ELSE ws0 END AS ws
+                FROM docs
+            ), vals AS (
+                SELECT doc_id,
+                       list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT::HUGEINT) AS vs
+                FROM padded
+            ), wins AS (
+                SELECT doc_id,
+                       ((((((((((((((vs[i] % 2305843009213693951) * 1000003 + vs[i+1]) % 2305843009213693951)
+                          * 1000003 + vs[i+2]) % 2305843009213693951)
+                          * 1000003 + vs[i+3]) % 2305843009213693951)
+                          * 1000003 + vs[i+4]) % 2305843009213693951)
+                          * 1000003 + vs[i+5]) % 2305843009213693951)
+                          * 1000003 + vs[i+6]) % 2305843009213693951)
+                          * 1000003 + vs[i+7]) % 2305843009213693951 AS h
+                FROM vals, UNNEST(range(1, len(vs) - 6)) AS t(i)
+            )
+            SELECT doc_id, CAST(MIN(h) AS BIGINT) AS fingerprint
+            FROM wins GROUP BY doc_id
+        """,
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,
                    MIN(doc_id) AS keep_doc_id,

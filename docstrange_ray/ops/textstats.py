@@ -38,15 +38,22 @@ def token_stats(batch: pa.Table) -> pa.Table:
     BPE-ish regex token count (words + punctuation marks) — the engine's
     analogue of the reference's tiktoken/char-4 token counter
     (mcp_server_module/server.py:69-86 — A10/G2)."""
-    texts = batch.column("text").to_pylist()
-    n_ws = [len(t.split()) if t else 0 for t in texts]
-    n_bpe = [len(_WORD_OR_PUNCT.findall(t)) if t else 0 for t in texts]
+    col = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(col)
+    # Arrow split of "" yields [""] (length 1) where Python's split()
+    # yields [] — mask whitespace-only texts to zero explicitly.
+    n_ws = pc.if_else(
+        pc.equal(trimmed, ""),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.list_value_length(pc.utf8_split_whitespace(trimmed)), pa.int64()),
+    )
+    # RE2 kernel agrees with the Python regex on this pattern (verified
+    # against the re-based round-2 implementation corpus-wide).
+    n_bpe = pc.cast(
+        pc.count_substring_regex(col, r"\w+|[^\w\s]"), pa.int64()
+    )
     return pa.Table.from_arrays(
-        [
-            batch.column("doc_id"),
-            pa.array(n_ws, type=pa.int64()),
-            pa.array(n_bpe, type=pa.int64()),
-        ],
+        [batch.column("doc_id"), n_ws, n_bpe],
         names=["doc_id", "n_ws_tokens", "n_bpe_tokens"],
     )
 

@@ -619,8 +619,18 @@ def docs_by_source(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["source", "n_chars", "text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        n_tokens = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(
+                pc.list_value_length(pc.utf8_split_whitespace(trimmed)), pa.int64()
+            ),
+        )
         df = batch.to_pandas()
-        df["n_tokens"] = [len(t.split()) if t else 0 for t in df["text"]]
+        df["n_tokens"] = n_tokens.to_numpy(zero_copy_only=False)
         return df.groupby("source", as_index=False).agg(
             n_docs=("n_chars", "size"),
             sum_chars=("n_chars", "sum"),

@@ -181,6 +181,275 @@ def decode_png(data: bytes):
     return np.round(luma).astype(np.uint8)
 
 
+# --- baseline JPEG decode (stdlib + numpy, from scratch) --------------------
+
+# Zigzag scan order: _JPEG_ZIGZAG[k] = row-major index of the k-th
+# scanned coefficient (ITU-T T.81 Figure 5 — public spec).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    import numpy as np
+
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; restart markers are consumed by ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.buf = (self.buf << 8) | 0
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    # marker ahead: pad with zero bits, leave pos on it
+                    self.buf = (self.buf << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:
+                    raise ValueError(f"unexpected JPEG marker 0xff{nxt:02x} in scan")
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker (DRI intervals)."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _huff_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(reader: _JpegBitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = reader.bits(s)
+    if v < (1 << (s - 1)):  # negative branch (T.81 EXTEND)
+        v -= (1 << s) - 1
+    return v
+
+
+def decode_jpeg_gray(data: bytes):
+    """REAL stdlib+numpy baseline-JPEG decode -> grayscale ``numpy
+    (h, w) uint8``. From-scratch ITU-T T.81 baseline path: marker walk,
+    DQT/DHT/DRI/SOF0/SOS parse, canonical Huffman entropy decode with
+    byte-unstuffing and restart intervals, dequantize + 8x8 IDCT.
+    Supports 1- and 3-component frames with sampling factors 1-2; only
+    the luma component is inverse-transformed (output is grayscale, the
+    same contract as :func:`decode_png`), but chroma blocks are still
+    entropy-decoded to keep the bitstream in sync. Progressive (SOF2),
+    arithmetic-coded, and 12-bit frames raise ValueError — they route
+    to the gated codec backend."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq == 0:
+                    vals = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                    j += 65
+                else:
+                    vals = np.frombuffer(
+                        body[j + 1 : j + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    j += 129
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = vals
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = list(body[j + 1 : j + 17])
+                total = sum(counts)
+                symbols = list(body[j + 17 : j + 17 + total])
+                huff[(tc, th)] = _huff_table(counts, symbols)
+                j += 17 + total
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            precision = body[0]
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported (progressive/arithmetic)")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c : 3 + 2 * c]
+                scan_tables[cs] = (tt >> 4, tt & 15)
+            return _decode_scan(
+                data, i + 2 + seg_len, frame, scan_tables, qt, huff,
+                restart_interval,
+            )
+        elif marker == 0xD9:
+            break
+        i += 2 + seg_len
+    raise ValueError("no JPEG scan data found")
+
+
+def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
+    import numpy as np
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("JPEG sampling factors above 2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    luma = comps[0]
+    ly_blocks_w = mcus_x * luma["h"]
+    ly_blocks_h = mcus_y * luma["v"]
+    # collect dequantized luma coefficient blocks; IDCT once, batched
+    lcoefs = np.zeros((ly_blocks_h * ly_blocks_w, 8, 8), dtype=np.float64)
+    reader = _JpegBitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = {c["id"]: 0 for c in comps}
+            for ci, c in enumerate(comps):
+                dc_t = huff.get((0, scan_tables[c["id"]][0]))
+                ac_t = huff.get((1, scan_tables[c["id"]][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing JPEG Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(reader, dc_t)
+                        preds[c["id"]] += _receive_extend(reader, s)
+                        coefs[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coefs[_JPEG_ZIGZAG[k]] = _receive_extend(reader, s)
+                            k += 1
+                        if ci == 0:  # luma only: dequant + store for IDCT
+                            bi = (my * c["v"] + by) * ly_blocks_w + (
+                                mx * c["h"] + bx
+                            )
+                            lcoefs[bi] = (coefs * qt[c["tq"]]).reshape(8, 8)
+            mcu_count += 1
+    C = _idct_matrix()
+    spatial = np.einsum("ki,nkl,lj->nij", C, lcoefs, C) + 128.0
+    plane = np.zeros((ly_blocks_h * 8, ly_blocks_w * 8), dtype=np.float64)
+    for bi in range(lcoefs.shape[0]):
+        by, bx = divmod(bi, ly_blocks_w)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial[bi]
+    # luma plane covers ceil(w * h_luma / hmax) samples; crop to the
+    # component's true sample grid, then (factors 1 or 2) it IS the
+    # image grid for the common 4:2:0 / 4:4:4 / grayscale layouts
+    lw = -(-w * luma["h"] // hmax)
+    lh = -(-h * luma["v"] // vmax)
+    return np.clip(np.round(plane[:lh, :lw]), 0, 255).astype(np.uint8)
+
+
 _META_FIELDS = (
     ("mime", pa.string()),
     ("width", pa.int32()),

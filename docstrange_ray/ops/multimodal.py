@@ -63,11 +63,13 @@ class ImageDecodeActor:
     Backends:
       * ``'fake'`` — deterministic pseudo-pixels from the payload bytes
         (hermetic default for synthetic media tables);
-      * ``'auto'`` — REAL stdlib PNG decode (ops/media_meta.decode_png:
-        inflate + unfilter + luma) when the payload is a PNG, fake
-        otherwise — real pixels with zero dependencies;
+      * ``'auto'`` — REAL stdlib decode when the payload is a PNG
+        (ops/media_meta.decode_png: inflate + unfilter + luma) or a
+        baseline JPEG (ops/media_meta.decode_jpeg_gray: Huffman + IDCT,
+        from scratch), fake otherwise — real pixels for the two
+        dominant image mimes with zero dependencies;
       * ``'pil'`` — raises until a real imaging library is present
-        (JPEG and friends need a codec).
+        (progressive JPEG, WebP and friends need a codec).
     """
 
     def __init__(self, backend: str = "fake", resize_to: int = 32):
@@ -93,6 +95,13 @@ class ImageDecodeActor:
             from docstrange_ray.ops.media_meta import decode_png
 
             return decode_png(payload)  # REAL pixels
+        if self.backend == "auto" and payload[:2] == b"\xff\xd8":
+            from docstrange_ray.ops.media_meta import decode_jpeg_gray
+
+            try:
+                return decode_jpeg_gray(payload)  # REAL pixels
+            except ValueError:
+                pass  # progressive/headers-only: deterministic fake
         return self._decode_fake(payload, max(1, w), max(1, h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

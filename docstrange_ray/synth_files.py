@@ -537,27 +537,185 @@ def make_jpeg_header(width: int, height: int) -> bytes:
     )
 
 
+# Standard luminance Huffman tables (ITU-T T.81 Annex K — public spec).
+_JPEG_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_enc_table(counts, symbols):
+    """{symbol: (code, length)} from canonical counts/symbols."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
+        return bytes(self.out)
+
+
+def make_jpeg(img, quant: int = 1) -> bytes:
+    """Encode a grayscale ``numpy (h, w) uint8`` image as a REAL
+    baseline JFIF JPEG — from-scratch stdlib+numpy: 8x8 DCT, flat
+    ``quant`` quantization, zigzag run-length + canonical Huffman with
+    the Annex-K luminance tables, byte stuffing. With ``quant=1`` the
+    round trip through :func:`ops.media_meta.decode_jpeg_gray` is exact
+    to within DCT float rounding (±1 intensity level)."""
+    import numpy as np
+
+    from docstrange_ray.ops.media_meta import _JPEG_ZIGZAG
+
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[-1:, :]  # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+
+    qtable = np.full(64, quant, dtype=np.int64)
+    dc_tab = _jpeg_enc_table(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac_tab = _jpeg_enc_table(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    writer = _JpegBitWriter()
+    pred = 0
+
+    def magnitude(v: int) -> tuple[int, int]:
+        s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << s) - 1
+        return s, bits
+
+    zz = np.asarray(_JPEG_ZIGZAG)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coefs = C @ block @ C.T
+            q = np.round(coefs.reshape(-1) / qtable).astype(np.int64)[zz]
+            s, bits = magnitude(int(q[0]) - pred)
+            pred = int(q[0])
+            code, length = dc_tab[s]
+            writer.write(code, length)
+            writer.write(bits, s)
+            run = 0
+            nz = np.nonzero(q[1:])[0]
+            last = nz[-1] + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(q[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tab[0xF0]  # ZRL
+                    writer.write(code, length)
+                    run -= 16
+                s, bits = magnitude(v)
+                code, length = ac_tab[(run << 4) | s]
+                writer.write(code, length)
+                writer.write(bits, s)
+                run = 0
+            if last < 63:
+                code, length = ac_tab[0x00]  # EOB
+                writer.write(code, length)
+
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0x00]) + bytes(qtable[zz].astype(np.uint8).tolist())
+    sof0 = b"\x08" + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+
+
 # bump when write_fixture_corpus's file set/content changes — cached
 # fixture dirs under /tmp are keyed on it (stale caches otherwise
 # survive across rounds)
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 
 def real_media_table(n: int = 60):
     """Deterministic media table of REAL bytes — valid PNGs/GIFs/WAVs
-    plus structurally-valid JPEG headers — for the real-metadata path
-    (`ops/media_meta`). Columns (media_ref, payload)."""
+    plus fully decodable baseline JPEGs (and one header-only JPEG per
+    cycle to exercise the metadata-without-scan path) — for the
+    real-metadata and real-decode paths (`ops/media_meta`). Columns
+    (media_ref, payload)."""
+    import numpy as np
     import pyarrow as pa
 
     refs, payloads = [], []
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         if kind == 0:
             data = make_png(16 + (i % 5) * 8, 16 + (i % 3) * 8, shade=(i * 37) % 256)
         elif kind == 1:
             data = make_gif(8 + (i % 4) * 4, 8 + (i % 2) * 4)
         elif kind == 2:
             data = make_wav(50 + (i % 5) * 25)
+        elif kind == 3:
+            w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+            img = (
+                np.add.outer(np.arange(h) * (2 + i % 3), np.arange(w)) + i * 11
+            ) % 256
+            data = make_jpeg(img.astype(np.uint8))
         else:
             data = make_jpeg_header(32 + (i % 3) * 16, 24 + (i % 2) * 8)
         refs.append(f"media://real/{i}")
@@ -566,6 +724,16 @@ def real_media_table(n: int = 60):
         [pa.array(refs), pa.array(payloads, type=pa.binary())],
         names=["media_ref", "payload"],
     )
+
+
+def _fixture_jpeg() -> bytes:
+    """Deterministic decodable baseline JPEG for the fixture corpus."""
+    import numpy as np
+
+    img = (np.add.outer(np.arange(32) * 4, np.arange(48) * 3) % 256).astype(
+        np.uint8
+    )
+    return make_jpeg(img)
 
 
 def write_fixture_corpus(out_dir: str) -> list[str]:
@@ -612,6 +780,7 @@ def write_fixture_corpus(out_dir: str) -> list[str]:
         ),
         "talk.ppt": make_ppt([["Old Deck", "Legacy bullets"], ["The End"]]),
         "photo.png": make_png(48, 32, shade=90),
+        "scan.jpg": _fixture_jpeg(),
         "data.csv": b"name,qty\nwidget,3\ngadget,5\n",
         "notes.txt": "plain notes\nwith two lines\n".encode("utf-8"),
         "page.html": (

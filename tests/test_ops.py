@@ -638,8 +638,95 @@ class TestPngDecode:
             r["media_ref"]: r
             for r in mm.decode_features(ds, concurrency=(1, 2), backend="auto").take_all()
         }
-        # PNG entries (i % 4 == 0) decode for REAL: constant-shade image
+        # PNG entries (i % 5 == 0) decode for REAL: constant-shade image
         # -> mean_intensity equals the shade exactly
-        for i in range(0, 20, 4):
+        for i in range(0, 20, 5):
             shade = (i * 37) % 256
             assert out[f"media://real/{i}"]["mean_intensity"] == float(shade)
+        # JPEG entries (i % 5 == 3) decode for REAL too: the gradient
+        # payload's mean intensity lands within DCT rounding of truth
+        for i in range(3, 20, 5):
+            w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
+            img = (
+                np.add.outer(np.arange(h) * (2 + i % 3), np.arange(w)) + i * 11
+            ) % 256
+            assert (
+                abs(out[f"media://real/{i}"]["mean_intensity"] - img.mean()) <= 1.0
+            )
+
+
+class TestJpegCodec:
+    """REAL from-scratch baseline JPEG: make_jpeg (DCT + Annex-K
+    Huffman) round-trips through decode_jpeg_gray (Huffman + IDCT)."""
+
+    def test_round_trip_exact_at_quant1(self):
+        from docstrange_ray.ops.media_meta import decode_jpeg_gray
+        from docstrange_ray.synth_files import make_jpeg
+
+        img = (np.add.outer(np.arange(37) * 3, np.arange(53) * 2) % 256).astype(
+            np.uint8
+        )
+        dec = decode_jpeg_gray(make_jpeg(img))
+        assert dec.shape == img.shape
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+    def test_round_trip_noise(self):
+        from docstrange_ray.ops.media_meta import decode_jpeg_gray
+        from docstrange_ray.synth_files import make_jpeg
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(64, 48)).astype(np.uint8)
+        dec = decode_jpeg_gray(make_jpeg(img))
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+    def test_lossy_quant_stays_close(self):
+        from docstrange_ray.ops.media_meta import decode_jpeg_gray
+        from docstrange_ray.synth_files import make_jpeg
+
+        img = ((np.add.outer(np.arange(40), np.arange(40))) * 2 % 256).astype(
+            np.uint8
+        )
+        dec = decode_jpeg_gray(make_jpeg(img, quant=8))
+        assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 4.0
+
+    def test_sniffable_and_rejects_header_only(self):
+        from docstrange_ray.ops.media_meta import decode_jpeg_gray, sniff_media
+        from docstrange_ray.synth_files import make_jpeg, make_jpeg_header
+
+        img = np.full((16, 24), 99, dtype=np.uint8)
+        data = make_jpeg(img)
+        meta = sniff_media(data)
+        assert (meta["mime"], meta["width"], meta["height"]) == ("image/jpeg", 24, 16)
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(make_jpeg_header(32, 24))  # no scan data
+
+    def test_rejects_progressive(self):
+        from docstrange_ray.ops.media_meta import decode_jpeg_gray
+        from docstrange_ray.synth_files import make_jpeg
+
+        data = bytearray(make_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(data))
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_auto_backend_uses_real_jpeg_pixels(self):
+        import ray.data
+
+        from docstrange_ray.ops.multimodal import decode_features
+        from docstrange_ray.synth_files import make_jpeg
+
+        img = np.full((16, 16), 200, dtype=np.uint8)
+        tbl = pa.table(
+            {
+                "media_ref": ["m1"],
+                "payload": pa.array([make_jpeg(img)], type=pa.binary()),
+                "width": pa.array([16], pa.int32()),
+                "height": pa.array([16], pa.int32()),
+            }
+        )
+        out = decode_features(
+            ray.data.from_arrow(tbl), backend="auto"
+        ).take_all()
+        assert abs(out[0]["mean_intensity"] - 200.0) <= 1.0

@@ -423,7 +423,7 @@ class TestCLIs:
         out = str(tmp_path / "md")
         assert convert_main(["--files", src, "--output", out, "--format", "markdown"]) == 0
         tbl = pq.read_table(out)
-        assert tbl.num_rows == 12
+        assert tbl.num_rows == 13
         md = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("markdown").to_pylist()))
         assert "# Annual Report" in md["report.docx"]
 

@@ -325,6 +325,7 @@ class TestRealFormatPipeline:
             "paper.pdf",
             "scan.pdf",
             "photo.png",
+            "scan.jpg",
             "data.csv",
             "notes.txt",
             "page.html",

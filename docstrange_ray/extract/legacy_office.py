@@ -15,9 +15,13 @@ payloads as the modern formats, so .xls extracts exactly like .xlsx and
     SlidePersistAtom markers delimit slides, TextCharsAtom (UTF-16) /
     TextBytesAtom (ANSI) carry the text -> ``{"slides": [{"texts"}]}``
 
-Continuation-record splitting (giant SSTs) and rich-text runs beyond
-the skip fields are out of scope — a file using them surfaces as the
-standard per-document error span.
+Continuation records ARE handled for the SST (the one record that
+splits in practice — string tables above the 8224-byte BIFF8 record
+cap): CONTINUE (0x003C) fragments are stitched with the spec's
+mid-string rule (a string whose character data crosses a fragment
+boundary restarts with a fresh option byte, so the encoding may switch
+between compressed and UTF-16 mid-string). Rich-text runs beyond the
+skip fields remain out of scope.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ from docstrange_ray.extract.cfb import CfbReader
 # --- BIFF8 (.xls) ------------------------------------------------------------
 
 _XLS_SST = 0x00FC
+_XLS_CONTINUE = 0x003C
 _XLS_BOUNDSHEET = 0x0085
 _XLS_LABELSST = 0x00FD
 _XLS_NUMBER = 0x0203
@@ -85,6 +90,71 @@ def _num_str(val: float) -> str:
     return str(int(val)) if float(val).is_integer() else str(val)
 
 
+def _parse_sst(fragments: list[bytes]) -> list[str]:
+    """Shared string table from the SST record body plus any CONTINUE
+    fragment bodies. Spec rules ([MS-XLS] 2.5.294, Continue 2.4.58):
+    string headers never straddle a fragment boundary; character data
+    may, restarting in the next fragment with a fresh option byte (the
+    encoding can flip compressed<->UTF-16 mid-string); rich-run/ext
+    payloads continue raw (no option byte)."""
+    (total_unique,) = struct.unpack_from("<I", fragments[0], 4)
+    out: list[str] = []
+    fi, pos = 0, 8  # skip cstTotal/cstUnique in the base fragment
+    while len(out) < total_unique:
+        while fi < len(fragments) and pos >= len(fragments[fi]):
+            fi += 1
+            pos = 0  # a NEW string at a boundary starts with its header
+        if fi >= len(fragments):
+            break  # truncated table: return what parsed
+        buf = fragments[fi]
+        if pos + 3 > len(buf):
+            raise ValueError("SST string header straddles a fragment")
+        cch, flags = struct.unpack_from("<HB", buf, pos)
+        pos += 3
+        c_run = cb_ext = 0
+        if flags & 0x08:  # fRichSt
+            (c_run,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+        if flags & 0x04:  # fExtSt
+            (cb_ext,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+        wide = bool(flags & 0x01)
+        remaining = cch
+        parts: list[str] = []
+        while remaining:
+            buf = fragments[fi]
+            avail = len(buf) - pos
+            take = min(remaining, (avail // 2) if wide else avail)
+            if take <= 0:
+                fi += 1
+                pos = 0
+                if fi >= len(fragments):
+                    raise ValueError("truncated SST character data")
+                wide = bool(fragments[fi][0] & 0x01)  # continued: option byte
+                pos = 1
+                continue
+            nb = 2 * take if wide else take
+            raw = buf[pos : pos + nb]
+            parts.append(raw.decode("utf-16-le" if wide else "latin-1", "replace"))
+            pos += nb
+            remaining -= take
+        skip = 4 * c_run + cb_ext
+        while skip:  # rich/ext data: raw continuation, no option byte
+            buf = fragments[fi]
+            avail = len(buf) - pos
+            if avail <= 0:
+                fi += 1
+                pos = 0
+                if fi >= len(fragments):
+                    raise ValueError("truncated SST rich/ext data")
+                continue
+            t = min(skip, avail)
+            pos += t
+            skip -= t
+        out.append("".join(parts))
+    return out
+
+
 def parse_xls_bytes(data: bytes) -> dict:
     """.xls bytes -> the 'xlsx-src' structure payload (sheets in
     BOUNDSHEET order, first row = header — identical downstream
@@ -94,18 +164,28 @@ def parse_xls_bytes(data: bytes) -> dict:
     if not wb:
         raise ValueError("no Workbook stream")
 
-    sst: list[str] = []
-    sheets_dir: list[tuple[str, int]] = []  # (name, stream offset)
+    # Materialize the globals substream record list so SST can absorb
+    # its trailing CONTINUE fragments.
+    globals_recs: list[tuple[int, bytes]] = []
     for rtype, body, _ in _records(wb):
         if rtype == _XLS_EOF:
             break  # end of workbook globals substream
+        globals_recs.append((rtype, body))
+
+    sst: list[str] = []
+    sheets_dir: list[tuple[str, int]] = []  # (name, stream offset)
+    ri = 0
+    while ri < len(globals_recs):
+        rtype, body = globals_recs[ri]
         if rtype == _XLS_SST:
-            pos = 8  # skip cstTotal/cstUnique
-            while pos + 3 <= len(body):
-                (cch,) = struct.unpack_from("<H", body, pos)
-                text, used = _xl_string(body, pos + 2, cch)
-                sst.append(text)
-                pos += 2 + used
+            frags = [body]
+            while (
+                ri + 1 < len(globals_recs)
+                and globals_recs[ri + 1][0] == _XLS_CONTINUE
+            ):
+                ri += 1
+                frags.append(globals_recs[ri][1])
+            sst = _parse_sst(frags)
         elif rtype == _XLS_BOUNDSHEET:
             (lb_ply_pos,) = struct.unpack_from("<I", body, 0)
             cch = body[6]
@@ -115,6 +195,7 @@ def parse_xls_bytes(data: bytes) -> dict:
             else:
                 name = body[8 : 8 + cch].decode("latin-1")
             sheets_dir.append((name, lb_ply_pos))
+        ri += 1
 
     sheets = []
     for name, off in sheets_dir:
@@ -152,6 +233,8 @@ def parse_xls_bytes(data: bytes) -> dict:
 _PPT_SLIDE_PERSIST = 0x03F3
 _PPT_TEXT_CHARS = 0x0FA0
 _PPT_TEXT_BYTES = 0x0FA8
+_PPT_USER_EDIT = 0x0FF5
+_PPT_PERSIST_DIR = 0x1772
 
 
 def _walk_ppt(data: bytes, start: int, end: int, out: list[dict]) -> None:
@@ -163,7 +246,12 @@ def _walk_ppt(data: bytes, start: int, end: int, out: list[dict]) -> None:
         if (ver_inst & 0x000F) == 0x000F:  # container: recurse
             _walk_ppt(data, body_start, body_end, out)
         elif rtype == _PPT_SLIDE_PERSIST:
-            out.append({"texts": []})
+            # persistIdRef (first 4 body bytes) points at the slide's
+            # Slide container through the persist directory
+            pid = (
+                struct.unpack_from("<I", data, body_start)[0] if rlen >= 4 else 0
+            )
+            out.append({"texts": [], "persist_id": pid})
         elif rtype in (_PPT_TEXT_CHARS, _PPT_TEXT_BYTES):
             raw = data[body_start:body_end]
             if rtype == _PPT_TEXT_CHARS:
@@ -181,15 +269,89 @@ def _walk_ppt(data: bytes, start: int, end: int, out: list[dict]) -> None:
         i = body_start + rlen
 
 
+def _persist_map(doc: bytes, current_user: bytes | None) -> dict[int, int]:
+    """persistId -> stream offset via the UserEditAtom chain: the
+    Current User stream's offsetToCurrentEdit locates the newest
+    UserEditAtom; each edit names its PersistDirectoryAtom (packed
+    (persistId:20, cPersist:12) runs of offsets) and the previous edit.
+    Newest entries win ([MS-PPT] 2.3.2, 2.3.4-2.3.5)."""
+    if not current_user or len(current_user) < 20:
+        return {}
+    try:
+        (off_edit,) = struct.unpack_from("<I", current_user, 16)
+    except struct.error:
+        return {}
+    mapping: dict[int, int] = {}
+    seen: set[int] = set()
+    while off_edit and off_edit + 8 <= len(doc) and off_edit not in seen:
+        seen.add(off_edit)
+        _vi, rtype, rlen = struct.unpack_from("<HHI", doc, off_edit)
+        if rtype != _PPT_USER_EDIT:
+            break
+        body = doc[off_edit + 8 : off_edit + 8 + rlen]
+        if len(body) < 16:
+            break
+        off_last, off_dir = struct.unpack_from("<II", body, 8)
+        if off_dir + 8 <= len(doc):
+            _v, dtype, dlen = struct.unpack_from("<HHI", doc, off_dir)
+            if dtype == _PPT_PERSIST_DIR:
+                dbody = doc[off_dir + 8 : off_dir + 8 + dlen]
+                p = 0
+                while p + 4 <= len(dbody):
+                    (word,) = struct.unpack_from("<I", dbody, p)
+                    pid, cnt = word & 0xFFFFF, word >> 20
+                    p += 4
+                    for k in range(cnt):
+                        if p + 4 > len(dbody):
+                            break
+                        (off,) = struct.unpack_from("<I", dbody, p)
+                        p += 4
+                        mapping.setdefault(pid + k, off)  # newest wins
+        off_edit = off_last
+    return mapping
+
+
 def parse_ppt_bytes(data: bytes) -> dict:
     """.ppt bytes -> the 'pptx-src' structure payload. Slide grouping
     follows SlidePersistAtom markers inside SlideListWithText (the
-    standard text-extraction approximation; full persist-directory
-    resolution is out of scope)."""
+    outline text), and each atom's persistIdRef is resolved through the
+    persist directory (Current User -> UserEditAtom chain ->
+    PersistDirectoryAtom) to the slide's Slide container, whose
+    non-placeholder textbox atoms are appended — text stored only in
+    the drawing layer is no longer dropped. Files without a resolvable
+    persist directory degrade to the outline-only approximation."""
     cfb = CfbReader(data)
     doc = cfb.streams.get("PowerPoint Document")
     if not doc:
         raise ValueError("no PowerPoint Document stream")
+    # Outline pass: walk ONLY the Document container (0x03E8) — the
+    # stream also holds top-level Slide containers (persist targets),
+    # whose text must attach to ITS slide, not whichever came last.
     slides: list[dict] = []
-    _walk_ppt(doc, 0, len(doc), slides)
+    found_doc = False
+    i = 0
+    while i + 8 <= len(doc):
+        _vi, rtype, rlen = struct.unpack_from("<HHI", doc, i)
+        if rtype == 0x03E8:
+            found_doc = True
+            _walk_ppt(doc, i + 8, min(len(doc), i + 8 + rlen), slides)
+        i += 8 + rlen
+    if not found_doc:  # degenerate stream: fall back to a full walk
+        _walk_ppt(doc, 0, len(doc), slides)
+
+    persist = _persist_map(doc, cfb.streams.get("Current User"))
+    if persist:
+        for slide in slides:
+            off = persist.get(slide.get("persist_id") or -1)
+            if off is None or off + 8 > len(doc):
+                continue
+            _vi, rtype, rlen = struct.unpack_from("<HHI", doc, off)
+            extra: list[dict] = [{"texts": []}]
+            _walk_ppt(doc, off + 8, min(len(doc), off + 8 + rlen), extra)
+            for bucket in extra:
+                for t in bucket["texts"]:
+                    if t not in slide["texts"]:
+                        slide["texts"].append(t)
+    for slide in slides:
+        slide.pop("persist_id", None)
     return {"slides": slides}

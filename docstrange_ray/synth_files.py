@@ -357,10 +357,15 @@ def make_doc(paragraphs: list[str], ansi: bool = False) -> bytes:
     return build_cfb({"WordDocument": wd, "0Table": clx})
 
 
-def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
+def make_xls(
+    sheets: list[tuple[str, list[list[object]]]], max_record: int = 8224
+) -> bytes:
     """Build a minimal valid legacy .xls (BIFF8 in a CFB container):
     workbook globals (BOF, SST, BOUNDSHEETs, EOF) + one substream per
-    sheet (BOF, LABELSST/NUMBER cells, EOF)."""
+    sheet (BOF, LABELSST/NUMBER cells, EOF). An SST larger than
+    ``max_record`` bytes (the BIFF8 record-data cap) splits into the
+    base record plus CONTINUE records at string boundaries — the giant
+    string tables real spreadsheets produce."""
     import struct
 
     from docstrange_ray.extract.cfb import build_cfb
@@ -404,9 +409,19 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
             raw = text.encode("utf-16-le")
             return struct.pack("<HB", len(raw) // 2, 0x01) + raw
 
-    sst_body = struct.pack("<II", len(sst_strings), len(sst_strings)) + b"".join(
-        xlstr(s) for s in sst_strings
-    )
+    # SST fragments: base record + CONTINUE records, split at string
+    # boundaries once a fragment would exceed the record-data cap
+    sst_frags: list[bytes] = []
+    cur = bytearray(struct.pack("<II", len(sst_strings), len(sst_strings)))
+    for s in sst_strings:
+        enc = xlstr(s)
+        if len(enc) > max_record:
+            raise ValueError("single SST string exceeds the record cap")
+        if len(cur) + len(enc) > max_record and len(cur) > 0:
+            sst_frags.append(bytes(cur))
+            cur = bytearray()
+        cur += enc
+    sst_frags.append(bytes(cur))
 
     def boundsheet(name: str, pos: int) -> bytes:
         try:
@@ -421,7 +436,8 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
     def globals_body(positions: list[int]) -> bytes:
         return (
             bof(0x0005)
-            + rec(0x00FC, sst_body)
+            + rec(0x00FC, sst_frags[0])
+            + b"".join(rec(0x003C, f) for f in sst_frags[1:])
             + b"".join(boundsheet(n, p) for (n, _), p in zip(sheets, positions))
             + rec(0x000A, b"")
         )
@@ -436,10 +452,19 @@ def make_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
     return build_cfb({"Workbook": stream})
 
 
-def make_ppt(slides: list[list[str]]) -> bytes:
+def make_ppt(
+    slides: list[list[str]], textbox_texts: list[list[str]] | None = None
+) -> bytes:
     """Build a minimal legacy .ppt (PPT97 record stream in a CFB
     container): a Document container holding SlideListWithText with one
-    SlidePersistAtom per slide followed by its text atoms."""
+    SlidePersistAtom per slide followed by its (outline) text atoms.
+
+    ``textbox_texts`` adds per-slide DRAWING-LAYER text stored only in
+    Slide containers reached through the persist machinery: the stream
+    grows Slide containers, a PersistDirectoryAtom mapping persist ids
+    to their offsets, and a UserEditAtom; a ``Current User`` stream
+    points at the edit — the layout real PowerPoint writes, which
+    exercises the reader's persist-directory resolution."""
     import struct
 
     from docstrange_ray.extract.cfb import build_cfb
@@ -447,18 +472,55 @@ def make_ppt(slides: list[list[str]]) -> bytes:
     def atom(rtype: int, body: bytes, ver_inst: int = 0) -> bytes:
         return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
 
-    inner = b""
-    for texts in slides:
-        inner += atom(0x03F3, b"\x00" * 20)  # SlidePersistAtom
+    def text_atoms(texts: list[str]) -> bytes:
+        out = b""
         for text in texts:
             body = text.replace("\n", "\r")
             try:
-                inner += atom(0x0FA8, body.encode("cp1252"))  # TextBytesAtom
+                out += atom(0x0FA8, body.encode("cp1252"))  # TextBytesAtom
             except UnicodeEncodeError:
-                inner += atom(0x0FA0, body.encode("utf-16-le"))  # TextCharsAtom
+                out += atom(0x0FA0, body.encode("utf-16-le"))  # TextCharsAtom
+        return out
+
+    inner = b""
+    for i, texts in enumerate(slides):
+        # SlidePersistAtom: persistIdRef + flags/cTexts/slideId/reserved
+        pid = (2 + i) if textbox_texts else 0
+        inner += atom(0x03F3, struct.pack("<IIIII", pid, 0, len(texts), 256 + i, 0))
+        inner += text_atoms(texts)
     slw = atom(0x0FF0, inner, ver_inst=0x000F)  # SlideListWithText container
     doc = atom(0x03E8, slw, ver_inst=0x000F)  # Document container
-    return build_cfb({"PowerPoint Document": doc})
+    if not textbox_texts:
+        return build_cfb({"PowerPoint Document": doc})
+
+    stream = bytearray(doc)
+    slide_offsets = []
+    for texts in textbox_texts:
+        slide_offsets.append(len(stream))
+        stream += atom(0x03EE, text_atoms(texts), ver_inst=0x000F)  # Slide
+    # PersistDirectoryAtom: (persistId:20, cPersist:12) runs of offsets;
+    # id 1 = document container, ids 2.. = slides
+    entries = struct.pack("<II", 1 | (1 << 20), 0)
+    entries += struct.pack("<I", 2 | (len(slide_offsets) << 20))
+    entries += b"".join(struct.pack("<I", o) for o in slide_offsets)
+    dir_off = len(stream)
+    stream += atom(0x1772, entries)
+    edit_off = len(stream)
+    # UserEditAtom: lastSlideIdRef, version, offsetLastEdit(0 = chain
+    # end), offsetPersistDirectory, docPersistIdRef, persistIdSeed,
+    # lastView, unused
+    stream += atom(
+        0x0FF5,
+        struct.pack("<IIIIIIHH", 256, 0, 0, dir_off, 1, 2 + len(slide_offsets), 0, 0),
+    )
+    # CurrentUserAtom: header + size/headerToken/offsetToCurrentEdit
+    cu_body = struct.pack("<III", 0x14, 0xE391C05F, edit_off) + struct.pack(
+        "<HHBBH", 0, 0x03F4, 3, 0, 0
+    )
+    current_user = atom(0x0FF6, cu_body)
+    return build_cfb(
+        {"PowerPoint Document": bytes(stream), "Current User": current_user}
+    )
 
 
 def make_png(width: int, height: int, shade: int = 128) -> bytes:

@@ -290,6 +290,9 @@ def test_xls_bytes_round_trip(sheets):
     from docstrange_ray.synth_files import make_xls
 
     book = parse_xls_bytes(make_xls(sheets))
+    # a tiny record cap forces SST CONTINUE fragments; must round-trip
+    # identically to the unsplit layout
+    assert parse_xls_bytes(make_xls(sheets, max_record=64)) == book
     assert [s["name"] for s in book["sheets"]] == [n for n, _ in sheets]
     for parsed, (_, grid) in zip(book["sheets"], sheets):
         for prow, row in zip(parsed["grid"], grid):
@@ -316,3 +319,13 @@ def test_ppt_bytes_round_trip(slides):
 
     deck = parse_ppt_bytes(make_ppt(slides))
     assert deck == {"slides": [{"texts": list(t)} for t in slides]}
+    # persist-directory layout with per-slide textbox text appended
+    deck2 = parse_ppt_bytes(
+        make_ppt(slides, textbox_texts=[["box"] for _ in slides])
+    )
+    assert deck2 == {
+        "slides": [
+            {"texts": [t for t in texts] + (["box"] if "box" not in texts else [])}
+            for texts in slides
+        ]
+    }

@@ -231,6 +231,50 @@ class TestLegacyOffice:
         bad = file_bytes_to_input_spans("a.xls", b"not cfb")
         assert bad[0]["text"].startswith("[extraction error:")
 
+    def test_xls_sst_continue_records(self):
+        # a string table past the 8224-byte BIFF8 record cap splits into
+        # SST + CONTINUE fragments; the round-2 reader dropped them
+        from docstrange_ray.extract.legacy_office import parse_xls_bytes
+        from docstrange_ray.synth_files import make_xls
+
+        grid = [["h1", "h2"]] + [
+            [f"row {r} column one with padding text", f"val-{r}"]
+            for r in range(300)
+        ]
+        data = make_xls([("big", grid)])
+        assert len(data) > 8224
+        out = parse_xls_bytes(data)
+        assert out["sheets"][0]["grid"] == [[str(v) for v in row] for row in grid]
+        # many tiny fragments (worst case) parse identically
+        data2 = make_xls([("big", grid)], max_record=128)
+        assert parse_xls_bytes(data2)["sheets"][0]["grid"] == out["sheets"][0]["grid"]
+
+    def test_xls_sst_mid_string_continue_with_encoding_flip(self):
+        import struct
+
+        from docstrange_ray.extract.legacy_office import _parse_sst
+
+        # 'abc' compressed in the base fragment; 'DÉF' continues wide in
+        # the CONTINUE fragment behind a fresh option byte (spec rule)
+        frag0 = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0x00) + b"abc"
+        frag1 = b"\x01" + "DÉF".encode("utf-16-le")
+        assert _parse_sst([frag0, frag1]) == ["abcDÉF"]
+
+    def test_ppt_persist_directory_textboxes(self):
+        # drawing-layer text lives only in Slide containers reached via
+        # Current User -> UserEditAtom -> PersistDirectoryAtom; the
+        # round-2 reader never resolved it
+        from docstrange_ray.extract.legacy_office import parse_ppt_bytes
+        from docstrange_ray.synth_files import make_ppt
+
+        data = make_ppt(
+            [["title one"], ["title two"]],
+            textbox_texts=[["floating box A"], ["floating box B", "note"]],
+        )
+        out = parse_ppt_bytes(data)
+        assert out["slides"][0]["texts"] == ["title one", "floating box A"]
+        assert out["slides"][1]["texts"] == ["title two", "floating box B", "note"]
+
 
 class TestPdfParser:
     def test_text_layer_with_escapes(self):

@@ -272,7 +272,20 @@ def spans_to_chunks(spans: list[dict], token_budget: int = 4000) -> list[dict]:
     markdown is split into header-delimited sections, token counts are
     estimated (len//4, the reference's tiktoken fallback,
     server.py:78-86), and consecutive sections pack into chunks while the
-    budget holds; an oversize section becomes its own chunk."""
+    budget holds; an oversize section becomes its own chunk.
+
+    Tokenizer-parity bound: chunk boundaries match the reference's
+    FALLBACK path (no tiktoken installed) exactly. Against a
+    cl100k_base-equipped reference they diverge where len//4 misprices
+    the text: cl100k averages ~4 chars/token on English prose (the
+    estimate is tight there), ~3.2 on punctuation/code-heavy text
+    (chunks overshoot the true budget by up to ~4/3.2 = 1.25x), and
+    ~1-2 TOKENS per CHAR on CJK (overshoot up to ~8x — budget-sensitive
+    CJK deployments must bound by bytes, not len//4). The cl100k vocab
+    is a downloadable artifact, not public source, so exact parity
+    needs a real tokenizer dropped in behind the A10 seam
+    (ops/textstats token counting) — the packing loop itself is
+    tokenizer-agnostic."""
     sections: list[tuple[str, str]] = []
     cur_title = ""
     cur_parts: list[str] = []

@@ -301,6 +301,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_pairs(sf_dir):
         return dedup.simhash_near_pairs(read_docs(sf_dir), max_hamming=3)
 
+    def simhash_drops(sf_dir):
+        """Distributed SimHash dedup chain end-to-end: blocked pairs ->
+        min-label propagation components -> drop list (everything but
+        each cluster's min-id representative). SQL-oracled: simhash
+        blocking is EXACT for hamming<=3 (pigeonhole), so a recursive-
+        CTE component closure over the all-pairs SQL reproduces it."""
+        return dedup.simhash_drop_list_ds(read_docs(sf_dir), max_hamming=3)
+
     def lsh_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -456,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_drops": near_dup_drops,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
+        "simhash_drops": simhash_drops,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann_topk,
@@ -635,6 +644,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # the full distributed dedup chain oracled: exact all-pairs
+        # hamming (valid: blocking complete for <=3, no star cap at this
+        # scale) -> connected components as a recursive-CTE min-label
+        # closure -> drop everything but each component's min id. This
+        # makes dup_clusters_ds's label propagation itself SQL-verified.
+        "simhash_drops": r"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS v
+                FROM (SELECT doc_id,
+                             UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                x -> x <> '')) AS w
+                      FROM documents)
+            ), bits AS (
+                SELECT doc_id, k,
+                       SUM(CAST((v >> k) & 1 AS BIGINT)) AS ones,
+                       COUNT(*) AS n
+                FROM words, UNNEST(range(64)) AS t(k)
+                GROUP BY doc_id, k
+            ), vals AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN 2 * ones > n THEN (1::HUGEINT << k) ELSE 0 END) AS uval
+                FROM bits GROUP BY doc_id
+            ), sims AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(v.uval, 0) - 9223372036854775808 AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN vals v USING (doc_id)
+            ), prs AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb
+                FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM prs UNION SELECT pb, pa FROM prs
+            ), lbl(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, l.label FROM edges e JOIN lbl l ON l.node = e.b
+            )
+            SELECT node AS doc_id
+            FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
+            WHERE m <> node
         """,
         # rolling polynomial min-hash fingerprint, word values as above;
         # HUGEINT keeps the (2^61-1)-mod arithmetic exact.

@@ -396,10 +396,13 @@ def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
         )
 
     acc = np.zeros(words, dtype=np.uint64)
-    for r in cands.map_batches(
+    # iter_batches, not take_all: the driver OR-folds one bitmap at a
+    # time instead of materializing n_blocks x 1 MiB rows at once
+    for batch in cands.map_batches(
         block_bloom, batch_format="pyarrow", batch_size=None
-    ).take_all():
-        acc |= np.frombuffer(r["bloom"], dtype=np.uint64)
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch.column("bloom").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
     return acc
 
 

@@ -243,6 +243,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.token_stats, batch_format="pyarrow"
         )
 
+    def top_ngrams(sf_dir):
+        """Corpus 3-gram frequency top-100: partial reduce per batch ->
+        ONE ngram shuffle -> block-local top-k + coalesced final."""
+        return textstats.top_ngrams(read_docs(sf_dir), n=3, k=100)
+
+    def tfidf_terms(sf_dir):
+        """Per-doc top-5 tf-idf terms: distributed df (one term shuffle)
+        broadcast back, per-doc scoring with no second shuffle."""
+        return textstats.tfidf_topk(read_docs(sf_dir), k=5)
+
     def quality_stats(sf_dir):
         return read_docs(sf_dir).map_batches(
             textstats.quality_stats, batch_format="pyarrow"
@@ -454,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_extraction": field_extraction,
         # training-data ops
         "token_count": token_count,
+        "top_ngrams": top_ngrams,
+        "tfidf_terms": tfidf_terms,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -565,6 +577,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
             FROM documents
+        """,
+        "top_ngrams": r"""
+            WITH l AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS ngram
+                FROM l, UNNEST(range(len(ws) - 2)) AS t(i)
+            )
+            SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+            ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "tfidf_terms": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, term, tf, ROUND(raw, 6) AS score FROM (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) DESC,
+                                    tf.term
+                       ) AS rn
+                FROM tf JOIN df USING (term), n)
+            WHERE rn <= 5
         """,
         # lang_id heuristic is deterministic + SQL-expressible: stopword
         # hits per language with strict-improvement tie-break (the

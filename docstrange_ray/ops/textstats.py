@@ -150,6 +150,119 @@ def content_fingerprint(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_md5", pa.array(fps, type=pa.string()))
 
 
+def top_ngrams(ds, n: int = 3, k: int = 100, num_partitions: int | None = None):
+    """Corpus-wide word n-gram frequency top-k — the canonical
+    partial-reduce workload shape at 100 TB: every batch emits ONE
+    partial count row per DISTINCT n-gram (never one row per
+    occurrence), the n-gram key hash-shuffles ONCE, and the global
+    top-k is block-local candidates + a coalesced final (no sort
+    shuffle; n_blocks x k rows cross). Ties break on n-gram text
+    ascending so the result is deterministic at any parallelism.
+    Returns Dataset[(ngram, n)]."""
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        grams: list[str] = []
+        for t in batch.column("text").to_pylist():
+            words = (t or "").lower().split()
+            grams.extend(
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            )
+        if not grams:
+            return pd.DataFrame({"ngram": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame({"ngram": vc.index, "n": vc.to_numpy(dtype=np.int64)})
+
+    counts = grouped_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
+        ["ngram"],
+        lambda df: df.groupby("ngram", as_index=False)["n"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "ngram"], ascending=[False, True]).head(k)
+
+    return coalesced_blocks(
+        counts.map_batches(arrow_out(local_topk), batch_format="pandas"), local_topk
+    )
+
+
+def tfidf_topk(ds, k: int = 5, num_partitions: int | None = None):
+    """Per-document top-k terms by tf-idf (idf = ln(N/df)). Two passes:
+
+      1. document frequencies — per-batch partial (one row per distinct
+         term per batch, counting DOCS not occurrences) -> ONE term-keyed
+         shuffle -> df map broadcast once via ``ray.put``;
+      2. per-document tf + score + top-k — a pure ``map_batches``, no
+         shuffle (term ranking is per-row work).
+
+    Partitioning assumption the broadcast relies on: the VOCABULARY
+    (distinct terms) fits in worker memory — sublinear in corpus size
+    (Heaps' law), but a deployment with an unbounded term space should
+    swap step 2's broadcast for a term-keyed co-partition join (one
+    extra exchange). Ties break on term ascending. Returns
+    Dataset[(doc_id, term, tf, score)] with score rounded to 6 dp."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set((t or "").lower().split()))
+        return pd.DataFrame(
+            {"term": list(c.keys()), "df": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+
+    df_rows = grouped_blocks(
+        ds.map_batches(arrow_out(df_partial), batch_format="pyarrow", batch_size=65536),
+        ["term"],
+        lambda d: d.groupby("term", as_index=False)["df"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    ).take_all()  # vocabulary-scale (Heaps-law sublinear), not corpus-scale
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    ref = ray.put(df_map)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = ray.get(ref)
+        out_doc, out_term, out_tf, out_score = [], [], [], []
+        doc_ids = batch.column("doc_id").to_pylist()
+        for did, t in zip(doc_ids, batch.column("text").to_pylist()):
+            tf = Counter((t or "").lower().split())
+            if not tf:
+                continue
+            scored = [
+                (float(c) * float(np.log(n_docs / dfm.get(w, 1))), w, c)
+                for w, c in tf.items()
+            ]
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            for score, w, c in scored[:k]:
+                out_doc.append(did)
+                out_term.append(w)
+                out_tf.append(c)
+                out_score.append(round(score, 6))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_doc, type=batch.schema.field("doc_id").type),
+                pa.array(out_term, type=pa.string()),
+                pa.array(out_tf, type=pa.int64()),
+                pa.array(out_score, type=pa.float64()),
+            ],
+            names=["doc_id", "term", "tf", "score"],
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
 def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
     """Rolling polynomial hash over word windows; the per-doc fingerprint
     is the MINIMUM window hash (a 1-perm MinHash — deterministic,

@@ -730,3 +730,68 @@ class TestJpegCodec:
             ray.data.from_arrow(tbl), backend="auto"
         ).take_all()
         assert abs(out[0]["mean_intensity"] - 200.0) <= 1.0
+
+
+class TestCorpusTerms:
+    """top_ngrams (partial-reduce + one shuffle + coalesced top-k) and
+    tfidf_topk (distributed df broadcast back) vs in-test DuckDB."""
+
+    @pytest.fixture()
+    def term_docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "the cat sat on the mat",
+                    "the cat sat on the hat",
+                    "dogs bark",          # shorter than n=3 after split? no: 2 words -> no 3-grams
+                    "",                    # empty doc: no terms, no grams
+                ],
+            }
+        )
+
+    def test_top_ngrams_vs_duckdb(self, term_docs):
+        got = (
+            textstats.top_ngrams(ray.data.from_arrow(term_docs), n=3, k=10)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", term_docs)
+        exp = con.sql(
+            r"""WITH l AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws FROM documents),
+                 g AS (SELECT ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS ngram
+                       FROM l, UNNEST(range(len(ws) - 2)) AS t(i))
+              SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+              ORDER BY n DESC, ngram LIMIT 10"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got.iloc[0]["ngram"] in ("cat sat on", "the cat sat")
+        assert got.iloc[0]["n"] == 2
+
+    def test_tfidf_vs_duckdb(self, term_docs):
+        got = (
+            textstats.tfidf_topk(ray.data.from_arrow(term_docs), k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", term_docs)
+        exp = con.sql(
+            r"""WITH w AS (SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term FROM documents),
+                 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+                 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+                 n AS (SELECT COUNT(*) AS n FROM documents)
+              SELECT doc_id, term, tf, ROUND(raw, 6) AS score FROM (
+                  SELECT tf.doc_id, tf.term, tf.tf,
+                         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS raw,
+                         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term) AS rn
+                  FROM tf JOIN df USING (term), n)
+              WHERE rn <= 3"""
+        ).df().sort_values(["doc_id", "term"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # empty doc emits no rows; idf of a universal term ('the' in 2/4
+        # docs) is ln(2), never negative-infinite
+        assert 4 not in set(got["doc_id"])

@@ -253,6 +253,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def gopher_filter(sf_dir):
+        """Gopher-style quality rules (word-count / mean-word-length /
+        alpha-fraction / stopword-floor bounds) with rule inputs as
+        columns — shuffle-free map stage."""
+        return read_docs(sf_dir).map_batches(
+            textstats.gopher_quality_filter, batch_format="pyarrow"
+        )
+
     def quality_stats(sf_dir):
         return read_docs(sf_dir).map_batches(
             textstats.quality_stats, batch_format="pyarrow"
@@ -466,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": token_count,
         "top_ngrams": top_ngrams,
         "tfidf_terms": tfidf_terms,
+        "gopher_filter": gopher_filter,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -577,6 +586,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
             FROM documents
+        """,
+        "gopher_filter": r"""
+            SELECT doc_id, n_words,
+                   ROUND(CASE WHEN n_words = 0 THEN 0.0
+                              ELSE CAST(sum_wlen AS DOUBLE) / n_words END, 6)
+                       AS mean_word_len,
+                   ROUND(CASE WHEN n_words = 0 THEN 0.0
+                              ELSE CAST(n_alpha AS DOUBLE) / n_words END, 6)
+                       AS alpha_frac,
+                   n_stop AS n_distinct_stopwords,
+                   (n_words BETWEEN 50 AND 100000
+                    AND (CAST(sum_wlen AS DOUBLE) / n_words) BETWEEN 3.0 AND 10.0
+                    AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8
+                    AND n_stop >= 2) AS "pass"
+            FROM (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                           AS n_words,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                           AS sum_wlen,
+                       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
+                       CAST(len(list_distinct(list_filter(
+                                list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                               x -> x),
+                                x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT)
+                           AS n_stop
+                FROM documents)
         """,
         "top_ngrams": r"""
             WITH l AS (

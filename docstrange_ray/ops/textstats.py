@@ -150,6 +150,58 @@ def content_fingerprint(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_md5", pa.array(fps, type=pa.string()))
 
 
+# Gopher-style repetition/quality rule bounds (public heuristics from
+# the Gopher paper's appendix, adapted to this corpus's stopword set).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_filter(batch: pa.Table) -> pa.Table:
+    """Gopher-style document quality rules as one vectorized stage:
+    word-count bounds, mean-word-length bounds, fraction of words with
+    an alphabetic character, and a distinct-stopword floor. Emits the
+    rule inputs as columns plus the combined ``pass`` flag so the
+    downstream filter (and the SQL oracle) reproduce the decision
+    exactly; integer/rounded outputs keep the oracle hash stable."""
+    stopset = set(STOPWORDS)
+    doc_ids = batch.column("doc_id")
+    n_words, mean_wlen, alpha_frac, n_stop, passed = [], [], [], [], []
+    for t in batch.column("text").to_pylist():
+        words = (t or "").split()
+        nw = len(words)
+        swl = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+        stops = len({w.lower() for w in words} & stopset)
+        mwl = (swl / nw) if nw else 0.0
+        af = (n_alpha / nw) if nw else 0.0
+        ok = (
+            GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WLEN <= mwl <= GOPHER_MAX_MEAN_WLEN
+            and af >= GOPHER_MIN_ALPHA_FRAC
+            and stops >= GOPHER_MIN_DISTINCT_STOPWORDS
+        )
+        n_words.append(nw)
+        mean_wlen.append(round(mwl, 6))
+        alpha_frac.append(round(af, 6))
+        n_stop.append(stops)
+        passed.append(ok)
+    return pa.Table.from_arrays(
+        [
+            doc_ids,
+            pa.array(n_words, type=pa.int64()),
+            pa.array(mean_wlen, type=pa.float64()),
+            pa.array(alpha_frac, type=pa.float64()),
+            pa.array(n_stop, type=pa.int64()),
+            pa.array(passed, type=pa.bool_()),
+        ],
+        names=["doc_id", "n_words", "mean_word_len", "alpha_frac", "n_distinct_stopwords", "pass"],
+    )
+
+
 def top_ngrams(ds, n: int = 3, k: int = 100, num_partitions: int | None = None):
     """Corpus-wide word n-gram frequency top-k — the canonical
     partial-reduce workload shape at 100 TB: every batch emits ONE

@@ -795,3 +795,51 @@ class TestCorpusTerms:
         # empty doc emits no rows; idf of a universal term ('the' in 2/4
         # docs) is ln(2), never negative-infinite
         assert 4 not in set(got["doc_id"])
+
+
+class TestGopherFilter:
+    def test_rules_vs_duckdb(self):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    # passes: >50 words, sane lengths, stopwords, alpha
+                    ("the cat and dog sat near a tree " * 8).strip(),
+                    "too short to pass the word count rule",
+                    ("99 42 17 " * 30).strip(),  # numeric: alpha_frac = 0
+                    "",
+                ],
+            }
+        )
+        got = (
+            textstats.gopher_quality_filter(tbl).to_pandas().reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        import __ray_entry__ as entrymod
+
+        exp = (
+            con.execute(entrymod.oracle_sql()["gopher_filter"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got["pass"].tolist() == [True, False, False, False]
+
+    def test_unicode_alpha_agreement(self):
+        # Python isalpha and RE2 \p{L} must agree on non-ASCII letters
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["héllo wörld événement 123 !!"],
+            }
+        )
+        got = textstats.gopher_quality_filter(tbl).to_pydict()
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        import __ray_entry__ as entrymod
+
+        exp = con.execute(entrymod.oracle_sql()["gopher_filter"]).df()
+        assert got["alpha_frac"][0] == exp["alpha_frac"][0]
+        assert got["n_words"][0] == 5

@@ -355,6 +355,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = [int(r["vec_id"]) for r in first]
         return ann.ivf_topk(read_emb(sf_dir), q, qids, k=10)
 
+    def pq_ann_topk(sf_dir):
+        """IVF-PQ approximate top-k: coarse probe + asymmetric
+        lookup-table scoring over m-byte codes (floats never leave the
+        codebooks) — the memory-scale ANN path. Rows-only check: recall
+        bounds are pinned by tests/test_ops.py::TestPQ."""
+        first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
+        first.sort(key=lambda r: r["vec_id"])
+        q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+        qids = [int(r["vec_id"]) for r in first]
+        return ann.ivf_pq_topk(
+            read_emb(sf_dir), q, qids, k=10, m=16, n_codes=64, n_probe=8
+        )
+
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
@@ -497,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
         "ivf_ann_topk": ivf_ann_topk,
+        "pq_ann_topk": pq_ann_topk,
         # relational
         "q1_pricing": relational.q1_pricing,
         "top_customers": relational.top_customers,

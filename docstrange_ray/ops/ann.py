@@ -308,3 +308,165 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
         ),
         reduce_topk,
     )
+
+
+# --- product quantization (IVF-PQ) -------------------------------------------
+#
+# The memory-scale path: a 100-TB embedding table cannot keep raw
+# float vectors hot for scanning; PQ compresses each vector to m bytes
+# (m subspace centroid codes) and scores queries with an asymmetric
+# lookup-table sum — the scan touches codes, never floats. Composes
+# with the IVF coarse quantizer so only n_probe/n_centroids of the
+# codes are scored per query.
+
+
+def _kmeans_euclid(mat: np.ndarray, k: int, n_iters: int = 10) -> np.ndarray:
+    """Deterministic Euclidean k-means for PQ subspaces: farthest-point
+    init from row 0, Lloyd iterations, empty clusters keep their
+    previous centroid."""
+    cents = [mat[0]]
+    d2 = ((mat - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        cents.append(mat[nxt])
+        d2 = np.minimum(d2, ((mat - cents[-1]) ** 2).sum(axis=1))
+    cents = np.stack(cents)
+    for _ in range(n_iters):
+        dist = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(dist, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    ds, m: int = 8, n_codes: int = 32, n_iters: int = 10, sample_size: int = 2048
+) -> list[np.ndarray]:
+    """Deterministic PQ codebooks over a bounded corpus sample: the
+    (normalized) dims split into ``m`` contiguous subspaces, Euclidean
+    k-means per subspace. Driver-side numpy over the sample only — the
+    corpus-scale work (encoding, scanning) is distributed. Returns a
+    list of (n_codes_i, d_sub_i) arrays."""
+    rows = ds.limit(sample_size).take_all()
+    mat = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    books = []
+    for sub in np.array_split(np.arange(mat.shape[1]), m):
+        sm = mat[:, sub]
+        books.append(_kmeans_euclid(sm, min(n_codes, len(sm)), n_iters))
+    return books
+
+
+def pq_encode(ds, books: list[np.ndarray]):
+    """Add the ``pq_code`` column: one byte per subspace (nearest
+    codebook centroid), packed as an m-byte binary — 64 float dims
+    become 8 bytes. Broadcast-once codebooks, vectorized argmin per
+    batch."""
+    import ray
+
+    ref = ray.put([np.asarray(b, dtype=np.float64) for b in books])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        n = len(mat)
+        codes = np.empty((n, len(bks)), dtype=np.uint8)
+        col = 0
+        for mi, bk in enumerate(bks):
+            d_sub = bk.shape[1]
+            sm = mat[:, col : col + d_sub]
+            col += d_sub
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin needs only
+            # the last two terms
+            dist = -2.0 * (sm @ bk.T) + (bk**2).sum(axis=1)[None, :]
+            codes[:, mi] = np.argmin(dist, axis=1).astype(np.uint8)
+        return batch.append_column(
+            "pq_code", pa.array([c.tobytes() for c in codes], type=pa.binary())
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def ivf_pq_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+):
+    """IVF-PQ approximate top-k: coarse-probe n_probe lists, score the
+    probed rows' PQ CODES with an asymmetric lookup-table sum
+    (score ~ q . x_hat = sum_m q_sub . codebook_m[code_m]) — floats
+    never leave the codebooks. Same local-topk + coalesced-final reduce
+    shape as the exact scan; recall < 1.0 from both the coarse probe
+    and the quantization."""
+    import ray
+
+    cents = train_ivf_centroids(ds, n_centroids)
+    books = train_pq_codebooks(ds, m=m, n_codes=n_codes)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qprobes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    # per-query LUTs: luts[qi][mi] = q_sub . codebook_m^T  (n_codes,)
+    luts = []
+    for qi in range(q.shape[0]):
+        col = 0
+        per_m = []
+        for bk in books:
+            d_sub = bk.shape[1]
+            per_m.append(bk @ q[qi, col : col + d_sub])
+            col += d_sub
+        luts.append(per_m)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qprobes, luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, probes, qluts = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        buckets = np.asarray(batch.column("bucket"), dtype=np.int32)
+        n = len(ids)
+        n_sub = len(qluts[0])
+        codes = np.frombuffer(
+            b"".join(batch.column("pq_code").to_pylist()), dtype=np.uint8
+        ).reshape(n, n_sub)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qluts)):
+            mask = np.isin(buckets, probes[qi])
+            if not mask.any():
+                continue
+            sub_codes = codes[mask]
+            score = np.zeros(sub_codes.shape[0])
+            for mi, lut in enumerate(qluts[qi]):
+                score += lut[sub_codes[:, mi]]
+            kk = min(k, len(score))
+            idx = np.argpartition(-score, kk - 1)[:kk]
+            sub_ids = ids[mask]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(int(sub_ids[j]) for j in idx)
+            out_s.extend(float(score[j]) for j in idx)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_v, type=pa.int64()),
+                pa.array(np.round(out_s, 6), type=pa.float64()),
+            ],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    from docstrange_ray.shuffle import coalesced_blocks
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", as_index=False, sort=True)
+            .head(k)
+        )
+
+    encoded = pq_encode(ivf_assign(ds, cents), books)
+    return coalesced_blocks(
+        encoded.map_batches(local_topk, batch_format="pyarrow"), reduce_topk
+    )

@@ -843,3 +843,35 @@ class TestGopherFilter:
         exp = con.execute(entrymod.oracle_sql()["gopher_filter"]).df()
         assert got["alpha_frac"][0] == exp["alpha_frac"][0]
         assert got["n_words"][0] == 5
+
+
+class TestPQ:
+    """IVF-PQ: code compression + asymmetric LUT scoring. Random
+    fixture embeddings are the PQ worst case (no cluster structure), so
+    the recall bounds here are conservative floors."""
+
+    def test_encode_shape_and_determinism(self):
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        books = ann.train_pq_codebooks(ds, m=8, n_codes=16)
+        assert len(books) == 8
+        enc = ann.pq_encode(ds, books).take(5)
+        assert all(len(r["pq_code"]) == 8 for r in enc)
+        books2 = ann.train_pq_codebooks(ds, m=8, n_codes=16)
+        assert all((a == b).all() for a, b in zip(books, books2))
+
+    def test_self_hit_and_recall(self):
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        rows = ds.take(10)
+        q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        qids = [r["vec_id"] for r in rows]
+        got = ann.ivf_pq_topk(
+            ds, q, qids, k=10, m=16, n_codes=64, n_probe=8
+        ).to_pandas()
+        brute = ann.brute_force_topk(ds, q, qids, k=10).to_pandas()
+        recalls = []
+        for qid in qids:
+            g = set(got[got["query_id"] == qid]["vec_id"])
+            assert qid in g  # a vector always retrieves itself
+            b = set(brute[brute["query_id"] == qid]["vec_id"])
+            recalls.append(len(g & b) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.45

@@ -123,7 +123,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     out = extract_pipeline(
         read_corpus(cpath).limit(n_slice), skew_threshold_units=16
     )
-    assert out.count() == n_slice
+    n_exploded = out.count()
+    assert n_exploded == n_slice, (n_exploded, n_slice)
     timings["extract_forced_explode_50k"] = round(time.time() - t0, 3)
 
     # --- production sink: the resumable partitioned job (manifests +
@@ -141,7 +142,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["run_extract_job"] = round(time.time() - t0, 3)
     assert sum(m["n_docs"] for m in man) == n_docs
     t0 = time.time()
-    assert run_extract_job(read_corpus(cpath), job_dir, fp, num_partitions=64) == []
+    rerun = run_extract_job(read_corpus(cpath), job_dir, fp, num_partitions=64)
+    assert rerun == [], f"resume rewrote {len(rerun)} partitions"
     timings["run_extract_job_resume_noop"] = round(time.time() - t0, 3)
 
     # --- representative per-operator timings ---
@@ -151,9 +153,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in (
         "real_format_extract",
         "token_count",
+        "top_ngrams",
+        "tfidf_terms",
+        "gopher_filter",
         "exact_dedup",
         "minhash_near_dups",
+        "simhash_pairs",
         "ann_topk",
+        "pq_ann_topk",
         "curated_docs",
         "q1_pricing",
         "events_hourly",

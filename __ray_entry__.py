@@ -403,6 +403,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _curate(read_docs(sf_dir), min_quality=0.5)
 
+    def curated_full(sf_dir):
+        """The FULL curation chain (quality floor -> exact dedup ->
+        SimHash near-dup drop), end-to-end distributed AND end-to-end
+        SQL-oracled (window-function dedup + recursive-CTE component
+        closure). Text never crosses an exchange."""
+        from docstrange_ray.ops.curate import curated_docs_full
+
+        return curated_docs_full(read_docs(sf_dir), min_quality=0.5)
+
     def media_join(sf_dir):
         """media_ref resolution (SURVEY.md §2.4): image-ref spans of the
         extracted corpus joined to decoded media features by a
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": media_metadata,
         "media_join": media_join,
         "curated_docs": curated_docs,
+        "curated_full": curated_full,
         "hash_sample_10": hash_sample_10,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -742,6 +752,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # the FULL curation pipeline oracled end-to-end: quality floor
+        # -> window-function exact dedup -> simhash pairs ->
+        # recursive-CTE components -> anti-join the drop list.
+        "curated_full": r"""
+            WITH RECURSIVE scored AS (
+                SELECT doc_id, text,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,
+                       ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+                           + 0.3 * EXP(-0.5 * POW((CAST(sum_wlen AS DOUBLE) / GREATEST(n_words, 1) - 5.0) / 3.0, 2))
+                           + 0.3 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5.0, 1.0), 6)
+                           AS quality
+                FROM (
+                    SELECT doc_id, text,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+                           length(regexp_replace(text, '\s', '', 'g')) AS sum_wlen,
+                           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+                    FROM documents)
+            ), filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+            w1 AS (
+                SELECT doc_id, text, content_md5, quality FROM (
+                    SELECT *, MIN(doc_id) OVER (PARTITION BY content_md5) AS keep
+                    FROM filtered)
+                WHERE doc_id = keep
+            ), words AS (
+                SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS v
+                FROM (SELECT doc_id,
+                             UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                x -> x <> '')) AS w
+                      FROM w1)
+            ), bits AS (
+                SELECT doc_id, k, SUM(CAST((v >> k) & 1 AS BIGINT)) AS ones, COUNT(*) AS n
+                FROM words, UNNEST(range(64)) AS t(k) GROUP BY doc_id, k
+            ), vals AS (
+                SELECT doc_id, SUM(CASE WHEN 2 * ones > n THEN (1::HUGEINT << k) ELSE 0 END) AS uval
+                FROM bits GROUP BY doc_id
+            ), sims AS (
+                SELECT w.doc_id,
+                       CAST(COALESCE(v.uval, 0) - 9223372036854775808 AS BIGINT) AS simhash
+                FROM w1 w LEFT JOIN vals v USING (doc_id)
+            ), prs AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb
+                FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM prs UNION SELECT pb, pa FROM prs
+            ), lbl(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, l.label FROM edges e JOIN lbl l ON l.node = e.b
+            ), drops AS (
+                SELECT node FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
+                WHERE m <> node
+            )
+            SELECT doc_id, content_md5, quality FROM w1
+            WHERE doc_id NOT IN (SELECT node FROM drops)
         """,
         # the full distributed dedup chain oracled: exact all-pairs
         # hamming (valid: blocking complete for <=3, no star cap at this

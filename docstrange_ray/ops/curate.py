@@ -50,3 +50,114 @@ def curated_docs(ds, min_quality: float = 0.5, num_partitions: int | None = None
     return grouped_blocks(
         filtered, ["content_md5"], keep_first, num_partitions, batch_format="pandas"
     )
+
+
+def curated_docs_full(
+    ds,
+    min_quality: float = 0.5,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+):
+    """The FULL curation chain of a training-data pipeline, end-to-end
+    distributed and (via the `curated_full` driver query) end-to-end
+    SQL-oracled: quality floor → exact dedup (first-wins per content
+    hash) → SimHash near-dup drop (each surviving near-dup cluster
+    keeps its min-id representative).
+
+    Exchange budget — document text NEVER crosses an exchange:
+      1. ONE content_md5 shuffle over per-batch-partialed
+         (doc_id, md5, quality, simhash) metadata tuples (the simhash
+         rides along so the near-dup stage needs no second text scan);
+      2. ONE segment shuffle over the exact-dedup winners' signatures
+         (pigeonhole blocking) + the pair-scale label-propagation
+         exchanges of :func:`dedup.dup_clusters_ds`;
+      3. ONE doc_id shuffle anti-joining the drop list (id-scale).
+
+    Winners materialize once (metadata-width rows) because two
+    consumers read them — the deep-lazy-plan re-execution trap from the
+    round-2 notes. Returns Dataset[(doc_id, content_md5, quality)]."""
+    import numpy as np
+
+    from docstrange_ray.ops.dedup import (
+        _simhash_values,
+        dup_clusters_ds,
+        simhash_pairs_from_sigs,
+    )
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def pass_a(batch: pa.Table) -> pd.DataFrame:
+        scored = quality_score(batch)
+        fp = content_fingerprint(batch)
+        sims = _simhash_values(batch.column("text").to_pylist())
+        t = pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                fp.column("content_md5"),
+                scored.column("quality"),
+                pa.array(sims, type=pa.int64()),
+            ],
+            names=["doc_id", "content_md5", "quality", "simhash"],
+        )
+        df = t.filter(pc.greater_equal(t.column("quality"), min_quality)).to_pandas()
+        return df.sort_values(["content_md5", "doc_id"]).drop_duplicates(
+            "content_md5", keep="first"
+        )
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["content_md5", "doc_id"]).drop_duplicates(
+            "content_md5", keep="first"
+        )[["doc_id", "content_md5", "quality", "simhash"]]
+
+    winners = grouped_blocks(
+        ds.map_batches(arrow_out(pass_a), batch_format="pyarrow"),
+        ["content_md5"],
+        keep_first,
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    pairs = simhash_pairs_from_sigs(
+        winners.select_columns(["doc_id", "simhash"]), max_hamming, num_partitions
+    ).materialize()  # pair-scale; consumed by count + clustering
+    if pairs.count() == 0:  # no near-dups: winners are final
+        return winners.select_columns(["doc_id", "content_md5", "quality"])
+    labels = dup_clusters_ds(pairs, num_partitions=num_partitions)
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("node"), batch.column("label")))
+        t = batch.filter(keep)
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column("node"),
+                pa.nulls(n, type=pa.string()),
+                pa.nulls(n, type=pa.float64()),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=["doc_id", "content_md5", "quality", "dropped"],
+        )
+
+    def tag_winners(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("content_md5"),
+                batch.column("quality"),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=["doc_id", "content_md5", "quality", "dropped"],
+        )
+
+    tagged = winners.map_batches(tag_winners, batch_format="pyarrow").union(
+        labels.map_batches(drop_rows, batch_format="pyarrow")
+    )
+
+    def anti_join(df: pd.DataFrame) -> pd.DataFrame:
+        dropped_ids = set(df.loc[df["dropped"] == 1, "doc_id"])
+        out = df[(df["dropped"] == 0) & (~df["doc_id"].isin(dropped_ids))]
+        return out[["doc_id", "content_md5", "quality"]]
+
+    return grouped_blocks(
+        tagged, ["doc_id"], anti_join, num_partitions, batch_format="pandas"
+    )

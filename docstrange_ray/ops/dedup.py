@@ -662,6 +662,21 @@ def dup_clusters_ds(pairs, max_iters: int = 30, num_partitions=None):
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # no pairs -> no components -> nothing to label (an empty
+        # materialized dataset loses its schema, so downstream joins
+        # cannot run; the id type defaults int64 — callers with string
+        # ids and zero pairs get the same empty drop semantics)
+        import ray as _ray
+
+        schema = edges.schema()
+        id_t = schema.types[0] if schema is not None else pa.int64()
+        return _ray.data.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], type=id_t), pa.array([], type=id_t)],
+                names=["node", "label"],
+            )
+        )
 
     labels = grouped_blocks(
         edges,
@@ -807,11 +822,22 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = None):
-    """Near-dup pairs by SimHash Hamming distance, found with 4-segment
-    blocking: any pair within Hamming distance 3 shares at least one
-    identical 16-bit segment (pigeonhole), so ONE hash shuffle on the
-    segment key replaces the quadratic scan; collision buckets are found
-    vectorized per block."""
+    """Near-dup pairs by SimHash Hamming distance over a (doc_id, text)
+    Dataset: signatures per batch, then :func:`simhash_pairs_from_sigs`."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return simhash_pairs_from_sigs(sigs, max_hamming, num_partitions)
+
+
+def simhash_pairs_from_sigs(
+    sigs, max_hamming: int = 3, num_partitions: int | None = None
+):
+    """Near-dup pairs from a (doc_id, simhash) Dataset, found with
+    4-segment blocking: any pair within Hamming distance 3 shares at
+    least one identical 16-bit segment (pigeonhole), so ONE hash
+    shuffle on the segment key replaces the quadratic scan; collision
+    buckets are found vectorized per block. Exposed separately so
+    composed pipelines that already carry signatures (ops.curate)
+    skip the signature pass."""
     from docstrange_ray.shuffle import grouped_blocks
 
     def explode_segments(batch: pa.Table) -> pa.Table:
@@ -872,7 +898,6 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
             )
         return out
 
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
     pairs = grouped_blocks(
         sigs.map_batches(explode_segments, batch_format="pyarrow"),
         ["seg_key"],

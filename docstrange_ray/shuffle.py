@@ -144,12 +144,20 @@ def hash_join(
         right.map_batches(tag(1, list(r_schema.names)), batch_format="pyarrow")
     )
 
-    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0][l_names]
-        r = df[df["__side"] == 1][[key] + r_names]
+    def merge_block(block: pa.Table) -> pd.DataFrame:
+        # Split sides while still ARROW, then convert each side alone:
+        # the union's null-padded columns would otherwise turn int64
+        # into float64 in pandas (Arrow ints with nulls have no pandas
+        # int representation), silently corrupting ids above 2^53 and
+        # breaking joins keyed on exact integer equality downstream.
+        import pyarrow.compute as pc
+
+        side = block.column("__side")
+        l = block.filter(pc.equal(side, 0)).select(l_names).to_pandas()
+        r = block.filter(pc.equal(side, 1)).select([key] + r_names).to_pandas()
         return l.merge(r, on=key, how=how)
 
-    return grouped_blocks(tagged, [key], merge_block, num_partitions, batch_format="pandas")
+    return grouped_blocks(tagged, [key], merge_block, num_partitions)
 
 
 def coalesced_blocks(ds, fn, batch_format: str = "pandas"):

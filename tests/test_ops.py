@@ -875,3 +875,45 @@ class TestPQ:
             b = set(brute[brute["query_id"] == qid]["vec_id"])
             recalls.append(len(g & b) / len(b))
         assert sum(recalls) / len(recalls) >= 0.45
+
+
+class TestHashJoinDtypes:
+    def test_int64_keys_survive_join(self, ray_session):
+        # the round-3 regression: null-padded union columns turned int64
+        # into float64 through arrow->pandas, corrupting ids above 2^53
+        # and breaking downstream exact-equality joins
+        from docstrange_ray.shuffle import hash_join
+
+        big = (1 << 53) + 1  # not exactly representable as float64
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, big], pa.int64()),
+                      "lv": pa.array([10, 20], pa.int64())})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, big], pa.int64()),
+                      "rv": pa.array([7, 8], pa.int64())})
+        )
+        out = hash_join(left, right, key="k").to_pandas().sort_values("k")
+        assert out["k"].dtype == np.int64
+        assert out["k"].tolist() == [1, big]
+        assert out["lv"].tolist() == [10, 20] and out["rv"].tolist() == [7, 8]
+
+    def test_curated_full_chain(self, ray_session):
+        from docstrange_ray.ops.curate import curated_docs_full
+
+        base = ("the cat and a dog sat on the mat near a tree " * 4).strip()
+        permuted = " ".join(reversed(base.split()))  # same bag of words:
+        # simhash hamming 0 (near dup) but a different content_md5
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    base,
+                    base,      # exact dup of 1
+                    permuted,  # simhash near-dup of 1, not an exact dup
+                    "low",     # fails the quality floor
+                ],
+            }
+        )
+        out = curated_docs_full(ray.data.from_arrow(tbl)).to_pandas()
+        assert out["doc_id"].tolist() == [1]

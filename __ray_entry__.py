@@ -348,6 +348,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return hash_sample(read_docs(sf_dir), 0.10).select_columns(["doc_id"])
 
+    def stratified_sample(sf_dir):
+        """Balanced subsampling: at most 10 docs per source, picked
+        deterministically (lowest md5(doc_id) per stratum), hot-stratum
+        safe via per-batch partial caps before the ONE strata shuffle."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sampling import stratified_cap
+
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet").select_columns(
+            ["doc_id", "source"]
+        )
+        return stratified_cap(docs, strata_key="source", cap=10)
+
     def ivf_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -517,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curated_docs,
         "curated_full": curated_full,
         "hash_sample_10": hash_sample_10,
+        "stratified_sample": stratified_sample,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
         "ivf_ann_topk": ivf_ann_topk,
@@ -582,6 +595,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_10": """
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 10
         """,
         "curated_docs": r"""
             WITH scored AS (

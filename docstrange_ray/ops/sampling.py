@@ -46,6 +46,61 @@ def hash_sample(ds, fraction: float, key: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_cap(
+    ds,
+    strata_key: str,
+    cap: int,
+    id_key: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Balanced subsampling: keep at most ``cap`` rows per stratum
+    (source / language / domain), chosen DETERMINISTICALLY as the cap
+    lowest md5(id) hashes within each stratum — stable across cluster
+    sizes and resumable, like every sampler here.
+
+    Hot-stratum safe by partial reduction: each batch locally keeps its
+    cap lowest-hash rows per stratum BEFORE the exchange, so a stratum
+    with a billion rows ships ``n_batches x cap`` candidate rows — never
+    the stratum — through the ONE strata-key shuffle; the block-local
+    final applies the same rule to the candidates. SQL equivalent:
+    ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY md5(id), id) <= cap``.
+    Returns Dataset[(strata_key, id_key, sample_rank)]."""
+    import pandas as pd
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def local_cap(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                strata_key: batch.column(strata_key).to_pylist(),
+                id_key: batch.column(id_key).to_pylist(),
+            }
+        )
+        df["__h"] = [
+            hashlib.md5(str(k).encode("utf-8")).hexdigest() for k in df[id_key]
+        ]
+        return (
+            df.sort_values(["__h", id_key])
+            .groupby(strata_key, as_index=False, sort=False)
+            .head(cap)
+        )
+
+    def final_cap(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(["__h", id_key])
+            .groupby(strata_key, as_index=False, sort=False)
+            .head(cap)
+            .sort_values([strata_key, "__h", id_key])
+        )
+        out["sample_rank"] = out.groupby(strata_key, sort=False).cumcount() + 1
+        return out[[strata_key, id_key, "sample_rank"]]
+
+    candidates = ds.map_batches(arrow_out(local_cap), batch_format="pyarrow")
+    return grouped_blocks(
+        candidates, [strata_key], final_cap, num_partitions, batch_format="pandas"
+    )
+
+
 def hash_split(ds, train_fraction: float, key: str = "doc_id"):
     """Deterministic train/holdout split: (train_ds, holdout_ds), disjoint
     and exhaustive, stable under any re-partitioning. Each side is its

@@ -917,3 +917,39 @@ class TestHashJoinDtypes:
         )
         out = curated_docs_full(ray.data.from_arrow(tbl)).to_pandas()
         assert out["doc_id"].tolist() == [1]
+
+
+class TestStratifiedCap:
+    def test_cap_and_determinism(self, ray_session):
+        from docstrange_ray.ops.sampling import stratified_cap
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(100)), pa.int64()),
+                "source": pa.array(
+                    ["a"] * 60 + ["b"] * 30 + ["c"] * 10, pa.string()
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        out = stratified_cap(ds, "source", cap=5).to_pandas()
+        counts = out.groupby("source")["doc_id"].count().to_dict()
+        assert counts == {"a": 5, "b": 5, "c": 5}
+        assert set(out["sample_rank"]) == {1, 2, 3, 4, 5}
+        # determinism across repartitioning: same winners at any layout
+        out2 = stratified_cap(ds.repartition(7), "source", cap=5).to_pandas()
+        a = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        b = out2.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_small_stratum_kept_whole(self, ray_session):
+        from docstrange_ray.ops.sampling import stratified_cap
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["x", "x", "y"], pa.string()),
+            }
+        )
+        out = stratified_cap(ray.data.from_arrow(tbl), "source", cap=10).to_pandas()
+        assert len(out) == 3

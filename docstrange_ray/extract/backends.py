@@ -79,8 +79,87 @@ class DoclingPageBackend:
         raise NotImplementedError("real-weights path: models unavailable here")
 
 
+class ProjectionProfileBackend:
+    """REAL layout analysis without model weights: for payloads carrying
+    an encoded page image (``{"image_b64": ...}`` — the S12 image route,
+    binary_formats.file_bytes_to_input_spans), decode the pixels with
+    the stdlib PNG/JPEG decoders, binarize at the mean intensity, and
+    segment text lines by horizontal projection profile — the classic
+    pre-neural layout technique (ink-row histograms). Each detected
+    band becomes a block with REAL bbox geometry (y-range from the row
+    profile, x-range from the column profile inside the band) in
+    reading order. RECOGNITION needs a model, so block text is a
+    deterministic placeholder carrying the real geometry — a
+    weights-bearing backend (DoclingPageBackend) OCRs the same pixels
+    behind the same interface. Descriptor payloads without an image
+    pass through untouched (mock semantics), so mixed corpora extract
+    correctly."""
+
+    # a row is "ink" when >= this fraction of its pixels are dark
+    MIN_INK_FRACTION = 0.05
+
+    def analyze_page(self, payload: str) -> str:
+        import base64
+        import json
+
+        try:
+            d = json.loads(payload)
+        except (TypeError, ValueError):
+            return payload
+        if not isinstance(d, dict) or not d.get("image_b64"):
+            return payload  # already a descriptor: pass through
+        try:
+            data = base64.b64decode(d["image_b64"])
+            img = self._decode(data)
+        except Exception:
+            return payload  # undecodable image: fall back to descriptor path
+        import numpy as np
+
+        dark = img.astype(np.float64) < max(1.0, float(img.mean()))
+        rows = dark.sum(axis=1)
+        thr = max(1.0, self.MIN_INK_FRACTION * img.shape[1])
+        ink = rows >= thr
+        blocks = []
+        y = 0
+        h = img.shape[0]
+        while y < h:
+            if not ink[y]:
+                y += 1
+                continue
+            y0 = y
+            while y < h and ink[y]:
+                y += 1
+            band = dark[y0:y]
+            cols = np.where(band.any(axis=0))[0]
+            x0, x1 = (int(cols[0]), int(cols[-1]) + 1) if cols.size else (0, img.shape[1])
+            blocks.append(
+                {
+                    "text": f"[text line {len(blocks) + 1}: {y - y0}px]",
+                    "x": x0,
+                    "y": int(y0),
+                    "w": x1 - x0,
+                    "h": int(y - y0),
+                    "conf": 0.9,
+                }
+            )
+        return json.dumps(
+            {"embedded_text": d.get("embedded_text", "") or "", "blocks": blocks}
+        )
+
+    @staticmethod
+    def _decode(data: bytes):
+        from docstrange_ray.ops.media_meta import decode_jpeg_gray, decode_png
+
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(data)
+        if data[:2] == b"\xff\xd8":
+            return decode_jpeg_gray(data)
+        raise ValueError("unsupported image container")
+
+
 _BACKENDS = {
     "mock": MockPageBackend,
+    "pixels": ProjectionProfileBackend,
     "docling": DoclingPageBackend,
 }
 

@@ -37,6 +37,24 @@ def finalize_spans(out: list[dict]) -> list[dict]:
     ]
 
 
+# One backend instance per (process, backend name): model/state loads
+# once per worker regardless of how many units it extracts. Seeded by
+# ExtractUnitActor.__init__ (warm load) and lazily here for the
+# sequential oracle path.
+_BACKEND_CACHE: dict[str, object] = {}
+
+
+def _backend_for(cfg: ExtractConfig):
+    name = getattr(cfg, "page_backend", "mock") or "mock"
+    backend = _BACKEND_CACHE.get(name)
+    if backend is None:
+        from docstrange_ray.extract.backends import make_backend
+
+        backend = make_backend(cfg)
+        _BACKEND_CACHE[name] = backend
+    return backend
+
+
 def extract_unit(
     kind: str,
     text: str,
@@ -63,7 +81,11 @@ def extract_unit(
     if kind == "table-src":
         return table_src_to_spans(text, name=f"{doc_id}.t{table_idx}", cfg=cfg)
     if kind == "page-src":
-        return page_to_spans(text, page_no, cfg)
+        # ONE backend-application point shared by the sequential oracle
+        # and every pipeline plan (span equality must hold for ANY
+        # configured backend, not just the identity mock): the backend
+        # turns the raw page payload into the canonical descriptor.
+        return page_to_spans(_backend_for(cfg).analyze_page(text), page_no, cfg)
     if kind == "docx-src":
         return docx_src_to_spans(text, cfg)
     if kind == "pptx-src":

@@ -214,11 +214,13 @@ class ExtractUnitActor:
         self.cfg = cfg or DEFAULT
         # Force-compile all classification/cleaning regexes once per actor.
         from docstrange_ray.extract import classify, cleaners, markdown_extract  # noqa: F401
-        from docstrange_ray.extract.backends import make_backend
+        from docstrange_ray.extract.core import _backend_for
 
-        # Layout/OCR backend constructed ONCE per actor (A1-A3/A7
-        # co-residency; real weights select via cfg.page_backend).
-        self.backend = make_backend(self.cfg)
+        # Warm-load the layout/OCR backend ONCE per actor (A1-A3/A7
+        # co-residency; real weights select via cfg.page_backend). The
+        # instance lives in core's per-process cache — the same one
+        # extract_unit reads, so the oracle and the actor share it.
+        self.backend = _backend_for(self.cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -237,15 +239,13 @@ class ExtractUnitActor:
         rows = todo.to_pylist()
         for r in rows:
             try:
-                payload = r["payload"]
-                if r["unit_kind"] == "page-src":
-                    # backend turns the raw page payload into the
-                    # canonical descriptor (mock = identity; docling =
-                    # layout+OCR+table models over the page image)
-                    payload = self.backend.analyze_page(payload)
+                # backend application (mock identity / pixels projection
+                # profiles / docling models) happens INSIDE extract_unit
+                # — the one shared point with the sequential oracle, so
+                # span equality holds for any configured backend
                 r["spans"] = extract_unit(
                     r["unit_kind"],
-                    payload,
+                    r["payload"],
                     r["media_ref"],
                     r["doc_id"],
                     r["page_no"],

@@ -523,6 +523,35 @@ def make_ppt(
     )
 
 
+def make_png_gray(pixels) -> bytes:
+    """A valid grayscale PNG from an arbitrary ``numpy (h, w) uint8``
+    array (filter-0 scanlines) — for synthesizing page images with
+    real structure (text-line bands) for the pixels backend."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    height, width = arr.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_png(width: int, height: int, shade: int = 128) -> bytes:
     """A fully valid grayscale PNG (stdlib zlib + struct): signature,
     IHDR, one IDAT of filter-0 scanlines, IEND — decodable by any PNG

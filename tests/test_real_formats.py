@@ -520,3 +520,60 @@ class TestPptxSlideOrder:
                 )
         deck = parse_pptx_bytes(buf.getvalue())
         assert deck["slides"] == [{"texts": ["second"]}, {"texts": ["first"]}]
+
+
+class TestPixelsBackend:
+    """ProjectionProfileBackend: REAL layout geometry from decoded
+    pixels (projection-profile line segmentation), shared by the oracle
+    and the pipeline through the one backend-application point in
+    extract_unit."""
+
+    def _page_image(self):
+        import numpy as np
+
+        from docstrange_ray.synth_files import make_png_gray
+
+        # gaps wider than 1.5x the average line height so the paragraph
+        # grouping heuristic (M12) keeps the three lines separate
+        img = np.full((70, 100), 250, dtype=np.uint8)
+        img[5:12, 10:90] = 20
+        img[28:34, 10:60] = 30
+        img[50:58, 30:95] = 10
+        return make_png_gray(img)
+
+    def test_detects_real_text_lines(self):
+        import base64
+        import json
+
+        from docstrange_ray.extract.backends import ProjectionProfileBackend
+
+        payload = json.dumps(
+            {"embedded_text": "", "image_b64": base64.b64encode(self._page_image()).decode()}
+        )
+        out = json.loads(ProjectionProfileBackend().analyze_page(payload))
+        assert [b["y"] for b in out["blocks"]] == [5, 28, 50]
+        assert out["blocks"][1]["w"] == 50  # real x-extent per band
+        # descriptor payloads pass through untouched (mixed corpora)
+        desc = json.dumps({"embedded_text": "abc", "blocks": []})
+        assert ProjectionProfileBackend().analyze_page(desc) == desc
+
+    def test_pipeline_matches_oracle_with_pixels_backend(self, ray_session, tmp_path):
+        from dataclasses import replace
+
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.sources import extract_files, read_files
+
+        p = tmp_path / "page.png"
+        p.write_bytes(self._page_image())
+        cfg = replace(DEFAULT, page_backend="pixels")
+        rows = extract_files(str(p), cfg).take_all()
+        assert len(rows) == 1
+        texts = [s["text"] for s in rows[0]["spans"]]
+        # the reference-faithful lossy OCR postprocess (M8: '1'->'l')
+        # rewrites the digits, so match the stable prefix
+        assert sum("[text line" in t for t in texts) == 3
+        # oracle parity: same backend applied via the shared path
+        inputs = read_files(str(p), cfg).take_all()
+        oracle = extract_corpus([{k: r[k] for k in ("doc_id", "spans")} for r in inputs], cfg)
+        assert [dict(s) for s in rows[0]["spans"]] == oracle[0]["spans"]

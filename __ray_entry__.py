@@ -151,6 +151,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return extract_files(out).map_batches(flatten, batch_format="pyarrow")
 
+    def pixel_layout_extract(sf_dir):
+        """REAL pixel-based layout end-to-end: deterministic page-image
+        PNGs (text-line bands) → the S12 image route with
+        page_backend='pixels' (projection-profile line segmentation over
+        stdlib-decoded pixels) → per-line spans with real geometry.
+        Oracle-parity gated by TestPixelsBackend (no SQL: extraction
+        semantics)."""
+        import hashlib
+        import os
+        from dataclasses import replace
+
+        import numpy as np
+
+        from docstrange_ray.config import DEFAULT as _DCFG
+        from docstrange_ray.sources import extract_files
+        from docstrange_ray.synth_files import make_png_gray
+
+        out = (
+            "/tmp/dsray_pixel_pages_v1_"
+            f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
+        if not os.path.isdir(out):
+            os.makedirs(out, exist_ok=True)
+            for i in range(8):
+                img = np.full((80, 120), 250, dtype=np.uint8)
+                for li in range(2 + i % 3):  # 2-4 text-line bands
+                    y0 = 6 + li * 24
+                    img[y0 : y0 + 7 + (i % 2), 8 : 110 - (li * 9) % 40] = 20
+                with open(os.path.join(out, f"page{i}.png"), "wb") as f:
+                    f.write(make_png_gray(img))
+
+        def flatten(batch: pa.Table) -> pa.Table:
+            from docstrange_ray.schema import FLAT_SPANS_SCHEMA
+
+            rows = []
+            for did, spans in zip(
+                batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+            ):
+                for s in spans:
+                    rows.append({"doc_id": did, **s})
+            return pa.Table.from_pylist(rows, schema=FLAT_SPANS_SCHEMA)
+
+        cfg = replace(_DCFG, page_backend="pixels")
+        return extract_files(out, cfg).map_batches(flatten, batch_format="pyarrow")
+
     def extract_markdown(sf_dir):
         return add_projection(_extracted(sf_dir), "markdown").select_columns(
             ["doc_id", "markdown"]
@@ -494,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction
         "extract_flagship": extract_flagship,
         "real_format_extract": real_format_extract,
+        "pixel_layout_extract": pixel_layout_extract,
         "extract_markdown": extract_markdown,
         "extract_html": extract_html,
         "extract_csv": extract_csv,

@@ -880,6 +880,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, content_md5, quality FROM w1
             WHERE doc_id NOT IN (SELECT node FROM drops)
         """,
+        # MinHash-LSH verified pairs vs EXACT all-pairs n-gram Jaccard.
+        # Valid as a hard oracle because the banding is DETERMINISTIC
+        # (fixed permutations — no runtime randomness) and verified
+        # complete on this corpus: every pair at or above the 0.8
+        # threshold sits at j >= 0.9, where a band collision is
+        # near-certain (1-(1-0.9^4)^16 ~ 1 - 3e-6); the exact-Jaccard
+        # verify stage then matches the SQL values digit for digit
+        # (hashed-shingle Jaccard == string-gram Jaccard absent
+        # collisions).
+        "minhash_near_dups": r"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(ws) - 1,
+                                             CASE WHEN len(ws) > 0 THEN 2 ELSE 1 END)),
+                           i -> CASE WHEN len(ws) >= 3
+                                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     ELSE array_to_string(ws, ' ') END)) AS gs
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ), e AS (
+                SELECT doc_id, UNNEST(gs) AS gram, len(gs) AS n FROM g
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni,
+                       ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT pa AS doc_id_a, pb AS doc_id_b,
+                   ROUND(ni * 1.0 / (na + nb - ni), 6) AS jaccard
+            FROM inter
+            WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+        """,
+        # ... and the MinHash drop list: components over those exact
+        # pairs (recursive-CTE min-label closure), drop all but min id.
+        "near_dup_drops": r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(ws) - 1,
+                                             CASE WHEN len(ws) > 0 THEN 2 ELSE 1 END)),
+                           i -> CASE WHEN len(ws) >= 3
+                                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     ELSE array_to_string(ws, ' ') END)) AS gs
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ), e AS (
+                SELECT doc_id, UNNEST(gs) AS gram, len(gs) AS n FROM g
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni,
+                       ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), prs AS (
+                SELECT pa, pb FROM inter WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM prs UNION SELECT pb, pa FROM prs
+            ), lbl(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e2.a, l.label FROM edges e2 JOIN lbl l ON l.node = e2.b
+            )
+            SELECT node AS doc_id
+            FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
+            WHERE m <> node
+        """,
         # the full distributed dedup chain oracled: exact all-pairs
         # hamming (valid: blocking complete for <=3, no star cap at this
         # scale) -> connected components as a recursive-CTE min-label

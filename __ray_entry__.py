@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": relational.events_last_order,
         "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
+        "events_funnel": relational.events_funnel,
         "docs_by_source": relational.docs_by_source,
     }
 
@@ -1056,5 +1057,6 @@ def oracle_sql() -> dict[str, str]:
         "events_last_order": relational.EVENTS_LAST_ORDER_SQL,
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
+        "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "docs_by_source": relational.DOCS_BY_SOURCE_SQL,
     }

@@ -308,6 +308,88 @@ GROUP BY event_type, hour
 SESSION_GAP_MIN = 30
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Funnel analysis: per user, the FIRST 'view', the first 'click'
+    strictly after it, and the first 'purchase' strictly after that —
+    completed funnels only.
+
+    Plan: row-filter to the three funnel event types AND project
+    (user_id, ts, event_type) BEFORE the one user-key exchange. That
+    pruning is the only reduction available here: funnel matching is
+    order-dependent across a user's whole history, so the
+    interval-style partial reduction of :func:`user_sessions` does not
+    compose (events of one user interleave arbitrarily across batches,
+    and a per-batch automaton state cannot be merged). Per-user rows
+    are bounded, so the block-local ordered scan is safe at any corpus
+    size. Returns (user_id, view_ts, click_ts, purchase_ts)."""
+    import pyarrow.compute as pc
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    steps = pa.array(FUNNEL_STEPS)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"), value_set=steps))
+
+    def funnel_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].to_numpy()
+            et = g["event_type"].to_numpy()
+            views = ts[et == "view"]
+            if not views.size:
+                continue
+            t1 = views.min()
+            clicks = ts[(et == "click") & (ts > t1)]
+            if not clicks.size:
+                continue
+            t2 = clicks.min()
+            purchases = ts[(et == "purchase") & (ts > t2)]
+            if not purchases.size:
+                continue
+            rows.append((uid, t1, t2, purchases.min()))
+        out = pd.DataFrame(
+            rows, columns=["user_id", "view_ts", "click_ts", "purchase_ts"]
+        )
+        if out.empty:
+            out = out.astype(
+                {
+                    "user_id": np.int64,
+                    "view_ts": "datetime64[us]",
+                    "click_ts": "datetime64[us]",
+                    "purchase_ts": "datetime64[us]",
+                }
+            )
+        return out
+
+    pruned = ev.map_batches(prune, batch_format="pyarrow")
+    return grouped_blocks(pruned, ["user_id"], funnel_block, batch_format="pandas")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS view_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > v.view_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+"""
+
+
 def user_sessions(sf_dir: str):
     """Session windows per user (30-minute inactivity gap), with
     INTERVAL partial reduction: each batch sessionizes its own slice

@@ -206,3 +206,48 @@ class TestAdaptiveFinal:
         ).take_all()
         got = {r["k"]: r["v"] for r in out}
         assert got == self._expected(rows)
+
+
+class TestEventsFunnel:
+    def test_funnel_semantics(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from docstrange_ray import relational
+
+        ts = pd.to_datetime(
+            [
+                # user 1: view -> click -> purchase (completes)
+                "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",
+                # user 2: click BEFORE the first view (click must not count),
+                # then view, then purchase without an intermediate click
+                "2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:30",
+                # user 3: view only
+                "2024-01-01 01:00",
+            ]
+        )
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(range(7)), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase", "click", "view", "purchase", "view"]
+                ),
+            }
+        )
+        sf = str(tmp_path)
+        pq.write_table(tbl, f"{sf}/events.parquet")
+        out = relational.events_funnel(sf).to_pandas()
+        assert out["user_id"].tolist() == [1]
+        assert out.loc[0, "click_ts"] == pd.Timestamp("2024-01-01 00:10")
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.execute(relational.EVENTS_FUNNEL_SQL).df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        )

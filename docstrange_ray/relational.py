@@ -308,6 +308,73 @@ GROUP BY event_type, hour
 SESSION_GAP_MIN = 30
 
 
+def user_retention(sf_dir: str):
+    """Retention cohorts: users cohorted by their first active DAY; for
+    each (cohort_day, day_offset) the count of cohort users active that
+    day — the standard cohort-retention matrix.
+
+    Both exchanges are metadata-scale: batches partial-reduce to
+    distinct (user_id, day) rows before the user shuffle (an active
+    user's thousandth event that day ships nothing); the per-user stage
+    emits one (cohort_day, day_offset) row per active day, partial-
+    counted per block before the small final groupby."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        return df[["user_id", "day"]].drop_duplicates()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"])
+        cohort = d.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort,
+                "day_offset": (d["day"] - cohort).dt.days.astype(np.int64),
+            }
+        )
+        g = (
+            out.groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    per_user_rows = grouped_blocks(
+        ev.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
+        ["user_id"],
+        per_user,
+        batch_format="pandas",
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return grouped_blocks(
+        per_user_rows, ["cohort_day", "day_offset"], combine, batch_format="pandas"
+    )
+
+
+USER_RETENTION_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+), ch AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT ch.cohort_day,
+       CAST(DATEDIFF('day', ch.cohort_day, ud.day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN ch USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 

@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def lm_quality(sf_dir):
+        """Bigram LM cross-entropy scoring (CCNet-recipe shape): corpus
+        counts distributed, vocabulary-scale broadcast, shuffle-free
+        per-doc scoring."""
+        return textstats.lm_score(read_docs(sf_dir))
+
     def gopher_filter(sf_dir):
         """Gopher-style quality rules (word-count / mean-word-length /
         alpha-fraction / stopword-floor bounds) with rule inputs as
@@ -555,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams,
         "tfidf_terms": tfidf_terms,
         "gopher_filter": gopher_filter,
+        "lm_quality": lm_quality,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -681,6 +688,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
             FROM documents
+        """,
+        "lm_quality": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
+            ), v AS (SELECT COUNT(*) AS v FROM uni),
+            bi AS (
+                SELECT w1, w2, COUNT(*) AS c FROM (
+                    SELECT ws[i] AS w1, ws[i+1] AS w2
+                    FROM docs, UNNEST(range(1, len(ws))) AS t(i))
+                GROUP BY w1, w2
+            ), docbi AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+            )
+            SELECT d.doc_id,
+                   ROUND(AVG(-LOG2((COALESCE(b.c, 0) + 1.0) / (u.c + v.v))), 6)
+                       AS bits_per_bigram
+            FROM docbi d
+            JOIN uni u ON u.w = d.w1
+            LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+            CROSS JOIN v
+            GROUP BY d.doc_id
         """,
         "gopher_filter": r"""
             SELECT doc_id, n_words,

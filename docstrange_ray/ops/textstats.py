@@ -315,6 +315,91 @@ def tfidf_topk(ds, k: int = 5, num_partitions: int | None = None):
     return ds.map_batches(score_batch, batch_format="pyarrow")
 
 
+def lm_score(ds, num_partitions: int | None = None):
+    """Statistical language-model quality scoring (the CCNet-recipe
+    shape, with an in-corpus bigram model standing in for KenLM): train
+    add-one-smoothed bigram statistics over the corpus DISTRIBUTED (one
+    count shuffle), broadcast the vocabulary-scale tables once, and
+    score every document as its mean bigram cross-entropy
+    ``-mean log2 (c(w1 w2)+1)/(c(w1)+V)`` — low bits-per-bigram =
+    typical phrasing, high = atypical/garbled (the repetition/fluency
+    signal real pipelines threshold on).
+
+    Same broadcast assumption as tf-idf: counts are vocabulary-scale
+    (Heaps-law sublinear), not corpus-scale; an unbounded vocabulary
+    swaps the broadcast for a bigram-keyed co-partition join. Documents
+    with fewer than two words emit no row. Returns
+    Dataset[(doc_id, bits_per_bigram)] rounded to 6 dp."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = (t or "").lower().split()
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        # Space-joined keys: tokens come from str.split() so they can
+        # never contain whitespace. (NUL separators are NOT safe here —
+        # pandas' groupby string hashtable treats keys as C strings and
+        # silently merges everything sharing a pre-NUL prefix.)
+        rows = [("u " + w, c) for w, c in uni.items()]
+        rows += [("b " + a + " " + b, c) for (a, b), c in bi.items()]
+        return pd.DataFrame(
+            {"key": [k for k, _ in rows], "c": np.array([c for _, c in rows], dtype=np.int64)}
+        )
+
+    counts = grouped_blocks(
+        ds.map_batches(arrow_out(count_partial), batch_format="pyarrow", batch_size=65536),
+        ["key"],
+        lambda d: d.groupby("key", as_index=False)["c"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    ).take_all()  # vocabulary-scale
+    uni_c: dict[str, int] = {}
+    bi_c: dict[tuple[str, str], int] = {}
+    for r in counts:
+        k = r["key"]
+        if k.startswith("u "):
+            uni_c[k[2:]] = int(r["c"])
+        else:
+            a, b = k[2:].split(" ", 1)
+            bi_c[(a, b)] = int(r["c"])
+    vocab_size = len(uni_c)
+    ref = ray.put((uni_c, bi_c, vocab_size))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        uni, bi, v = ray.get(ref)
+        out_doc, out_score = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            if len(ws) < 2:
+                continue
+            bits = np.array(
+                [
+                    -np.log2((bi.get((a, b), 0) + 1.0) / (uni.get(a, 0) + v))
+                    for a, b in zip(ws, ws[1:])
+                ]
+            )
+            out_doc.append(did)
+            out_score.append(round(float(bits.mean()), 6))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_doc, type=batch.schema.field("doc_id").type),
+                pa.array(out_score, type=pa.float64()),
+            ],
+            names=["doc_id", "bits_per_bigram"],
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
 def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
     """Rolling polynomial hash over word windows; the per-doc fingerprint
     is the MINIMUM window hash (a 1-perm MinHash — deterministic,

@@ -797,6 +797,57 @@ class TestCorpusTerms:
         assert 4 not in set(got["doc_id"])
 
 
+class TestLmScore:
+    """Bigram-LM cross-entropy scoring vs a sequential in-test model.
+
+    The corpus deliberately has MANY more distinct words/bigrams than
+    shuffle partitions: this pins the pandas-groupby key-separator
+    regression (NUL-joined keys silently collapse to their pre-NUL
+    prefix in pandas' C-string hashtable, merging the whole vocabulary
+    into one count per partition)."""
+
+    def test_scores_match_sequential_model(self):
+        import itertools
+        from collections import Counter
+
+        words = [f"w{i}" for i in range(40)]
+        texts = [
+            " ".join(words[i : i + 7]) for i in range(0, 34, 3)
+        ] + ["w0 w1 w2 w0 w1", "solo", ""]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": texts,
+            }
+        )
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in texts:
+            ws = t.lower().split()
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        v = len(uni)
+        exp = {}
+        for did, t in enumerate(texts):
+            ws = t.lower().split()
+            if len(ws) < 2:
+                continue
+            bits = [
+                -np.log2((bi[(a, b)] + 1.0) / (uni[a] + v))
+                for a, b in zip(ws, ws[1:])
+            ]
+            exp[did] = round(float(np.mean(bits)), 6)
+
+        got = textstats.lm_score(ray.data.from_arrow(tbl)).to_pandas()
+        got_map = dict(zip(got["doc_id"], got["bits_per_bigram"]))
+        assert got_map == exp
+        # short/empty docs emit no row
+        assert len(texts) - 2 not in got_map and len(texts) - 1 not in got_map
+        # a repeated high-frequency bigram scores fewer bits than a
+        # one-off bigram chain
+        assert got_map[len(texts) - 3] < max(got_map.values())
+
+
 class TestGopherFilter:
     def test_rules_vs_duckdb(self):
         tbl = pa.table(

@@ -304,6 +304,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per-doc scoring."""
         return textstats.lm_score(read_docs(sf_dir))
 
+    def pii_scrub_q(sf_dir):
+        """PII detection + redaction in one pass (Arrow RE2 kernels,
+        shuffle-free). The synthetic corpus has no natural PII, so the
+        query first dirties each doc with DETERMINISTIC doc_id-derived
+        PII (email / ipv4 / ssn / phone) — mirrored verbatim in the SQL
+        oracle — then scrubs it. The injection is fixture dressing
+        (plain Python over a 500-row table); the scrub itself is the
+        op under test and stays fully vectorized."""
+        from docstrange_ray.ops import pii
+
+        def dirty(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = [
+                f"{t} contact user{i}@example.com ip 10.{i % 256}.0.{i % 100}"
+                f" ssn 123-45-{i % 10000:04d} call (415) 555-{i % 10000:04d}"
+                for i, t in zip(ids, texts)
+            ]
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), pa.array(out, pa.string())],
+                names=["doc_id", "text"],
+            )
+
+        return read_docs(sf_dir).map_batches(
+            dirty, batch_format="pyarrow"
+        ).map_batches(pii.pii_scrub, batch_format="pyarrow")
+
+    def decontaminate_q(sf_dir):
+        """Benchmark decontamination: docs with doc_id % 97 == 0 act as
+        the held-out benchmark; every other doc sharing a distinct
+        3-gram with it is flagged with its overlap count (n=13 in
+        production; 3 here because the fixture vocabulary is ~30 words,
+        so longer grams never collide). Broadcast benchmark gram set +
+        ONE shuffle-free corpus scan."""
+        from docstrange_ray.ops import decontam
+
+        def split(want_bench):
+            def f(batch: pa.Table) -> pa.Table:
+                mask = (batch.column("doc_id").to_numpy() % 97 == 0) == want_bench
+                return batch.filter(pa.array(mask))
+
+            return f
+
+        docs = read_docs(sf_dir)
+        bench = docs.map_batches(split(True), batch_format="pyarrow")
+        train = docs.map_batches(split(False), batch_format="pyarrow")
+        return decontam.decontaminate(train, bench, n=3)
+
     def gopher_filter(sf_dir):
         """Gopher-style quality rules (word-count / mean-word-length /
         alpha-fraction / stopword-floor bounds) with rule inputs as
@@ -562,6 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": tfidf_terms,
         "gopher_filter": gopher_filter,
         "lm_quality": lm_quality,
+        "pii_scrub": pii_scrub_q,
+        "decontaminate": decontaminate_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -716,6 +766,55 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
             CROSS JOIN v
             GROUP BY d.doc_id
+        """,
+        "decontaminate": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+                FROM docs, UNNEST(range(len(ws) - 2)) AS t(i)
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, COUNT(DISTINCT gram) AS n_overlap
+            FROM g JOIN bench USING (gram)
+            WHERE doc_id % 97 <> 0
+            GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH dirty AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com ip 10.'
+                            || (doc_id % 256) || '.0.' || (doc_id % 100)
+                            || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' call (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text, '(\+?\d{1,2} ?)?\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                   + len(regexp_extract_all(text, '(\+?\d{1,2} ?)?\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b'))
+                       AS n_pii,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                     '(\+?\d{1,2} ?)?\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
+                       AS redacted
+            FROM dirty
         """,
         "gopher_filter": r"""
             SELECT doc_id, n_words,

@@ -1,0 +1,70 @@
+"""PII detection and redaction over a text column.
+
+A first-class training-data op (the reference has no PII handling; this
+is part of the large-scale-pipeline family alongside dedup/quality —
+brief §"text analysis"). Both stages are pure per-batch Arrow RE2
+kernels (``pyarrow.compute.count_substring_regex`` /
+``replace_substring_regex``) — zero shuffles, zero Python loops, so the
+op is scan-shaped and trivially scale-safe: redacting 100 TB is exactly
+one streaming pass.
+
+Pattern parity: Arrow's regex kernels and DuckDB's ``regexp_*`` are
+both RE2, so the SAME pattern strings drive the engine and the SQL
+oracle (no lookarounds used — RE2 has none). Redaction applies the
+patterns in a FIXED order (email → ipv4 → ssn → phone) on both sides;
+category counts are measured on the ORIGINAL text so they are
+order-independent.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (name, RE2 pattern, replacement token), applied in this order.
+# Patterns deliberately avoid cross-matching: the phone alternatives
+# require parentheses or the 3-3-4 shape, neither of which the 3-2-4
+# SSN shape or a dotted IPv4 can satisfy.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(\+?\d{1,2} ?)?\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_email, n_ipv4, n_ssn, n_phone, n_pii): non-overlapping
+    leftmost match counts per category on the raw text."""
+    col = batch.column("text")
+    counts = [
+        pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+        for _, pat, _ in PII_PATTERNS
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = pc.add(total, c)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), *counts, total],
+        names=["doc_id", *(f"n_{name}" for name, _, _ in PII_PATTERNS), "n_pii"],
+    )
+
+
+def pii_redact(batch: pa.Table) -> pa.Table:
+    """(doc_id, redacted): text with every PII category replaced by its
+    token, patterns applied in the fixed PII_PATTERNS order."""
+    col = batch.column("text")
+    for _, pat, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pat, repl)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), col], names=["doc_id", "redacted"]
+    )
+
+
+def pii_scrub(batch: pa.Table) -> pa.Table:
+    """Combined stats + redaction in ONE pass (one scan at scale
+    instead of two): (doc_id, n_email, n_ipv4, n_ssn, n_phone, n_pii,
+    redacted)."""
+    stats = pii_stats(batch)
+    red = pii_redact(batch)
+    return stats.append_column("redacted", red.column("redacted"))

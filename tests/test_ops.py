@@ -797,6 +797,121 @@ class TestCorpusTerms:
         assert 4 not in set(got["doc_id"])
 
 
+class TestPii:
+    """PII detect/redact: Arrow RE2 kernels vs DuckDB RE2 on adversarial
+    shapes (cross-category near-misses, multiple hits, no hits)."""
+
+    TEXTS = [
+        "mail a.b-c_d%x+1@sub.example.co.uk and b@x.io twice",
+        "ip 192.168.1.255 but version 1.2.3 is not an ip",
+        "ssn 078-05-1120 vs phone 555-867-5309 vs (212) 555-0123",
+        "+1 (415) 555-0142 called 999-99-9999",
+        "no pii here at all",
+        "",
+    ]
+
+    def _tbl(self):
+        return pa.table(
+            {
+                "doc_id": pa.array(list(range(len(self.TEXTS))), pa.int64()),
+                "text": self.TEXTS,
+            }
+        )
+
+    def test_counts_and_redaction_vs_duckdb(self):
+        from docstrange_ray.ops import pii as piimod
+
+        got = piimod.pii_scrub(self._tbl()).to_pandas()
+        con = duckdb.connect()
+        con.register("t", self._tbl())
+        e, i, s, p = (pat for _, pat, _ in piimod.PII_PATTERNS)
+        exp = con.execute(
+            f"""SELECT doc_id,
+                   len(regexp_extract_all(text, '{e}')) AS n_email,
+                   len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '{s}')) AS n_ssn,
+                   len(regexp_extract_all(text, '{p}')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+                       '{s}', '<SSN>', 'g'), '{p}', '<PHONE>', 'g') AS redacted
+                FROM t"""
+        ).fetchdf()
+        for c in ("n_email", "n_ipv4", "n_ssn", "n_phone", "redacted"):
+            assert list(got[c]) == list(exp[c]), c
+        # semantic pins, independent of the oracle
+        assert list(got["n_email"]) == [2, 0, 0, 0, 0, 0]
+        assert list(got["n_ipv4"]) == [0, 1, 0, 0, 0, 0]
+        assert list(got["n_ssn"]) == [0, 0, 1, 1, 0, 0]
+        assert list(got["n_phone"]) == [0, 0, 2, 1, 0, 0]
+        assert got["redacted"][4] == "no pii here at all"
+        assert "<SSN>" in got["redacted"][3] and "<PHONE>" in got["redacted"][3]
+        assert "078-05-1120" not in got["redacted"][2]
+
+    def test_ray_stage_is_shuffle_free_scan(self):
+        from docstrange_ray.ops import pii as piimod
+
+        out = (
+            ray.data.from_arrow(self._tbl())
+            .map_batches(piimod.pii_scrub, batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert len(out) == len(self.TEXTS)
+        assert out["n_pii"].sum() == 8
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self):
+        from docstrange_ray.ops import decontam
+
+        bench = pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "pack my box with five dozen liquor jugs",
+                ],
+            }
+        )
+        corpus = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    # verbatim 5-gram from bench doc 100
+                    "intro text the quick brown fox jumps outro",
+                    # three distinct shared 5-grams (sliding windows)
+                    "pack my box with five dozen liquor",
+                    # shares only 4-gram-length runs -> clean at n=5
+                    "quick brown fox jumps elsewhere now",
+                    "completely unrelated content here today ok",
+                ],
+            }
+        )
+        got = (
+            decontam.decontaminate(
+                ray.data.from_arrow(corpus), ray.data.from_arrow(bench), n=5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [1, 2]
+        assert list(got["n_overlap"]) == [1, 3]
+
+    def test_case_and_whitespace_normalized(self):
+        from docstrange_ray.ops import decontam
+
+        bench = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": ["A B C D E"]}
+        )
+        corpus = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": ["x  a b\tc d e  y"]}
+        )
+        got = decontam.decontaminate(
+            ray.data.from_arrow(corpus), ray.data.from_arrow(bench), n=5
+        ).to_pandas()
+        assert list(got["doc_id"]) == [1] and list(got["n_overlap"]) == [1]
+
+
 class TestLmScore:
     """Bigram-LM cross-entropy scoring vs a sequential in-test model.
 

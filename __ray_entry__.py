@@ -360,6 +360,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.gopher_quality_filter, batch_format="pyarrow"
         )
 
+    def repetition(sf_dir):
+        """Gopher-style intra-doc repetition signals (dup-word /
+        top-2-gram / dup-5-gram fractions) — shuffle-free map stage."""
+        return read_docs(sf_dir).map_batches(
+            textstats.repetition_stats, batch_format="pyarrow"
+        )
+
     def quality_stats(sf_dir):
         return read_docs(sf_dir).map_batches(
             textstats.quality_stats, batch_format="pyarrow"
@@ -612,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": lm_quality,
         "pii_scrub": pii_scrub_q,
         "decontaminate": decontaminate_q,
+        "repetition_stats": repetition,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -766,6 +774,45 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
             CROSS JOIN v
             GROUP BY d.doc_id
+        """,
+        "repetition_stats": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), w AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       len(list_distinct(ws)) AS n_distinct_words
+                FROM docs
+            ), top2 AS (
+                SELECT doc_id, MAX(c) AS mx FROM (
+                    SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS g, COUNT(*) AS c
+                    FROM docs, UNNEST(range(len(ws) - 1)) AS t(i)
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ), d5 AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+                       SUM(c) AS tot
+                FROM (
+                    SELECT doc_id,
+                           ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+                                   || ws[i+4] || ' ' || ws[i+5] AS g,
+                           COUNT(*) AS c
+                    FROM docs, UNNEST(range(len(ws) - 4)) AS t(i)
+                    GROUP BY doc_id, g)
+                GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.n_words, w.n_distinct_words,
+                   ROUND(CASE WHEN w.n_words = 0 THEN 0.0
+                         ELSE 1.0 - CAST(w.n_distinct_words AS DOUBLE) / w.n_words END, 6)
+                       AS dup_word_frac,
+                   ROUND(COALESCE(top2.mx * 2.0 / w.n_words, 0.0), 6) AS top2_frac,
+                   ROUND(COALESCE(CAST(d5.dup AS DOUBLE) / d5.tot, 0.0), 6) AS dup5_frac
+            FROM w
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
         """,
         "decontaminate": r"""
             WITH docs AS (

@@ -202,6 +202,59 @@ def gopher_quality_filter(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style intra-document repetition signals (the paper's
+    second rule family, alongside :func:`gopher_quality_filter`):
+
+    * ``dup_word_frac`` — ``1 - n_distinct_words / n_words``;
+    * ``top2_frac`` — word positions covered by the most frequent
+      2-gram (``max_count * 2 / n_words``);
+    * ``dup5_frac`` — fraction of 5-gram positions whose gram occurs
+      more than once in the doc.
+
+    Word-position-based rather than the paper's character-based
+    fractions so every output is an exact integer ratio (bit-stable for
+    the DuckDB oracle); the thresholding behavior is equivalent.
+    Per-document state only — shuffle-free, batch-parallel. Zero-length
+    edge cases emit 0.0."""
+    from collections import Counter
+
+    doc_ids = batch.column("doc_id")
+    n_words, n_distinct, dupw, top2, dup5 = [], [], [], [], []
+    for t in batch.column("text").to_pylist():
+        ws = (t or "").lower().split()
+        nw = len(ws)
+        nd = len(set(ws))
+        g2 = Counter(zip(ws, ws[1:]))
+        g5 = Counter(zip(ws, ws[1:], ws[2:], ws[3:], ws[4:]))
+        n5 = max(0, nw - 4)
+        n_words.append(nw)
+        n_distinct.append(nd)
+        dupw.append(round(1.0 - nd / nw, 6) if nw else 0.0)
+        top2.append(round(max(g2.values()) * 2.0 / nw, 6) if g2 else 0.0)
+        dup5.append(
+            round(sum(c for c in g5.values() if c >= 2) / n5, 6) if n5 else 0.0
+        )
+    return pa.Table.from_arrays(
+        [
+            doc_ids,
+            pa.array(n_words, type=pa.int64()),
+            pa.array(n_distinct, type=pa.int64()),
+            pa.array(dupw, type=pa.float64()),
+            pa.array(top2, type=pa.float64()),
+            pa.array(dup5, type=pa.float64()),
+        ],
+        names=[
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "dup_word_frac",
+            "top2_frac",
+            "dup5_frac",
+        ],
+    )
+
+
 def top_ngrams(ds, n: int = 3, k: int = 100, num_partitions: int | None = None):
     """Corpus-wide word n-gram frequency top-k — the canonical
     partial-reduce workload shape at 100 TB: every batch emits ONE

@@ -859,6 +859,41 @@ class TestPii:
         assert out["n_pii"].sum() == 8
 
 
+class TestRepetitionStats:
+    def test_planted_repetition(self):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    # "a b c d e" repeated 3x: heavy 5-gram + 2-gram reuse
+                    "a b c d e a b c d e a b c d e",
+                    "all distinct words here now",
+                    "x y x y x y x y",  # top 2-gram ('x','y') count 4 of 7
+                    "",
+                ],
+            }
+        )
+        got = textstats.repetition_stats(tbl).to_pandas().set_index("doc_id")
+        r1 = got.loc[1]
+        assert r1["n_words"] == 15 and r1["n_distinct_words"] == 5
+        assert r1["dup_word_frac"] == round(1 - 5 / 15, 6)
+        # 11 five-gram positions, every gram occurs >= 2 times
+        assert r1["dup5_frac"] == 1.0
+        # top 2-gram ('a','b') occurs 3 times in 14 positions
+        assert r1["top2_frac"] == round(3 * 2 / 15, 6)
+        r2 = got.loc[2]
+        assert r2["dup_word_frac"] == 0.0 and r2["dup5_frac"] == 0.0
+        r3 = got.loc[3]
+        assert r3["top2_frac"] == round(4 * 2 / 8, 6)
+        r4 = got.loc[4]
+        assert (
+            r4["n_words"] == 0
+            and r4["dup_word_frac"] == 0.0
+            and r4["top2_frac"] == 0.0
+            and r4["dup5_frac"] == 0.0
+        )
+
+
 class TestDecontaminate:
     def test_planted_overlap(self):
         from docstrange_ray.ops import decontam

@@ -382,6 +382,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(read_docs(sf_dir))
 
+    def passage_dedup_q(sf_dir):
+        """C4-style global passage dedup: first occurrence of each
+        distinct passage wins, docs reassembled in order. Passage = 2
+        words here (the ~30-word fixture vocabulary makes longer
+        passages collision-free; production uses ~50-word spans)."""
+        return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
+
     def lang_id(sf_dir):
         return read_docs(sf_dir).map_batches(
             textstats.LangId, batch_format="pyarrow", concurrency=(1, 4)
@@ -620,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub_q,
         "decontaminate": decontaminate_q,
         "repetition_stats": repetition,
+        "passage_dedup": passage_dedup_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -774,6 +782,28 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
             CROSS JOIN v
             GROUP BY d.doc_id
+        """,
+        "passage_dedup": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), ch AS (
+                SELECT doc_id, i AS chunk_idx,
+                       array_to_string(list_slice(ws, i * 2 + 1, i * 2 + 2), ' ') AS chunk
+                FROM docs,
+                     UNNEST(range(CAST(ceil(len(ws) / 2.0) AS BIGINT))) AS t(i)
+            ), win AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       ROW_NUMBER() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM ch
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+            FROM win WHERE rn = 1
+            GROUP BY doc_id
         """,
         "repetition_stats": r"""
             WITH docs AS (

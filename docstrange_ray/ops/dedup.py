@@ -195,6 +195,69 @@ def exact_dedup_groups(ds, num_partitions: int | None = None):
     )
 
 
+def passage_dedup(ds, chunk_words: int = 50, num_partitions: int | None = None):
+    """Global passage-level dedup — the C4 "discard any span seen
+    before" rule / CCNet paragraph dedup, over non-overlapping
+    ``chunk_words``-word passages of the lowercased word stream.
+    The globally FIRST occurrence of each distinct passage (ordered by
+    ``(doc_id, chunk_idx)``) survives; surviving passages are
+    reassembled in document order. Docs losing every passage emit no
+    row. Returns Dataset[(doc_id, text_dedup)].
+
+    Scale shape — two keyed exchanges, both hot-key safe:
+      1. passage shuffle (key = the passage text itself, so no hash
+         collision caveat): each batch PRE-REDUCES to one row per
+         distinct passage first — a batch-local non-winner can never be
+         the global first occurrence, so a passage duplicated across
+         millions of docs ships n_batches rows, never n_occurrences;
+      2. doc_id shuffle for order-preserving reassembly (bounded per
+         key by the doc's own passage count).
+    The passage text rides exchange 1 once — it has to reach the
+    reassembly anyway, so there is no cheaper decision-only plan
+    without a third (doc_id, chunk_idx)-keyed join exchange."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, idxs, chunks = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            for ci in range((len(ws) + chunk_words - 1) // chunk_words):
+                ids.append(did)
+                idxs.append(ci)
+                chunks.append(" ".join(ws[ci * chunk_words : (ci + 1) * chunk_words]))
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "chunk_idx": np.array(idxs, dtype=np.int64),
+                "chunk": chunks,
+            }
+        )
+        df = df.sort_values(["chunk", "doc_id", "chunk_idx"], kind="mergesort")
+        return df.drop_duplicates("chunk", keep="first")
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["chunk", "doc_id", "chunk_idx"], kind="mergesort")
+        return df.drop_duplicates("chunk", keep="first")
+
+    kept = grouped_blocks(
+        ds.map_batches(arrow_out(explode), batch_format="pyarrow"),
+        ["chunk"],
+        winners,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        return df.groupby("doc_id", as_index=False).agg(text_dedup=("chunk", " ".join))
+
+    return grouped_blocks(
+        kept, ["doc_id"], reassemble, num_partitions, batch_format="pandas"
+    ).select_columns(["doc_id", "text_dedup"])
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 

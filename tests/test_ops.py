@@ -859,6 +859,48 @@ class TestPii:
         assert out["n_pii"].sum() == 8
 
 
+class TestPassageDedup:
+    def test_first_wins_and_reassembly_order(self):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "a b c d e f",        # chunks: 'a b c', 'd e f'
+                    "d e f g h i a b c",  # 'd e f' dup, 'g h i' new, 'a b c' dup
+                    "a b c d e f",        # fully duplicate -> no row
+                ],
+            }
+        )
+        got = (
+            dedup.passage_dedup(ray.data.from_arrow(tbl), chunk_words=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [1, 2]
+        assert got["text_dedup"][0] == "a b c d e f"
+        assert got["text_dedup"][1] == "g h i"
+
+    def test_trailing_partial_chunk_and_case(self):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["A b C d E", "e x t r a e"],  # doc1 tail chunk 'e'
+            }
+        )
+        got = (
+            dedup.passage_dedup(ray.data.from_arrow(tbl), chunk_words=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc1: 'a b', 'c d', 'e'; doc2: 'e x', 't r', 'a e' — the
+        # trailing single-word chunk 'e' of doc1 is distinct from the
+        # 2-word chunks of doc2, nothing collides
+        assert got["text_dedup"][0] == "a b c d e"
+        assert got["text_dedup"][1] == "e x t r a e"
+
+
 class TestRepetitionStats:
     def test_planted_repetition(self):
         tbl = pa.table(

@@ -592,6 +592,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixture threshold 0.4 keeps the op's output non-degenerate
         return dedup.embedding_dup_pairs(read_emb(sf_dir), threshold=0.4)
 
+    def kmeans_clusters_q(sf_dir):
+        # distributed Lloyd (first-k init, 2 iterations — the exact plan
+        # the unrolled SQL oracle reproduces)
+        from docstrange_ray.ops import semantic
+
+        return semantic.kmeans_clusters(read_emb(sf_dir), k=8, n_iters=2)
+
+    def semantic_dedup_q(sf_dir):
+        # SemDeDup recipe: cluster then drop within-cluster cosine dups;
+        # tau=0.35 yields real drop pressure on the near-random fixture
+        from docstrange_ray.ops import semantic
+
+        return semantic.semantic_dedup(read_emb(sf_dir), k=8, n_iters=2, tau=0.35)
+
     def ann_topk(sf_dir):
         first = (
             read_emb(sf_dir)
@@ -640,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs,
         "simhash_drops": simhash_drops,
         "embedding_dups": embedding_dups,
+        "kmeans_clusters": kmeans_clusters_q,
+        "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann_topk,
         "media_features": media_features,
@@ -666,6 +682,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": relational.user_retention,
         "docs_by_source": relational.docs_by_source,
     }
+
+
+def _kmeans_cte(k: int, n_iters: int) -> str:
+    """CTE chain ending in ``assign(vec_id, cluster)``: the unrolled
+    deterministic Lloyd iterations matching
+    ``ops/semantic.kmeans_clusters`` (first-k init, rounded-to-6
+    centroids and similarities, lowest-cid tie-break, empty clusters
+    carry the previous centroid)."""
+    parts = [
+        f"""ev AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding::DOUBLE[]) /
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))) AS val
+            FROM embeddings
+        ),
+        seed AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        ),
+        c0 AS (
+            SELECT s.cid, e.idx, ROUND(e.val, 6) AS cval
+            FROM ev e JOIN seed s USING (vec_id)
+        )"""
+    ]
+    for t in range(1, n_iters + 1):
+        p = t - 1
+        parts.append(
+            f"""b{t} AS (
+            SELECT vec_id, cid
+            FROM (
+                SELECT e.vec_id, c.cid, ROUND(SUM(e.val * c.cval), 6) AS sim
+                FROM ev e JOIN c{p} c USING (idx)
+                GROUP BY 1, 2
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+        ),
+        m{t} AS (
+            SELECT b.cid, e.idx, AVG(e.val) AS mval
+            FROM ev e JOIN b{t} b USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        c{t} AS (
+            SELECT cid, idx,
+                   ROUND(mval / sqrt(SUM(mval * mval) OVER (PARTITION BY cid)), 6) AS cval
+            FROM m{t}
+            UNION ALL
+            SELECT p.cid, p.idx, p.cval FROM c{p} p
+            WHERE p.cid NOT IN (SELECT DISTINCT cid FROM m{t})
+        )"""
+        )
+    parts.append(
+        f"""assign AS (
+            SELECT vec_id, cid AS cluster
+            FROM (
+                SELECT e.vec_id, c.cid, ROUND(SUM(e.val * c.cval), 6) AS sim
+                FROM ev e JOIN c{n_iters} c USING (idx)
+                GROUP BY 1, 2
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+        )"""
+    )
+    return "WITH " + ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1249,6 +1328,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "kmeans_clusters": _kmeans_cte(8, 2) + "\nSELECT vec_id, cluster FROM assign",
+        "semantic_dedup": _kmeans_cte(8, 2)
+        + """,
+            drops AS (
+                SELECT DISTINCT a.vec_id
+                FROM assign a
+                JOIN assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+                WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.35
+            )
+            SELECT s.vec_id, s.cluster,
+                   CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM assign s LEFT JOIN drops d USING (vec_id)
         """,
         "ann_topk": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

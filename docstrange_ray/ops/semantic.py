@@ -1,0 +1,229 @@
+"""Distributed spherical k-means + SemDeDup-style semantic near-dedup.
+
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540) prunes semantic
+duplicates by clustering embeddings and dropping, within each cluster,
+all but one member of every high-cosine group. The reference engine has
+no embedding ops at all (its corpus is documents, not vectors); this op
+family extends the rebuild for LLM-training-data curation, alongside
+``ops/dedup.py``'s lexical near-dup chain.
+
+Scale shape (the whole point):
+
+* **k-means fit** — centroids are tiny (k x dim floats). Each Lloyd
+  iteration is ONE corpus scan: every batch assigns its rows to the
+  broadcast centroids and emits k partial-sum rows (cid, n, psum);
+  an ``adaptive_final`` k-row reduce closes the iteration. The corpus
+  itself never crosses an exchange, so the fit costs n_iters scans
+  regardless of cluster size.
+* **assignment** — shuffle-free: one broadcast matmul per batch.
+* **dedup** — ONE shuffle of (vec_id, cluster, embedding) keyed by
+  cluster; each cluster's gram matrix is computed block-locally in
+  row chunks (bounded memory even for hot clusters).
+
+Determinism: every similarity and every centroid component is rounded
+to 6 decimals BEFORE any comparison, so the plan is reproducible
+across block orders / float summation orders — and byte-comparable to
+the DuckDB oracle, which unrolls the same iterations in SQL
+(``__ray_entry__._kmeans_cte``). Ties at equal rounded similarity
+break to the lowest centroid id in both engines.
+
+Drop rule: a row is dropped when ANY earlier row (lower vec_id) in its
+cluster has rounded cosine >= tau — the house keep-lowest-id
+convention (same as exact/passage dedup), a superset of SemDeDup's
+keep-one-per-epsilon-group that stays SQL-expressible without
+recursion. The paper's keep-farthest-from-centroid variant is a
+one-line change to the per-cluster kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from docstrange_ray.ops.ann import _as_matrix, _normalize
+
+
+def _lowest_k_rows(ds, k: int) -> np.ndarray:
+    """Normalized matrix of the k smallest-vec_id rows — deterministic
+    seed set. Local per-block min-k then one coalesced final (bounded:
+    n_blocks x k tiny rows)."""
+    from docstrange_ray.shuffle import coalesced_blocks
+
+    def local_mink(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.select(["vec_id", "embedding"]).take(pa.array(take))
+
+    def final_mink(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("vec_id").head(k)
+
+    rows = coalesced_blocks(
+        ds.map_batches(local_mink, batch_format="pyarrow"), final_mink
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return _normalize(mat)
+
+
+def _assign_rounded(mat_norm: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmax over ROUNDED cosines; np.argmax's first-max rule = the
+    lowest-cid tie-break the SQL oracle uses."""
+    sims = np.round(mat_norm @ cents.T, 6)
+    return np.argmax(sims, axis=1).astype(np.int64)
+
+
+def kmeans_fit(ds, k: int = 8, n_iters: int = 2, init: str = "first-k") -> np.ndarray:
+    """Distributed Lloyd iterations; returns (k, dim) centroids with
+    components rounded to 6 decimals.
+
+    ``init='first-k'``: the k lowest-vec_id rows (deterministic and
+    SQL-expressible — the oracle path). ``init='kpp'``: farthest-point
+    k-means++ over a bounded sample (better spread; reuses
+    :func:`docstrange_ray.ops.ann._kmeanspp_init`).
+
+    Per iteration: one corpus scan -> per-block partial sums (k rows) ->
+    ``adaptive_final`` k-row combine. Empty clusters keep their previous
+    centroid (both engines).
+    """
+    import ray
+
+    from docstrange_ray.ops.ann import _kmeanspp_init
+    from docstrange_ray.shuffle import adaptive_final
+
+    if init == "first-k":
+        cents = _lowest_k_rows(ds, k)
+    elif init == "kpp":
+        rows = ds.limit(2048).take_all()
+        mat = _normalize(
+            np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        )
+        cents = _kmeanspp_init(mat, min(k, len(mat)))
+    else:  # pragma: no cover - caller error
+        raise ValueError(f"unknown init {init!r}")
+    cents = np.round(cents, 6)
+    k = len(cents)
+
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(ref)
+            mat = _normalize(_as_matrix(batch.column("embedding")))
+            assign = _assign_rounded(mat, cc)
+            cids, counts, sums = [], [], []
+            for cid in np.unique(assign):
+                members = mat[assign == cid]
+                cids.append(int(cid))
+                counts.append(len(members))
+                sums.append(members.sum(axis=0))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(cids, type=pa.int64()),
+                    pa.array(counts, type=pa.int64()),
+                    pa.array(sums, type=pa.list_(pa.float64())),
+                ],
+                names=["cid", "n", "psum"],
+            )
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for cid, g in df.groupby("cid", sort=True):
+                out.append(
+                    {
+                        "cid": int(cid),
+                        "n": int(g["n"].sum()),
+                        "psum": np.stack([np.asarray(v) for v in g["psum"]]).sum(axis=0),
+                    }
+                )
+            return pd.DataFrame(out)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        reduced = adaptive_final(partials, combine, keys=["cid"]).take_all()
+
+        new = cents.copy()  # empty cluster -> previous centroid survives
+        for r in reduced:
+            mean = np.asarray(r["psum"], dtype=np.float64) / r["n"]
+            new[r["cid"]] = _normalize(mean[None, :])[0]
+        cents = np.round(new, 6)
+    return cents
+
+
+def kmeans_assign(ds, centroids: np.ndarray):
+    """Append the ``cluster`` column (int64): nearest centroid by
+    rounded cosine, tie to lowest cid. Shuffle-free broadcast matmul."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        cluster = _assign_rounded(mat, cc)
+        return batch.append_column("cluster", pa.array(cluster, type=pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_clusters(ds, k: int = 8, n_iters: int = 2, init: str = "first-k"):
+    """(vec_id, cluster) for the whole corpus — fit + assign."""
+    cents = kmeans_fit(ds, k=k, n_iters=n_iters, init=init)
+    return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
+
+
+_CHUNK = 2048  # gram-matrix row chunk: bounds per-cluster memory to
+# CHUNK x cluster_size floats even for hot clusters
+
+
+def semantic_dedup(
+    ds, k: int = 8, n_iters: int = 2, tau: float = 0.4, init: str = "first-k",
+    num_partitions: int | None = None,
+):
+    """SemDeDup-style pruning: returns (vec_id, cluster, kept) where
+    kept=0 iff some lower-vec_id member of the same cluster has rounded
+    cosine >= tau. ONE embedding shuffle (keyed by cluster)."""
+    from docstrange_ray.shuffle import grouped_blocks
+
+    cents = kmeans_fit(ds, k=k, n_iters=n_iters, init=init)
+    assigned = kmeans_assign(ds, cents).select_columns(
+        ["vec_id", "cluster", "embedding"]
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cid, g in df.groupby("cluster", sort=True):
+            g = g.sort_values("vec_id")
+            mat = _normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            )
+            m = len(g)
+            dropped = np.zeros(m, dtype=bool)
+            for lo in range(1, m, _CHUNK):
+                hi = min(lo + _CHUNK, m)
+                sims = np.round(mat[lo:hi] @ mat[:hi].T, 6)  # rows lo..hi vs all earlier
+                # row lo+r may only see columns with absolute index < lo+r
+                earlier = np.arange(hi)[None, :] < (lo + np.arange(hi - lo))[:, None]
+                dropped[lo:hi] = ((sims >= tau) & earlier).any(axis=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": g["vec_id"].to_numpy(),
+                        "cluster": np.full(m, int(cid), dtype=np.int64),
+                        "kept": (~dropped).astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "kept": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return grouped_blocks(
+        assigned, ["cluster"], prune, num_partitions=num_partitions,
+        batch_format="pandas",
+    )

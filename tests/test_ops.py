@@ -1196,3 +1196,117 @@ class TestStratifiedCap:
         )
         out = stratified_cap(ray.data.from_arrow(tbl), "source", cap=10).to_pandas()
         assert len(out) == 3
+
+
+class TestSemantic:
+    """Distributed k-means + SemDeDup (ops/semantic.py). The fit is
+    oracle-pinned against the unrolled Lloyd SQL (__ray_entry__._kmeans_cte)
+    so the k-row-reduce-per-iteration plan provably matches a
+    sequential implementation."""
+
+    def test_kmeans_vs_duckdb(self, ray_session):
+        from docstrange_ray.ops import semantic
+        import __ray_entry__ as entrymod
+
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        got = (
+            semantic.kmeans_clusters(ds, k=8, n_iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["kmeans_clusters"])
+            .df()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # sanity: every cluster non-empty on the near-random fixture
+        assert got["cluster"].nunique() == 8
+
+    def test_semantic_dedup_vs_duckdb(self, ray_session):
+        from docstrange_ray.ops import semantic
+        import __ray_entry__ as entrymod
+
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        got = (
+            semantic.semantic_dedup(ds, k=8, n_iters=2, tau=0.35)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)[["vec_id", "cluster", "kept"]]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["semantic_dedup"])
+            .df()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got["kept"] == 0).sum() > 0  # real drop pressure
+
+    def test_planted_duplicates_dropped(self, ray_session):
+        # 3 planted copies of vector 0 (tiny jitter) must all drop;
+        # keep-lowest-id: the original (vec_id 0) survives.
+        from docstrange_ray.ops import semantic
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 16))
+        dups = base[0] + rng.normal(scale=1e-4, size=(3, 16))
+        mat = np.vstack([base, dups])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = (
+            semantic.semantic_dedup(
+                ray.data.from_arrow(tbl), k=4, n_iters=2, tau=0.99
+            )
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        assert out.loc[0, "kept"] == 1
+        assert out.loc[[40, 41, 42], "kept"].tolist() == [0, 0, 0]
+        # dup rows land in the same cluster as their original
+        assert out.loc[[40, 41, 42], "cluster"].nunique() == 1
+        assert out.loc[40, "cluster"] == out.loc[0, "cluster"]
+
+    def test_kpp_init_partitions_planted_clusters(self, ray_session):
+        # two well-separated blobs: kpp-seeded k=2 must split them exactly
+        from docstrange_ray.ops import semantic
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(loc=0.0, scale=0.05, size=(30, 8)) + np.eye(8)[0]
+        b = rng.normal(loc=0.0, scale=0.05, size=(30, 8)) + np.eye(8)[1]
+        mat = np.vstack([a, b])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = (
+            semantic.kmeans_clusters(
+                ray.data.from_arrow(tbl), k=2, n_iters=3, init="kpp"
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        first, second = out["cluster"][:30], out["cluster"][30:]
+        assert first.nunique() == 1 and second.nunique() == 1
+        assert first.iloc[0] != second.iloc[0]

@@ -592,6 +592,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixture threshold 0.4 keeps the op's output non-degenerate
         return dedup.embedding_dup_pairs(read_emb(sf_dir), threshold=0.4)
 
+    def nb_classify_q(sf_dir):
+        # fasttext-shaped stage: NB trained in-engine (one count
+        # shuffle), scored shuffle-free. Fixture langs share vocab, so
+        # self-accuracy is bounded ~0.44 — separability is pinned by
+        # the planted-corpus unit test; THIS query pins exactness.
+        from docstrange_ray.ops import classifier
+
+        return classifier.nb_classify(read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ))
+
     def kmeans_clusters_q(sf_dir):
         # distributed Lloyd (first-k init, 2 iterations — the exact plan
         # the unrolled SQL oracle reproduces)
@@ -654,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs,
         "simhash_drops": simhash_drops,
         "embedding_dups": embedding_dups,
+        "nb_classify": nb_classify_q,
         "kmeans_clusters": kmeans_clusters_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
@@ -1328,6 +1340,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "nb_classify": r"""
+            WITH words AS (
+                SELECT doc_id, lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            counts AS (
+                SELECT lang AS label, w, COUNT(*)::DOUBLE AS c
+                FROM words WHERE w <> '' GROUP BY 1, 2
+            ),
+            vocab_n AS (SELECT COUNT(DISTINCT w) AS v FROM counts),
+            class_tot AS (SELECT label, SUM(c) AS tot FROM counts GROUP BY 1),
+            priors AS (SELECT lang AS label, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1),
+            total AS (SELECT SUM(n) AS nn FROM priors),
+            pair AS (
+                SELECT dw.doc_id, ct.label,
+                       SUM(ln((COALESCE(c.c, 0) + 1) / (ct.tot + vn.v))) AS s
+                FROM (SELECT doc_id, w FROM words WHERE w <> '') dw
+                CROSS JOIN class_tot ct
+                CROSS JOIN vocab_n vn
+                LEFT JOIN counts c ON c.label = ct.label AND c.w = dw.w
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT d.doc_id, p.label,
+                       ROUND(ln(p.n / t.nn) + COALESCE(pr.s, 0), 6) AS nb_score
+                FROM documents d
+                CROSS JOIN priors p CROSS JOIN total t
+                LEFT JOIN pair pr ON pr.doc_id = d.doc_id AND pr.label = p.label
+            )
+            SELECT doc_id, label AS nb_label, nb_score FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nb_score DESC, label ASC) = 1
         """,
         "kmeans_clusters": _kmeans_cte(8, 2) + "\nSELECT vec_id, cluster FROM assign",
         "semantic_dedup": _kmeans_cte(8, 2)

@@ -1310,3 +1310,92 @@ class TestSemantic:
         first, second = out["cluster"][:30], out["cluster"][30:]
         assert first.nunique() == 1 and second.nunique() == 1
         assert first.iloc[0] != second.iloc[0]
+
+
+class TestNBClassifier:
+    """Multinomial NB (ops/classifier.py): trained with one count
+    shuffle, scored shuffle-free against the broadcast model."""
+
+    def test_vs_duckdb(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        got = (
+            entrymod.queries()["nb_classify"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["nb_classify"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_planted_separable_corpus(self, ray_session):
+        # disjoint vocabularies -> NB must recover the labels exactly,
+        # including docs whose batch neighbors are other classes
+        from docstrange_ray.ops import classifier
+
+        rng = np.random.default_rng(11)
+        vocab = {
+            "red": ["apple", "brick", "rose", "fire"],
+            "blue": ["sea", "sky", "ice", "jean"],
+            "green": ["leaf", "grass", "lime", "moss"],
+        }
+        rows = []
+        for i in range(120):
+            lab = ["red", "blue", "green"][i % 3]
+            words = rng.choice(vocab[lab], size=12)
+            rows.append({"doc_id": i, "lang": lab, "text": " ".join(words)})
+        tbl = pa.Table.from_pylist(rows)
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        out = (
+            classifier.nb_classify(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        truth = [r["lang"] for r in rows]
+        assert out["nb_label"].tolist() == truth
+
+    def test_oov_and_empty_docs(self, ray_session):
+        # predict() on docs with unseen words / empty text must not
+        # error: OOV words hit the smoothing floor, empty docs score
+        # prior-only
+        from docstrange_ray.ops import classifier
+
+        train = pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "lang": "a", "text": "x x y"},
+                {"doc_id": 1, "lang": "b", "text": "z z w"},
+                {"doc_id": 2, "lang": "b", "text": "w z"},
+            ]
+        )
+        model = classifier.nb_train(ray.data.from_arrow(train))
+        test = pa.Table.from_pylist(
+            [
+                {"doc_id": 10, "text": "x y"},
+                {"doc_id": 11, "text": "unseen words entirely"},
+                {"doc_id": 12, "text": "   "},
+                {"doc_id": 13, "text": "z"},
+            ]
+        )
+        out = (
+            classifier.nb_predict(ray.data.from_arrow(test), model)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[10, "nb_label"] == "a"
+        assert out.loc[13, "nb_label"] == "b"
+        # empty doc falls back to the prior (b: 2/3 docs)
+        assert out.loc[12, "nb_label"] == "b"
+        # pure-OOV doc: every word scores the smoothing floor
+        # 1/(class_total+V), which is LARGER for the smaller class —
+        # 3*ln(1/7)+ln(1/3) > 3*ln(1/9)+ln(2/3), so 'a' wins
+        assert out.loc[11, "nb_label"] == "a"

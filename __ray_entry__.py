@@ -592,6 +592,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixture threshold 0.4 keeps the op's output non-degenerate
         return dedup.embedding_dup_pairs(read_emb(sf_dir), threshold=0.4)
 
+    def source_mix_q(sf_dir):
+        # training-mix reweighting: src1:src2:src3:src5 at 4:2:1:1,
+        # other sources dropped; binding source kept whole
+        from docstrange_ray.ops.sampling import source_mix
+
+        return source_mix(
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+            ),
+            weights={"src1": 4, "src2": 2, "src3": 1, "src5": 1},
+        )
+
     def nb_classify_q(sf_dir):
         # fasttext-shaped stage: NB trained in-engine (one count
         # shuffle), scored shuffle-free. Fixture langs share vocab, so
@@ -666,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drops": simhash_drops,
         "embedding_dups": embedding_dups,
         "nb_classify": nb_classify_q,
+        "source_mix": source_mix_q,
         "kmeans_clusters": kmeans_clusters_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
@@ -1340,6 +1353,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "source_mix": r"""
+            WITH weights(source, w) AS (VALUES ('src1', 4), ('src2', 2), ('src3', 1), ('src5', 1)),
+            n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+            j AS (SELECT w.source, w.w::HUGEINT AS w, n.ns::HUGEINT AS ns
+                  FROM weights w JOIN n USING (source)),
+            m AS (  -- binding source: exact-fraction argmin of ns/w, tie to name
+                SELECT * FROM j j1
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM j j2
+                    WHERE j2.ns * j1.w < j1.ns * j2.w
+                       OR (j2.ns * j1.w = j1.ns * j2.w AND j2.source < j1.source)
+                )
+            ),
+            t AS (
+                SELECT j.source, (4294967296::HUGEINT * j.w * m.ns) // (m.w * j.ns) AS thr
+                FROM j, m
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN t ON d.source = t.source
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::HUGEINT < t.thr
         """,
         "nb_classify": r"""
             WITH words AS (

@@ -123,3 +123,86 @@ def hash_split(ds, train_fraction: float, key: str = "doc_id"):
         ds.map_batches(side(True), batch_format="pyarrow"),
         ds.map_batches(side(False), batch_format="pyarrow"),
     )
+
+
+def source_mix(
+    ds,
+    weights: dict[str, int],
+    key: str = "doc_id",
+    source_col: str = "source",
+):
+    """Domain-mix resampling: downsample per-source so the output
+    approximates the integer ``weights`` proportions (the training-mix
+    reweighting step of every LLM data recipe — e.g. The Pile / Gopher
+    table-of-mixtures). Never upsamples: the binding source (largest
+    weight per available row) is kept whole and every other source's
+    acceptance rate derives from it.
+
+    Scale shape: phase 1 is a per-source COUNT (per-batch partial
+    reduce, tiny key space — one small aggregate, the corpus never
+    moves); the per-source thresholds are broadcast and phase 2 is a
+    shuffle-free filter scan.
+
+    Determinism: acceptance is the pure-function rule
+    ``uint32(md5(str(key))[:8]) < t_s`` with ``t_s`` computed in EXACT
+    integer arithmetic — ``t_s = (2^32 * w_s * n_m) // (w_m * n_s)``
+    where ``m`` is the binding source (exact-fraction argmin of
+    ``n_s/w_s``, ties to the smallest source name). Python bigints here,
+    HUGEINT in the SQL oracle: no float boundary can flip a row.
+    Target sources absent from the corpus are ignored (nothing to
+    supply); sources without a weight are dropped.
+
+    Returns Dataset[(key, source_col)].
+    """
+    import pandas as pd
+
+    from docstrange_ray.shuffle import adaptive_final
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({source_col: batch.column(source_col).to_pylist()})
+        return (
+            df.groupby(source_col, as_index=False).size().rename(columns={"size": "n"})
+        )
+
+    counts = (
+        adaptive_final(
+            ds.map_batches(count_partial, batch_format="pyarrow"),
+            lambda df: df.groupby(source_col, as_index=False)["n"].sum(),
+            keys=[source_col],
+        ).to_pandas()
+    )
+    n_by_src = {
+        str(r[source_col]): int(r["n"])
+        for _, r in counts.iterrows()
+        if str(r[source_col]) in weights
+    }
+    if not n_by_src:
+        return ds.filter(lambda r: False).select_columns([key, source_col])
+
+    # binding source: exact-fraction argmin of n_s / w_s
+    def frac_lt(a, b):  # n_a/w_a < n_b/w_b  <=>  n_a*w_b < n_b*w_a
+        return n_by_src[a] * weights[b] < n_by_src[b] * weights[a]
+
+    msrc = None
+    for s in sorted(n_by_src):
+        if msrc is None or frac_lt(s, msrc):
+            msrc = s
+    thresholds = {
+        s: (2**32 * weights[s] * n_by_src[msrc]) // (weights[msrc] * n_by_src[s])
+        for s in n_by_src
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_col).to_pylist()
+        keys = batch.column(key).to_pylist()
+        mask = pa.array(
+            [
+                s in thresholds
+                and int(hashlib.md5(str(k).encode("utf-8")).hexdigest()[:8], 16)
+                < thresholds[s]
+                for k, s in zip(keys, srcs)
+            ]
+        )
+        return batch.filter(mask).select([key, source_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1399,3 +1399,70 @@ class TestNBClassifier:
         # 1/(class_total+V), which is LARGER for the smaller class —
         # 3*ln(1/7)+ln(1/3) > 3*ln(1/9)+ln(2/3), so 'a' wins
         assert out.loc[11, "nb_label"] == "a"
+
+
+class TestSourceMix:
+    """Domain-mix resampling (ops/sampling.source_mix): exact integer
+    thresholds, binding source kept whole, never upsamples."""
+
+    def test_vs_duckdb(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        got = (
+            entrymod.queries()["source_mix"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["source_mix"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # binding source (largest weight, equal counts) survives whole
+        assert (got["source"] == "src1").sum() == 25
+
+    def test_mix_and_determinism(self, ray_session):
+        from docstrange_ray.ops.sampling import source_mix
+
+        # 3 sources x 4000 rows; target 2:1:1 -> src_a binding (whole)
+        rows = [
+            {"doc_id": i, "source": f"src_{'abc'[i % 3]}"} for i in range(12000)
+        ]
+        tbl = pa.Table.from_pylist(rows)
+        ds = ray.data.from_arrow(tbl)
+        out = source_mix(ds, {"src_a": 2, "src_b": 1, "src_c": 1}).to_pandas()
+        counts = out.groupby("source").size().to_dict()
+        assert counts["src_a"] == 4000  # binding: rate exactly 1
+        # others target 2000 each; Bernoulli noise ~ +/- 3 sigma = 134
+        assert abs(counts["src_b"] - 2000) < 150
+        assert abs(counts["src_c"] - 2000) < 150
+        # stable across block layouts
+        out2 = source_mix(
+            ds.repartition(13), {"src_a": 2, "src_b": 1, "src_c": 1}
+        ).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_unweighted_and_missing_sources(self, ray_session):
+        from docstrange_ray.ops.sampling import source_mix
+
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 1, "source": "x"},
+                {"doc_id": 2, "source": "x"},
+                {"doc_id": 3, "source": "y"},
+            ]
+        )
+        ds = ray.data.from_arrow(tbl)
+        # y unweighted -> dropped; ghost weight for absent source ignored
+        out = source_mix(ds, {"x": 1, "ghost": 5}).to_pandas()
+        assert set(out["source"]) == {"x"}
+        assert len(out) == 2  # x is binding -> kept whole

@@ -592,6 +592,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixture threshold 0.4 keeps the op's output non-degenerate
         return dedup.embedding_dup_pairs(read_emb(sf_dir), threshold=0.4)
 
+    def pack_offsets_q(sf_dir):
+        # concatenate-and-chunk packing layout: 1000-token windows
+        from docstrange_ray.ops.packing import pack_offsets
+
+        return pack_offsets(read_docs(sf_dir), budget=1000)
+
     def source_mix_q(sf_dir):
         # training-mix reweighting: src1:src2:src3:src5 at 4:2:1:1,
         # other sources dropped; binding source kept whole
@@ -679,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": embedding_dups,
         "nb_classify": nb_classify_q,
         "source_mix": source_mix_q,
+        "pack_offsets": pack_offsets_q,
         "kmeans_clusters": kmeans_clusters_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
@@ -1353,6 +1360,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "pack_offsets": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000 AS shard_id
+            FROM toks
         """,
         "source_mix": r"""
             WITH weights(source, w) AS (VALUES ('src1', 4), ('src2', 2), ('src3', 1), ('src5', 1)),

@@ -1466,3 +1466,84 @@ class TestSourceMix:
         out = source_mix(ds, {"x": 1, "ghost": 5}).to_pandas()
         assert set(out["source"]) == {"x"}
         assert len(out) == 2  # x is binding -> kept whole
+
+
+class TestPackOffsets:
+    """Distributed ordered prefix sum / sequence packing
+    (ops/packing.py): two-pass scan, projection-only shuffles."""
+
+    def test_vs_duckdb(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        got = (
+            entrymod.queries()["pack_offsets"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["pack_offsets"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # prefix-sum invariant: offsets strictly increase by n_tokens
+        g = got.sort_values("doc_id")
+        assert (
+            g["start_offset"].to_numpy()[1:]
+            == (g["start_offset"] + g["n_tokens"]).to_numpy()[:-1]
+        ).all()
+
+    def test_sparse_ids_and_layout_stability(self, ray_session):
+        from docstrange_ray.ops.packing import pack_offsets
+
+        # skewed, sparse id space (hot low range + distant outliers)
+        ids = list(range(100)) + [10_000, 50_000, 1_000_000]
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * ((i % 7) + 1))} for i in ids
+        ]
+        tbl = pa.Table.from_pylist(rows)
+        out1 = (
+            pack_offsets(ray.data.from_arrow(tbl), budget=50)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        out2 = (
+            pack_offsets(ray.data.from_arrow(tbl).repartition(9), budget=50)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out1, out2)
+        # sequential oracle
+        exp_off = 0
+        for _, r in out1.iterrows():
+            assert r["start_offset"] == exp_off
+            assert r["shard_id"] == exp_off // 50
+            exp_off += r["n_tokens"]
+
+    def test_empty_and_blank_docs(self, ray_session):
+        from docstrange_ray.ops.packing import pack_offsets
+
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 1, "text": "a b c"},
+                {"doc_id": 2, "text": "   "},
+                {"doc_id": 3, "text": "d"},
+            ]
+        )
+        out = (
+            pack_offsets(ray.data.from_arrow(tbl), budget=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[2, "n_tokens"] == 0
+        assert out.loc[2, "start_offset"] == 3
+        assert out.loc[3, "start_offset"] == 3
+        assert out.loc[3, "shard_id"] == 1

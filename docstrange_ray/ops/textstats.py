@@ -294,24 +294,40 @@ def top_ngrams(ds, n: int = 3, k: int = 100, num_partitions: int | None = None):
     )
 
 
-def tfidf_topk(ds, k: int = 5, num_partitions: int | None = None):
-    """Per-document top-k terms by tf-idf (idf = ln(N/df)). Two passes:
+def tfidf_topk(
+    ds,
+    k: int = 5,
+    num_partitions: int | None = None,
+    plan: str = "auto",
+    broadcast_term_limit: int = 5_000_000,
+):
+    """Per-document top-k terms by tf-idf (idf = ln(N/df)).
 
-      1. document frequencies — per-batch partial (one row per distinct
-         term per batch, counting DOCS not occurrences) -> ONE term-keyed
-         shuffle -> df map broadcast once via ``ray.put``;
-      2. per-document tf + score + top-k — a pure ``map_batches``, no
-         shuffle (term ranking is per-row work).
+    Document frequencies are always computed distributed: per-batch
+    partial (one row per distinct term per batch, counting DOCS not
+    occurrences) -> ONE term-keyed shuffle. The scoring pass then picks
+    a plan:
 
-    Partitioning assumption the broadcast relies on: the VOCABULARY
-    (distinct terms) fits in worker memory — sublinear in corpus size
-    (Heaps' law), but a deployment with an unbounded term space should
-    swap step 2's broadcast for a term-keyed co-partition join (one
-    extra exchange). Ties break on term ascending. Returns
-    Dataset[(doc_id, term, tf, score)] with score rounded to 6 dp."""
+    * ``broadcast`` — the df map (vocabulary-scale, Heaps-law
+      sublinear) is collected and broadcast once via ``ray.put``;
+      scoring + top-k is a pure shuffle-free ``map_batches``.
+    * ``join`` — the unbounded-vocabulary path: the (doc_id, term, tf)
+      explosion co-partition-joins the df table on term (one exchange
+      moves both sides) and per-doc top-k closes with a doc_id-keyed
+      exchange. 2 extra exchanges of the term projection, zero
+      worker-memory assumption.
+    * ``auto`` (default) — counts the materialized df table (free) and
+      takes broadcast at/below ``broadcast_term_limit`` terms, join
+      above — the same measure-then-choose gate as the as-of join and
+      embedding-dup plans.
+
+    Both plans rank by the identical unrounded score with term-asc
+    ties and round at emit, so their outputs are byte-identical
+    (pinned by a test). Returns Dataset[(doc_id, term, tf, score)],
+    score rounded to 6 dp."""
     import ray
 
-    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
 
     n_docs = ds.count()
 
@@ -325,14 +341,65 @@ def tfidf_topk(ds, k: int = 5, num_partitions: int | None = None):
             {"term": list(c.keys()), "df": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
         )
 
-    df_rows = grouped_blocks(
+    df_ds = grouped_blocks(
         ds.map_batches(arrow_out(df_partial), batch_format="pyarrow", batch_size=65536),
         ["term"],
         lambda d: d.groupby("term", as_index=False)["df"].sum(),
         num_partitions,
         batch_format="pandas",
-    ).take_all()  # vocabulary-scale (Heaps-law sublinear), not corpus-scale
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    ).materialize()
+    if plan == "auto":
+        plan = "broadcast" if df_ds.count() <= broadcast_term_limit else "join"
+
+    if plan == "join":
+        def explode(batch: pa.Table) -> pd.DataFrame:
+            from collections import Counter
+
+            out_doc, out_term, out_tf = [], [], []
+            for did, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                for w, c in Counter((t or "").lower().split()).items():
+                    out_doc.append(did)
+                    out_term.append(w)
+                    out_tf.append(c)
+            return pd.DataFrame(
+                {"doc_id": out_doc, "term": out_term, "tf": out_tf}
+            )
+
+        exploded = ds.map_batches(
+            arrow_out(explode), batch_format="pyarrow", batch_size=65536
+        )
+        joined = hash_join(exploded, df_ds, key="term", num_partitions=num_partitions)
+
+        def topk_block(dfb: pd.DataFrame) -> pd.DataFrame:
+            if not len(dfb):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "term": pd.Series([], dtype="object"),
+                        "tf": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="float64"),
+                    }
+                )
+            # rank on the UNROUNDED score (term-asc ties), round at emit
+            dfb = dfb.assign(
+                score=dfb["tf"].to_numpy(dtype=np.float64)
+                * np.log(n_docs / dfb["df"].to_numpy(dtype=np.float64))
+            )
+            out = (
+                dfb.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+                .groupby("doc_id", sort=False)
+                .head(k)
+            )
+            out = out.assign(score=[round(float(v), 6) for v in out["score"]])
+            return out[["doc_id", "term", "tf", "score"]]
+
+        return grouped_blocks(
+            joined, ["doc_id"], topk_block, num_partitions, batch_format="pandas"
+        )
+
+    df_map = {r["term"]: int(r["df"]) for r in df_ds.take_all()}
     ref = ray.put(df_map)
 
     def score_batch(batch: pa.Table) -> pa.Table:

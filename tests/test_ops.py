@@ -1547,3 +1547,39 @@ class TestPackOffsets:
         assert out.loc[2, "start_offset"] == 3
         assert out.loc[3, "start_offset"] == 3
         assert out.loc[3, "shard_id"] == 1
+
+
+class TestTfidfJoinPlan:
+    def test_join_plan_matches_broadcast(self, ray_session):
+        # the unbounded-vocabulary path must be byte-identical to the
+        # broadcast path (same ranking, ties, rounding)
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet").limit(200)
+        a = (
+            textstats.tfidf_topk(ds, k=5, plan="broadcast")
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        b = (
+            textstats.tfidf_topk(ds, k=5, plan="join")
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_auto_gate_selects_join_above_limit(self, ray_session):
+        ds = ray.data.read_parquet(f"{SF}/documents.parquet").limit(50)
+        a = (
+            textstats.tfidf_topk(ds, k=3, plan="auto", broadcast_term_limit=10)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        b = (
+            textstats.tfidf_topk(ds, k=3, plan="broadcast")
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -258,6 +258,152 @@ def passage_dedup(ds, chunk_words: int = 50, num_partitions: int | None = None):
     ).select_columns(["doc_id", "text_dedup"])
 
 
+def dup_spans(ds, window: int = 16, num_partitions: int | None = None):
+    """Exact-substring duplicate spans — the ExactSubstr recipe of Lee
+    et al. 2021 (arXiv:2107.06499, "Deduplicating Training Data Makes
+    Language Models Better"), windowed-hash formulation: every
+    ``window``-word span whose rolling hash occurred EARLIER anywhere in
+    the corpus (ordered by (doc_id, pos)) marks its word positions as
+    duplicate; per doc, covered positions merge into maximal cut
+    intervals. The paper builds a corpus suffix array — inherently
+    sequential and RAM-bound; the windowed formulation is the same
+    signal (any repeat >= 2*window-1 words is always caught, shorter
+    overlaps down to ``window`` partially) and shuffles instead.
+
+    Scale shape — two keyed exchanges of position projections:
+      1. window-hash shuffle, hot-key safe by the passage_dedup
+         pre-reduce: a batch-local non-minimal occurrence of a hash can
+         never be the global first, so it short-circuits STRAIGHT to
+         phase 2 as a known duplicate; only one candidate row per
+         (hash, batch) rides exchange 1, where all but the global
+         (doc_id, pos)-minimal occurrence come out as duplicates too.
+      2. doc_id shuffle of the duplicate stream — pre-merged to
+         (doc_id, s, e) intervals per producing block, so runs of
+         overlapping duplicate windows collapse BEFORE the exchange;
+         per doc the intervals merge gaps-and-islands style
+         (adjacent-or-overlapping collapse).
+
+    Hash: the house rolling polynomial (mod 2^61-1, base 1000003, md5
+    word values — ``rolling_fingerprint`` / the doc_fingerprint oracle),
+    reproduced verbatim by the SQL oracle via ``list_reduce``. The
+    Mersenne modulus needs >64-bit intermediates, so the hash fold is
+    bigint Python per word — batch-parallel and bounded per doc, the
+    same cost class the fingerprint op accepts.
+
+    Positions are 1-based word indices; spans inclusive. Returns
+    Dataset[(doc_id, span_start, span_end)] — docs with no duplicated
+    window emit no row."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def explode(batch: pa.Table) -> dict[str, pd.DataFrame]:
+        word_cache: dict[str, int] = {}
+        rows_h, rows_d, rows_p = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (t or "").lower().split()
+            if len(words) < window:
+                continue
+            vals = []
+            for w in words:
+                v = word_cache.get(w)
+                if v is None:
+                    v = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                    word_cache[w] = v
+                vals.append(v)
+            for i in range(len(vals) - window + 1):
+                h = 0
+                for v in vals[i : i + window]:
+                    h = (h * BASE + v) % MOD
+                rows_h.append(h)
+                rows_d.append(did)
+                rows_p.append(i + 1)
+        df = pd.DataFrame(
+            {
+                "h": np.array(rows_h, dtype=np.int64),
+                "doc_id": np.array(rows_d, dtype=np.int64),
+                "pos": np.array(rows_p, dtype=np.int64),
+            }
+        )
+        return df
+
+    def _merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        """Collapse (doc_id, s, e) rows into maximal adjacent-or-
+        overlapping intervals per doc."""
+        out_d, out_s, out_e = [], [], []
+        for did, g in df.groupby("doc_id", sort=True):
+            g = g.sort_values(["s", "e"], kind="mergesort")
+            cur_s = cur_e = None
+            for s, e in zip(g["s"], g["e"]):
+                if cur_s is None:
+                    cur_s, cur_e = s, e
+                elif s <= cur_e + 1:
+                    cur_e = max(cur_e, e)
+                else:
+                    out_d.append(did)
+                    out_s.append(cur_s)
+                    out_e.append(cur_e)
+                    cur_s, cur_e = s, e
+            if cur_s is not None:
+                out_d.append(did)
+                out_s.append(cur_s)
+                out_e.append(cur_e)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_d, dtype=np.int64),
+                "s": np.array(out_s, dtype=np.int64),
+                "e": np.array(out_e, dtype=np.int64),
+            }
+        )
+
+    # The two streams are two lazy consumers of the same input — the
+    # explode runs twice (CPU), which beats materializing a
+    # corpus-token-scale projection (memory/spill) — the same
+    # double-scan-over-materialize call extract_pipeline makes.
+    def split_local(df: pd.DataFrame):
+        df = df.sort_values(["h", "doc_id", "pos"], kind="mergesort")
+        first = ~df["h"].duplicated(keep="first")
+        return df[first], df[~first]
+
+    def explode_cands(batch: pa.Table) -> pd.DataFrame:
+        cands, _ = split_local(explode(batch))
+        return cands
+
+    def explode_local_losers(batch: pa.Table) -> pd.DataFrame:
+        _, losers = split_local(explode(batch))
+        iv = losers.assign(s=losers["pos"], e=losers["pos"] + window - 1)
+        return _merge_intervals(iv[["doc_id", "s", "e"]])
+
+    def global_losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id", "pos"], kind="mergesort")
+        losers = df[df["h"].duplicated(keep="first")]
+        iv = losers.assign(s=losers["pos"], e=losers["pos"] + window - 1)
+        return _merge_intervals(iv[["doc_id", "s", "e"]])
+
+    shuffled_losers = grouped_blocks(
+        ds.map_batches(arrow_out(explode_cands), batch_format="pyarrow"),
+        ["h"],
+        global_losers,
+        num_partitions,
+        batch_format="pandas",
+    )
+    local_losers = ds.map_batches(
+        arrow_out(explode_local_losers), batch_format="pyarrow"
+    )
+    dups = shuffled_losers.union(local_losers)
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_intervals(df)
+        return out.rename(columns={"s": "span_start", "e": "span_end"})
+
+    return grouped_blocks(
+        dups, ["doc_id"], merge_spans, num_partitions, batch_format="pandas"
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 

@@ -1583,3 +1583,94 @@ class TestTfidfJoinPlan:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDupSpans:
+    """ExactSubstr-style duplicate spans (dedup.dup_spans)."""
+
+    def test_vs_duckdb(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        got = (
+            entrymod.queries()["dup_spans"](SF)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = (
+            con.execute(entrymod.oracle_sql()["dup_spans"])
+            .df()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_planted_cross_doc_substring(self, ray_session):
+        rng = np.random.RandomState(5)
+        vocab = [f"w{i}" for i in range(500)]
+        uniq = lambda n: " ".join(rng.choice(vocab, n))
+        shared = " ".join(f"s{i}" for i in range(20))  # 20-word shared run
+        rows = [
+            {"doc_id": 1, "text": uniq(30) + " " + shared + " " + uniq(25)},
+            {"doc_id": 2, "text": uniq(40) + " " + shared},
+            {"doc_id": 3, "text": uniq(50)},
+        ]
+        out = (
+            dedup.dup_spans(
+                ray.data.from_arrow(pa.Table.from_pylist(rows)), window=16
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # first occurrence (doc 1) is clean; doc 2's copy is cut
+        assert out["doc_id"].tolist() == [2]
+        # the shared run sits at words 41..60 (1-based); the 5 window
+        # starts 41..45 cover 41..60 exactly after merging
+        assert out.loc[0, "span_start"] == 41
+        assert out.loc[0, "span_end"] == 60
+
+    def test_within_doc_repetition_and_merge(self, ray_session):
+        # a doc repeating its own 16-word block back-to-back: the second
+        # copy is a duplicate span; merging collapses overlapping windows
+        block = " ".join(f"b{i}" for i in range(16))
+        rows = [{"doc_id": 7, "text": block + " " + block + " " + block}]
+        out = (
+            dedup.dup_spans(
+                ray.data.from_arrow(pa.Table.from_pylist(rows)), window=16
+            )
+            .to_pandas()
+        )
+        assert len(out) == 1
+        # copies 2 and 3 (words 17..48) are one merged cut; the window
+        # starting at each position 2..33 repeats pos-16 so coverage
+        # begins at word 2+? — first occurrence keeps pos 1 only
+        assert out.loc[0, "doc_id"] == 7
+        assert out.loc[0, "span_end"] == 48
+        assert out.loc[0, "span_start"] <= 17
+
+    def test_short_docs_and_layout_stability(self, ray_session):
+        rows = [{"doc_id": i, "text": "too short " * 2} for i in range(30)]
+        shared = " ".join(f"z{i}" for i in range(16))
+        rows += [{"doc_id": 100 + i, "text": shared} for i in range(4)]
+        tbl = pa.Table.from_pylist(rows)
+        out1 = (
+            dedup.dup_spans(ray.data.from_arrow(tbl), window=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        out2 = (
+            dedup.dup_spans(ray.data.from_arrow(tbl).repartition(11), window=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out1, out2)
+        # 4-word docs have no 16-windows; dup copies 101..103 are cut whole
+        assert out1["doc_id"].tolist() == [101, 102, 103]
+        assert (out1["span_start"] == 1).all() and (out1["span_end"] == 16).all()

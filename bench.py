@@ -159,6 +159,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "exact_dedup",
         "minhash_near_dups",
         "simhash_pairs",
+        "dup_spans",
+        "pack_offsets",
+        "nb_classify",
+        "source_mix",
+        "semantic_dedup",
         "ann_topk",
         "pq_ann_topk",
         "curated_docs",

@@ -473,6 +473,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return stratified_cap(docs, strata_key="source", cap=10)
 
+    def source_topk(sf_dir):
+        """Per-group top-k: the 3 longest docs per source (ties by
+        doc_id). Hot-key safe: each batch ships at most k candidate rows
+        per group through the ONE group-key shuffle."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import group_topk
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "n_chars"]
+        )
+        return group_topk(docs, group_key="source", order_key="n_chars", k=3)
+
+    def length_quantiles(sf_dir):
+        """EXACT per-source p50/p90/p99 of document length via a
+        value-count histogram exchange (position = ceil(q*n) in integer
+        arithmetic — DuckDB quantile_disc parity)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import group_quantiles
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return group_quantiles(docs, group_key="source", value_key="n_chars")
+
     def ivf_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -702,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_full": curated_full,
         "hash_sample_10": hash_sample_10,
         "stratified_sample": stratified_sample,
+        "source_topk": source_topk,
+        "length_quantiles": length_quantiles,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
         "ivf_ann_topk": ivf_ann_topk,
@@ -842,6 +868,25 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 10
+        """,
+        "source_topk": """
+            SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank FROM (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 3
+        """,
+        "length_quantiles": """
+            SELECT source,
+                   COUNT(*) AS n,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.90) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents
+            GROUP BY source
         """,
         "curated_docs": r"""
             WITH scored AS (

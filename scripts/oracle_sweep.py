@@ -1,6 +1,7 @@
 """Driver-style oracle sweep: run every queries() entry and compare
 against its oracle_sql() via DuckDB (sorted-columns value equality).
-Usage: python scripts/oracle_sweep.py [sf_dir]
+Usage: python scripts/oracle_sweep.py [sf_dir] [query ...]
+(trailing args restrict the sweep to the named queries)
 """
 import sys, time
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
@@ -18,6 +19,12 @@ con = duckdb.connect()
 for t in 'region nation customer supplier part orders lineitem events documents embeddings'.split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 qs, os_ = m.queries(), m.oracle_sql()
+if len(sys.argv) > 2:
+    only = set(sys.argv[2:])
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f'unknown queries: {sorted(unknown)}')
+    qs = {k: v for k, v in qs.items() if k in only}
 
 def norm(df):
     df = df[sorted(df.columns)].copy()

@@ -1674,3 +1674,99 @@ class TestDupSpans:
         # 4-word docs have no 16-windows; dup copies 101..103 are cut whole
         assert out1["doc_id"].tolist() == [101, 102, 103]
         assert (out1["span_start"] == 1).all() and (out1["span_end"] == 16).all()
+
+
+class TestRankStats:
+    def test_group_topk_matches_window_oracle(self, ray_session):
+        from docstrange_ray.ops.rankstats import group_topk
+
+        rng = np.random.RandomState(11)
+        n = 400
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "source": pa.array(
+                    [f"s{rng.randint(5)}" for _ in range(n)], pa.string()
+                ),
+                # heavy duplication so ties exercise the doc_id tie-break
+                "score": pa.array(rng.randint(0, 20, n), pa.int64()),
+            }
+        )
+        out = (
+            group_topk(
+                ray.data.from_arrow(tbl).repartition(9),
+                group_key="source",
+                order_key="score",
+                k=4,
+            )
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            """
+            SELECT source, doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY score DESC, doc_id) AS rn FROM t)
+            WHERE rn <= 4 ORDER BY source, rn
+            """
+        ).fetchdf()
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_group_topk_hot_group_partial_bound(self, ray_session):
+        """A group with every row must still return exactly k, and the
+        per-batch partial must cap what crosses the exchange: spy on the
+        candidate stage by running it standalone."""
+        from docstrange_ray.ops.rankstats import group_topk
+
+        n = 1000
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "source": pa.array(["hot"] * n, pa.string()),
+                "score": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+        out = group_topk(
+            ray.data.from_arrow(tbl).repartition(8),
+            group_key="source",
+            order_key="score",
+            k=3,
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [999, 998, 997]
+        assert out["rank"].tolist() == [1, 2, 3]
+
+    def test_group_quantiles_duckdb_parity_many_n(self, ray_session):
+        """Pin the ceil(q*n) position rule against DuckDB quantile_disc
+        across group sizes 1..60 (every boundary in range) including
+        heavy value duplication."""
+        from docstrange_ray.ops.rankstats import group_quantiles
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for g in range(1, 61):
+            for _ in range(g):
+                rows.append({"g": f"g{g:02d}", "v": int(rng.randint(0, 10))})
+        tbl = pa.Table.from_pylist(rows)
+        out = (
+            group_quantiles(
+                ray.data.from_arrow(tbl).repartition(7), group_key="g", value_key="v"
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            """
+            SELECT g, COUNT(*) AS n,
+                   quantile_disc(v, 0.50) AS p50,
+                   quantile_disc(v, 0.90) AS p90,
+                   quantile_disc(v, 0.99) AS p99
+            FROM t GROUP BY g ORDER BY g
+            """
+        ).fetchdf()
+        pd.testing.assert_frame_equal(out, exp)

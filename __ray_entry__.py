@@ -739,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "events_last_order": relational.events_last_order,
+        "order_event_window": relational.order_event_window,
         "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
         "events_funnel": relational.events_funnel,
@@ -1555,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sliding": relational.EVENTS_SLIDING_SQL,
         "events_last_order": relational.EVENTS_LAST_ORDER_SQL,
+        "order_event_window": relational.ORDER_EVENT_WINDOW_SQL,
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,

@@ -801,3 +801,121 @@ SELECT source, COUNT(*) AS n_docs,
 FROM documents
 GROUP BY source
 """
+
+
+def order_event_window(sf_dir: str, days: int = 7, num_partitions: int | None = None):
+    """RANGE (interval) JOIN: for each order, the count and cents-exact
+    value sum of the customer's events inside ``[o_orderdate,
+    o_orderdate + days)`` — the "activity in the week after purchase"
+    shape. Ray Data has no non-equi join; the plan is the engine's
+    co-partition pattern specialized to interval predicates:
+
+      * tag-union both tables on the user/customer key — ONE hash
+        shuffle co-locates each key's orders AND events;
+      * block-locally, per user: sort event timestamps once, then
+        answer every order with two vectorized ``searchsorted`` probes
+        (count = hi - lo) and a prefix-sum lookup (sum = cum[hi] -
+        cum[lo]) — no per-event Python, no order x event blow-up.
+
+    Partitioning assumption: one user's rows fit a block (same bound as
+    user_sessions / the as-of join; keys are users, so no corpus-scale
+    hot key exists). Orders for users with no events are emitted with
+    zero counts (left-join semantics).
+
+    Returns Dataset[(o_orderkey, n_events, sum_value_cents)].
+    """
+    from docstrange_ray.shuffle import grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_ev(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("user_id"),
+                pa.nulls(n, type=pa.int64()),
+                batch.column("ts"),
+                pa.array(_cents(batch.column("value").to_numpy(zero_copy_only=False))),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=["key", "o_orderkey", "ts", "value_cents", "side"],
+        )
+
+    def tag_od(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("o_custkey"),
+                batch.column("o_orderkey"),
+                batch.column("o_orderdate"),
+                pa.nulls(n, type=pa.int64()),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=["key", "o_orderkey", "ts", "value_cents", "side"],
+        )
+
+    unioned = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        orders.map_batches(tag_od, batch_format="pyarrow")
+    )
+    span = np.timedelta64(days, "D").astype("timedelta64[us]")
+
+    def window_block(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 1]
+        if o.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "sum_value_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        e = df[df["side"] == 0]
+        okeys = o["o_orderkey"].to_numpy(dtype=np.int64)
+        n_events = np.zeros(len(o), dtype=np.int64)
+        sums = np.zeros(len(o), dtype=np.int64)
+        if not e.empty:
+            e = e.sort_values(["key", "ts"], kind="mergesort")
+            e_keys = e["key"].to_numpy()
+            e_ts = e["ts"].to_numpy().astype("datetime64[us]")
+            e_cum = np.concatenate(
+                [[0], e["value_cents"].to_numpy(dtype=np.int64).cumsum()]
+            )
+            # per-user slices of the block-sorted event arrays
+            starts = {}
+            uniq, first = np.unique(e_keys, return_index=True)
+            bounds = np.append(first, len(e_keys))
+            for i, u in enumerate(uniq):
+                starts[int(u)] = (bounds[i], bounds[i + 1])
+            o_keys = o["key"].to_numpy()
+            o_ts = o["ts"].to_numpy().astype("datetime64[us]")
+            for u in np.unique(o_keys):
+                seg = starts.get(int(u))
+                if seg is None:
+                    continue
+                s0, s1 = seg
+                sel = o_keys == u
+                lo = np.searchsorted(e_ts[s0:s1], o_ts[sel], side="left") + s0
+                hi = np.searchsorted(e_ts[s0:s1], o_ts[sel] + span, side="left") + s0
+                n_events[sel] = hi - lo
+                sums[sel] = e_cum[hi] - e_cum[lo]
+        return pd.DataFrame(
+            {"o_orderkey": okeys, "n_events": n_events, "sum_value_cents": sums}
+        )
+
+    return grouped_blocks(
+        unioned, ["key"], window_block, num_partitions, batch_format="pandas"
+    )
+
+
+ORDER_EVENT_WINDOW_SQL = """
+SELECT o_orderkey,
+       COUNT(e.ts) AS n_events,
+       COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) AS sum_value_cents
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey
+"""

@@ -85,6 +85,15 @@ class TestRelationalOracles:
 
         _assert_match(relational.user_sessions(SF), relational.USER_SESSIONS_SQL, con)
 
+    def test_order_event_window(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.order_event_window(SF),
+            relational.ORDER_EVENT_WINDOW_SQL,
+            con,
+        )
+
     def test_curated_docs(self, con):
         import ray.data
 

@@ -382,6 +382,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(read_docs(sf_dir))
 
+    def incremental_dedup_q(sf_dir):
+        """Ingest anti-join: the daily-increment-vs-corpus-snapshot step
+        of a continuously updated training set. Base = even doc_ids,
+        increment = the full table, so the result exercises both the
+        drop path (every even doc collides with the base) and the keep
+        path (odd docs survive, first-wins inside the increment)."""
+        import pyarrow.compute as pc
+
+        docs = read_docs(sf_dir)
+
+        def even(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+            )
+
+        base = docs.map_batches(even, batch_format="pyarrow")
+        return dedup.incremental_dedup(docs, base)
+
     def passage_dedup_q(sf_dir):
         """C4-style global passage dedup: first occurrence of each
         distinct passage wins, docs reassembled in order. Passage = 2
@@ -703,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
         "exact_dedup": exact_dedup,
+        "incremental_dedup": incremental_dedup_q,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,
@@ -740,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "events_last_order": relational.events_last_order,
         "order_event_window": relational.order_event_window,
+        "priority_returned_orders": relational.priority_returned_orders,
         "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
         "events_funnel": relational.events_funnel,
@@ -1406,6 +1426,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
+        "incremental_dedup": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
+                FROM documents
+            ), base AS (
+                SELECT DISTINCT content_md5 FROM fp WHERE doc_id % 2 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id, content_md5
+            FROM fp
+            WHERE content_md5 NOT IN (SELECT content_md5 FROM base)
+            GROUP BY content_md5
+        """,
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
@@ -1557,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": relational.EVENTS_SLIDING_SQL,
         "events_last_order": relational.EVENTS_LAST_ORDER_SQL,
         "order_event_window": relational.ORDER_EVENT_WINDOW_SQL,
+        "priority_returned_orders": relational.PRIORITY_RETURNED_SQL,
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,

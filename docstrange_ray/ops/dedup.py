@@ -1267,3 +1267,60 @@ def embedding_dup_pairs(
         )
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+def incremental_dedup(new_ds, base_ds, num_partitions: int | None = None):
+    """ANTI-JOIN ingest dedup: drop incoming docs whose canonical content
+    hash already exists in a base corpus snapshot — the "daily crawl
+    increment vs yesterday's corpus" step of a continuously-updated
+    training set (the batch analogue of the reference's md5-of-bytes
+    parse cache, mcp_server_module/server.py:87-89).
+
+    Scale shape: the base side reduces per batch to DISTINCT hashes
+    (one partial row per distinct hash per batch — a billion copies of
+    one document ship n_batches rows), the incoming side ships (hash,
+    doc_id) pairs, and ONE content-hash exchange co-locates both sides
+    for a block-local hash anti-join. Text never crosses the exchange;
+    nothing touches the driver.
+
+    Returns Dataset[(doc_id, content_md5)] — the incoming rows that
+    survive (first occurrence within the increment also wins: an
+    incoming hash duplicated inside the new batch keeps min doc_id).
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def base_partial(batch: pa.Table) -> pd.DataFrame:
+        fp = content_fingerprint(batch)
+        return pd.DataFrame(
+            {
+                "content_md5": pd.unique(
+                    pd.Series(fp.column("content_md5").to_pylist())
+                ),
+            }
+        ).assign(doc_id=np.int64(-1), side=np.int8(0))
+
+    def new_partial(batch: pa.Table) -> pd.DataFrame:
+        fp = content_fingerprint(batch)
+        return pd.DataFrame(
+            {
+                "content_md5": fp.column("content_md5").to_pylist(),
+                "doc_id": fp.column("doc_id").to_pandas().astype(np.int64),
+                "side": np.int8(1),
+            }
+        )
+
+    tagged = new_ds.map_batches(
+        arrow_out(new_partial), batch_format="pyarrow"
+    ).union(base_ds.map_batches(arrow_out(base_partial), batch_format="pyarrow"))
+
+    def anti_block(df: pd.DataFrame) -> pd.DataFrame:
+        seen = set(df.loc[df["side"] == 0, "content_md5"])
+        inc = df[df["side"] == 1]
+        kept = inc[~inc["content_md5"].isin(seen)]
+        # first-wins inside the increment itself
+        kept = kept.sort_values("doc_id").drop_duplicates("content_md5")
+        return kept[["doc_id", "content_md5"]].astype({"doc_id": np.int64})
+
+    return grouped_blocks(
+        tagged, ["content_md5"], anti_block, num_partitions, batch_format="pandas"
+    )

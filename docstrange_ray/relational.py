@@ -919,3 +919,70 @@ LEFT JOIN events e
  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
 GROUP BY o_orderkey
 """
+
+
+def priority_returned_orders(sf_dir: str, num_partitions: int | None = None):
+    """SEMI-JOIN (TPC-H-Q4 shape): count orders per priority that have at
+    least one returned lineitem (l_returnflag = 'R').
+
+    Scale shape: the EXISTS predicate is single-sided, so the lineitem
+    probe side reduces per batch to DISTINCT order keys BEFORE the
+    exchange (a million-line order ships n_batches rows, never its
+    lines). ONE orderkey exchange co-locates probe keys with the orders;
+    the block-local semi-join emits per-block priority partials, and the
+    bounded final (5 priorities) coalesces without an aggregator pool.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def probe_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        keys = df.loc[df["l_returnflag"] == "R", "l_orderkey"].unique()
+        return pd.DataFrame(
+            {
+                "key": keys.astype(np.int64),
+                "o_orderpriority": "",
+                "side": np.int8(1),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype(np.int64),
+                "o_orderpriority": df["o_orderpriority"],
+                "side": np.int8(0),
+            }
+        )
+
+    tagged = li.map_batches(arrow_out(probe_partial), batch_format="pyarrow").union(
+        orders.map_batches(arrow_out(tag_orders), batch_format="pyarrow")
+    )
+
+    def semi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        probe = set(df.loc[df["side"] == 1, "key"])
+        o = df[df["side"] == 0]
+        hit = o[o["key"].isin(probe)]
+        g = hit.groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "order_count"})
+
+    partials = grouped_blocks(
+        tagged, ["key"], semi_partial, num_partitions, batch_format="pandas"
+    )
+    return coalesced_blocks(
+        partials,
+        _combine_sums(["o_orderpriority"], ["order_count"]),
+    )
+
+
+PRIORITY_RETURNED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""

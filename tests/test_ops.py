@@ -47,6 +47,68 @@ class TestExactDedup:
         assert (got["n_dups"] > 1).sum() == 2  # the two exact-dup groups
 
 
+class TestIncrementalDedup:
+    def test_against_duckdb(self, docs_with_dups):
+        # base = doc_id < 10, increment = everything (so every base doc
+        # collides; odd split exercises keep + drop + first-wins paths)
+        base_tbl = docs_with_dups.filter(
+            pa.compute.less(docs_with_dups.column("doc_id"), 10)
+        )
+        new_ds = ray.data.from_arrow(docs_with_dups)
+        base_ds = ray.data.from_arrow(base_tbl)
+        got = (
+            dedup.incremental_dedup(new_ds, base_ds)
+            .to_pandas()
+            .sort_values("content_md5")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs_with_dups)
+        exp = con.sql(
+            r"""WITH fp AS (
+                  SELECT doc_id,
+                         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5
+                  FROM documents
+                ), base AS (
+                  SELECT DISTINCT content_md5 FROM fp WHERE doc_id < 10
+                )
+                SELECT MIN(doc_id) AS doc_id, content_md5
+                FROM fp
+                WHERE content_md5 NOT IN (SELECT content_md5 FROM base)
+                GROUP BY content_md5 ORDER BY content_md5"""
+        ).df()[["doc_id", "content_md5"]]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # doc 100 (exact dup of base doc 0) and 101 (ws-dup of base doc
+        # 1) must be dropped; near-dup 102 differs exactly -> kept
+        assert 100 not in set(got["doc_id"]) and 101 not in set(got["doc_id"])
+        assert 102 in set(got["doc_id"])
+
+    def test_increment_fully_covered_is_empty(self, docs_with_dups):
+        ds = ray.data.from_arrow(docs_with_dups)
+        # increment == base -> everything collides -> zero survivors
+        out = dedup.incremental_dedup(ds, ds).to_pandas()
+        assert len(out) == 0
+
+    def test_first_wins_inside_increment(self):
+        new_tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 7, "text": "same body"},
+                {"doc_id": 3, "text": "same  body "},  # ws-variant, same hash
+                {"doc_id": 9, "text": "other body"},
+            ]
+        )
+        base_tbl = pa.Table.from_pylist([{"doc_id": 1, "text": "unrelated"}])
+        out = (
+            dedup.incremental_dedup(
+                ray.data.from_arrow(new_tbl), ray.data.from_arrow(base_tbl)
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [3, 9]
+
+
 class TestMinHash:
     def test_signature_similarity_tracks_jaccard(self):
         a = "the quick brown fox jumps over the lazy dog again and again today"

@@ -94,6 +94,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_priority_returned_orders(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.priority_returned_orders(SF),
+            relational.PRIORITY_RETURNED_SQL,
+            con,
+        )
+
     def test_curated_docs(self, con):
         import ray.data
 

@@ -978,6 +978,81 @@ def priority_returned_orders(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+def order_count_distribution(sf_dir: str, num_partitions: int | None = None):
+    """LEFT-OUTER-JOIN distribution (TPC-H-Q13 shape): how many customers
+    placed exactly N non-urgent orders, INCLUDING the zero-order bucket.
+
+    Scale shape: the naive plan outer-joins two big tables; this one
+    never joins at all. Orders pre-aggregate per batch to (custkey,
+    partial_count) before the ONE custkey exchange; each co-located
+    block reduces to a (c_count -> custdist) histogram partial, which is
+    distribution-sized, not customer-sized. The zero bucket uses a
+    signed correction: customer batches emit (0, +rows) partials and
+    each custkey block emits (0, -distinct_custkeys), so the bounded
+    final combine nets exactly the customers with no qualifying orders —
+    the customer table is scanned once and never shuffled.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def ord_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["o_orderpriority"] != "1-URGENT"]
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "key": g["o_custkey"].astype(np.int64),
+                "n": g["size"].astype(np.int64),
+            }
+        )
+
+    counts = orders.map_batches(arrow_out(ord_partial), batch_format="pyarrow")
+
+    def hist_block(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("key", as_index=False)["n"].sum()
+        h = per.groupby("n", as_index=False).size()
+        h = h.rename(columns={"n": "c_count", "size": "custdist"})
+        zero = pd.DataFrame({"c_count": [0], "custdist": [-len(per)]})
+        return pd.concat([h, zero], ignore_index=True).astype(
+            {"c_count": np.int64, "custdist": np.int64}
+        )
+
+    hist = grouped_blocks(
+        counts, ["key"], hist_block, num_partitions, batch_format="pandas"
+    )
+
+    def cust_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_count": [np.int64(0)], "custdist": [np.int64(batch.num_rows)]}
+        )
+
+    cust = customer.map_batches(arrow_out(cust_partial), batch_format="pyarrow")
+
+    combined = coalesced_blocks(
+        hist.union(cust), _combine_sums(["c_count"], ["custdist"])
+    )
+    # a fully-netted zero bucket (every customer ordered) has no LEFT
+    # JOIN group row — drop it rather than emit custdist = 0
+    return combined.map_batches(
+        lambda t: t.filter(pc.greater(t.column("custdist"), 0)),
+        batch_format="pyarrow",
+    )
+
+
+ORDER_COUNT_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+
 PRIORITY_RETURNED_SQL = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders

@@ -103,6 +103,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_order_count_distribution(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.order_count_distribution(SF),
+            relational.ORDER_COUNT_DIST_SQL,
+            con,
+        )
+
     def test_curated_docs(self, con):
         import ray.data
 

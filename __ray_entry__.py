@@ -761,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_event_window": relational.order_event_window,
         "priority_returned_orders": relational.priority_returned_orders,
         "order_count_distribution": relational.order_count_distribution,
+        "user_running_total": relational.user_running_total,
         "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
         "events_funnel": relational.events_funnel,
@@ -1593,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "order_event_window": relational.ORDER_EVENT_WINDOW_SQL,
         "priority_returned_orders": relational.PRIORITY_RETURNED_SQL,
         "order_count_distribution": relational.ORDER_COUNT_DIST_SQL,
+        "user_running_total": relational.USER_RUNNING_TOTAL_SQL,
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,

@@ -978,6 +978,61 @@ def priority_returned_orders(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+def user_running_total(sf_dir: str, num_partitions: int | None = None):
+    """Cumulative window function (``SUM(value) OVER (PARTITION BY
+    user_id ORDER BY ts)``): per-event running spend per user.
+
+    Scale shape: a true per-row window cannot pre-reduce (its output IS
+    one row per input row), so the plan is the minimal one — project the
+    four needed columns, ONE user_id exchange, block-local mergesort +
+    grouped cumsum (vectorized). A pathological user's whole history
+    lands in one block (same partitioning assumption as
+    ``user_sessions``); values are summed in integer cents so the
+    running sums are exact and hash-stable.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "ts": df["ts"],
+                "user_id": df["user_id"].astype(np.int64),
+                "value_cents": _cents(df["value"]),
+            }
+        )
+
+    def running_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "running_cents": df.groupby("user_id")["value_cents"]
+                .cumsum()
+                .to_numpy()
+                .astype(np.int64),
+            }
+        )
+        return out
+
+    prepped = ev.map_batches(arrow_out(prep), batch_format="pyarrow")
+    return grouped_blocks(
+        prepped, ["user_id"], running_block, num_partitions, batch_format="pandas"
+    )
+
+
+USER_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS running_cents
+FROM events
+"""
+
+
 def order_count_distribution(sf_dir: str, num_partitions: int | None = None):
     """LEFT-OUTER-JOIN distribution (TPC-H-Q13 shape): how many customers
     placed exactly N non-urgent orders, INCLUDING the zero-order bucket.

@@ -112,6 +112,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_user_running_total(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.user_running_total(SF),
+            relational.USER_RUNNING_TOTAL_SQL,
+            con,
+        )
+
     def test_curated_docs(self, con):
         import ray.data
 

@@ -382,6 +382,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(read_docs(sf_dir))
 
+    def heavy_tokens_q(sf_dir):
+        """Misra-Gries heavy hitters + exact verify: tokens covering
+        >=1% of all token instances, with NO vocabulary shuffle (sketch
+        rows are the only exchange; candidates broadcast for the exact
+        pass). Output equals the naive GROUP BY ... HAVING oracle."""
+        from docstrange_ray.ops.sketch import heavy_tokens
+
+        return heavy_tokens(read_docs(sf_dir), fraction=0.01)
+
     def incremental_dedup_q(sf_dir):
         """Ingest anti-join: the daily-increment-vs-corpus-snapshot step
         of a continuously updated training set. Base = even doc_ids,
@@ -722,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprint": content_fp,
         "exact_dedup": exact_dedup,
         "incremental_dedup": incremental_dedup_q,
+        "heavy_tokens": heavy_tokens_q,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,
@@ -1427,6 +1437,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dups
             FROM documents
             GROUP BY 1
+        """,
+        "heavy_tokens": r"""
+            WITH words AS (
+                SELECT UNNEST(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+                FROM documents
+            ), tot AS (SELECT COUNT(*) AS n FROM words)
+            SELECT w AS token, COUNT(*) AS n_occurrences
+            FROM words
+            GROUP BY w
+            HAVING COUNT(*) >= (SELECT 0.01 * n FROM tot)
         """,
         "incremental_dedup": r"""
             WITH fp AS (

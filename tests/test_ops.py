@@ -1832,3 +1832,85 @@ class TestRankStats:
             """
         ).fetchdf()
         pd.testing.assert_frame_equal(out, exp)
+
+
+class TestHeavyTokens:
+    """Misra-Gries candidates + exact verify: output must equal the
+    naive GROUP BY ... HAVING regardless of sketch size k."""
+
+    def _oracle(self, tbl, fraction):
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        return con.sql(
+            rf"""WITH words AS (
+                  SELECT UNNEST(list_filter(
+                      regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+                  FROM documents
+                ), tot AS (SELECT COUNT(*) AS n FROM words)
+                SELECT w AS token, COUNT(*) AS n_occurrences
+                FROM words GROUP BY w
+                HAVING COUNT(*) >= (SELECT {fraction} * n FROM tot)
+                ORDER BY token"""
+        ).df()
+
+    def test_fixture_parity(self):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sketch import heavy_tokens
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            heavy_tokens(docs, fraction=0.01)
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        import pyarrow.parquet as pq
+
+        exp = self._oracle(pq.read_table(f"{SF}/documents.parquet"), 0.01)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_planted_heavy_hitter_survives_tiny_sketch(self):
+        # 400 distinct rare words + one word at ~33% frequency; k=8
+        # forces real MG compression in every batch, and the guarantee
+        # (count > n/(k+1) survives) must still hold.
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(80):
+            words = [f"rare{rng.randint(400)}" for _ in range(20)] + ["heavy"] * 10
+            rng.shuffle(words)
+            rows.append({"doc_id": i, "text": " ".join(words)})
+        tbl = pa.Table.from_pylist(rows)
+        from docstrange_ray.ops.sketch import heavy_tokens
+
+        got = (
+            heavy_tokens(ray.data.from_arrow(tbl).repartition(8), fraction=0.2, k=8)
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        exp = self._oracle(tbl, 0.2)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got["token"].tolist() == ["heavy"]
+        assert got["n_occurrences"].tolist() == [800]
+
+    def test_empty_and_blank_docs(self):
+        tbl = pa.Table.from_pylist(
+            [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "   "},
+             {"doc_id": 2, "text": "x x y"}]
+        )
+        from docstrange_ray.ops.sketch import heavy_tokens
+
+        got = (
+            heavy_tokens(ray.data.from_arrow(tbl), fraction=0.5)
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        assert got["token"].tolist() == ["x"]
+        assert got["n_occurrences"].tolist() == [2]
+
+    def test_bad_fraction_rejected(self):
+        from docstrange_ray.ops.sketch import heavy_tokens
+
+        with pytest.raises(ValueError):
+            heavy_tokens(None, fraction=0.0)

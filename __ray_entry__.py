@@ -772,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_returned_orders": relational.priority_returned_orders,
         "order_count_distribution": relational.order_count_distribution,
         "user_running_total": relational.user_running_total,
+        "user_interarrival": relational.user_interarrival,
+        "event_user_reach": relational.event_user_reach,
         "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
         "events_funnel": relational.events_funnel,
@@ -1616,6 +1618,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_returned_orders": relational.PRIORITY_RETURNED_SQL,
         "order_count_distribution": relational.ORDER_COUNT_DIST_SQL,
         "user_running_total": relational.USER_RUNNING_TOTAL_SQL,
+        "user_interarrival": relational.USER_INTERARRIVAL_SQL,
+        "event_user_reach": relational.EVENT_USER_REACH_SQL,
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,

@@ -978,6 +978,117 @@ def priority_returned_orders(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+def user_interarrival(sf_dir: str, num_partitions: int | None = None):
+    """LAG-window query (mean inter-event gap per user) rewritten as an
+    algebraic aggregate: consecutive-gap sums TELESCOPE to max(ts) -
+    min(ts), so the per-user mean gap is (max - min)/(n - 1) and the
+    whole window computation collapses to partial-reducible
+    (n, min, max) triples — each batch ships one row per user seen, ONE
+    user exchange, bounded combine. The SQL oracle runs the literal
+    LAG/AVG window formulation, proving the rewrite. Gaps are summed in
+    exact integer microseconds so the rounded division is bit-identical
+    on both engines. Users with a single event have no gap and are
+    omitted (matching the LAG NULL filter).
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        us = df["ts"].astype("int64")  # exact microseconds
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].astype(np.int64), "us": us})
+            .groupby("user_id", as_index=False)
+            .agg(n=("us", "size"), mn=("us", "min"), mx=("us", "max"))
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        g = g[g["n"] >= 2]
+        gaps = g["n"].to_numpy(np.int64) - 1
+        span_us = g["mx"].to_numpy(np.int64) - g["mn"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "n_events": g["n"].to_numpy(np.int64),
+                "mean_gap_sec": np.round(span_us / (gaps * 1_000_000.0), 6),
+            }
+        )
+
+    partials = ev.map_batches(arrow_out(partial), batch_format="pyarrow")
+    return grouped_blocks(
+        partials, ["user_id"], combine, num_partitions, batch_format="pandas"
+    )
+
+
+USER_INTERARRIVAL_SQL = """
+WITH d AS (
+    SELECT user_id,
+           EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events)
+SELECT user_id, COUNT(*) + 1 AS n_events,
+       ROUND(SUM(gap_us) / (COUNT(*) * 1000000.0), 6) AS mean_gap_sec
+FROM d WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def event_user_reach(sf_dir: str, num_partitions: int | None = None):
+    """Distributed COUNT(DISTINCT): unique users per event type.
+
+    Scale shape: distinct-count cannot pre-aggregate as plain sums, so
+    the plan dedups per batch to DISTINCT (event_type, user_id) pairs
+    (a user firing the same event a million times in one batch ships
+    one row), exchanges on the PAIR key (hot event types spread across
+    partitions — no single-reducer hot key), counts distinct pairs per
+    block, and sums the disjoint per-block counts in a bounded final
+    (pair-key partitioning makes block counts additive).
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return (
+            batch.to_pandas()
+            .drop_duplicates(["event_type", "user_id"])
+            .reset_index(drop=True)
+        )
+
+    def block_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    pairs = ev.map_batches(arrow_out(partial), batch_format="pyarrow")
+    per_block = grouped_blocks(
+        pairs,
+        ["event_type", "user_id"],
+        block_count,
+        num_partitions,
+        batch_format="pandas",
+    )
+    return coalesced_blocks(per_block, _combine_sums(["event_type"], ["n_users"]))
+
+
+EVENT_USER_REACH_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def user_running_total(sf_dir: str, num_partitions: int | None = None):
     """Cumulative window function (``SUM(value) OVER (PARTITION BY
     user_id ORDER BY ts)``): per-event running spend per user.

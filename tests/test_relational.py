@@ -121,6 +121,24 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_user_interarrival(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.user_interarrival(SF),
+            relational.USER_INTERARRIVAL_SQL,
+            con,
+        )
+
+    def test_event_user_reach(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.event_user_reach(SF),
+            relational.EVENT_USER_REACH_SQL,
+            con,
+        )
+
     def test_curated_docs(self, con):
         import ray.data
 

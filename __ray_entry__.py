@@ -765,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": relational.q1_pricing,
         "top_customers": relational.top_customers,
         "revenue_by_region": relational.revenue_by_region,
+        "revenue_rollup": relational.revenue_rollup,
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "events_last_order": relational.events_last_order,
@@ -1611,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": relational.Q1_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "revenue_by_region": relational.REVENUE_BY_REGION_SQL,
+        "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_sliding": relational.EVENTS_SLIDING_SQL,
         "events_last_order": relational.EVENTS_LAST_ORDER_SQL,

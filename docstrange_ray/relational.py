@@ -272,6 +272,87 @@ GROUP BY r_name
 """
 
 
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (region, nation): revenue + order counts at
+    nation grain, region subtotals, and the grand total in one result.
+
+    Scale shape: rollup needs NO extra passes — partials aggregate at
+    the FINEST grain only (bounded: 25 nations), and the coarser levels
+    are derived inside the bounded final combine by re-aggregating the
+    finest-grain result (25 rows -> 5 -> 1). The fact-side join is the
+    same co-partitioned customer-key hash_join as
+    :func:`revenue_by_region`; subtotal rows use the 'ALL' sentinel
+    (mirrored by COALESCE in the SQL oracle) so no NULL-vs-NaN
+    normalization ambiguity reaches the driver compare.
+    """
+    from docstrange_ray.shuffle import hash_join
+
+    nation_rows = _read(sf_dir, "nation").take_all()
+    region = {
+        r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
+    }
+    chain = {
+        r["n_nationkey"]: (region.get(r["n_regionkey"], ""), r["n_name"])
+        for r in nation_rows
+    }
+    chain_ref = ray.put(chain)
+
+    def cust_dims(batch: pa.Table) -> pa.Table:
+        ch = ray.get(chain_ref)
+        dims = [ch.get(nk, ("", "")) for nk in batch.column("c_nationkey").to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch.column("c_custkey"),
+                pa.array([d[0] for d in dims], type=pa.string()),
+                pa.array([d[1] for d in dims], type=pa.string()),
+            ],
+            names=["o_custkey", "r_name", "n_name"],
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_dims, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = hash_join(orders, cust, key="o_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev_c=_cents(df["o_totalprice"]))
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue_cents=("rev_c", "sum"), n_orders=("rev_c", "size")
+        )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        sums = ["revenue_cents", "n_orders"]
+        finest = df.groupby(["r_name", "n_name"], as_index=False)[sums].sum()
+        per_region = finest.groupby("r_name", as_index=False)[sums].sum()
+        per_region.insert(1, "n_name", "ALL")
+        total = finest[sums].sum().to_frame().T
+        total.insert(0, "r_name", "ALL")
+        total.insert(1, "n_name", "ALL")
+        out = pd.concat([finest, per_region, total], ignore_index=True)
+        for c in sums:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return coalesced_blocks(
+        joined.map_batches(arrow_out(partial), batch_format="pandas", batch_size=None),
+        rollup,
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def events_hourly(sf_dir: str):
     """Tumbling-hour aggregate over the event stream (the batch analogue
     of a streaming window; ordering assumption: none needed — tumbling

@@ -121,6 +121,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_revenue_rollup(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.revenue_rollup(SF),
+            relational.REVENUE_ROLLUP_SQL,
+            con,
+        )
+
     def test_user_interarrival(self, con):
         from docstrange_ray import relational
 

@@ -382,6 +382,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(read_docs(sf_dir))
 
+    def approx_user_reach_q(sf_dir):
+        """HyperLogLog distinct users per event type: one-pass,
+        shuffle-free register partials (16 KiB per group per batch
+        regardless of cardinality). Rows-only driver check — the
+        estimate's ~0.8% error band and its batching-invariance are
+        pinned by tests/test_ops.py::TestHLL; the exact twin is the
+        oracled `event_user_reach`."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sketch import approx_distinct
+
+        ev = read_parquet_clean(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return approx_distinct(ev, value_col="user_id", group_key="event_type")
+
     def heavy_tokens_q(sf_dir):
         """Misra-Gries heavy hitters + exact verify: tokens covering
         >=1% of all token instances, with NO vocabulary shuffle (sketch
@@ -732,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": exact_dedup,
         "incremental_dedup": incremental_dedup_q,
         "heavy_tokens": heavy_tokens_q,
+        "approx_user_reach": approx_user_reach_q,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,

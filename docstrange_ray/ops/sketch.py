@@ -43,6 +43,94 @@ def _mg_compress(vc: pd.Series, k: int) -> pd.Series:
     return kept[kept > 0]
 
 
+def _hll_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """HLL register array (2^p uint8) for a batch of DISTINCT string
+    values: md5 per distinct value (process-stable, like every hash in
+    this repo), top p bits pick the register, rho = leading-zero count
+    of the remaining 64-p bits + 1; registers take the elementwise max."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    import hashlib
+
+    digest = b"".join(
+        hashlib.md5(str(v).encode("utf-8")).digest()[:8] for v in values
+    )
+    h = np.frombuffer(digest, dtype=">u8").astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+    # rho = leading zeros of `rest` + 1, capped at 64 - p + 1 by sentinel
+    rho = np.zeros(len(h), dtype=np.uint8)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v < (np.uint64(1) << np.uint64(64 - shift))
+        rho[mask] += shift
+        with np.errstate(over="ignore"):
+            v[mask] <<= np.uint64(shift)
+    rho += 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def approx_distinct(ds, value_col: str, group_key: str, p: int = 14):
+    """Approximate COUNT(DISTINCT value_col) per group via HyperLogLog.
+
+    Scale shape: each batch reduces to one 2^p-byte register array per
+    group seen (16 KiB at p=14 — independent of batch cardinality), the
+    bounded register partials coalesce, and merge = elementwise max, an
+    associative/commutative reduction — so the estimate is IDENTICAL at
+    any batching or parallelism (pinned by test), with standard error
+    ~1.04/sqrt(2^p) (~0.8% at p=14) vs the exact count. Use
+    ``relational.event_user_reach`` when exactness is required and the
+    pair shuffle is affordable; this op is the one-pass, shuffle-free
+    alternative for 100-TB cardinality dashboards.
+    Returns Dataset[(group_key, n_distinct_approx)].
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        groups, regs = [], []
+        for g, sub in df.groupby(group_key, sort=False):
+            vals = pd.unique(sub[value_col].astype(str))
+            groups.append(g)
+            regs.append(_hll_registers(vals, p).tobytes())
+        return pd.DataFrame({group_key: groups, "regs": regs})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for g, sub in df.groupby(group_key, sort=True):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for b in sub["regs"]:
+                np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+            out_g.append(g)
+            out_n.append(_hll_estimate(merged))
+        return pd.DataFrame(
+            {group_key: out_g, "n_distinct_approx": np.asarray(out_n, dtype=np.int64)}
+        )
+
+    partials = ds.map_batches(
+        arrow_out(partial), batch_format="pyarrow", batch_size=65536
+    )
+    return coalesced_blocks(partials, combine)
+
+
 def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
     """Exact corpus tokens occurring in >= ``fraction`` of all token
     instances, computed WITHOUT a vocabulary shuffle.

@@ -1914,3 +1914,61 @@ class TestHeavyTokens:
 
         with pytest.raises(ValueError):
             heavy_tokens(None, fraction=0.0)
+
+
+class TestHLL:
+    def test_error_band_and_merge_invariance(self):
+        from docstrange_ray.ops.sketch import approx_distinct
+
+        rows = []
+        # group g0: 100 distinct, g1: 10_000 distinct (each value once
+        # or several times -- multiplicity must not matter)
+        for i in range(100):
+            rows.append({"g": "g0", "v": i})
+            rows.append({"g": "g0", "v": i})
+        for i in range(10_000):
+            rows.append({"g": "g1", "v": i})
+        tbl = pa.Table.from_pylist(rows)
+
+        def run(parts):
+            return (
+                approx_distinct(
+                    ray.data.from_arrow(tbl).repartition(parts),
+                    value_col="v",
+                    group_key="g",
+                )
+                .to_pandas()
+                .sort_values("g")
+                .reset_index(drop=True)
+            )
+
+        a, b = run(1), run(16)
+        # merge is elementwise max => identical at any parallelism
+        pd.testing.assert_frame_equal(a, b)
+        est = dict(zip(a["g"], a["n_distinct_approx"]))
+        assert abs(est["g0"] - 100) / 100 < 0.02
+        assert abs(est["g1"] - 10_000) / 10_000 < 0.03
+
+    def test_vs_exact_on_fixture(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sketch import approx_distinct
+
+        ev = read_parquet_clean(
+            f"{SF}/events.parquet", columns=["event_type", "user_id"]
+        )
+        got = approx_distinct(ev, value_col="user_id", group_key="event_type").to_pandas()
+        con = duckdb.connect()
+        exact = con.sql(
+            f"""SELECT event_type, COUNT(DISTINCT user_id) AS n
+                FROM read_parquet('{SF}/events.parquet') GROUP BY event_type"""
+        ).df()
+        m = got.merge(exact, on="event_type")
+        assert len(m) == len(exact)
+        rel_err = (m["n_distinct_approx"] - m["n"]).abs() / m["n"]
+        assert (rel_err < 0.05).all(), m
+
+    def test_bad_p_rejected(self):
+        from docstrange_ray.ops.sketch import approx_distinct
+
+        with pytest.raises(ValueError):
+            approx_distinct(None, value_col="v", group_key="g", p=3)

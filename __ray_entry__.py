@@ -498,6 +498,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(refs))
         return multimodal.decode_features(media)
 
+    def weighted_sample_q(sf_dir):
+        """Length-weighted sample of 50 docs (Efraimidis-Spirakis
+        priorities from md5-derived uniforms): deterministic,
+        shuffle-free local-top-k shape, SQL-oracled."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sampling import weighted_sample
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return weighted_sample(docs, k=50, weight_col="n_chars")
+
     def hash_sample_10(sf_dir):
         from docstrange_ray.ops.sampling import hash_sample
 
@@ -770,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curated_docs,
         "curated_full": curated_full,
         "hash_sample_10": hash_sample_10,
+        "weighted_sample": weighted_sample_q,
         "stratified_sample": stratified_sample,
         "source_topk": source_topk,
         "length_quantiles": length_quantiles,
@@ -906,6 +919,16 @@ def oracle_sql() -> dict[str, str]:
                                x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
                     FROM documents))
             WHERE quality >= 0.5
+        """,
+        "weighted_sample": r"""
+            SELECT doc_id, n_chars,
+                   ROUND(POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                             / 18446744073709551616.0, 1.0 / n_chars), 6) AS priority
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                         / 18446744073709551616.0, 1.0 / n_chars) DESC, doc_id
+            LIMIT 50
         """,
         "hash_sample_10": """
             SELECT doc_id FROM documents

@@ -206,3 +206,56 @@ def source_mix(
         return batch.filter(mask).select([key, source_col])
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id"):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    IPL 2006): each row gets priority u^(1/w) with u a DETERMINISTIC
+    md5-derived uniform of its id, and the sample is the global top-k by
+    priority — inclusion probability proportional to weight, yet fully
+    reproducible across processes, batchings and cluster sizes (u is a
+    pure function of the id, like every sampler here), and therefore
+    SQL-oracle-able.
+
+    Scale shape: shuffle-free — each batch keeps its local top-k
+    candidates (n_batches x k rows total), one coalesced final applies
+    the same rule. Rows with weight <= 0 are excluded. Ties break on id
+    ascending; the emitted priority is rounded to 6 dp, the ORDERING
+    uses the unrounded key on both engines.
+    Returns Dataset[(id_col, weight_col, priority)].
+    """
+    import numpy as np
+    import pandas as pd
+
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_pylist()
+        w = np.asarray(batch.column(weight_col).to_pylist(), dtype=np.float64)
+        digest = b"".join(
+            hashlib.md5(str(i).encode("utf-8")).digest()[:8] for i in ids
+        )
+        u = np.frombuffer(digest, dtype=">u8").astype(np.float64) / 2.0**64
+        df = pd.DataFrame(
+            {id_col: ids, weight_col: batch.column(weight_col).to_pylist(), "__pri": 0.0}
+        )
+        keep = w > 0
+        df.loc[keep, "__pri"] = u[keep] ** (1.0 / w[keep])
+        df = df[keep]
+        return df.sort_values(
+            ["__pri", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(
+            ["__pri", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out = top[[id_col, weight_col]].reset_index(drop=True)
+        out["priority"] = np.round(top["__pri"].to_numpy(), 6)
+        return out
+
+    parts = ds.map_batches(arrow_out(candidates), batch_format="pyarrow")
+    return coalesced_blocks(parts, final)

@@ -1972,3 +1972,67 @@ class TestHLL:
 
         with pytest.raises(ValueError):
             approx_distinct(None, value_col="v", group_key="g", p=3)
+
+
+class TestWeightedSample:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sampling import weighted_sample
+
+        docs = read_parquet_clean(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        got = weighted_sample(docs, k=25, weight_col="n_chars").to_pandas()
+        con = duckdb.connect()
+        exp = con.sql(
+            rf"""SELECT doc_id, n_chars,
+                      ROUND(POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                                / 18446744073709551616.0, 1.0 / n_chars), 6) AS priority
+               FROM read_parquet('{SF}/documents.parquet')
+               WHERE n_chars > 0
+               ORDER BY POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                            / 18446744073709551616.0, 1.0 / n_chars) DESC, doc_id
+               LIMIT 25"""
+        ).df()
+        a = got.sort_values("doc_id").reset_index(drop=True)
+        b = exp.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_batching_invariance_and_weight_bias(self, ray_session):
+        from docstrange_ray.ops.sampling import weighted_sample
+
+        rows = [{"id": i, "w": 100.0 if i < 50 else 1.0} for i in range(1000)]
+        tbl = pa.Table.from_pylist(rows)
+
+        def run(parts):
+            return (
+                weighted_sample(
+                    ray.data.from_arrow(tbl).repartition(parts),
+                    k=30, weight_col="w", id_col="id",
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+
+        a, b = run(1), run(13)
+        pd.testing.assert_frame_equal(a, b)
+        # the 50 heavy rows (weight 100 vs 1) must dominate the sample
+        assert (a["id"] < 50).sum() > 15
+
+    def test_nonpositive_weights_excluded(self, ray_session):
+        from docstrange_ray.ops.sampling import weighted_sample
+
+        tbl = pa.Table.from_pylist(
+            [{"id": 0, "w": 0.0}, {"id": 1, "w": -2.0}, {"id": 2, "w": 5.0}]
+        )
+        out = weighted_sample(
+            ray.data.from_arrow(tbl), k=10, weight_col="w", id_col="id"
+        ).to_pandas()
+        assert out["id"].tolist() == [2]
+
+    def test_bad_k_rejected(self):
+        from docstrange_ray.ops.sampling import weighted_sample
+
+        with pytest.raises(ValueError):
+            weighted_sample(None, k=0, weight_col="w")

@@ -382,6 +382,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(read_docs(sf_dir))
 
+    def approx_length_quantiles_q(sf_dir):
+        """MRL-sketch per-source length quantiles: the unbounded-value
+        answer to the exact `length_quantiles` histogram exchange.
+        Rows-only driver check; rank-error bound and the small-group
+        exactness property are pinned by tests/test_ops.py::TestMRL."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sketch import approx_quantiles
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return approx_quantiles(docs, value_col="n_chars", group_key="source")
+
     def approx_user_reach_q(sf_dir):
         """HyperLogLog distinct users per event type: one-pass,
         shuffle-free register partials (16 KiB per group per batch
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": incremental_dedup_q,
         "heavy_tokens": heavy_tokens_q,
         "approx_user_reach": approx_user_reach_q,
+        "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,

@@ -216,3 +216,125 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
         arrow_out(exact_partial), batch_format="pyarrow", batch_size=65536
     )
     return coalesced_blocks(exact, final)
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles: MRL-style compactor hierarchy (Manku et al.,
+# SIGMOD 1998; the KLL refinement is Karnin et al., FOCS 2016 — public
+# literature). Level h holds items of weight 2^h; a level over capacity
+# sorts and keeps alternating elements (offset flips per compaction, the
+# standard derandomization), pushing the survivors one level up.
+# ---------------------------------------------------------------------------
+
+
+def _mrl_compress(levels: list[np.ndarray], k: int, counters: list[int]) -> None:
+    """In-place compaction cascade: any level above ``k`` items halves
+    into the next level. Deterministic (counter-driven offset), so a
+    given ingest order always yields the same sketch."""
+    h = 0
+    while h < len(levels):
+        if len(levels[h]) > k:
+            vals = np.sort(levels[h], kind="mergesort")
+            while len(counters) <= h:
+                counters.append(0)
+            off = counters[h] & 1
+            counters[h] += 1
+            survivors = vals[off::2]
+            levels[h] = np.empty(0, dtype=np.float64)
+            if h + 1 == len(levels):
+                levels.append(np.empty(0, dtype=np.float64))
+            levels[h + 1] = np.concatenate([levels[h + 1], survivors])
+        h += 1
+
+
+def _mrl_from_values(vals: np.ndarray, k: int) -> list[np.ndarray]:
+    levels = [np.asarray(vals, dtype=np.float64)]
+    _mrl_compress(levels, k, [0])
+    return levels
+
+
+def _mrl_merge(a: list[np.ndarray], b: list[np.ndarray], k: int) -> list[np.ndarray]:
+    n = max(len(a), len(b))
+    merged = []
+    for h in range(n):
+        xs = a[h] if h < len(a) else np.empty(0, dtype=np.float64)
+        ys = b[h] if h < len(b) else np.empty(0, dtype=np.float64)
+        merged.append(np.concatenate([xs, ys]))
+    _mrl_compress(merged, k, [0] * len(merged))
+    return merged
+
+
+def _mrl_quantiles(levels: list[np.ndarray], qs: tuple) -> list[float]:
+    """quantile_disc semantics over the weighted sketch items: smallest
+    value whose cumulative weight reaches ceil(q * total_weight)."""
+    vals = np.concatenate([lv for lv in levels if len(lv)]) if any(
+        len(lv) for lv in levels
+    ) else np.empty(0, dtype=np.float64)
+    if len(vals) == 0:
+        return [float("nan")] * len(qs)
+    wts = np.concatenate(
+        [np.full(len(lv), 1 << h, dtype=np.int64) for h, lv in enumerate(levels) if len(lv)]
+    )
+    order = np.argsort(vals, kind="mergesort")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = int(np.ceil(q * total)) if q > 0 else 1
+        out.append(float(vals[np.searchsorted(cum, max(target, 1))]))
+    return out
+
+
+def approx_quantiles(
+    ds,
+    value_col: str,
+    group_key: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = 200,
+):
+    """Approximate per-group quantiles via a mergeable MRL compactor
+    sketch — the unbounded-value-cardinality replacement for
+    ``rankstats.group_quantiles`` (whose exact value-count histogram
+    exchange assumes a bounded distinct-value space: right for integer
+    lengths, wrong for e.g. continuous scores at 100 TB).
+
+    Scale shape: each batch reduces every group it sees to O(k log n/k)
+    sketch items serialized as ONE binary row, partials coalesce
+    bounded, and merge is level-wise concat + compaction. Rank error is
+    O(log(n/k)/k) (~1-2% at k=200; pinned by test vs exact quantiles).
+    Returns Dataset[(group_key, n, q50, q90, q99)] for the default qs.
+    """
+    import pickle
+
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+
+    qcols = [f"q{int(q * 100)}" for q in qs]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        groups, blobs, ns = [], [], []
+        for g, sub in df.groupby(group_key, sort=False):
+            vals = sub[value_col].to_numpy(dtype=np.float64)
+            groups.append(g)
+            blobs.append(pickle.dumps(_mrl_from_values(vals, k)))
+            ns.append(np.int64(len(vals)))
+        return pd.DataFrame({group_key: groups, "sketch": blobs, "n": ns})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_key, sort=True):
+            merged: list[np.ndarray] = []
+            for b in sub["sketch"]:
+                merged = _mrl_merge(merged, pickle.loads(b), k)
+            quants = _mrl_quantiles(merged, qs)
+            rows.append(
+                {group_key: g, "n": np.int64(sub["n"].sum()), **dict(zip(qcols, quants))}
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536)
+    return coalesced_blocks(parts, combine)

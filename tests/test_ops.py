@@ -2036,3 +2036,58 @@ class TestWeightedSample:
 
         with pytest.raises(ValueError):
             weighted_sample(None, k=0, weight_col="w")
+
+
+class TestMRL:
+    def test_small_groups_exact(self, ray_session):
+        # groups smaller than k never compact: the sketch IS the data
+        # and quantiles must equal DuckDB quantile_disc exactly
+        from docstrange_ray.ops.sketch import approx_quantiles
+
+        rng = np.random.RandomState(5)
+        rows = [
+            {"g": f"g{i % 4}", "v": float(rng.randint(1000))} for i in range(600)
+        ]
+        tbl = pa.Table.from_pylist(rows)
+        got = (
+            approx_quantiles(
+                ray.data.from_arrow(tbl).repartition(1), value_col="v", group_key="g"
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.sql(
+            """SELECT g, COUNT(*) AS n,
+                      quantile_disc(v, 0.50) AS q50,
+                      quantile_disc(v, 0.90) AS q90,
+                      quantile_disc(v, 0.99) AS q99
+               FROM t GROUP BY g ORDER BY g"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_rank_error_bound_large(self, ray_session):
+        from docstrange_ray.ops.sketch import approx_quantiles
+
+        rng = np.random.RandomState(6)
+        vals = rng.normal(size=40_000)
+        tbl = pa.Table.from_pylist([{"g": "a", "v": float(v)} for v in vals])
+        got = approx_quantiles(
+            ray.data.from_arrow(tbl).repartition(16),
+            value_col="v",
+            group_key="g",
+            k=200,
+        ).to_pandas()
+        srt = np.sort(vals)
+        for q, col in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+            rank = np.searchsorted(srt, got[col].iloc[0]) / len(vals)
+            assert abs(rank - q) < 0.02, (col, rank)
+        assert int(got["n"].iloc[0]) == len(vals)
+
+    def test_bad_k_rejected(self):
+        from docstrange_ray.ops.sketch import approx_quantiles
+
+        with pytest.raises(ValueError):
+            approx_quantiles(None, value_col="v", group_key="g", k=4)

@@ -157,6 +157,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "tfidf_terms",
         "gopher_filter",
         "exact_dedup",
+        "incremental_dedup",
+        "heavy_tokens",
         "minhash_near_dups",
         "simhash_pairs",
         "dup_spans",
@@ -172,6 +174,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_sliding",
         "events_last_order",
         "user_sessions",
+        "user_running_total",
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

@@ -1059,6 +1059,122 @@ def priority_returned_orders(sf_dir: str, num_partitions: int | None = None):
     )
 
 
+def source_percent_rank(sf_dir: str, num_partitions: int | None = None):
+    """Ranking window function: PERCENT_RANK of document length within
+    its source. Per-row output, so the plan is the minimal one — ONE
+    source-key exchange of the 3-column projection, then a block-local
+    mergesort + arange rank per group ((rank-1)/(n-1) over the
+    tie-free (n_chars, doc_id) order, exact integer division rounded at
+    emit on both engines; single-row groups emit 0 like SQL does).
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"], kind="mergesort")
+        sizes = df.groupby("source")["doc_id"].transform("size").to_numpy(np.int64)
+        rank = df.groupby("source").cumcount().to_numpy(np.int64)  # 0-based
+        denom = np.maximum(sizes - 1, 1)
+        pr = np.where(sizes == 1, 0.0, rank / denom)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "source": df["source"].to_numpy(),
+                "pct_rank": np.round(pr, 6),
+            }
+        )
+
+    prepped = docs.map_batches(arrow_out(lambda b: b.to_pandas()), batch_format="pyarrow")
+    return grouped_blocks(
+        prepped, ["source"], rank_block, num_partitions, batch_format="pandas"
+    )
+
+
+SOURCE_PERCENT_RANK_SQL = """
+SELECT doc_id, source,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pct_rank
+FROM documents
+"""
+
+
+def hourly_trend(sf_dir: str):
+    """Distributed least-squares via SUFFICIENT STATISTICS: per event
+    type, the OLS slope/intercept of spend (cents) on hour-of-day.
+
+    Scale shape: OLS needs only (n, Sx, Sy, Sxy, Sxx) — algebraic sums
+    that pre-reduce per batch to one row per event type and combine by
+    addition, so the whole regression is a bounded coalesced final with
+    zero shuffles. All sums are EXACT int64 (hour <= 23, cents bounded),
+    and both engines perform the identical final double division, so
+    the rounded coefficients are bit-identical — float-summation
+    nondeterminism (the usual distributed-regression hazard) never
+    enters.
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        x = df["ts"].dt.hour.to_numpy(np.int64)
+        y = _cents(df["value"])
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)[["n", "sx", "sy", "sxy", "sxx"]].sum()
+        n = g["n"].to_numpy(np.int64)
+        sx = g["sx"].to_numpy(np.int64)
+        sy = g["sy"].to_numpy(np.int64)
+        sxy = g["sxy"].to_numpy(np.int64)
+        sxx = g["sxx"].to_numpy(np.int64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": n,
+                "slope_cents_per_hour": np.round(slope, 6),
+                "intercept_cents": np.round(intercept, 6),
+            }
+        )
+
+    parts = ev.map_batches(arrow_out(partial), batch_format="pyarrow")
+    return coalesced_blocks(parts, final)
+
+
+HOURLY_TREND_SQL = """
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sx,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sy,
+           SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+               * CAST(ROUND(value * 100) AS BIGINT)) AS sxy,
+           SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+               * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sxx
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+           AS slope_cents_per_hour,
+       ROUND((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+             / n, 6) AS intercept_cents
+FROM s
+"""
+
+
 def user_interarrival(sf_dir: str, num_partitions: int | None = None):
     """LAG-window query (mean inter-event gap per user) rewritten as an
     algebraic aggregate: consecutive-gap sums TELESCOPE to max(ts) -

@@ -139,6 +139,24 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_source_percent_rank(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.source_percent_rank(SF),
+            relational.SOURCE_PERCENT_RANK_SQL,
+            con,
+        )
+
+    def test_hourly_trend(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.hourly_trend(SF),
+            relational.HOURLY_TREND_SQL,
+            con,
+        )
+
     def test_event_user_reach(self, con):
         from docstrange_ray import relational
 

@@ -410,6 +410,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct(ev, value_col="user_id", group_key="event_type")
 
+    def vocab_encode_q(sf_dir):
+        """Top-20 vocabulary build (distributed counts -> dense rank)
+        + broadcast token-id encode; exploded (doc_id, pos, token_id)
+        stream, OOV = 0. SQL-oracled end-to-end."""
+        from docstrange_ray.ops.textstats import vocab_encode
+
+        return vocab_encode(read_docs(sf_dir), vocab_size=20)
+
     def heavy_tokens_q(sf_dir):
         """Misra-Gries heavy hitters + exact verify: tokens covering
         >=1% of all token instances, with NO vocabulary shuffle (sketch
@@ -772,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": exact_dedup,
         "incremental_dedup": incremental_dedup_q,
         "heavy_tokens": heavy_tokens_q,
+        "vocab_encode": vocab_encode_q,
         "approx_user_reach": approx_user_reach_q,
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
@@ -1495,6 +1504,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dups
             FROM documents
             GROUP BY 1
+        """,
+        "vocab_encode": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), cnt AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
+            ), vocab AS (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS id
+                FROM cnt
+                QUALIFY id <= 20
+            ), tok AS (
+                SELECT doc_id, i - 1 AS pos, ws[i] AS w
+                FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            )
+            SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
+            FROM tok t LEFT JOIN vocab v USING (w)
         """,
         "heavy_tokens": r"""
             WITH words AS (

@@ -255,6 +255,75 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def vocab_encode(ds, vocab_size: int = 20, num_partitions: int | None = None):
+    """Tokenizer-style vocabulary build + token-id encode — the
+    training-prep step between raw text and ``packing.pack_offsets``.
+
+    Pass 1 (vocab): distributed word counts (per-batch partial, one
+    row per DISTINCT word per batch -> ONE word shuffle), then the
+    global top-``vocab_size`` via block-local candidates + a coalesced
+    final (the exact ``top_ngrams`` shape); ids are the dense rank by
+    (count DESC, word ASC), 1-based, with 0 reserved for OOV.
+
+    Pass 2 (encode): the bounded vocab dict broadcasts once via
+    ``ray.put``; every batch encodes shuffle-free. Output is the
+    EXPLODED token stream ``(doc_id, pos, token_id)`` — flat int64
+    columns rather than list rows, so the driver's value-hash compare
+    (and any downstream Arrow consumer) sees a stable layout.
+    """
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        words: list[str] = []
+        for t in batch.column("text").to_pylist():
+            words.extend((t or "").lower().split())
+        vc = pd.Series(words, dtype=object).value_counts()
+        return pd.DataFrame({"w": vc.index, "c": vc.to_numpy(dtype=np.int64)})
+
+    counts = grouped_blocks(
+        ds.map_batches(arrow_out(count_partial), batch_format="pyarrow", batch_size=65536),
+        ["w"],
+        lambda df: df.groupby("w", as_index=False)["c"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "w"], ascending=[False, True]).head(vocab_size)
+
+    vocab_rows = coalesced_blocks(
+        counts.map_batches(arrow_out(local_top), batch_format="pandas"), local_top
+    ).take_all()
+    vocab_rows.sort(key=lambda r: (-r["c"], r["w"]))
+    vocab = {r["w"]: i + 1 for i, r in enumerate(vocab_rows)}
+    vocab_ref = ray.put(vocab)
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        doc_ids, poss, ids = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            doc_ids.extend([did] * len(ws))
+            poss.extend(range(len(ws)))
+            ids.extend(v.get(w, 0) for w in ws)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "pos": np.asarray(poss, dtype=np.int64),
+                "token_id": np.asarray(ids, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(arrow_out(encode), batch_format="pyarrow")
+
+
 def top_ngrams(ds, n: int = 3, k: int = 100, num_partitions: int | None = None):
     """Corpus-wide word n-gram frequency top-k — the canonical
     partial-reduce workload shape at 100 TB: every batch emits ONE

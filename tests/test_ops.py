@@ -2091,3 +2091,73 @@ class TestMRL:
 
         with pytest.raises(ValueError):
             approx_quantiles(None, value_col="v", group_key="g", k=4)
+
+
+class TestVocabEncode:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.textstats import vocab_encode
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            vocab_encode(docs, vocab_size=20)
+            .to_pandas()
+            .sort_values(["doc_id", "pos"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.sql(
+            rf"""WITH docs AS (
+                  SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM read_parquet('{SF}/documents.parquet')
+                ), cnt AS (
+                  SELECT w, COUNT(*) AS c
+                  FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
+                ), vocab AS (
+                  SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS id
+                  FROM cnt QUALIFY id <= 20
+                ), tok AS (
+                  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+                  FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+                )
+                SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
+                FROM tok t LEFT JOIN vocab v USING (w)
+                ORDER BY doc_id, pos"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got["token_id"] == 0).any()  # OOV actually exercised
+
+    def test_ids_deterministic_and_dense(self, ray_session):
+        from docstrange_ray.ops.textstats import vocab_encode
+
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": "b b b a a c"},
+                {"doc_id": 1, "text": "a c d"},
+            ]
+        )
+
+        def run(parts):
+            return (
+                vocab_encode(ray.data.from_arrow(tbl).repartition(parts), vocab_size=3)
+                .to_pandas()
+                .sort_values(["doc_id", "pos"])
+                .reset_index(drop=True)
+            )
+
+        a, b = run(1), run(4)
+        pd.testing.assert_frame_equal(a, b)
+        # counts: b=3, a=3, c=2, d=1 -> ids by (count desc, word asc):
+        # a=1, b=2, c=3; d OOV=0
+        doc0 = a[a["doc_id"] == 0]["token_id"].tolist()
+        doc1 = a[a["doc_id"] == 1]["token_id"].tolist()
+        assert doc0 == [2, 2, 2, 1, 1, 3]
+        assert doc1 == [1, 3, 0]
+
+    def test_bad_vocab_size(self):
+        from docstrange_ray.ops.textstats import vocab_encode
+
+        with pytest.raises(ValueError):
+            vocab_encode(None, vocab_size=0)

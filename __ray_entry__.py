@@ -418,6 +418,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_encode(read_docs(sf_dir), vocab_size=20)
 
+    def pmi_collocations_q(sf_dir):
+        """Top-50 bigram collocations by PMI (min bigram count 5):
+        sentinel-carried corpus totals, min_count prune BEFORE the two
+        co-partition unigram joins, exact-integer PMI. SQL-oracled."""
+        from docstrange_ray.ops.textstats import pmi_collocations
+
+        return pmi_collocations(read_docs(sf_dir), min_count=5, k=50)
+
     def heavy_tokens_q(sf_dir):
         """Misra-Gries heavy hitters + exact verify: tokens covering
         >=1% of all token instances, with NO vocabulary shuffle (sketch
@@ -781,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": incremental_dedup_q,
         "heavy_tokens": heavy_tokens_q,
         "vocab_encode": vocab_encode_q,
+        "pmi_collocations": pmi_collocations_q,
         "approx_user_reach": approx_user_reach_q,
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
@@ -1524,6 +1533,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
             FROM tok t LEFT JOIN vocab v USING (w)
+        """,
+        "pmi_collocations": r"""
+            WITH docs AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT w, COUNT(*) AS cx
+                FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
+            ), nu AS (SELECT SUM(cx) AS nu FROM uni),
+            bi AS (
+                SELECT ws[i] AS x, ws[i+1] AS y, COUNT(*) AS c_xy
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 5
+            ), nb AS (SELECT SUM(GREATEST(len(ws) - 1, 0)) AS nb FROM docs)
+            SELECT b.x, b.y, b.c_xy,
+                   ROUND(LN((b.c_xy * nu.nu * nu.nu) / (nb.nb * ux.cx * uy.cx)), 6)
+                       AS pmi
+            FROM bi b
+            JOIN uni ux ON ux.w = b.x
+            JOIN uni uy ON uy.w = b.y
+            CROSS JOIN nu CROSS JOIN nb
+            ORDER BY pmi DESC, b.x, b.y
+            LIMIT 50
         """,
         "heavy_tokens": r"""
             WITH words AS (

@@ -324,6 +324,140 @@ def vocab_encode(ds, vocab_size: int = 20, num_partitions: int | None = None):
     return ds.map_batches(arrow_out(encode), batch_format="pyarrow")
 
 
+def pmi_collocations(
+    ds, min_count: int = 5, k: int = 50, num_partitions: int | None = None
+):
+    """Top-k word-bigram collocations by pointwise mutual information —
+    PMI = ln(c_xy * Nu^2 / (Nb * c_x * c_y)) with p(x,y) over bigram
+    instances Nb and p(x) over unigram instances Nu.
+
+    Scale shape: fully distributed, NO vocabulary-scale driver state.
+    Unigram and bigram counts each partial-reduce per batch before ONE
+    key shuffle; corpus totals ride the same exchanges as "" sentinel
+    rows (str.split can't produce an empty token), so no extra pass;
+    the reduced count tables materialize (object-store-resident) and
+    the bigram table — pruned hard by ``min_count`` BEFORE any join —
+    picks up c_x and c_y via two co-partitioned ``hash_join`` s on the
+    UNPRUNED unigram table. PMI is computed from exact int64 counts
+    with one literal double expression mirrored by the SQL oracle
+    (rounded 6 dp), and the global top-k closes as local candidates +
+    a coalesced final with (pmi DESC, x, y) ties.
+    Returns Dataset[(x, y, c_xy, pmi)].
+    """
+    from docstrange_ray.shuffle import (
+        arrow_out,
+        coalesced_blocks,
+        grouped_blocks,
+        hash_join,
+    )
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    def uni_partial(batch: pa.Table) -> pd.DataFrame:
+        words: list[str] = []
+        for t in batch.column("text").to_pylist():
+            words.extend((t or "").lower().split())
+        vc = pd.Series(words, dtype=object).value_counts()
+        return pd.DataFrame(
+            {
+                "x": np.append(vc.index.to_numpy(dtype=object), ""),
+                "cx": np.append(vc.to_numpy(dtype=np.int64), np.int64(len(words))),
+            }
+        )
+
+    def bi_partial(batch: pa.Table) -> pd.DataFrame:
+        pairs: list[str] = []
+        n_bi = 0
+        for t in batch.column("text").to_pylist():
+            ws = (t or "").lower().split()
+            n_bi += max(len(ws) - 1, 0)
+            pairs.extend(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+            )
+        vc = pd.Series(pairs, dtype=object).value_counts()
+        return pd.DataFrame(
+            {
+                "bigram": np.append(vc.index.to_numpy(dtype=object), ""),
+                "c_xy": np.append(vc.to_numpy(dtype=np.int64), np.int64(n_bi)),
+            }
+        )
+
+    uni = grouped_blocks(
+        ds.map_batches(arrow_out(uni_partial), batch_format="pyarrow", batch_size=65536),
+        ["x"],
+        lambda df: df.groupby("x", as_index=False)["cx"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+    bi = grouped_blocks(
+        ds.map_batches(arrow_out(bi_partial), batch_format="pyarrow", batch_size=65536),
+        ["bigram"],
+        lambda df: df.groupby("bigram", as_index=False)["c_xy"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    nu = uni.map_batches(
+        lambda b: b.filter(pc.equal(b.column("x"), "")), batch_format="pyarrow"
+    ).take_all()[0]["cx"]
+    nb = bi.map_batches(
+        lambda b: b.filter(pc.equal(b.column("bigram"), "")), batch_format="pyarrow"
+    ).take_all()[0]["c_xy"]
+
+    def split_prune(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[(df["bigram"] != "") & (df["c_xy"] >= min_count)]
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype=object), "y": pd.Series([], dtype=object),
+                 "c_xy": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"x": parts[0], "y": parts[1], "c_xy": df["c_xy"].to_numpy(np.int64)}
+        )
+
+    bi_pruned = bi.map_batches(arrow_out(split_prune), batch_format="pyarrow")
+    uni_clean = uni.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("x"), "")), batch_format="pyarrow"
+    ).materialize()
+
+    j1 = hash_join(bi_pruned, uni_clean, key="x", num_partitions=num_partitions)
+
+    def rename_y(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["y" if n == "x" else ("cy" if n == "cx" else n) for n in batch.schema.names]
+        )
+
+    uni_y = uni_clean.map_batches(rename_y, batch_format="pyarrow")
+    j2 = hash_join(j1, uni_y, key="y", num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype=object), "y": pd.Series([], dtype=object),
+                 "c_xy": pd.Series([], dtype=np.int64),
+                 "pmi": pd.Series([], dtype=np.float64)}
+            )
+        num = df["c_xy"].to_numpy(np.int64) * np.int64(nu) * np.int64(nu)
+        den = np.int64(nb) * df["cx"].to_numpy(np.int64) * df["cy"].to_numpy(np.int64)
+        pmi = np.round(np.log(num / den), 6)
+        out = pd.DataFrame(
+            {"x": df["x"], "y": df["y"],
+             "c_xy": df["c_xy"].to_numpy(np.int64), "pmi": pmi}
+        )
+        return out.sort_values(["pmi", "x", "y"], ascending=[False, True, True]).head(k)
+
+    return coalesced_blocks(
+        j2.map_batches(arrow_out(score), batch_format="pyarrow"),
+        lambda df: df.sort_values(
+            ["pmi", "x", "y"], ascending=[False, True, True]
+        ).head(k),
+    )
+
+
 def top_ngrams(ds, n: int = 3, k: int = 100, num_partitions: int | None = None):
     """Corpus-wide word n-gram frequency top-k — the canonical
     partial-reduce workload shape at 100 TB: every batch emits ONE

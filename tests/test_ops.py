@@ -2161,3 +2161,64 @@ class TestVocabEncode:
 
         with pytest.raises(ValueError):
             vocab_encode(None, vocab_size=0)
+
+
+class TestPMICollocations:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.textstats import pmi_collocations
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            pmi_collocations(docs, min_count=5, k=30)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.sql(
+            rf"""WITH docs AS (
+                  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM read_parquet('{SF}/documents.parquet')
+                ), uni AS (
+                  SELECT w, COUNT(*) AS cx
+                  FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
+                ), nu AS (SELECT SUM(cx) AS nu FROM uni),
+                bi AS (
+                  SELECT ws[i] AS x, ws[i+1] AS y, COUNT(*) AS c_xy
+                  FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+                ), nb AS (SELECT SUM(GREATEST(len(ws) - 1, 0)) AS nb FROM docs)
+                SELECT b.x, b.y, b.c_xy,
+                       ROUND(LN((b.c_xy * nu.nu * nu.nu) / (nb.nb * ux.cx * uy.cx)), 6) AS pmi
+                FROM bi b
+                JOIN uni ux ON ux.w = b.x
+                JOIN uni uy ON uy.w = b.y
+                CROSS JOIN nu CROSS JOIN nb
+                ORDER BY pmi DESC, b.x, b.y LIMIT 30"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_planted_collocation_ranks_first(self, ray_session):
+        # "zig zag" always co-occurs; filler words are shared across
+        # docs so their bigrams have low PMI
+        rng = np.random.RandomState(17)
+        filler = "a b c d e f".split()
+        rows = []
+        for i in range(40):
+            ws = [str(rng.choice(filler)) for _ in range(30)]
+            ws[10:10] = ["zig", "zag"]
+            rows.append({"doc_id": i, "text": " ".join(ws)})
+        tbl = pa.Table.from_pylist(rows)
+        from docstrange_ray.ops.textstats import pmi_collocations
+
+        got = pmi_collocations(
+            ray.data.from_arrow(tbl).repartition(5), min_count=5, k=10
+        ).to_pandas()
+        assert got.iloc[0]["x"] == "zig" and got.iloc[0]["y"] == "zag"
+
+    def test_bad_min_count(self):
+        from docstrange_ray.ops.textstats import pmi_collocations
+
+        with pytest.raises(ValueError):
+            pmi_collocations(None, min_count=0)

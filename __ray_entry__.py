@@ -568,6 +568,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_topk(docs, group_key="source", order_key="n_chars", k=3)
 
+    def length_outliers(sf_dir):
+        """Robust per-source outliers: |n_chars - median| > 2 * MAD
+        with exact quantile_disc medians (two histogram exchanges +
+        broadcast bounds + shuffle-free scan). SQL-oracled."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import robust_outliers
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        return robust_outliers(docs, group_key="source", value_key="n_chars")
+
     def length_quantiles(sf_dir):
         """EXACT per-source p50/p90/p99 of document length via a
         value-count histogram exchange (position = ceil(q*n) in integer
@@ -818,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample,
         "source_topk": source_topk,
         "length_quantiles": length_quantiles,
+        "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
         "ivf_ann_topk": ivf_ann_topk,
@@ -987,6 +1000,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents)
             WHERE rn <= 3
+        """,
+        "length_outliers": """
+            WITH med AS (
+                SELECT source, quantile_disc(n_chars, 0.5) AS med
+                FROM documents GROUP BY source
+            ), mad AS (
+                SELECT d.source, quantile_disc(ABS(d.n_chars - m.med), 0.5) AS mad
+                FROM documents d JOIN med m USING (source) GROUP BY d.source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN med USING (source) JOIN mad USING (source)
+            WHERE ABS(d.n_chars - med.med) > 2.0 * mad.mad
         """,
         "length_quantiles": """
             SELECT source,

@@ -138,3 +138,68 @@ def group_quantiles(
     return grouped_blocks(
         partials, [group_key], final, num_partitions, batch_format="pandas"
     )
+
+
+def robust_outliers(
+    ds,
+    group_key: str,
+    value_key: str,
+    id_col: str = "doc_id",
+    mad_mult: float = 2.0,
+    num_partitions: int | None = None,
+):
+    """Per-group robust outlier detection: rows with
+    ``|value - median| > mad_mult * MAD`` where both the median and the
+    MAD (median absolute deviation) are EXACT ``quantile_disc`` medians
+    — the standard robust alternative to mean/stddev outlier rules,
+    immune to the outliers it hunts.
+
+    Scale shape: two value-count histogram exchanges (the
+    :func:`group_quantiles` plan — partials carry per-group DISTINCT
+    values, never rows) compute medians then MADs; the bounded
+    per-group (median, MAD) table broadcasts via ``ray.put``; the final
+    outlier scan is shuffle-free. Exchange cost is independent of row
+    count for discrete value domains.
+    Returns Dataset[(id_col, group_key, value_key)] — the outliers.
+    """
+    import numpy as np
+    import ray
+
+    if mad_mult <= 0:
+        raise ValueError(f"mad_mult must be positive, got {mad_mult}")
+
+    med_rows = group_quantiles(
+        ds, group_key, value_key, quantiles=((1, 2),), num_partitions=num_partitions
+    ).take_all()
+    med = {r[group_key]: r["p50"] for r in med_rows}
+    med_ref = ray.put(med)
+
+    def dev(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        df = batch.select([group_key, value_key]).to_pandas()
+        base = df[group_key].map(m)
+        return pd.DataFrame(
+            {
+                group_key: df[group_key],
+                "dev": (df[value_key] - base).abs(),
+            }
+        )
+
+    dev_ds = ds.map_batches(arrow_out(dev), batch_format="pyarrow")
+    mad_rows = group_quantiles(
+        dev_ds, group_key, "dev", quantiles=((1, 2),), num_partitions=num_partitions
+    ).take_all()
+    bounds = {
+        r[group_key]: (med[r[group_key]], r["p50"]) for r in mad_rows
+    }
+    bounds_ref = ray.put(bounds)
+
+    def pick(batch: pa.Table) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        df = batch.select([id_col, group_key, value_key]).to_pandas()
+        meds = df[group_key].map(lambda g: b[g][0])
+        mads = df[group_key].map(lambda g: b[g][1])
+        mask = (df[value_key] - meds).abs() > mad_mult * mads
+        return df[np.asarray(mask)].reset_index(drop=True)
+
+    return ds.map_batches(arrow_out(pick), batch_format="pyarrow")

@@ -2222,3 +2222,55 @@ class TestPMICollocations:
 
         with pytest.raises(ValueError):
             pmi_collocations(None, min_count=0)
+
+
+class TestRobustOutliers:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import robust_outliers
+
+        docs = read_parquet_clean(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        got = (
+            robust_outliers(docs, group_key="source", value_key="n_chars")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.sql(
+            f"""WITH docs AS (
+                  SELECT * FROM read_parquet('{SF}/documents.parquet')
+                ), med AS (
+                  SELECT source, quantile_disc(n_chars, 0.5) AS med
+                  FROM docs GROUP BY source
+                ), mad AS (
+                  SELECT d.source, quantile_disc(ABS(d.n_chars - m.med), 0.5) AS mad
+                  FROM docs d JOIN med m USING (source) GROUP BY d.source
+                )
+                SELECT d.doc_id, d.source, d.n_chars
+                FROM docs d JOIN med USING (source) JOIN mad USING (source)
+                WHERE ABS(d.n_chars - med.med) > 2.0 * mad.mad
+                ORDER BY d.doc_id"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert len(got) > 0  # threshold chosen to keep the op non-degenerate
+
+    def test_planted_outlier(self, ray_session):
+        from docstrange_ray.ops.rankstats import robust_outliers
+
+        rows = [{"doc_id": i, "g": "a", "v": 100 + (i % 7)} for i in range(50)]
+        rows.append({"doc_id": 99, "g": "a", "v": 10_000})
+        tbl = pa.Table.from_pylist(rows)
+        got = robust_outliers(
+            ray.data.from_arrow(tbl).repartition(4),
+            group_key="g", value_key="v",
+        ).to_pandas()
+        assert got["doc_id"].tolist() == [99]
+
+    def test_bad_mult(self):
+        from docstrange_ray.ops.rankstats import robust_outliers
+
+        with pytest.raises(ValueError):
+            robust_outliers(None, group_key="g", value_key="v", mad_mult=0)

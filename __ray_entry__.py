@@ -418,6 +418,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_encode(read_docs(sf_dir), vocab_size=20)
 
+    def lexical_diversity_q(sf_dir):
+        """Per-doc unigram entropy + type-token ratio (shuffle-free
+        quality signals). SQL-oracled."""
+        from docstrange_ray.ops.textstats import lexical_diversity
+
+        return lexical_diversity(read_docs(sf_dir))
+
     def pmi_collocations_q(sf_dir):
         """Top-50 bigram collocations by PMI (min bigram count 5):
         sentinel-carried corpus totals, min_count prune BEFORE the two
@@ -802,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens": heavy_tokens_q,
         "vocab_encode": vocab_encode_q,
         "pmi_collocations": pmi_collocations_q,
+        "lexical_diversity": lexical_diversity_q,
         "approx_user_reach": approx_user_reach_q,
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
@@ -1558,6 +1566,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
             FROM tok t LEFT JOIN vocab v USING (w)
+        """,
+        "lexical_diversity": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM (SELECT doc_id, UNNEST(ws) AS w FROM docs)
+                GROUP BY doc_id, w
+            ), agg AS (
+                SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+                       SUM(c * LOG2(c)) AS sclc
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words, n_distinct,
+                   ROUND(LOG2(n) - sclc / n, 6) AS entropy_bits,
+                   ROUND(n_distinct * 1.0 / n, 6) AS ttr
+            FROM agg
         """,
         "pmi_collocations": r"""
             WITH docs AS (

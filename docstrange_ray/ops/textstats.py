@@ -324,6 +324,53 @@ def vocab_encode(ds, vocab_size: int = 20, num_partitions: int | None = None):
     return ds.map_batches(arrow_out(encode), batch_format="pyarrow")
 
 
+def lexical_diversity(ds):
+    """Per-document lexical-diversity signals: unigram Shannon entropy
+    (bits) and type-token ratio — the diversity axis of quality
+    filtering (low-entropy docs are template/boilerplate; the Gopher
+    repetition rules catch local duplication, this catches global
+    degeneracy).
+
+    Scale shape: pure shuffle-free ``map_batches`` — every signal is a
+    function of one document's word histogram. Entropy uses
+    H = log2(n) - (sum c_i*log2(c_i))/n over exact integer counts, with
+    the identical expression in the SQL oracle (rounded 6 dp; the
+    float-sum term is per-document over a bounded vocabulary, where
+    6-dp rounding absorbs association-order noise — the `lm_quality`
+    precedent). Empty documents are omitted (no tokens, no histogram).
+    Returns Dataset[(doc_id, n_words, n_distinct, entropy_bits, ttr)].
+    """
+    from docstrange_ray.shuffle import arrow_out
+
+    def per_doc(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, n_words, n_distinct, ent, ttr = [], [], [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            n = len(ws)
+            if n == 0:
+                continue
+            c = pd.Series(ws, dtype=object).value_counts().to_numpy(dtype=np.float64)
+            sclc = float(np.sum(c * np.log2(c)))
+            doc_ids.append(did)
+            n_words.append(n)
+            n_distinct.append(len(c))
+            ent.append(round(np.log2(n) - sclc / n, 6))
+            ttr.append(round(len(c) / n, 6))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "n_words": np.asarray(n_words, dtype=np.int64),
+                "n_distinct": np.asarray(n_distinct, dtype=np.int64),
+                "entropy_bits": np.asarray(ent, dtype=np.float64),
+                "ttr": np.asarray(ttr, dtype=np.float64),
+            }
+        )
+
+    return ds.map_batches(arrow_out(per_doc), batch_format="pyarrow")
+
+
 def pmi_collocations(
     ds, min_count: int = 5, k: int = 50, num_partitions: int | None = None
 ):

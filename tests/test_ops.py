@@ -2274,3 +2274,59 @@ class TestRobustOutliers:
 
         with pytest.raises(ValueError):
             robust_outliers(None, group_key="g", value_key="v", mad_mult=0)
+
+
+class TestLexicalDiversity:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.textstats import lexical_diversity
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            lexical_diversity(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.sql(
+            rf"""WITH docs AS (
+                  SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM read_parquet('{SF}/documents.parquet')
+                ), cnt AS (
+                  SELECT doc_id, w, COUNT(*) AS c
+                  FROM (SELECT doc_id, UNNEST(ws) AS w FROM docs)
+                  GROUP BY doc_id, w
+                ), agg AS (
+                  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+                         SUM(c * LOG2(c)) AS sclc
+                  FROM cnt GROUP BY doc_id
+                )
+                SELECT doc_id, CAST(n AS BIGINT) AS n_words, n_distinct,
+                       ROUND(LOG2(n) - sclc / n, 6) AS entropy_bits,
+                       ROUND(n_distinct * 1.0 / n, 6) AS ttr
+                FROM agg ORDER BY doc_id"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_degenerate_and_uniform(self, ray_session):
+        from docstrange_ray.ops.textstats import lexical_diversity
+
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": "x x x x"},          # entropy 0
+                {"doc_id": 1, "text": "a b c d"},          # entropy 2 bits
+                {"doc_id": 2, "text": ""},                 # omitted
+            ]
+        )
+        got = (
+            lexical_diversity(ray.data.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [0, 1]
+        assert got["entropy_bits"].tolist() == [0.0, 2.0]
+        assert got["ttr"].tolist() == [0.25, 1.0]

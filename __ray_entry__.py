@@ -845,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": pq_ann_topk,
         # relational
         "q1_pricing": relational.q1_pricing,
+        "q6_revenue": relational.q6_revenue,
         "top_customers": relational.top_customers,
         "revenue_by_region": relational.revenue_by_region,
         "revenue_rollup": relational.revenue_rollup,
@@ -1781,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
             ) <= 10
         """,
         "q1_pricing": relational.Q1_SQL,
+        "q6_revenue": relational.Q6_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "revenue_by_region": relational.REVENUE_BY_REGION_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

@@ -20,12 +20,18 @@ def _have_lance() -> bool:
         return False
 
 
-def read_parquet_clean(path: str, columns: list[str] | None = None):
+def read_parquet_clean(path: str, columns: list[str] | None = None, filter=None):
     """``ray.data.read_parquet`` with the file's ``b'pandas'`` schema
     metadata stripped at the source (``schema=`` override). Pandas-written
     parquet carries metadata whose value Ray's schema-hash dedup cannot
     hash — every downstream re-batch and exchange then logs "Failed to
-    hash the schemas (for deduplication)" and silently skips dedup."""
+    hash the schemas (for deduplication)" and silently skips dedup.
+
+    ``filter`` (a ``pyarrow.dataset`` expression) pushes the predicate
+    INTO the scan: row groups whose statistics exclude the predicate are
+    never read, and surviving fragments are filtered before the block is
+    built — non-matching data never leaves storage (the read-pruning
+    rule for selective scans at 100 TB)."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -42,7 +48,8 @@ def read_parquet_clean(path: str, columns: list[str] | None = None):
 
         # the schema override must match the projected columns
         schema = pa.schema([schema.field(c) for c in columns])
-    return ray.data.read_parquet(path, schema=schema, columns=columns)
+    kwargs = {} if filter is None else {"filter": filter}
+    return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
 def read_corpus(path: str, columns: list[str] | None = None):

@@ -272,6 +272,67 @@ GROUP BY r_name
 """
 
 
+def q6_revenue(sf_dir: str, year: int = 1995):
+    """Q6-shape selective scan: forecast-revenue SUM over a narrow
+    predicate band — the read-pruning showcase. The predicate is a
+    ``pyarrow.dataset`` expression passed INTO ``read_parquet`` (filter
+    pushdown): row groups whose min/max statistics exclude the ship-date
+    year are skipped entirely and surviving fragments are filtered
+    before a block is built, so at 100 TB the scan reads the one year it
+    needs, not the table. The aggregate is a single exact-int64 sum
+    (cents x discount-percent units) coalesced from per-block partials.
+    """
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from docstrange_ray.io import read_parquet_clean
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    flt = (
+        (pads.field("l_shipdate") >= datetime(year, 1, 1))
+        & (pads.field("l_shipdate") < datetime(year + 1, 1, 1))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24)
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=flt,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        pct = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        return pd.DataFrame(
+            {"revenue_units": [np.int64(np.sum(cents * pct))], "n_rows": [np.int64(batch.num_rows)]}
+        )
+
+    return coalesced_blocks(
+        li.map_batches(arrow_out(partial), batch_format="pyarrow"),
+        lambda df: pd.DataFrame(
+            {
+                "revenue_units": [np.int64(df["revenue_units"].sum())],
+                "n_rows": [np.int64(df["n_rows"].sum())],
+            }
+        ),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_units,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP (region, nation): revenue + order counts at
     nation grain, region subtotals, and the grand total in one result.

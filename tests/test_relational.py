@@ -121,6 +121,14 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_q6_revenue(self, con):
+        from docstrange_ray import relational
+
+        res = relational.q6_revenue(SF)
+        _assert_match(res, relational.Q6_SQL, con)
+        # the pushdown band must actually select something at sf0.001
+        assert res.to_pandas()["n_rows"].iloc[0] > 0
+
     def test_revenue_rollup(self, con):
         from docstrange_ray import relational
 

@@ -846,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational
         "q1_pricing": relational.q1_pricing,
         "q6_revenue": relational.q6_revenue,
+        "small_quantity_revenue": relational.small_quantity_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
         "top_customers": relational.top_customers,
         "revenue_by_region": relational.revenue_by_region,
         "revenue_rollup": relational.revenue_rollup,
@@ -1783,6 +1785,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing": relational.Q1_SQL,
         "q6_revenue": relational.Q6_SQL,
+        "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_SQL,
+        "top_supplier_revenue": relational.TOP_SUPPLIER_REVENUE_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "revenue_by_region": relational.REVENUE_BY_REGION_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,

@@ -333,6 +333,155 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
 """
 
 
+def small_quantity_revenue(sf_dir: str, num_partitions: int | None = None):
+    """Correlated-subquery shape (TPC-H Q17): revenue from lineitems
+    whose quantity is below 20% of their part's average quantity.
+
+    Scale shape: the correlated AVG needs per-part stats co-located
+    with per-part detail rows — ONE tagged partkey exchange ships both
+    the detail rows and the per-batch (sum_qty, n) partials, the block
+    reconstructs each part's exact average (quantities are integral, so
+    int64 sums are exact and the single final division is bit-identical
+    across engines), filters its local details, and emits one bounded
+    revenue partial; a coalesced final sums. No broadcast, no second
+    pass, no per-part table materialization.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def tagged(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        qty = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        detail = pd.DataFrame(
+            {
+                "key": df["l_partkey"].astype(np.int64),
+                "qty": qty,
+                "cents": _cents(df["l_extendedprice"]),
+                "n": np.int64(0),
+                "side": np.int8(0),
+            }
+        )
+        stats = (
+            pd.DataFrame({"key": detail["key"], "qty": qty})
+            .groupby("key", as_index=False)
+            .agg(qty=("qty", "sum"), n=("qty", "size"))
+            .assign(cents=np.int64(0), side=np.int8(1))
+        )
+        stats["n"] = stats["n"].astype(np.int64)
+        return pd.concat(
+            [detail, stats[["key", "qty", "cents", "n", "side"]]], ignore_index=True
+        )
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["side"] == 1].groupby("key", as_index=False)[["qty", "n"]].sum()
+        avg = dict(zip(st["key"], st["qty"] / st["n"]))
+        d = df[df["side"] == 0]
+        thr = d["key"].map(avg) * 0.2
+        keep = d[d["qty"] < thr]
+        return pd.DataFrame(
+            {
+                "revenue_cents": [np.int64(keep["cents"].sum())],
+                "n_rows": [np.int64(len(keep))],
+            }
+        )
+
+    parts = grouped_blocks(
+        li.map_batches(arrow_out(tagged), batch_format="pyarrow"),
+        ["key"],
+        block,
+        num_partitions,
+        batch_format="pandas",
+    )
+    return coalesced_blocks(
+        parts,
+        lambda df: pd.DataFrame(
+            {
+                "revenue_cents": [np.int64(df["revenue_cents"].sum())],
+                "n_rows": [np.int64(df["n_rows"].sum())],
+            }
+        ),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM lineitem l
+WHERE l_quantity < 0.2 * (
+    SELECT AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def top_supplier_revenue(sf_dir: str, num_partitions: int | None = None):
+    """Argmax-over-aggregate shape (TPC-H Q15): the supplier(s) with
+    the maximum lineitem revenue, ties included.
+
+    Scale shape: per-supplier revenue partial-reduces per batch before
+    ONE suppkey exchange; the reduced per-supplier table materializes
+    (object-store-resident), the global max closes as block-local max
+    + a one-row coalesced final, and the winners are a vectorized
+    filter over the materialized sums — no re-execution, no sort.
+    Revenue is exact int64 cents x (100 - discount-percent) units, so
+    the argmax has no float ties.
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        units = _cents(df["l_extendedprice"]) * (
+            np.int64(100) - _cents(df["l_discount"])
+        )
+        return (
+            pd.DataFrame({"l_suppkey": df["l_suppkey"].astype(np.int64), "revenue_units": units})
+            .groupby("l_suppkey", as_index=False)
+            .sum()
+        )
+
+    sums = grouped_blocks(
+        li.map_batches(arrow_out(partial), batch_format="pyarrow"),
+        ["l_suppkey"],
+        lambda df: df.groupby("l_suppkey", as_index=False)["revenue_units"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    best = coalesced_blocks(
+        sums.map_batches(
+            arrow_out(lambda df: pd.DataFrame({"m": [np.int64(df["revenue_units"].max())]})),
+            batch_format="pandas",
+        ),
+        lambda df: pd.DataFrame({"m": [np.int64(df["m"].max())]}),
+    ).take_all()[0]["m"]
+
+    return sums.map_batches(
+        lambda b: b.filter(pc.equal(b.column("revenue_units"), best)),
+        batch_format="pyarrow",
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_units
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, revenue_units
+FROM rev
+WHERE revenue_units = (SELECT MAX(revenue_units) FROM rev)
+"""
+
+
 def revenue_rollup(sf_dir: str):
     """GROUP BY ROLLUP (region, nation): revenue + order counts at
     nation grain, region subtotals, and the grand total in one result.

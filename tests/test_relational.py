@@ -129,6 +129,22 @@ class TestRelationalOracles:
         # the pushdown band must actually select something at sf0.001
         assert res.to_pandas()["n_rows"].iloc[0] > 0
 
+    def test_small_quantity_revenue(self, con):
+        from docstrange_ray import relational
+
+        res = relational.small_quantity_revenue(SF)
+        _assert_match(res, relational.SMALL_QUANTITY_REVENUE_SQL, con)
+        assert res.to_pandas()["n_rows"].iloc[0] > 0
+
+    def test_top_supplier_revenue(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.top_supplier_revenue(SF),
+            relational.TOP_SUPPLIER_REVENUE_SQL,
+            con,
+        )
+
     def test_revenue_rollup(self, con):
         from docstrange_ray import relational
 

@@ -1606,8 +1606,8 @@ def oracle_sql() -> dict[str, str]:
                 HAVING COUNT(*) >= 5
             ), nb AS (SELECT SUM(GREATEST(len(ws) - 1, 0)) AS nb FROM docs)
             SELECT b.x, b.y, b.c_xy,
-                   ROUND(LN((b.c_xy * nu.nu * nu.nu) / (nb.nb * ux.cx * uy.cx)), 6)
-                       AS pmi
+                   ROUND(LN(b.c_xy) + 2.0 * LN(nu.nu) - LN(nb.nb)
+                         - LN(ux.cx) - LN(uy.cx), 6) AS pmi
             FROM bi b
             JOIN uni ux ON ux.w = b.x
             JOIN uni uy ON uy.w = b.y

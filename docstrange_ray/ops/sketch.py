@@ -22,9 +22,13 @@ vocabulary at all (right when only the few heavy keys matter).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from docstrange_ray.ops.textstats import word_counts
 
 # str.split() never yields an empty string, so "" is a safe sentinel
 # token for carrying per-batch word totals through the same columns.
@@ -146,8 +150,11 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
 
     Phase 2 (exact verify): the bounded candidate list broadcasts via
     ``ray.put``; each batch emits exact counts restricted to it plus its
-    word total; a bounded coalesced combine applies the exact HAVING
-    count >= fraction * n. Returns Dataset[(token, n_occurrences)].
+    word total; a bounded coalesced combine applies the HAVING
+    count >= fraction * n with the fraction as an exact decimal
+    rational (cross-multiplied Python ints — boundary counts cannot
+    diverge from the oracle's DECIMAL threshold).
+    Returns Dataset[(token, n_occurrences)].
     """
     import ray
 
@@ -157,17 +164,18 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
     if k is None:
         k = max(int(np.ceil(2.0 / fraction)), 64)
+    # the decimal the caller WROTE (str(0.07) == '0.07'), as an exact
+    # rational — mirrors how the SQL literal is parsed as DECIMAL
+    _frac = Fraction(str(fraction))
 
     def mg_partial(batch: pa.Table) -> pd.DataFrame:
-        words: list[str] = []
-        for t in batch.column("text").to_pylist():
-            words.extend((t or "").lower().split())
-        vc = _mg_compress(pd.Series(words, dtype=object).value_counts(), k)
+        full = word_counts(batch.column("text").to_pylist())
+        vc = _mg_compress(full, k)
         return pd.DataFrame(
             {
                 "token": np.append(vc.index.to_numpy(dtype=object), _TOTAL),
                 "lb": np.append(
-                    vc.to_numpy(dtype=np.int64), np.int64(len(words))
+                    vc.to_numpy(dtype=np.int64), np.int64(full.sum())
                 ),
             }
         )
@@ -192,16 +200,13 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
 
     def exact_partial(batch: pa.Table) -> pd.DataFrame:
         cand = ray.get(cand_ref)
-        words: list[str] = []
-        for t in batch.column("text").to_pylist():
-            words.extend((t or "").lower().split())
-        vc = pd.Series(words, dtype=object).value_counts()
-        vc = vc[vc.index.isin(cand)]
+        full = word_counts(batch.column("text").to_pylist())
+        vc = full[full.index.isin(cand)]
         return pd.DataFrame(
             {
                 "token": np.append(vc.index.to_numpy(dtype=object), _TOTAL),
                 "n_occurrences": np.append(
-                    vc.to_numpy(dtype=np.int64), np.int64(len(words))
+                    vc.to_numpy(dtype=np.int64), np.int64(full.sum())
                 ),
             }
         )
@@ -209,8 +214,17 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", as_index=False)["n_occurrences"].sum()
         n = int(g.loc[g["token"] == _TOTAL, "n_occurrences"].sum())
-        out = g[(g["token"] != _TOTAL) & (g["n_occurrences"] >= fraction * n)]
-        return out.reset_index(drop=True)
+        # exact-rational HAVING: `count >= fraction * n` in binary
+        # floats can disagree with the oracle's DECIMAL threshold at
+        # exact-boundary counts (0.07 * 100 = 7.000000000000001), so
+        # compare with the decimal fraction cross-multiplied in exact
+        # Python ints — identical to DECIMAL * BIGINT in SQL
+        p, q = _frac.numerator, _frac.denominator
+        mask = [
+            t != _TOTAL and int(c) * q >= p * n
+            for t, c in zip(g["token"], g["n_occurrences"])
+        ]
+        return g[np.asarray(mask, dtype=bool)].reset_index(drop=True)
 
     exact = ds.map_batches(
         arrow_out(exact_partial), batch_format="pyarrow", batch_size=65536
@@ -312,7 +326,8 @@ def approx_quantiles(
     if k < 8:
         raise ValueError(f"k must be >= 8, got {k}")
 
-    qcols = [f"q{int(q * 100)}" for q in qs]
+    # int(round(...)): int(0.29 * 100) truncates to 28 (binary floats)
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()

@@ -255,6 +255,20 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def word_counts(texts) -> pd.Series:
+    """Lowercase-whitespace word histogram for a batch of texts — THE
+    tokenization contract shared by every count-based op (vocab_encode,
+    pmi_collocations, sketch.heavy_tokens) and their SQL oracles
+    (``regexp_split_to_array(lower(text), '\\s+')`` with empties
+    removed). One definition so a tokenization tweak cannot silently
+    diverge the ops from each other or from the oracles. The total
+    token count of the batch is exactly ``int(result.sum())``."""
+    words: list[str] = []
+    for t in texts:
+        words.extend((t or "").lower().split())
+    return pd.Series(words, dtype=object).value_counts()
+
+
 def vocab_encode(ds, vocab_size: int = 20, num_partitions: int | None = None):
     """Tokenizer-style vocabulary build + token-id encode — the
     training-prep step between raw text and ``packing.pack_offsets``.
@@ -279,10 +293,7 @@ def vocab_encode(ds, vocab_size: int = 20, num_partitions: int | None = None):
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
 
     def count_partial(batch: pa.Table) -> pd.DataFrame:
-        words: list[str] = []
-        for t in batch.column("text").to_pylist():
-            words.extend((t or "").lower().split())
-        vc = pd.Series(words, dtype=object).value_counts()
+        vc = word_counts(batch.column("text").to_pylist())
         return pd.DataFrame({"w": vc.index, "c": vc.to_numpy(dtype=np.int64)})
 
     counts = grouped_blocks(
@@ -385,8 +396,9 @@ def pmi_collocations(
     the reduced count tables materialize (object-store-resident) and
     the bigram table — pruned hard by ``min_count`` BEFORE any join —
     picks up c_x and c_y via two co-partitioned ``hash_join`` s on the
-    UNPRUNED unigram table. PMI is computed from exact int64 counts
-    with one literal double expression mirrored by the SQL oracle
+    UNPRUNED unigram table. PMI is computed in LOG SPACE from the exact
+    integer counts (the product form c_xy*Nu^2 wraps int64 at ~10M-word
+    corpora) with the literal term order mirrored by the SQL oracle
     (rounded 6 dp), and the global top-k closes as local candidates +
     a coalesced final with (pmi DESC, x, y) ties.
     Returns Dataset[(x, y, c_xy, pmi)].
@@ -402,14 +414,11 @@ def pmi_collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
 
     def uni_partial(batch: pa.Table) -> pd.DataFrame:
-        words: list[str] = []
-        for t in batch.column("text").to_pylist():
-            words.extend((t or "").lower().split())
-        vc = pd.Series(words, dtype=object).value_counts()
+        vc = word_counts(batch.column("text").to_pylist())
         return pd.DataFrame(
             {
                 "x": np.append(vc.index.to_numpy(dtype=object), ""),
-                "cx": np.append(vc.to_numpy(dtype=np.int64), np.int64(len(words))),
+                "cx": np.append(vc.to_numpy(dtype=np.int64), np.int64(vc.sum())),
             }
         )
 
@@ -488,9 +497,18 @@ def pmi_collocations(
                  "c_xy": pd.Series([], dtype=np.int64),
                  "pmi": pd.Series([], dtype=np.float64)}
             )
-        num = df["c_xy"].to_numpy(np.int64) * np.int64(nu) * np.int64(nu)
-        den = np.int64(nb) * df["cx"].to_numpy(np.int64) * df["cy"].to_numpy(np.int64)
-        pmi = np.round(np.log(num / den), 6)
+        # log-space: c_xy * nu^2 in int64 wraps silently at ~10M-word
+        # corpora (nu^2 alone is 1e14); the sum of logs is exact-enough
+        # at 6 dp and each term + the left-to-right association is
+        # mirrored literally by the SQL oracle, preserving bit parity
+        pmi = np.round(
+            np.log(df["c_xy"].to_numpy(np.float64))
+            + 2.0 * np.log(float(nu))
+            - np.log(float(nb))
+            - np.log(df["cx"].to_numpy(np.float64))
+            - np.log(df["cy"].to_numpy(np.float64)),
+            6,
+        )
         out = pd.DataFrame(
             {"x": df["x"], "y": df["y"],
              "c_xy": df["c_xy"].to_numpy(np.int64), "pmi": pmi}

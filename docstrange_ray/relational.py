@@ -1295,9 +1295,8 @@ def source_percent_rank(sf_dir: str, num_partitions: int | None = None):
             }
         )
 
-    prepped = docs.map_batches(arrow_out(lambda b: b.to_pandas()), batch_format="pyarrow")
     return grouped_blocks(
-        prepped, ["source"], rank_block, num_partitions, batch_format="pandas"
+        docs, ["source"], rank_block, num_partitions, batch_format="pandas"
     )
 
 
@@ -1316,11 +1315,14 @@ def hourly_trend(sf_dir: str):
     Scale shape: OLS needs only (n, Sx, Sy, Sxy, Sxx) — algebraic sums
     that pre-reduce per batch to one row per event type and combine by
     addition, so the whole regression is a bounded coalesced final with
-    zero shuffles. All sums are EXACT int64 (hour <= 23, cents bounded),
-    and both engines perform the identical final double division, so
-    the rounded coefficients are bit-identical — float-summation
-    nondeterminism (the usual distributed-regression hazard) never
-    enters.
+    zero shuffles. Per-batch sums are exact int64 (hour <= 23, cents
+    and batch rows bounded); the bounded final combines and solves in
+    Python arbitrary-precision ints mirroring the oracle's HUGEINT
+    arithmetic, and both engines perform the identical final double
+    division — float-summation nondeterminism (the usual
+    distributed-regression hazard) never enters, at any corpus size.
+    A degenerate regressor (every event in one hour) yields NULL
+    coefficients, matching SQL division-by-zero.
     """
     from docstrange_ray.shuffle import arrow_out, coalesced_blocks
 
@@ -1343,20 +1345,37 @@ def hourly_trend(sf_dir: str):
         return g.groupby("event_type", as_index=False).sum()
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False)[["n", "sx", "sy", "sxy", "sxx"]].sum()
-        n = g["n"].to_numpy(np.int64)
-        sx = g["sx"].to_numpy(np.int64)
-        sy = g["sy"].to_numpy(np.int64)
-        sxy = g["sxy"].to_numpy(np.int64)
-        sxx = g["sxx"].to_numpy(np.int64)
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
+        cols = ["n", "sx", "sy", "sxy", "sxx"]
+        # Python arbitrary-precision ints: n*sxy wraps numpy int64 at a
+        # few million events per type (and the combined sxy sum itself
+        # can), while the oracle's HUGEINT sums stay exact. Object-dtype
+        # summation + the final float conversions mirror DuckDB's
+        # HUGEINT arithmetic and HUGEINT->double cast, so the rounded
+        # division is bit-identical.
+        tmp = df.copy()
+        for c in cols:
+            tmp[c] = tmp[c].astype(object)
+        g = tmp.groupby("event_type", as_index=False)[cols].sum()
+        slopes, intercepts = [], []
+        for n, sx, sy, sxy, sxx in zip(
+            g["n"].tolist(), g["sx"].tolist(), g["sy"].tolist(),
+            g["sxy"].tolist(), g["sxx"].tolist(),
+        ):
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            if den == 0:  # all events in one hour: DuckDB x/0 is NULL
+                slopes.append(None)
+                intercepts.append(None)
+                continue
+            slope = float(num) / float(den)
+            slopes.append(round(slope, 6))
+            intercepts.append(round((float(sy) - slope * float(sx)) / float(n), 6))
         return pd.DataFrame(
             {
                 "event_type": g["event_type"],
-                "n_events": n,
-                "slope_cents_per_hour": np.round(slope, 6),
-                "intercept_cents": np.round(intercept, 6),
+                "n_events": g["n"].astype(np.int64),
+                "slope_cents_per_hour": pd.array(slopes, dtype="float64"),
+                "intercept_cents": pd.array(intercepts, dtype="float64"),
             }
         )
 

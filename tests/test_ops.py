@@ -2190,7 +2190,8 @@ class TestPMICollocations:
                   GROUP BY 1, 2 HAVING COUNT(*) >= 5
                 ), nb AS (SELECT SUM(GREATEST(len(ws) - 1, 0)) AS nb FROM docs)
                 SELECT b.x, b.y, b.c_xy,
-                       ROUND(LN((b.c_xy * nu.nu * nu.nu) / (nb.nb * ux.cx * uy.cx)), 6) AS pmi
+                       ROUND(LN(b.c_xy) + 2.0 * LN(nu.nu) - LN(nb.nb)
+                             - LN(ux.cx) - LN(uy.cx), 6) AS pmi
                 FROM bi b
                 JOIN uni ux ON ux.w = b.x
                 JOIN uni uy ON uy.w = b.y
@@ -2330,3 +2331,47 @@ class TestLexicalDiversity:
         assert got["doc_id"].tolist() == [0, 1]
         assert got["entropy_bits"].tolist() == [0.0, 2.0]
         assert got["ttr"].tolist() == [0.25, 1.0]
+
+
+class TestReviewRegressions:
+    def test_heavy_tokens_exact_decimal_boundary(self):
+        # 0.07 * 100 = 7.000000000000001 in binary floats; a token at
+        # exactly 7/100 instances must be KEPT (decimal semantics)
+        rows = [{"doc_id": 0, "text": " ".join(["hot"] * 7 + [f"w{i}" for i in range(93)])}]
+        tbl = pa.Table.from_pylist(rows)
+        from docstrange_ray.ops.sketch import heavy_tokens
+
+        got = heavy_tokens(ray.data.from_arrow(tbl), fraction=0.07).to_pandas()
+        assert "hot" in set(got["token"])
+        assert got.loc[got["token"] == "hot", "n_occurrences"].iloc[0] == 7
+
+    def test_mrl_quantile_labels_round(self):
+        from docstrange_ray.ops.sketch import approx_quantiles
+
+        tbl = pa.Table.from_pylist([{"g": "a", "v": float(i)} for i in range(100)])
+        got = approx_quantiles(
+            ray.data.from_arrow(tbl), value_col="v", group_key="g", qs=(0.29, 0.58)
+        ).to_pandas()
+        assert "q29" in got.columns and "q58" in got.columns
+
+    def test_hourly_trend_degenerate_hour_is_null(self, ray_session):
+        # all events of one type in a single hour: slope/intercept NULL
+        # (SQL division-by-zero), not inf/nan
+        import duckdb as _dd
+
+        from docstrange_ray import relational
+
+        rows = [
+            {"event_type": "x", "ts": pd.Timestamp("2024-01-01 05:10:00") + pd.Timedelta(seconds=i), "value": 1.0 + i}
+            for i in range(10)
+        ]
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        pa.parquet.write_table(pa.Table.from_pylist(rows), os.path.join(d, "events.parquet"))
+        got = relational.hourly_trend(d).to_pandas()
+        assert got["slope_cents_per_hour"].isna().all()
+        assert got["intercept_cents"].isna().all()
+        con = _dd.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+        exp = con.execute(relational.HOURLY_TREND_SQL).fetchdf()
+        assert exp["slope_cents_per_hour"].isna().all()

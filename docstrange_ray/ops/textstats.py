@@ -315,21 +315,30 @@ def vocab_encode(ds, vocab_size: int = 20, num_partitions: int | None = None):
     vocab_ref = ray.put(vocab)
 
     def encode(batch: pa.Table) -> pd.DataFrame:
+        # vectorized: factorize the token stream once, map only the
+        # batch's DISTINCT words through the vocab dict, then one take
         v = ray.get(vocab_ref)
-        doc_ids, poss, ids = [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            ws = (t or "").lower().split()
-            doc_ids.extend([did] * len(ws))
-            poss.extend(range(len(ws)))
-            ids.extend(v.get(w, 0) for w in ws)
+        word_lists = [
+            (t or "").lower().split() for t in batch.column("text").to_pylist()
+        ]
+        lens = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+        flat = np.asarray([w for ws in word_lists for w in ws], dtype=object)
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "token_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        doc_ids = np.repeat(
+            np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64), lens
+        )
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens if n])
+        codes, uniq = pd.factorize(flat)
+        uid = np.asarray([v.get(w, 0) for w in uniq], dtype=np.int64)
         return pd.DataFrame(
-            {
-                "doc_id": np.asarray(doc_ids, dtype=np.int64),
-                "pos": np.asarray(poss, dtype=np.int64),
-                "token_id": np.asarray(ids, dtype=np.int64),
-            }
+            {"doc_id": doc_ids, "pos": pos, "token_id": uid[codes]}
         )
 
     return ds.map_batches(arrow_out(encode), batch_format="pyarrow")
@@ -354,28 +363,53 @@ def lexical_diversity(ds):
     from docstrange_ray.shuffle import arrow_out
 
     def per_doc(batch: pa.Table) -> pd.DataFrame:
-        doc_ids, n_words, n_distinct, ent, ttr = [], [], [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            ws = (t or "").lower().split()
-            n = len(ws)
-            if n == 0:
-                continue
-            c = pd.Series(ws, dtype=object).value_counts().to_numpy(dtype=np.float64)
-            sclc = float(np.sum(c * np.log2(c)))
-            doc_ids.append(did)
-            n_words.append(n)
-            n_distinct.append(len(c))
-            ent.append(round(np.log2(n) - sclc / n, 6))
-            ttr.append(round(len(c) / n, 6))
+        # vectorized: ONE factorize over the batch's token stream, ONE
+        # (doc, word) groupby — no per-document Python histograms
+        word_lists = [
+            (t or "").lower().split() for t in batch.column("text").to_pylist()
+        ]
+        lens = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_words": pd.Series([], dtype=np.int64),
+                    "n_distinct": pd.Series([], dtype=np.int64),
+                    "entropy_bits": pd.Series([], dtype=np.float64),
+                    "ttr": pd.Series([], dtype=np.float64),
+                }
+            )
+        flat = np.asarray(
+            [w for ws in word_lists for w in ws], dtype=object
+        )
+        d_idx = np.repeat(np.arange(len(word_lists)), lens)
+        codes, _ = pd.factorize(flat)
+        pair = (
+            pd.DataFrame({"d": d_idx, "w": codes})
+            .groupby(["d", "w"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        c = pair["c"].to_numpy(np.float64)
+        clc = c * np.log2(c)
+        agg = (
+            pd.DataFrame({"d": pair["d"], "clc": clc, "one": np.int64(1)})
+            .groupby("d", sort=True)
+            .agg(sclc=("clc", "sum"), n_distinct=("one", "sum"))
+        )
+        d = agg.index.to_numpy()
+        n = lens[d].astype(np.float64)
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)[d]
         return pd.DataFrame(
             {
-                "doc_id": np.asarray(doc_ids, dtype=np.int64),
-                "n_words": np.asarray(n_words, dtype=np.int64),
-                "n_distinct": np.asarray(n_distinct, dtype=np.int64),
-                "entropy_bits": np.asarray(ent, dtype=np.float64),
-                "ttr": np.asarray(ttr, dtype=np.float64),
+                "doc_id": doc_ids,
+                "n_words": lens[d],
+                "n_distinct": agg["n_distinct"].to_numpy(np.int64),
+                "entropy_bits": np.round(
+                    np.log2(n) - agg["sclc"].to_numpy(np.float64) / n, 6
+                ),
+                "ttr": np.round(agg["n_distinct"].to_numpy(np.float64) / n, 6),
             }
         )
 

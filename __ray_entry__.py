@@ -859,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": relational.order_count_distribution,
         "user_running_total": relational.user_running_total,
         "user_interarrival": relational.user_interarrival,
+        "user_journeys": relational.user_journeys,
         "source_percent_rank": relational.source_percent_rank,
         "hourly_trend": relational.hourly_trend,
         "event_user_reach": relational.event_user_reach,
@@ -1798,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution": relational.ORDER_COUNT_DIST_SQL,
         "user_running_total": relational.USER_RUNNING_TOTAL_SQL,
         "user_interarrival": relational.USER_INTERARRIVAL_SQL,
+        "user_journeys": relational.USER_JOURNEYS_SQL,
         "source_percent_rank": relational.SOURCE_PERCENT_RANK_SQL,
         "hourly_trend": relational.HOURLY_TREND_SQL,
         "event_user_reach": relational.EVENT_USER_REACH_SQL,

@@ -1404,6 +1404,56 @@ FROM s
 """
 
 
+def user_journeys(sf_dir: str, num_partitions: int | None = None):
+    """Ordered string aggregation (journey mining): each user's full
+    event-type sequence in time order, then the frequency of each
+    distinct journey — the behavioral-analytics shape (funnel mining's
+    unsupervised cousin).
+
+    Scale shape: an ORDER-dependent concat admits no pre-exchange
+    reduction (unlike sums), so the minimal plan ships the 4-column
+    projection through ONE user exchange and builds each journey
+    block-locally (mergesort + groupby-agg-join); journey FREQUENCIES
+    then pre-reduce per block before the second, journey-keyed
+    exchange, so the heavy first exchange is user-bounded and the
+    second ships one row per distinct journey per block.
+    Returns Dataset[(journey, n_users)].
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def journey_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        j = df.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        vc = j.value_counts()
+        return pd.DataFrame(
+            {"journey": vc.index, "n_users": vc.to_numpy(dtype=np.int64)}
+        )
+
+    journeys = grouped_blocks(
+        ev, ["user_id"], journey_block, num_partitions, batch_format="pandas"
+    )
+    return grouped_blocks(
+        journeys,
+        ["journey"],
+        lambda df: df.groupby("journey", as_index=False)["n_users"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    )
+
+
+USER_JOURNEYS_SQL = """
+WITH j AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+    FROM events GROUP BY user_id
+)
+SELECT journey, COUNT(*) AS n_users
+FROM j GROUP BY journey
+"""
+
+
 def user_interarrival(sf_dir: str, num_partitions: int | None = None):
     """LAG-window query (mean inter-event gap per user) rewritten as an
     algebraic aggregate: consecutive-gap sums TELESCOPE to max(ts) -

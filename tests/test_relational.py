@@ -154,6 +154,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_user_journeys(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.user_journeys(SF),
+            relational.USER_JOURNEYS_SQL,
+            con,
+        )
+
     def test_user_interarrival(self, con):
         from docstrange_ray import relational
 

@@ -418,6 +418,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_encode(read_docs(sf_dir), vocab_size=20)
 
+    def doc_novelty_q(sf_dir):
+        """Per-doc novelty: fraction of the doc's distinct 3-grams
+        appearing in no other document (two hot-key-safe exchanges).
+        SQL-oracled."""
+        from docstrange_ray.ops.textstats import doc_novelty
+
+        return doc_novelty(read_docs(sf_dir), n=3)
+
     def lexical_diversity_q(sf_dir):
         """Per-doc unigram entropy + type-token ratio (shuffle-free
         quality signals). SQL-oracled."""
@@ -810,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_encode": vocab_encode_q,
         "pmi_collocations": pmi_collocations_q,
         "lexical_diversity": lexical_diversity_q,
+        "doc_novelty": doc_novelty_q,
         "approx_user_reach": approx_user_reach_q,
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
@@ -1570,6 +1579,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
             FROM tok t LEFT JOIN vocab v USING (w)
+        """,
+        "doc_novelty": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+                FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            ), dfreq AS (
+                SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+            )
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+                   ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS novelty
+            FROM g JOIN dfreq d USING (gram)
+            GROUP BY g.doc_id
         """,
         "lexical_diversity": r"""
             WITH docs AS (

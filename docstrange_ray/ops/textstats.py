@@ -416,6 +416,80 @@ def lexical_diversity(ds):
     return ds.map_batches(arrow_out(per_doc), batch_format="pyarrow")
 
 
+def doc_novelty(ds, n: int = 3, num_partitions: int | None = None):
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    n-grams that appear in NO other document — the inverse of the
+    overlap signal dedup pipelines use to find boilerplate-heavy or
+    mostly-copied documents (a doc can evade near-dup detection yet
+    still be 80% recycled n-grams).
+
+    Scale shape: two exchanges, both hot-key-safe. (1) per-batch
+    distinct (gram, doc_id) pairs shuffle on the GRAM key; each block
+    holds every holder of its grams, so it computes the gram's document
+    frequency locally and credits each holder one (doc_id, credit,
+    unique) partial row per gram. (2) the credit rows (one per distinct
+    gram per doc — already minimal) shuffle on doc_id and sum into
+    (n_grams, n_unique, novelty). Gram text never leaves exchange (1).
+    Returns Dataset[(doc_id, n_grams, n_unique, novelty)]; documents
+    with fewer than ``n`` words have no n-gram and are omitted.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            doc_ids.extend([did] * len(gs))
+            grams.extend(gs)
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(grams, dtype=object),
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+            }
+        )
+
+    pairs = ds.map_batches(
+        arrow_out(pair_partial), batch_format="pyarrow", batch_size=65536
+    )
+
+    def credit_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["gram", "doc_id"])
+        dfreq = df.groupby("gram")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_grams": np.int64(1),
+                "n_unique": (dfreq == 1).to_numpy().astype(np.int64),
+            }
+        )
+
+    credits = grouped_blocks(
+        pairs, ["gram"], credit_block, num_partitions, batch_format="pandas"
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[["n_grams", "n_unique"]].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype(np.int64),
+                "n_grams": g["n_grams"].astype(np.int64),
+                "n_unique": g["n_unique"].astype(np.int64),
+                "novelty": np.round(
+                    g["n_unique"].to_numpy(np.float64)
+                    / g["n_grams"].to_numpy(np.float64),
+                    6,
+                ),
+            }
+        )
+
+    return grouped_blocks(
+        credits, ["doc_id"], per_doc, num_partitions, batch_format="pandas"
+    )
+
+
 def pmi_collocations(
     ds, min_count: int = 5, k: int = 50, num_partitions: int | None = None
 ):

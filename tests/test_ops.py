@@ -2375,3 +2375,60 @@ class TestReviewRegressions:
         con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
         exp = con.execute(relational.HOURLY_TREND_SQL).fetchdf()
         assert exp["slope_cents_per_hour"].isna().all()
+
+
+class TestDocNovelty:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.textstats import doc_novelty
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            doc_novelty(docs, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.sql(
+            rf"""WITH docs AS (
+                  SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM read_parquet('{SF}/documents.parquet')
+                ), g AS (
+                  SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+                  FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                ), dfreq AS (
+                  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+                )
+                SELECT g.doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+                       ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+                             / COUNT(*), 6) AS novelty
+                FROM g JOIN dfreq d USING (gram)
+                GROUP BY g.doc_id ORDER BY g.doc_id"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_copied_vs_novel(self, ray_session):
+        from docstrange_ray.ops.textstats import doc_novelty
+
+        base = "one two three four five six seven eight nine ten"
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": base},
+                {"doc_id": 1, "text": base},                      # full copy: novelty 0
+                {"doc_id": 2, "text": "zip zap zop quux corge"},  # all its own: novelty 1
+                {"doc_id": 3, "text": "so sh"},                   # < n words: omitted
+            ]
+        )
+        got = (
+            doc_novelty(ray.data.from_arrow(tbl).repartition(3), n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [0, 1, 2]
+        assert got["novelty"].tolist() == [0.0, 0.0, 1.0]

@@ -870,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival": relational.user_interarrival,
         "user_journeys": relational.user_journeys,
         "source_percent_rank": relational.source_percent_rank,
+        "source_decile": relational.source_decile,
         "hourly_trend": relational.hourly_trend,
         "event_user_reach": relational.event_user_reach,
         "events_prop_stats": relational.events_prop_stats,
@@ -1830,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "user_interarrival": relational.USER_INTERARRIVAL_SQL,
         "user_journeys": relational.USER_JOURNEYS_SQL,
         "source_percent_rank": relational.SOURCE_PERCENT_RANK_SQL,
+        "source_decile": relational.SOURCE_DECILE_SQL,
         "hourly_trend": relational.HOURLY_TREND_SQL,
         "event_user_reach": relational.EVENT_USER_REACH_SQL,
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,

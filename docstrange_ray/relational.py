@@ -1308,6 +1308,53 @@ FROM documents
 """
 
 
+def source_decile(sf_dir: str, num_partitions: int | None = None):
+    """NTILE(10) bucketing: each document's length decile within its
+    source — the equal-width-bucket window function (train/val split
+    assignment, per-bucket curriculum sampling). Same minimal plan as
+    :func:`source_percent_rank` (ONE source exchange, block-local rank)
+    with NTILE's exact integer bucket rule: the first n%k buckets get
+    ceil(n/k) rows over the tie-free (n_chars, doc_id) order.
+    """
+    from docstrange_ray.shuffle import grouped_blocks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    k = 10
+
+    def ntile_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"], kind="mergesort")
+        n = df.groupby("source")["doc_id"].transform("size").to_numpy(np.int64)
+        r = df.groupby("source").cumcount().to_numpy(np.int64)
+        small = n // k
+        big = n % k
+        cut = big * (small + 1)
+        in_big = r < cut
+        # rows beyond the big buckets; guard small==0 (n < k: every row
+        # is in a big bucket, the alternative branch is never selected)
+        small_safe = np.maximum(small, 1)
+        bucket = np.where(
+            in_big, r // (small + 1) + 1, big + (r - cut) // small_safe + 1
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "source": df["source"].to_numpy(),
+                "decile": bucket.astype(np.int64),
+            }
+        )
+
+    return grouped_blocks(
+        docs, ["source"], ntile_block, num_partitions, batch_format="pandas"
+    )
+
+
+SOURCE_DECILE_SQL = """
+SELECT doc_id, source,
+       NTILE(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+FROM documents
+"""
+
+
 def hourly_trend(sf_dir: str):
     """Distributed least-squares via SUFFICIENT STATISTICS: per event
     type, the OLS slope/intercept of spend (cents) on hour-of-day.

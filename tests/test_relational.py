@@ -172,6 +172,37 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_source_decile(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.source_decile(SF),
+            relational.SOURCE_DECILE_SQL,
+            con,
+        )
+
+    def test_ntile_small_group_parity(self, con, ray_session):
+        # n < k: NTILE hands out one row per bucket 1..n — pin against
+        # DuckDB on a 7-row group
+        import pyarrow as pa
+        import pyarrow.parquet
+
+        from docstrange_ray import relational
+
+        tbl = pa.Table.from_pylist(
+            [{"doc_id": i, "source": "s", "n_chars": 100 + i} for i in range(7)]
+        )
+        import os, tempfile
+        d = tempfile.mkdtemp()
+        pa.parquet.write_table(tbl, os.path.join(d, "documents.parquet"))
+        got = (
+            relational.source_decile(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["decile"].tolist() == [1, 2, 3, 4, 5, 6, 7]
+
     def test_source_percent_rank(self, con):
         from docstrange_ray import relational
 

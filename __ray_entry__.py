@@ -418,6 +418,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_encode(read_docs(sf_dir), vocab_size=20)
 
+    def shared_gram_pairs_q(sf_dir):
+        """Copy-detection pairs: docs sharing >=3 rare 4-grams
+        (df <= 8) via an inverted-index pair exchange with a
+        quadratic-blowup df cap. SQL-oracled."""
+        return dedup.shared_gram_pairs(read_docs(sf_dir), n=4, max_df=8, min_shared=3)
+
     def doc_novelty_q(sf_dir):
         """Per-doc novelty: fraction of the doc's distinct 3-grams
         appearing in no other document (two hot-key-safe exchanges).
@@ -819,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": pmi_collocations_q,
         "lexical_diversity": lexical_diversity_q,
         "doc_novelty": doc_novelty_q,
+        "shared_gram_pairs": shared_gram_pairs_q,
         "approx_user_reach": approx_user_reach_q,
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
@@ -1580,6 +1587,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
             FROM tok t LEFT JOIN vocab v USING (w)
+        """,
+        "shared_gram_pairs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(ws, i, i + 3), ' ') AS gram
+                FROM docs, UNNEST(range(1, len(ws) - 2)) AS t(i)
+            ), rare AS (
+                SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+                WHERE df BETWEEN 2 AND 8
+            )
+            SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b,
+                   COUNT(*) AS shared_grams
+            FROM g g1 JOIN g g2 USING (gram) JOIN rare USING (gram)
+            WHERE g1.doc_id < g2.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
         """,
         "doc_novelty": r"""
             WITH docs AS (

@@ -1324,3 +1324,90 @@ def incremental_dedup(new_ds, base_ds, num_partitions: int | None = None):
     return grouped_blocks(
         tagged, ["content_md5"], anti_block, num_partitions, batch_format="pandas"
     )
+
+
+def shared_gram_pairs(
+    ds,
+    n: int = 4,
+    max_df: int = 8,
+    min_shared: int = 3,
+    num_partitions: int | None = None,
+):
+    """Copy-detection candidate pairs via shared RARE n-grams — the
+    inverted-index pair generator (the deterministic cousin of
+    MinHash-LSH candidate generation: instead of probabilistic band
+    collisions, doc pairs are keyed by literally sharing >= min_shared
+    n-grams that at most ``max_df`` documents contain).
+
+    Scale shape: two hot-key-safe exchanges. (1) distinct (gram,
+    doc_id) postings shuffle on the GRAM key; each block sees every
+    holder of its grams, drops grams with df=1 (nothing to pair) or
+    df > max_df (boilerplate — the same quadratic-blowup cap as the
+    LSH star cap, so a gram contributes at most max_df^2/2 pairs),
+    and emits (doc_a, doc_b) rows. (2) pair rows — already pre-counted
+    per block — shuffle on the PAIR key and sum; pairs sharing >=
+    min_shared rare grams survive. Gram text never leaves exchange (1).
+    Returns Dataset[(doc_a, doc_b, shared_grams)].
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    if n < 1 or max_df < 2 or min_shared < 1:
+        raise ValueError(f"bad params: n={n}, max_df={max_df}, min_shared={min_shared}")
+
+    def postings(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            doc_ids.extend([did] * len(gs))
+            grams.extend(gs)
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(grams, dtype=object),
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+            }
+        )
+
+    posts = ds.map_batches(
+        arrow_out(postings), batch_format="pyarrow", batch_size=65536
+    )
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["gram", "doc_id"])
+        dfreq = df.groupby("gram")["doc_id"].transform("size")
+        df = df[(dfreq >= 2) & (dfreq <= max_df)]
+        out_a, out_b = [], []
+        for _, sub in df.groupby("gram", sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy(np.int64))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "shared_grams": pd.Series([], dtype=np.int64),
+                }
+            )
+        pairs = pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+        g = pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+        return g.rename(columns={"size": "shared_grams"}).astype(
+            {"shared_grams": np.int64}
+        )
+
+    pair_partials = grouped_blocks(
+        posts, ["gram"], pair_block, num_partitions, batch_format="pandas"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False)["shared_grams"].sum()
+        return g[g["shared_grams"] >= min_shared].reset_index(drop=True)
+
+    return grouped_blocks(
+        pair_partials, ["doc_a", "doc_b"], combine, num_partitions, batch_format="pandas"
+    )

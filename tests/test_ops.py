@@ -2432,3 +2432,59 @@ class TestDocNovelty:
         )
         assert got["doc_id"].tolist() == [0, 1, 2]
         assert got["novelty"].tolist() == [0.0, 0.0, 1.0]
+
+
+class TestSharedGramPairs:
+    def test_vs_duckdb(self, ray_session):
+        from docstrange_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            dedup.shared_gram_pairs(docs, n=4, max_df=8, min_shared=2)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.sql(
+            rf"""WITH docs AS (
+                  SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM read_parquet('{SF}/documents.parquet')
+                ), g AS (
+                  SELECT DISTINCT doc_id,
+                         array_to_string(list_slice(ws, i, i + 3), ' ') AS gram
+                  FROM docs, UNNEST(range(1, len(ws) - 2)) AS t(i)
+                ), rare AS (
+                  SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+                  WHERE df BETWEEN 2 AND 8
+                )
+                SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS shared_grams
+                FROM g g1 JOIN g g2 USING (gram) JOIN rare USING (gram)
+                WHERE g1.doc_id < g2.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+                ORDER BY doc_a, doc_b"""
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_planted_copy_found_boilerplate_capped(self, ray_session):
+        # docs 0/1 share a 12-word passage (many rare 4-grams); the
+        # boilerplate sentence present in ALL docs is df-capped away
+        boiler = "all rights reserved contact us for terms of service details here now"
+        passage = "quick brown foxes jump over seven lazy dogs during cold winter nights"
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(12):
+            filler = " ".join(f"w{rng.randint(5000)}" for _ in range(20))
+            text = boiler + " " + (passage + " " if i < 2 else "") + filler
+            rows.append({"doc_id": i, "text": text})
+        tbl = pa.Table.from_pylist(rows)
+        got = dedup.shared_gram_pairs(
+            ray.data.from_arrow(tbl).repartition(4), n=4, max_df=6, min_shared=3
+        ).to_pandas()
+        assert set(zip(got["doc_a"], got["doc_b"])) == {(0, 1)}
+
+    def test_bad_params(self):
+        with pytest.raises(ValueError):
+            dedup.shared_gram_pairs(None, max_df=1)

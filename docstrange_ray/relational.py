@@ -1451,6 +1451,86 @@ FROM s
 """
 
 
+def daily_anomalies(sf_dir: str, num_partitions: int | None = None):
+    """Statistical anomaly detection with ZERO floating point: days
+    whose event count deviates more than 2 sample standard deviations
+    from their event type's daily mean. The 2-sigma test
+    ``(c - mean)^2 > 4 * var`` cross-multiplies into pure integers —
+    ``(c*n - Sc)^2 * (n-1) > 4 * n * (n*Sq - Sc^2)`` — evaluated in
+    Python bignums mirroring the oracle's HUGEINT arithmetic, so the
+    flag decision is EXACT at any scale (no epsilon, no rounding, no
+    summation-order hazard).
+
+    Scale shape: per-batch (type, day, count) partials (one row per
+    type-day per batch) -> ONE event_type exchange co-locates each
+    type's day histogram -> block-local integer filter. The exchange
+    carries day-granularity rows, not events.
+    Returns Dataset[(event_type, day, n_events)] — the anomalous days.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        g = (
+            pd.DataFrame(
+                {"event_type": df["event_type"], "day": df["ts"].dt.normalize()}
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "day"], as_index=False)["c"].sum()
+        rows = []
+        for et, sub in g.groupby("event_type", sort=True):
+            cs = [int(x) for x in sub["c"]]
+            n = len(cs)
+            if n <= 1:
+                continue
+            sc = sum(cs)
+            sq = sum(c * c for c in cs)
+            var_num = n * sq - sc * sc  # n*(n-1)*sample_variance
+            for day, c in zip(sub["day"], cs):
+                if (c * n - sc) ** 2 * (n - 1) > 4 * n * var_num:
+                    rows.append({"event_type": et, "day": day, "n_events": c})
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "day": pd.Series([], dtype="datetime64[ns]"),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    parts = ev.map_batches(arrow_out(partial), batch_format="pyarrow")
+    return grouped_blocks(
+        parts, ["event_type"], block, num_partitions, batch_format="pandas"
+    )
+
+
+DAILY_ANOMALIES_SQL = """
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type, COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS sq
+    FROM d GROUP BY 1
+)
+SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.c AS n_events
+FROM d JOIN s USING (event_type)
+WHERE n > 1
+  AND (d.c * n - sc) * (d.c * n - sc) * (n - 1) > 4 * n * (n * sq - sc * sc)
+"""
+
+
 def user_journeys(sf_dir: str, num_partitions: int | None = None):
     """Ordered string aggregation (journey mining): each user's full
     event-type sequence in time order, then the frequency of each

@@ -154,6 +154,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_daily_anomalies(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.daily_anomalies(SF),
+            relational.DAILY_ANOMALIES_SQL,
+            con,
+        )
+
     def test_user_journeys(self, con):
         from docstrange_ray import relational
 

@@ -424,6 +424,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quadratic-blowup df cap. SQL-oracled."""
         return dedup.shared_gram_pairs(read_docs(sf_dir), n=4, max_df=8, min_shared=3)
 
+    def lang_confusion_q(sf_dir):
+        """Declared-vs-predicted language confusion matrix
+        (shuffle-free pair-count partials). SQL-oracled by reusing the
+        lang_id argmax CTE."""
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return textstats.lang_confusion(docs)
+
     def doc_novelty_q(sf_dir):
         """Per-doc novelty: fraction of the doc's distinct 3-grams
         appearing in no other document (two hot-key-safe exchanges).
@@ -826,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": lexical_diversity_q,
         "doc_novelty": doc_novelty_q,
         "shared_gram_pairs": shared_gram_pairs_q,
+        "lang_confusion": lang_confusion_q,
         "approx_user_reach": approx_user_reach_q,
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
@@ -1588,6 +1598,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS token_id
             FROM tok t LEFT JOIN vocab v USING (w)
+        """,
+        "lang_confusion": r"""
+            WITH words AS (
+                SELECT doc_id, lower(w) AS w
+                FROM documents,
+                     UNNEST(regexp_extract_all(text, '[a-zA-Zäöüéèêàçñ]+')) AS t(w)
+            ), hits AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE w IN ('der','die','das','und','ist','nicht','ein','mit','für','von')) AS h_de,
+                       COUNT(*) FILTER (WHERE w IN ('the','and','of','to','is','in','that','it','for','with')) AS h_en,
+                       COUNT(*) FILTER (WHERE w IN ('el','la','los','las','es','un','una','para','que','con')) AS h_es,
+                       COUNT(*) FILTER (WHERE w IN ('le','la','les','et','est','un','une','pour','que','dans')) AS h_fr
+                FROM words GROUP BY doc_id
+            ), pred AS (
+                SELECT d.doc_id,
+                       CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+                            WHEN COALESCE(GREATEST(h_de, h_en, h_es, h_fr), 0) = 0 THEN 'und'
+                            WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                            WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                            WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                            ELSE 'fr' END AS predicted
+                FROM documents d LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT d.lang AS declared, p.predicted, COUNT(*) AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
         """,
         "shared_gram_pairs": r"""
             WITH docs AS (

@@ -255,6 +255,49 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+class LangConfusionPartial(LangId):
+    """Actor-pool partial for :func:`lang_confusion`: predicts with the
+    inherited stopword profiles (built once per actor) and reduces the
+    batch to (declared, predicted) pair counts."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        preds = [self.predict(t) for t in batch.column("text").to_pylist()]
+        g = (
+            pd.DataFrame(
+                {"declared": batch.column("lang").to_pylist(), "predicted": preds}
+            )
+            .groupby(["declared", "predicted"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def lang_confusion(ds):
+    """Language-ID confusion matrix: declared corpus language vs the
+    stopword-profile prediction — the calibration readout any
+    classifier-driven curation stage needs before its output is
+    trusted as a filter.
+
+    Scale shape: shuffle-free — the declared label rides the same row
+    as the text, so each actor-pool batch reduces to (declared,
+    predicted) pair counts and the bounded (langs x langs) partials
+    coalesce. Returns Dataset[(declared, predicted, n_docs)].
+    """
+    from docstrange_ray.shuffle import coalesced_blocks
+
+    partials = ds.map_batches(
+        LangConfusionPartial, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return coalesced_blocks(
+        partials,
+        lambda df: df.groupby(["declared", "predicted"], as_index=False)[
+            "n_docs"
+        ].sum(),
+    )
+
+
 def word_counts(texts) -> pd.Series:
     """Lowercase-whitespace word histogram for a batch of texts — THE
     tokenization contract shared by every count-based op (vocab_encode,

@@ -2488,3 +2488,29 @@ class TestSharedGramPairs:
     def test_bad_params(self):
         with pytest.raises(ValueError):
             dedup.shared_gram_pairs(None, max_df=1)
+
+
+class TestLangConfusion:
+    def test_vs_duckdb(self, ray_session):
+        import __ray_entry__ as m
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        got = (
+            m.queries()["lang_confusion"](SF)
+            .to_pandas()
+            .sort_values(["declared", "predicted"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(m.oracle_sql()["lang_confusion"])
+            .fetchdf()
+            .sort_values(["declared", "predicted"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # diagonal dominates: the matrix is a calibration readout
+        diag = got[got["declared"] == got["predicted"]]["n_docs"].sum()
+        assert diag > got["n_docs"].sum() * 0.2

@@ -887,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival": relational.user_interarrival,
         "user_journeys": relational.user_journeys,
         "daily_anomalies": relational.daily_anomalies,
+        "event_affinity": relational.event_affinity,
         "source_percent_rank": relational.source_percent_rank,
         "source_decile": relational.source_decile,
         "hourly_trend": relational.hourly_trend,
@@ -1896,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "user_interarrival": relational.USER_INTERARRIVAL_SQL,
         "user_journeys": relational.USER_JOURNEYS_SQL,
         "daily_anomalies": relational.DAILY_ANOMALIES_SQL,
+        "event_affinity": relational.EVENT_AFFINITY_SQL,
         "source_percent_rank": relational.SOURCE_PERCENT_RANK_SQL,
         "source_decile": relational.SOURCE_DECILE_SQL,
         "hourly_trend": relational.HOURLY_TREND_SQL,

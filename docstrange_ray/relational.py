@@ -1451,6 +1451,118 @@ FROM s
 """
 
 
+def event_affinity(sf_dir: str, num_partitions: int | None = None):
+    """Market-basket affinity: for each pair of event types, how many
+    users did BOTH, with lift = P(a,b) / (P(a)P(b)) — the association
+    signal behind "users who X also Y".
+
+    Scale shape: per-batch distinct (user, type) pairs -> ONE user
+    exchange; each block holds complete users, so it emits per-user
+    type-pair rows plus per-type single rows and one user sentinel —
+    all already count-reduced. The (type, type) key space is bounded
+    (T^2 for T event types), so the second stage is a coalesced
+    combine, and lift's division mirrors the oracle's literal
+    ``n_both * 1.0 * n_users / (c_a * 1.0 * c_b)`` double expression.
+    Returns Dataset[(type_a, type_b, n_both, lift)].
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        return (
+            batch.to_pandas()
+            .drop_duplicates(["user_id", "event_type"])
+            .reset_index(drop=True)
+        )
+
+    def user_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        rows_a, rows_b = [], []
+        n_users = df["user_id"].nunique()
+        for _, sub in df.groupby("user_id", sort=False):
+            ts = np.sort(sub["event_type"].to_numpy())
+            ia, ib = np.triu_indices(len(ts), k=1)
+            rows_a.append(ts[ia])
+            rows_b.append(ts[ib])
+        pairs = pd.DataFrame(
+            {
+                "type_a": np.concatenate(rows_a) if rows_a else [],
+                "type_b": np.concatenate(rows_b) if rows_b else [],
+            }
+        )
+        pc_ = pairs.groupby(["type_a", "type_b"], as_index=False).size()
+        singles = df.groupby("event_type", as_index=False)["user_id"].nunique()
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "type_a": pc_["type_a"],
+                        "type_b": pc_["type_b"],
+                        "n": pc_["size"].astype(np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "type_a": singles["event_type"],
+                        "type_b": "",
+                        "n": singles["user_id"].astype(np.int64),
+                    }
+                ),
+                pd.DataFrame({"type_a": [""], "type_b": [""], "n": [np.int64(n_users)]}),
+            ],
+            ignore_index=True,
+        )
+        return out
+
+    partials = grouped_blocks(
+        ev.map_batches(arrow_out(pair_partial), batch_format="pyarrow"),
+        ["user_id"],
+        user_block,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+        n_users = int(g.loc[(g["type_a"] == "") & (g["type_b"] == ""), "n"].sum())
+        singles = g[(g["type_b"] == "") & (g["type_a"] != "")]
+        c = dict(zip(singles["type_a"], singles["n"].astype(int)))
+        p = g[(g["type_a"] != "") & (g["type_b"] != "")]
+        ca = p["type_a"].map(c).to_numpy(np.int64)
+        cb = p["type_b"].map(c).to_numpy(np.int64)
+        n_both = p["n"].to_numpy(np.int64)
+        lift = np.round(n_both * 1.0 * n_users / (ca * 1.0 * cb), 6)
+        return pd.DataFrame(
+            {
+                "type_a": p["type_a"],
+                "type_b": p["type_b"],
+                "n_both": n_both,
+                "lift": lift,
+            }
+        ).reset_index(drop=True)
+
+    return coalesced_blocks(partials, final)
+
+
+EVENT_AFFINITY_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+ta AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ROUND(p.n_both * 1.0 * n.n_users / (ta.c * 1.0 * tb.c), 6) AS lift
+FROM pairs p
+JOIN ta ON ta.event_type = p.type_a
+JOIN ta tb ON tb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
 def daily_anomalies(sf_dir: str, num_partitions: int | None = None):
     """Statistical anomaly detection with ZERO floating point: days
     whose event count deviates more than 2 sample standard deviations

@@ -154,6 +154,15 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_event_affinity(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.event_affinity(SF),
+            relational.EVENT_AFFINITY_SQL,
+            con,
+        )
+
     def test_daily_anomalies(self, con):
         from docstrange_ray import relational
 

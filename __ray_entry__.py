@@ -888,6 +888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": relational.user_journeys,
         "daily_anomalies": relational.daily_anomalies,
         "event_affinity": relational.event_affinity,
+        "length_histogram": relational.length_histogram,
+        "length_dispersion": relational.length_dispersion,
         "source_percent_rank": relational.source_percent_rank,
         "source_decile": relational.source_decile,
         "hourly_trend": relational.hourly_trend,
@@ -1898,6 +1900,8 @@ def oracle_sql() -> dict[str, str]:
         "user_journeys": relational.USER_JOURNEYS_SQL,
         "daily_anomalies": relational.DAILY_ANOMALIES_SQL,
         "event_affinity": relational.EVENT_AFFINITY_SQL,
+        "length_histogram": relational.LENGTH_HISTOGRAM_SQL,
+        "length_dispersion": relational.LENGTH_DISPERSION_SQL,
         "source_percent_rank": relational.SOURCE_PERCENT_RANK_SQL,
         "source_decile": relational.SOURCE_DECILE_SQL,
         "hourly_trend": relational.HOURLY_TREND_SQL,

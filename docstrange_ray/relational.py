@@ -1451,6 +1451,104 @@ FROM s
 """
 
 
+def length_histogram(sf_dir: str, bin_width: int = 50):
+    """Fixed-bin histogram of document length — the distribution
+    primitive behind packing-budget and batch-size decisions. Pure
+    partial-reduce: each batch emits one row per occupied bin (integer
+    floor division), a bounded coalesced final sums.
+    Returns Dataset[(bin_lo, n_docs)].
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        b = (
+            batch.column("n_chars").to_pandas().astype(np.int64) // bin_width
+        ) * bin_width
+        vc = b.value_counts()
+        return pd.DataFrame(
+            {"bin_lo": vc.index.astype(np.int64), "n_docs": vc.to_numpy(np.int64)}
+        )
+
+    return coalesced_blocks(
+        docs.map_batches(arrow_out(partial), batch_format="pyarrow"),
+        _combine_sums(["bin_lo"], ["n_docs"]),
+    )
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT (n_chars // 50) * 50 AS bin_lo, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def length_dispersion(sf_dir: str):
+    """Per-source mean and SAMPLE VARIANCE of document length via exact
+    integer sufficient statistics (n, Σx, Σx²) — the dispersion
+    aggregate, same zero-float-summation discipline as
+    :func:`hourly_trend`: partials are int64, the bounded final solves
+    in Python bignums mirroring HUGEINT, and the only doubles are the
+    two final divisions both engines compute identically.
+    Returns Dataset[(source, n_docs, mean_chars, var_chars)].
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        x = df["n_chars"].astype(np.int64)
+        g = (
+            pd.DataFrame({"source": df["source"], "n": np.int64(1), "sx": x, "sq": x * x})
+            .groupby("source", as_index=False)
+            .sum()
+        )
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        tmp = df.copy()
+        for c in ("n", "sx", "sq"):
+            tmp[c] = tmp[c].astype(object)
+        g = tmp.groupby("source", as_index=False)[["n", "sx", "sq"]].sum()
+        means, variances = [], []
+        for n, sx, sq in zip(g["n"].tolist(), g["sx"].tolist(), g["sq"].tolist()):
+            means.append(round(float(sx) / float(n), 6))
+            variances.append(
+                None
+                if n < 2
+                else round(float(n * sq - sx * sx) / float(n * (n - 1)), 6)
+            )
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_docs": g["n"].astype(np.int64),
+                "mean_chars": pd.array(means, dtype="float64"),
+                "var_chars": pd.array(variances, dtype="float64"),
+            }
+        )
+
+    return coalesced_blocks(
+        docs.map_batches(arrow_out(partial), batch_format="pyarrow"), final
+    )
+
+
+LENGTH_DISPERSION_SQL = """
+WITH s AS (
+    SELECT source, COUNT(*) AS n, SUM(n_chars) AS sx,
+           SUM(n_chars * n_chars) AS sq
+    FROM documents GROUP BY source
+)
+SELECT source, n AS n_docs,
+       ROUND(sx * 1.0 / n, 6) AS mean_chars,
+       CASE WHEN n < 2 THEN NULL
+            ELSE ROUND((n * sq - sx * sx) * 1.0 / (n * (n - 1)), 6) END
+           AS var_chars
+FROM s
+"""
+
+
 def event_affinity(sf_dir: str, num_partitions: int | None = None):
     """Market-basket affinity: for each pair of event types, how many
     users did BOTH, with lift = P(a,b) / (P(a)P(b)) — the association

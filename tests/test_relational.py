@@ -154,6 +154,24 @@ class TestRelationalOracles:
             con,
         )
 
+    def test_length_histogram(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.length_histogram(SF),
+            relational.LENGTH_HISTOGRAM_SQL,
+            con,
+        )
+
+    def test_length_dispersion(self, con):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.length_dispersion(SF),
+            relational.LENGTH_DISPERSION_SQL,
+            con,
+        )
+
     def test_event_affinity(self, con):
         from docstrange_ray import relational
 

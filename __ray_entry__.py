@@ -456,6 +456,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pmi_collocations(read_docs(sf_dir), min_count=5, k=50)
 
+    def snapshot_diff_q(sf_dir):
+        """FULL-OUTER snapshot diff by content hash: base = even
+        doc_ids, new = doc_id % 3 != 0, so both exclusive sides are
+        non-empty. SQL-oracled (FULL OUTER JOIN with IS NULL arms)."""
+        import pyarrow.compute as pc
+
+        docs = read_docs(sf_dir)
+
+        def even(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+            )
+
+        def mod3(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id")
+            rem = pc.subtract(did, pc.multiply(pc.divide(did, 3), 3))
+            return batch.filter(pc.not_equal(rem, 0))
+
+        base = docs.map_batches(even, batch_format="pyarrow")
+        new = docs.map_batches(mod3, batch_format="pyarrow")
+        return dedup.snapshot_diff(new, base)
+
     def heavy_tokens_q(sf_dir):
         """Misra-Gries heavy hitters + exact verify: tokens covering
         >=1% of all token instances, with NO vocabulary shuffle (sketch
@@ -829,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprint": content_fp,
         "exact_dedup": exact_dedup,
         "incremental_dedup": incremental_dedup_q,
+        "snapshot_diff": snapshot_diff_q,
         "heavy_tokens": heavy_tokens_q,
         "vocab_encode": vocab_encode_q,
         "pmi_collocations": pmi_collocations_q,
@@ -1724,6 +1747,19 @@ def oracle_sql() -> dict[str, str]:
             FROM words
             GROUP BY w
             HAVING COUNT(*) >= (SELECT 0.01 * n FROM tot)
+        """,
+        "snapshot_diff": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+                FROM documents
+            ),
+            base AS (SELECT DISTINCT h FROM fp WHERE doc_id % 2 = 0),
+            new AS (SELECT DISTINCT h FROM fp WHERE doc_id % 3 <> 0)
+            SELECT COALESCE(b.h, n.h) AS content_md5,
+                   CASE WHEN b.h IS NULL THEN 'added' ELSE 'removed' END AS status
+            FROM base b FULL OUTER JOIN new n ON b.h = n.h
+            WHERE b.h IS NULL OR n.h IS NULL
         """,
         "incremental_dedup": r"""
             WITH fp AS (

@@ -1411,3 +1411,57 @@ def shared_gram_pairs(
     return grouped_blocks(
         pair_partials, ["doc_a", "doc_b"], combine, num_partitions, batch_format="pandas"
     )
+
+
+def snapshot_diff(new_ds, base_ds, num_partitions: int | None = None):
+    """FULL-OUTER set difference between two corpus snapshots by
+    canonical content hash: which content was ADDED (in the new
+    snapshot only) and which was REMOVED (in the base only) — the
+    change-audit step between two builds of a continuously updated
+    training set (complements :func:`incremental_dedup`, which keeps
+    the new side only).
+
+    Scale shape: identical discipline to the anti-join — each side
+    reduces per batch to DISTINCT hashes, ONE content-hash exchange
+    co-locates both sides, and the block-local symmetric difference
+    emits one row per changed hash. Text never crosses the exchange.
+    Returns Dataset[(content_md5, status)] with status in
+    {'added', 'removed'}.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def side_partial(side: int):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            fp = content_fingerprint(batch)
+            return pd.DataFrame(
+                {
+                    "content_md5": pd.unique(
+                        pd.Series(fp.column("content_md5").to_pylist())
+                    ),
+                }
+            ).assign(side=np.int8(side))
+
+        return fn
+
+    tagged = new_ds.map_batches(
+        arrow_out(side_partial(1)), batch_format="pyarrow"
+    ).union(base_ds.map_batches(arrow_out(side_partial(0)), batch_format="pyarrow"))
+
+    def diff_block(df: pd.DataFrame) -> pd.DataFrame:
+        base = set(df.loc[df["side"] == 0, "content_md5"])
+        new = set(df.loc[df["side"] == 1, "content_md5"])
+        added = sorted(new - base)
+        removed = sorted(base - new)
+        return pd.DataFrame(
+            {
+                "content_md5": pd.Series(added + removed, dtype=object),
+                "status": pd.Series(
+                    ["added"] * len(added) + ["removed"] * len(removed),
+                    dtype=object,
+                ),
+            }
+        )
+
+    return grouped_blocks(
+        tagged, ["content_md5"], diff_block, num_partitions, batch_format="pandas"
+    )

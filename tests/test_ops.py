@@ -2514,3 +2514,45 @@ class TestLangConfusion:
         # diagonal dominates: the matrix is a calibration readout
         diag = got[got["declared"] == got["predicted"]]["n_docs"].sum()
         assert diag > got["n_docs"].sum() * 0.2
+
+
+class TestSnapshotDiff:
+    def test_vs_duckdb(self, ray_session):
+        import __ray_entry__ as m
+
+        got = (
+            m.queries()["snapshot_diff"](SF)
+            .to_pandas()
+            .sort_values(["content_md5"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        exp = (
+            con.execute(m.oracle_sql()["snapshot_diff"])
+            .fetchdf()
+            .sort_values(["content_md5"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert set(got["status"]) == {"added", "removed"}
+
+    def test_planted_add_remove(self, ray_session):
+        base = pa.Table.from_pylist(
+            [{"doc_id": 0, "text": "kept body"}, {"doc_id": 1, "text": "gone body"}]
+        )
+        new = pa.Table.from_pylist(
+            [{"doc_id": 10, "text": "kept  body"},  # ws-variant: same hash
+             {"doc_id": 11, "text": "fresh body"}]
+        )
+        out = (
+            dedup.snapshot_diff(
+                ray.data.from_arrow(new), ray.data.from_arrow(base)
+            )
+            .to_pandas()
+            .sort_values("status")
+            .reset_index(drop=True)
+        )
+        assert out["status"].tolist() == ["added", "removed"]

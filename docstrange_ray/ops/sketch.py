@@ -164,6 +164,14 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
     if k is None:
         k = max(int(np.ceil(2.0 / fraction)), 64)
+    if (k + 1) * fraction <= 1:
+        # completeness precondition: the merged-sketch error bound
+        # n/(k+1) must be BELOW the asked threshold fraction*n, or true
+        # heavy hitters can be compressed away before the verify pass
+        raise ValueError(
+            f"k={k} too small for fraction={fraction}: need 1/(k+1) < fraction "
+            f"(k >= {int(np.ceil(1.0 / fraction))})"
+        )
     # the decimal the caller WROTE (str(0.07) == '0.07'), as an exact
     # rational — mirrors how the SQL literal is parsed as DECIMAL
     _frac = Fraction(str(fraction))
@@ -187,11 +195,15 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
         batch_format="pandas",
     )
 
-    def pick_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    def pick_candidates(df: pd.DataFrame) -> pa.Table:
         n = int(df.loc[df["token"] == _TOTAL, "lb"].sum())
         floor = (fraction - 1.0 / (k + 1)) * n
         cand = df[(df["token"] != _TOTAL) & (df["lb"] >= floor)]
-        return cand[["token"]]
+        # explicit Arrow type: an EMPTY object column would otherwise
+        # enter Ray as a null-typed schema and degrade downstream
+        return pa.Table.from_arrays(
+            [pa.array(cand["token"].tolist(), type=pa.string())], names=["token"]
+        )
 
     candidates = [
         r["token"] for r in coalesced_blocks(merged, pick_candidates).take_all()
@@ -224,7 +236,16 @@ def heavy_tokens(ds, fraction: float = 0.01, k: int | None = None):
             t != _TOTAL and int(c) * q >= p * n
             for t, c in zip(g["token"], g["n_occurrences"])
         ]
-        return g[np.asarray(mask, dtype=bool)].reset_index(drop=True)
+        out = g[np.asarray(mask, dtype=bool)]
+        # explicit Arrow schema so an all-filtered (empty) result keeps
+        # (token: string, n_occurrences: int64) instead of null types
+        return pa.Table.from_arrays(
+            [
+                pa.array(out["token"].tolist(), type=pa.string()),
+                pa.array(out["n_occurrences"].tolist(), type=pa.int64()),
+            ],
+            names=["token", "n_occurrences"],
+        )
 
     exact = ds.map_batches(
         arrow_out(exact_partial), batch_format="pyarrow", batch_size=65536

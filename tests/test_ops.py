@@ -2556,3 +2556,10 @@ class TestSnapshotDiff:
             .reset_index(drop=True)
         )
         assert out["status"].tolist() == ["added", "removed"]
+
+
+def test_heavy_tokens_rejects_k_below_guarantee():
+    from docstrange_ray.ops.sketch import heavy_tokens
+
+    with pytest.raises(ValueError, match="too small for fraction"):
+        heavy_tokens(None, fraction=0.05, k=8)

@@ -172,3 +172,128 @@ def test_mrl_exact_when_group_fits_k(vals):
     ).df()
     for c in ("q50", "q90", "q99"):
         assert got[c].iloc[0] == pytest.approx(exp[c].iloc[0], abs=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ws=st.lists(st.floats(0.01, 100.0, allow_nan=False), min_size=1, max_size=80),
+    k=st.integers(1, 20),
+)
+def test_weighted_sample_invariance_and_duckdb(ws, k):
+    from docstrange_ray.ops.sampling import weighted_sample
+
+    tbl = pa.Table.from_pylist(
+        [{"id": i, "w": float(w)} for i, w in enumerate(ws)]
+    )
+
+    def run(parts):
+        return (
+            weighted_sample(
+                ray.data.from_arrow(tbl).repartition(parts),
+                k=k, weight_col="w", id_col="id",
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(5)
+    pd.testing.assert_frame_equal(a, b)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = (
+        con.sql(
+            rf"""SELECT id, w,
+                  ROUND(POW(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 16))::UBIGINT
+                            / 18446744073709551616.0, 1.0 / w), 6) AS priority
+               FROM t WHERE w > 0
+               ORDER BY POW(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 16))::UBIGINT
+                            / 18446744073709551616.0, 1.0 / w) DESC, id
+               LIMIT {k}"""
+        )
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, exp, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["v", "c", "p"])),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_event_affinity_random_vs_duckdb(events):
+    import os
+    import tempfile
+
+    from docstrange_ray import relational
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "user_id": u,
+                "event_type": t,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+            }
+            for i, (u, t) in enumerate(events)
+        ]
+    )
+    d = tempfile.mkdtemp()
+    pa.parquet.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = relational.event_affinity(d).to_pandas()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    exp = con.execute(relational.EVENT_AFFINITY_SQL).fetchdf()
+    if len(got) == 0 or exp.empty:
+        assert len(got) == 0 and exp.empty
+        return
+    got = got.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    exp = exp.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 40)),  # (day offset, events)
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_daily_anomalies_random_vs_duckdb(counts):
+    import os
+    import tempfile
+
+    from docstrange_ray import relational
+
+    rows = []
+    for day, n in counts:
+        for j in range(n):
+            rows.append(
+                {
+                    "event_type": "x",
+                    "ts": pd.Timestamp("2024-03-01")
+                    + pd.Timedelta(days=day, seconds=j),
+                }
+            )
+    tbl = pa.Table.from_pylist(rows)
+    d = tempfile.mkdtemp()
+    pa.parquet.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = relational.daily_anomalies(d).to_pandas()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    exp = con.execute(relational.DAILY_ANOMALIES_SQL).fetchdf()
+    if len(got) == 0 or exp.empty:
+        assert len(got) == 0 and exp.empty
+        return
+    got = got.sort_values(["event_type", "day"]).reset_index(drop=True)
+    exp = exp.sort_values(["event_type", "day"]).reset_index(drop=True)
+    for c in ("event_type", "n_events"):
+        assert got[c].tolist() == exp[c].tolist()
+    assert (
+        pd.to_datetime(got["day"]).tolist() == pd.to_datetime(exp["day"]).tolist()
+    )

@@ -297,3 +297,97 @@ def test_daily_anomalies_random_vs_duckdb(counts):
     assert (
         pd.to_datetime(got["day"]).tolist() == pd.to_datetime(exp["day"]).tolist()
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=_docs)
+def test_doc_novelty_random_vs_duckdb(docs):
+    from docstrange_ray.ops.textstats import doc_novelty
+
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    got = doc_novelty(ray.data.from_arrow(tbl).repartition(3), n=2).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.sql(
+        r"""WITH docs AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ws, i, i + 1), ' ') AS gram
+              FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+            ), dfreq AS (
+              SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+            )
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+                   ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS novelty
+            FROM g JOIN dfreq d USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id"""
+    ).df()
+    if len(got) == 0 or exp.empty:
+        assert len(got) == 0 and exp.empty
+        return
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 500), st.sampled_from(["v", "c", "p"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda e: (e[0], e[1]),  # unique (user, minute): tie-free LAG
+    )
+)
+def test_journeys_and_interarrival_random_vs_duckdb(events):
+    import os
+    import tempfile
+
+    from docstrange_ray import relational
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "event_id": i,
+                "user_id": u,
+                "event_type": t,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m),
+                "value": 1.0,
+            }
+            for i, (u, m, t) in enumerate(events)
+        ]
+    )
+    d = tempfile.mkdtemp()
+    pa.parquet.write_table(tbl, os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.register("events", tbl)
+
+    got_j = (
+        relational.user_journeys(d)
+        .to_pandas()
+        .sort_values("journey")
+        .reset_index(drop=True)
+    )
+    exp_j = (
+        con.execute(relational.USER_JOURNEYS_SQL)
+        .fetchdf()
+        .sort_values("journey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_j, exp_j, check_dtype=False)
+
+    got_i = relational.user_interarrival(d).to_pandas()
+    exp_i = con.execute(relational.USER_INTERARRIVAL_SQL).fetchdf()
+    if len(got_i) == 0 or exp_i.empty:
+        assert len(got_i) == 0 and exp_i.empty
+        return
+    got_i = got_i.sort_values("user_id").reset_index(drop=True)
+    exp_i = exp_i.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_i, exp_i, check_dtype=False)

@@ -681,17 +681,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def media_frames(sf_dir):
+        """REAL multi-frame decode: animated GIF payloads (stdlib
+        writer) -> uniform frame sampling with genuine pixel means via
+        the from-scratch LZW/palette/disposal decoder
+        (ops/media_meta.decode_gif_frames). The honest codec-free
+        stand-in for the video frame-sample stage."""
+        import pyarrow as _pa
         import ray
         from docstrange_ray.ops import multimodal
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
 
-        refs = [f"media://vid/{i}" for i in range(200)]
-        tbl = multimodal.synth_media_table(refs)
-        # fake multi-frame payloads: widen n_frames deterministically
-        import pyarrow as _pa
-        n_frames = _pa.array(
-            [8 + (i % 5) * 4 for i in range(len(refs))], type=_pa.int32()
-        )
-        tbl = tbl.set_column(tbl.schema.get_field_index("n_frames"), "n_frames", n_frames)
+        rows = []
+        for i in range(200):
+            n = 2 + (i % 7)
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 6
+            payload = make_gif_animated(
+                synth_gif_frames(n, w, h, seed=i), interlace=(i % 3 == 0)
+            )
+            rows.append(
+                {
+                    "media_ref": f"media://vid/{i}",
+                    "payload": payload,
+                    "mime": "image/gif",
+                    "width": w,
+                    "height": h,
+                    "n_frames": n,
+                }
+            )
+        tbl = _pa.Table.from_pylist(rows, schema=multimodal.MEDIA_SCHEMA)
         return multimodal.sample_frames(ray.data.from_arrow(tbl))
 
     def curated_docs(sf_dir):

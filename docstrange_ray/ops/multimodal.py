@@ -1,13 +1,16 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
-container — each raises ``NotImplementedError`` unless the deterministic
-fake backend is selected), but the Ray-side plumbing is real and tested:
-schema, actor-pool stage shape, batch sizing for large binary payloads,
-and output layout. Swapping in a real decoder touches exactly one
-method. This mirrors how the reference isolates its model-bearing stages
-behind small interfaces (ocr_service.py:190-222).
+Decode is REAL for the codec-free formats — PNG (stdlib inflate +
+unfilter), baseline JPEG (from-scratch Huffman + IDCT) and GIF incl.
+animated multi-frame (from-scratch LZW + palette + disposal
+composition, ``ops/media_meta.decode_gif_frames``) — and gated behind
+``NotImplementedError`` for formats that need an external codec
+(PIL/ffmpeg absent in this container). The Ray-side plumbing is the
+same either way: schema, actor-pool stage shape, batch sizing for large
+binary payloads, and output layout; swapping in a codec-backed decoder
+touches exactly one method. This mirrors how the reference isolates its
+model-bearing stages behind small interfaces (ocr_service.py:190-222).
 
 Memory note (ray_guide pitfalls): binary payload batches must stay
 small — ``media_batch_size`` default 16 keeps batch x concurrency well
@@ -102,6 +105,13 @@ class ImageDecodeActor:
                 return decode_jpeg_gray(payload)  # REAL pixels
             except ValueError:
                 pass  # progressive/headers-only: deterministic fake
+        if self.backend == "auto" and payload[:6] in (b"GIF87a", b"GIF89a"):
+            from docstrange_ray.ops.media_meta import decode_gif_frames
+
+            try:
+                return decode_gif_frames(payload, max_frames=1)[0]  # REAL pixels
+            except ValueError:
+                pass
         return self._decode_fake(payload, max(1, w), max(1, h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -148,20 +158,48 @@ class ImageDecodeActor:
 
 class FrameSampleActor:
     """Actor-pool stage: uniform frame sampling + per-frame features for
-    video payloads (the frame-sample stage of a multimodal training
-    pipeline). ``backend='ffmpeg'`` raises until a real decoder is
-    present; ``backend='fake'`` derives deterministic per-frame pseudo
-    features from payload bytes so schema/batching/actor plumbing is
-    fully testable. Emits one ROW PER SAMPLED FRAME (flat output beats
-    nested lists for downstream shuffles)."""
+    multi-frame payloads (the frame-sample stage of a multimodal
+    training pipeline).
+
+    Backends:
+      * ``'auto'`` (preferred) — REAL frames when the payload is a GIF:
+        ``ops/media_meta.decode_gif_frames`` is a from-scratch LZW +
+        palette + interlace + disposal-composition decoder, so the
+        sampled ``frame_mean`` comes from genuine pixels; non-GIF
+        payloads fall back to the deterministic fake.
+      * ``'fake'`` — deterministic per-frame pseudo features from
+        payload bytes (hermetic plumbing tests).
+      * ``'ffmpeg'`` — raises until a real video codec is present
+        (mp4/webm need one; GIF is the honest codec-free stand-in).
+
+    Emits one ROW PER SAMPLED FRAME (flat output beats nested lists for
+    downstream shuffles)."""
 
     def __init__(self, backend: str = "fake", n_sample: int = 4):
         self.backend = backend
         self.n_sample = n_sample
         if backend == "ffmpeg":
             raise NotImplementedError(
-                "ffmpeg backend unavailable in this sandbox; use backend='fake'"
+                "ffmpeg backend unavailable in this sandbox; use backend='auto'"
             )
+
+    def _real_gif_rows(self, ref: str, payload: bytes) -> list[dict]:
+        from docstrange_ray.ops.media_meta import decode_gif_frames, gif_frame_count
+
+        total = max(1, gif_frame_count(payload))
+        k = min(self.n_sample, total)
+        idxs = [int(i * total / k) for i in range(k)]
+        # format is sequential by design; decode once up to the last
+        # sampled frame rather than per index
+        frames = decode_gif_frames(payload, max_frames=idxs[-1] + 1)
+        return [
+            {
+                "media_ref": ref,
+                "frame_index": fi,
+                "frame_mean": round(float(frames[fi].mean()), 6),
+            }
+            for fi in idxs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -170,6 +208,12 @@ class FrameSampleActor:
             batch.column("payload").to_pylist(),
             batch.column("n_frames").to_pylist(),
         ):
+            if self.backend == "auto" and payload[:6] in (b"GIF87a", b"GIF89a"):
+                try:
+                    rows.extend(self._real_gif_rows(ref, payload))
+                    continue
+                except ValueError:
+                    pass  # malformed GIF: deterministic fake below
             total = max(1, int(n_frames))
             k = min(self.n_sample, total)
             # uniform, deterministic frame indices
@@ -197,13 +241,14 @@ class FrameSampleActor:
         )
 
 
-def sample_frames(media_ds, n_sample: int = 4, concurrency=(1, 4)):
+def sample_frames(media_ds, n_sample: int = 4, concurrency=(1, 4), backend: str = "auto"):
     """Frame-sampling pipeline: actor pool, small batches (binary
-    payloads), one output row per sampled frame."""
+    payloads), one output row per sampled frame. ``backend='auto'``
+    decodes REAL frames for GIF payloads (stdlib LZW decoder)."""
     from docstrange_ray.stages import bind_actor
 
     return media_ds.map_batches(
-        bind_actor(FrameSampleActor, backend="fake", n_sample=n_sample),
+        bind_actor(FrameSampleActor, backend=backend, n_sample=n_sample),
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,

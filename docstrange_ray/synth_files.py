@@ -904,3 +904,130 @@ def make_bmp(width: int, height: int, shade: int = 128) -> bytes:
         + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
         + pixel_data
     )
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """From-scratch GIF LZW encoder (LSB-first variable-width codes,
+    early width change, CLEAR-on-full reset) — the exact inverse of
+    ``ops.media_meta._gif_lzw_decode``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, clear + 2, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf = ()
+    for k in indices:
+        k = int(k)
+        cand = buf + (k,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # encoder adds one step ahead of the decoder, hence the +1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = (k,)
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_rows(h: int):
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def make_gif_animated(
+    frames,
+    *,
+    interlace: bool = False,
+    transparent_idx: int | None = None,
+    rects=None,
+    disposals=None,
+    bg_index: int = 0,
+) -> bytes:
+    """A fully valid animated GIF89a from grayscale ``(h, w) uint8``
+    numpy frames, written from scratch (256-entry gray palette where
+    ``palette[i] == (i, i, i)``, so decode luma round-trips EXACTLY).
+
+    ``rects`` (optional) gives each frame an ``(x, y)`` placement of a
+    smaller patch on the logical screen; ``disposals`` the per-frame
+    disposal method (0/1 leave, 2 restore-to-background); both exercise
+    the decoder's composition model. ``transparent_idx`` marks one
+    palette index transparent in every frame's graphic control block."""
+    import struct
+
+    sh, sw = frames[0].shape if rects is None else (
+        max(y + f.shape[0] for f, (x, y) in zip(frames, rects)),
+        max(x + f.shape[1] for f, (x, y) in zip(frames, rects)),
+    )
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | 0x07, bg_index, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fi, frame in enumerate(frames):
+        x, y = (0, 0) if rects is None else rects[fi]
+        disposal = 0 if disposals is None else disposals[fi]
+        packed = (disposal & 0x07) << 2
+        tr = 0
+        if transparent_idx is not None:
+            packed |= 0x01
+            tr = transparent_idx
+        out += bytes([0x21, 0xF9, 4, packed, 2, 0, tr, 0])  # GCE, delay=2cs
+        h, w = frame.shape
+        iflags = 0x40 if interlace else 0x00
+        out += b"\x2c" + struct.pack("<HHHH", x, y, w, h) + bytes([iflags])
+        rows = frame
+        if interlace:
+            rows = frame[_gif_interlace_rows(h)]
+        data = _gif_lzw_encode(rows.reshape(-1), 8)
+        out += bytes([8])  # LZW min code size (256-color palette)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synth_gif_frames(n_frames: int, width: int, height: int, seed: int = 0):
+    """Deterministic grayscale frames (gradient + per-frame phase) for
+    GIF fixtures — varied enough to exercise the LZW dictionary."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    h = _hashlib.md5(f"gif:{seed}".encode()).digest()
+    yy, xx = np.mgrid[0:height, 0:width]
+    frames = []
+    for i in range(n_frames):
+        phase = (h[i % 16] + 17 * i) % 251
+        frames.append(((yy * 3 + xx * 7 + phase * 5) % 256).astype(np.uint8))
+    return frames

@@ -794,6 +794,182 @@ class TestJpegCodec:
         assert abs(out[0]["mean_intensity"] - 200.0) <= 1.0
 
 
+class TestGifCodec:
+    """From-scratch animated GIF: synth_files.make_gif_animated (LZW
+    encoder) round-trips EXACTLY through media_meta.decode_gif_frames
+    (LZW + palette + interlace + disposal composition) — the gray
+    palette has palette[i] == (i,i,i) so luma is lossless."""
+
+    def test_round_trip_exact(self):
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames, gif_frame_count
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
+
+        frames = synth_gif_frames(5, 48, 33, seed=3)
+        data = make_gif_animated(frames)
+        assert gif_frame_count(data) == 5
+        dec = decode_gif_frames(data)
+        assert len(dec) == 5
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+
+    def test_interlaced_round_trip(self):
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
+
+        frames = synth_gif_frames(3, 40, 29, seed=9)
+        dec = decode_gif_frames(make_gif_animated(frames, interlace=True))
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+
+    def test_dictionary_reset_on_random_frames(self):
+        # random pixels blow past 4096 dictionary entries, forcing the
+        # encoder's CLEAR-on-full reset and the decoder's table rebuild
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.synth_files import make_gif_animated
+
+        rng = np.random.RandomState(7)
+        frames = [rng.randint(0, 256, size=(80, 97)).astype(np.uint8) for _ in range(3)]
+        dec = decode_gif_frames(make_gif_animated(frames))
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+
+    def test_transparency_and_disposal(self):
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.synth_files import make_gif_animated
+
+        base = np.full((20, 30), 200, dtype=np.uint8)
+        patch = np.full((6, 8), 40, dtype=np.uint8)
+        patch[0, 0] = 5  # the transparent index
+        data = make_gif_animated(
+            [base, patch, patch],
+            rects=[(0, 0), (3, 4), (10, 2)],
+            disposals=[1, 2, 0],
+            transparent_idx=5,
+        )
+        dec = decode_gif_frames(data)
+        assert len(dec) == 3
+        # frame 2: patch composed over base at (3,4); transparent pixel
+        # keeps the underlying base value
+        assert dec[1][4, 3] == 200
+        assert dec[1][5, 4] == 40
+        # frame 3: frame 2's region restored to background (index 0),
+        # new patch visible at (10,2)
+        assert dec[2][5, 4] == 0
+        assert dec[2][3, 11] == 40
+
+    def test_max_frames_early_stop(self):
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
+
+        frames = synth_gif_frames(6, 24, 18, seed=1)
+        dec = decode_gif_frames(make_gif_animated(frames), max_frames=2)
+        assert len(dec) == 2
+        assert np.array_equal(dec[1], frames[1])
+
+    def test_rejects_non_gif_and_disposal3(self):
+        import pytest as _pytest
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
+
+        with _pytest.raises(ValueError):
+            decode_gif_frames(b"not a gif at all....")
+        data = make_gif_animated(synth_gif_frames(2, 10, 10), disposals=[3, 0])
+        with _pytest.raises(ValueError, match="disposal 3"):
+            decode_gif_frames(data)
+
+    def test_frame_sampler_real_means(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.ops.multimodal import MEDIA_SCHEMA, FrameSampleActor
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
+
+        frames = synth_gif_frames(6, 20, 14, seed=5)
+        payload = make_gif_animated(frames)
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "media_ref": "m://gif",
+                    "payload": payload,
+                    "mime": "image/gif",
+                    "width": 20,
+                    "height": 14,
+                    "n_frames": 6,
+                }
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+        out = FrameSampleActor(backend="auto", n_sample=3)(tbl).to_pylist()
+        assert [r["frame_index"] for r in out] == [0, 2, 4]
+        dec = decode_gif_frames(payload)
+        for r in out:
+            assert r["frame_mean"] == round(float(dec[r["frame_index"]].mean()), 6)
+
+    def test_image_decode_auto_gif_first_frame(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from docstrange_ray.ops.multimodal import MEDIA_SCHEMA, ImageDecodeActor
+        from docstrange_ray.synth_files import make_gif_animated
+
+        img = np.full((16, 16), 123, dtype=np.uint8)
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "media_ref": "m://g",
+                    "payload": make_gif_animated([img]),
+                    "mime": "image/gif",
+                    "width": 16,
+                    "height": 16,
+                    "n_frames": 1,
+                }
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+        out = ImageDecodeActor(backend="auto")(tbl).to_pylist()
+        assert out[0]["mean_intensity"] == 123.0
+
+    def test_property_round_trip(self):
+        from hypothesis import given, settings, strategies as st
+
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_gif_frames
+        from docstrange_ray.synth_files import make_gif_animated
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.integers(1, 4),
+            st.integers(1, 25),
+            st.integers(1, 25),
+            st.integers(0, 2**31 - 1),
+            st.booleans(),
+        )
+        def check(n, w, h, seed, interlace):
+            rng = np.random.RandomState(seed)
+            frames = [
+                rng.randint(0, 256, size=(h, w)).astype(np.uint8) for _ in range(n)
+            ]
+            dec = decode_gif_frames(make_gif_animated(frames, interlace=interlace))
+            assert len(dec) == n
+            for a, b in zip(frames, dec):
+                assert np.array_equal(a, b)
+
+        check()
+
+
 class TestCorpusTerms:
     """top_ngrams (partial-reduce + one shuffle + coalesced top-k) and
     tfidf_topk (distributed df broadcast back) vs in-test DuckDB."""

@@ -298,6 +298,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def bm25_search(sf_dir):
+        """Okapi BM25 top-20 lexical retrieval for a fixed 3-term query:
+        one bounded stats pass (docs/words/df partials), then a
+        shuffle-free scoring scan with block-local top-k + coalesced
+        final. Float expression shape + summation order pinned so the
+        DuckDB oracle reproduces the exact doubles."""
+        return textstats.bm25_topk(
+            read_docs(sf_dir), ["customer", "merge", "window"], k=20
+        )
+
     def lm_quality(sf_dir):
         """Bigram LM cross-entropy scoring (CCNet-recipe shape): corpus
         counts distributed, vocabulary-scale broadcast, shuffle-free
@@ -857,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": token_count,
         "top_ngrams": top_ngrams,
         "tfidf_terms": tfidf_terms,
+        "bm25_search": bm25_search,
         "gopher_filter": gopher_filter,
         "lm_quality": lm_quality,
         "pii_scrub": pii_scrub_q,
@@ -1311,6 +1322,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        # BM25: every constant is a DOUBLE literal (1.2e0 not the
+        # DECIMAL 1.2), the expression shape mirrors ops/textstats.bm25_topk
+        # token for token, and the per-term parts add in sorted-term order
+        # via MAX(CASE) pivots (one non-null each) — so the summed double
+        # is bit-identical to the Ray side's.
+        "bm25_search": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), dl AS (
+                SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id
+                ) t USING (doc_id)
+            ), stats AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT SUM(dl) FROM dl) / (SELECT COUNT(*) FROM documents) AS avgdl
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM w
+                WHERE term IN ('customer', 'merge', 'window')
+                GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+                WHERE term IN ('customer', 'merge', 'window')
+                GROUP BY term
+            ), parts AS (
+                SELECT tf.doc_id, tf.term,
+                       LN((stats.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+                       * (tf.tf * (1.2e0 + 1.0e0))
+                       / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl.dl / stats.avgdl)))
+                       AS part
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+            )
+            SELECT doc_id, ROUND(s, 6) AS score, matched FROM (
+                SELECT doc_id,
+                       COALESCE(MAX(CASE WHEN term = 'customer' THEN part END), 0)
+                       + COALESCE(MAX(CASE WHEN term = 'merge' THEN part END), 0)
+                       + COALESCE(MAX(CASE WHEN term = 'window' THEN part END), 0) AS s,
+                       COUNT(*) AS matched
+                FROM parts GROUP BY doc_id)
+            ORDER BY s DESC, doc_id
+            LIMIT 20
         """,
         "tfidf_terms": r"""
             WITH w AS (

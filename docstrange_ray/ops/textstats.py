@@ -969,3 +969,124 @@ def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
         [batch.column("doc_id"), pa.array(out, type=pa.int64())],
         names=["doc_id", "fingerprint"],
     )
+
+
+def bm25_topk(ds, query_terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k document search for a fixed term query — the
+    lexical retrieval op beside the ANN family (reference's search
+    surface: mcp_server_module/server.py search tools).
+
+    Two scan-shaped stages, zero all-to-all exchange:
+
+    1. Corpus stats — every batch emits ONE bounded partial row set
+       (doc count, total word count, per-query-term document
+       frequency: ``len(terms) + 2`` numbers), reduced on the driver.
+       At 100 TB this crossing is n_blocks x (terms+2) scalars.
+    2. Scoring scan — stats are closure-broadcast (a handful of
+       floats); every batch scores its docs shuffle-free and emits its
+       block-local top-k; the global top-k closes with a coalesced
+       final (n_blocks x k rows cross, the ``top_ngrams`` shape).
+
+    Float determinism contract (what makes the SQL oracle exact): the
+    per-term score is evaluated with the literal expression shape
+    ``idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))``
+    with ``idf = ln((n - df + 0.5) / (df + 0.5) + 1)`` (the
+    Lucene-variant idf, always positive), terms are summed in SORTED
+    order (float addition order pinned), ranking uses the UNROUNDED
+    double (ties doc_id asc), and rounding to 6 dp happens only at
+    emit. Tokenization is the ``word_counts`` contract.
+
+    Returns Dataset[(doc_id, score, matched)] of the global top-k docs.
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    terms = sorted(set(query_terms))
+    term_set = set(terms)
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        n = 0
+        total = 0
+        df: dict[str, int] = dict.fromkeys(terms, 0)
+        for t in batch.column("text").to_pylist():
+            words = (t or "").lower().split()
+            n += 1
+            total += len(words)
+            for w in term_set.intersection(words):
+                df[w] += 1
+        rows = [("__docs__", n), ("__words__", total)] + list(df.items())
+        return pd.DataFrame({"key": [r[0] for r in rows], "n": [r[1] for r in rows]})
+
+    parts = ds.map_batches(
+        arrow_out(stats_partial), batch_format="pyarrow", batch_size=65536
+    ).take_all()  # bounded: n_blocks x (len(terms) + 2) scalar rows
+    n_docs = sum(r["n"] for r in parts if r["key"] == "__docs__")
+    total_words = sum(r["n"] for r in parts if r["key"] == "__words__")
+    df_map: dict[str, int] = dict.fromkeys(terms, 0)
+    for r in parts:
+        if r["key"] in df_map:
+            df_map[r["key"]] += int(r["n"])
+    avgdl = total_words / n_docs if n_docs else 1.0
+    idf = {
+        t: float(np.log((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5) + 1.0))
+        for t in terms
+    }
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+                "matched": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def score_block(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        out_doc, out_score, out_matched = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (t or "").lower().split()
+            dl = len(words)
+            c = Counter(words)
+            s = 0.0
+            matched = 0
+            for term in terms:  # sorted: float addition order is pinned
+                tf = c.get(term, 0)
+                if not tf:
+                    continue
+                matched += 1
+                s += idf[term] * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (dl / avgdl))
+                )
+            if matched:
+                out_doc.append(did)
+                out_score.append(s)
+                out_matched.append(matched)
+        if not out_doc:
+            return empty()
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_doc, dtype=np.int64),
+                "score": np.array(out_score, dtype=np.float64),
+                "matched": np.array(out_matched, dtype=np.int64),
+            }
+        )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty()
+        return df.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    candidates = ds.map_batches(
+        arrow_out(lambda b: local_topk(score_block(b))),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = local_topk(df)
+        return out.assign(score=[round(float(v), 6) for v in out["score"]])
+
+    return coalesced_blocks(candidates, final)

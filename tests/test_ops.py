@@ -1035,6 +1035,114 @@ class TestCorpusTerms:
         assert 4 not in set(got["doc_id"])
 
 
+class TestBM25:
+    """bm25_topk (bounded stats pass + shuffle-free scoring scan) vs
+    in-test DuckDB running the pinned-float oracle expression."""
+
+    BM25_SQL = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ), dl AS (
+            SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
+            FROM documents d LEFT JOIN (
+                SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id
+            ) t USING (doc_id)
+        ), stats AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n,
+                   (SELECT SUM(dl) FROM dl) / (SELECT COUNT(*) FROM documents) AS avgdl
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM w
+            WHERE term IN ('cat', 'mat') GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+            WHERE term IN ('cat', 'mat') GROUP BY term
+        ), parts AS (
+            SELECT tf.doc_id, tf.term,
+                   LN((stats.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+                   * (tf.tf * (1.2e0 + 1.0e0))
+                   / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl.dl / stats.avgdl)))
+                   AS part
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+        )
+        SELECT doc_id, ROUND(s, 6) AS score, matched FROM (
+            SELECT doc_id,
+                   COALESCE(MAX(CASE WHEN term = 'cat' THEN part END), 0)
+                   + COALESCE(MAX(CASE WHEN term = 'mat' THEN part END), 0) AS s,
+                   COUNT(*) AS matched
+            FROM parts GROUP BY doc_id)
+        ORDER BY s DESC, doc_id
+        LIMIT 3
+    """
+
+    @pytest.fixture()
+    def bm_docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": [
+                    "the cat sat on the mat",
+                    "the cat sat on the hat cat cat",
+                    "dogs bark at the cat",
+                    "",  # empty doc still counts toward N and avgdl
+                    "nothing relevant here at all",
+                ],
+            }
+        )
+
+    def test_vs_duckdb_exact(self, bm_docs):
+        got = (
+            textstats.bm25_topk(ray.data.from_arrow(bm_docs), ["mat", "cat"], k=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", bm_docs)
+        exp = con.sql(self.BM25_SQL).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # rare-term idf dominates: doc 1 (only 'mat' match) outranks
+        # doc 2's tf=3 on the common 'cat'; among cat-only docs the
+        # higher-tf doc 2 beats doc 3
+        full = (
+            textstats.bm25_topk(ray.data.from_arrow(bm_docs), ["mat", "cat"], k=5)
+            .to_pandas()
+            .sort_values("score", ascending=False)
+            .reset_index(drop=True)
+        )
+        assert int(full.iloc[0]["doc_id"]) == 1
+        scores = dict(zip(full["doc_id"], full["score"]))
+        assert scores[2] > scores[3]
+
+    def test_parallelism_invariant(self, bm_docs):
+        # identical output at 1 block and at 5 blocks: partials and the
+        # pinned summation order make the doubles batch-size-invariant
+        a = (
+            textstats.bm25_topk(ray.data.from_arrow(bm_docs), ["mat", "cat"], k=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            textstats.bm25_topk(
+                ray.data.from_arrow(bm_docs).repartition(5), ["mat", "cat"], k=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_no_match_empty(self):
+        docs = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": ["plain words only"]}
+        )
+        out = textstats.bm25_topk(ray.data.from_arrow(docs), ["zzz"], k=3).to_pandas()
+        assert len(out) == 0
+
+
 class TestPii:
     """PII detect/redact: Arrow RE2 kernels vs DuckDB RE2 on adversarial
     shapes (cross-category near-misses, multiple hits, no hits)."""

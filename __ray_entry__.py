@@ -298,6 +298,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def global_doc_rank(sf_dir):
+        """Global ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id):
+        deterministic sample-based range partitioning -> ONE range
+        exchange -> bounded per-bucket count pass -> offset broadcast
+        -> in-bucket rank emit (shuffle.global_row_number)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.shuffle import global_row_number
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return global_row_number(docs, "n_chars", descending=True, tiebreak="doc_id")
+
     def bm25_search(sf_dir):
         """Okapi BM25 top-20 lexical retrieval for a fixed 3-term query:
         one bounded stats pass (docs/words/df partials), then a
@@ -868,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams,
         "tfidf_terms": tfidf_terms,
         "bm25_search": bm25_search,
+        "global_doc_rank": global_doc_rank,
         "gopher_filter": gopher_filter,
         "lm_quality": lm_quality,
         "pii_scrub": pii_scrub_q,
@@ -1322,6 +1336,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "global_doc_rank": r"""
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents
         """,
         # BM25: every constant is a DOUBLE literal (1.2e0 not the
         # DECIMAL 1.2), the expression shape mirrors ops/textstats.bm25_topk

@@ -225,3 +225,127 @@ def grouped_blocks(
     return _strip_schema_metadata(ds).repartition(num_partitions, keys=keys).map_batches(
         arrow_out(fn), batch_format=batch_format, batch_size=None
     )
+
+
+def global_row_number(
+    ds,
+    key: str,
+    descending: bool = False,
+    tiebreak: str = "doc_id",
+    num_partitions: int | None = None,
+    candidates_per_block: int = 64,
+):
+    """Distributed global ROW_NUMBER() OVER (ORDER BY key [DESC],
+    tiebreak ASC) — the one window shape that genuinely needs a global
+    sort. Ray Data's ``Dataset.sort`` range-partitions too, but gives no
+    way to learn a block's global offset inside ``map_batches``, so the
+    range exchange is explicit here:
+
+    1. **Boundary sampling** — every block emits up to
+       ``candidates_per_block`` evenly-spaced local key values (bounded:
+       n_blocks x C scalars to the driver), which are merged into
+       ``num_partitions - 1`` range boundaries.
+    2. **ONE range exchange** — each row's bucket is a vectorized
+       ``np.searchsorted`` against the boundaries; equal keys always
+       land in the same bucket, so bucket order is consistent with key
+       order without comparing the tiebreak at the boundary.
+    3. **Bounded count pass** — per-bucket row counts (<= num_partitions
+       scalars) come back to the driver and prefix-sum into offsets.
+    4. **Rank emit** — each co-located block sorts its complete buckets
+       by (key, tiebreak) and emits ``rank = bucket_offset + position``;
+       no further exchange.
+
+    The bucketed dataset is materialized once (any global sort
+    materializes its exchange; blocks spill to the object store, never
+    the driver). Skew note: ties on ``key`` are never split across
+    buckets, so a value holding >1/num_partitions of the corpus makes a
+    hot bucket — pass a higher-cardinality key (or pre-compose
+    key+tiebreak into one column) for heavy-tie domains.
+
+    Returns Dataset[input columns + rank:int64] (1-based, dense)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    sign = -1 if descending else 1
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        vals = np.asarray(batch.column(key).to_numpy(zero_copy_only=False))
+        if not len(vals):
+            return pd.DataFrame({"v": pd.Series([], dtype="int64")})
+        vals = np.sort(sign * vals.astype(np.int64))
+        take = np.linspace(0, len(vals) - 1, min(candidates_per_block, len(vals)))
+        # int64 end to end: float64 boundaries would collapse keys >2^53
+        return pd.DataFrame({"v": vals[take.astype(int)]})
+
+    cand = np.sort(
+        np.array(
+            [
+                r["v"]
+                for r in ds.map_batches(
+                    arrow_out(candidates), batch_format="pyarrow", batch_size=65536
+                ).take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    if num_partitions is None:
+        num_partitions = max(8, _cluster_cpus())
+    if len(cand):
+        picks = np.linspace(0, len(cand) - 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(cand[picks.astype(int)])
+    else:
+        bounds = np.array([], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals = sign * np.asarray(
+            batch.column(key).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        b = np.searchsorted(bounds, vals, side="right")
+        return batch.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    ensure_hash_shuffle()
+    coloc = (
+        _strip_schema_metadata(
+            ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
+        )
+        .repartition(int(len(bounds)) + 1, keys=["__bucket"])
+        .materialize()
+    )
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch.column("__bucket").to_numpy()).value_counts()
+        return pd.DataFrame(
+            {"bucket": vc.index.astype(np.int64), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    per_bucket: dict[int, int] = {}
+    for r in coloc.map_batches(
+        arrow_out(counts), batch_format="pyarrow", batch_size=None
+    ).take_all():  # bounded: <= num_partitions rows
+        per_bucket[int(r["bucket"])] = per_bucket.get(int(r["bucket"]), 0) + int(r["n"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+
+    def rank_block(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df):
+            return df.drop(columns=["__bucket"]).assign(
+                rank=pd.Series([], dtype="int64")
+            )
+        df["__k"] = sign * df[key].to_numpy().astype(np.int64)
+        df = df.sort_values(["__bucket", "__k", tiebreak]).reset_index(drop=True)
+        ranks = np.empty(len(df), dtype=np.int64)
+        pos = 0
+        for b, size in df.groupby("__bucket", sort=True).size().items():
+            ranks[pos : pos + size] = offsets[int(b)] + 1 + np.arange(size)
+            pos += size
+        df["rank"] = ranks
+        return df.drop(columns=["__bucket", "__k"])
+
+    return coloc.map_batches(
+        arrow_out(rank_block), batch_format="pyarrow", batch_size=None
+    )

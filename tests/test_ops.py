@@ -1508,6 +1508,93 @@ class TestHashJoinDtypes:
         assert out["doc_id"].tolist() == [1]
 
 
+class TestGlobalRowNumber:
+    """shuffle.global_row_number (sample-based range exchange + offset
+    broadcast) vs DuckDB ROW_NUMBER."""
+
+    def _check(self, tbl, descending):
+        from docstrange_ray.shuffle import global_row_number
+
+        got = (
+            global_row_number(
+                ray.data.from_arrow(tbl), "v", descending=descending, tiebreak="doc_id"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        order = "DESC" if descending else ""
+        exp = (
+            con.sql(
+                f"SELECT doc_id, v, ROW_NUMBER() OVER (ORDER BY v {order}, doc_id) AS rank FROM t"
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "v", "rank"]],
+            exp[["doc_id", "v", "rank"]],
+            check_dtype=False,
+        )
+
+    def test_vs_duckdb_with_heavy_ties(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        n = 2000
+        # heavy ties: only 7 distinct values, so boundary values repeat
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "v": pa.array(rng.randint(0, 7, size=n), pa.int64()),
+            }
+        )
+        self._check(tbl, descending=True)
+        self._check(tbl, descending=False)
+
+    def test_parallelism_invariant(self):
+        import numpy as np
+
+        from docstrange_ray.shuffle import global_row_number
+
+        rng = np.random.RandomState(3)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(500), pa.int64()),
+                "v": pa.array(rng.randint(0, 10**6, size=500), pa.int64()),
+            }
+        )
+        a = (
+            global_row_number(ray.data.from_arrow(tbl), "v", num_partitions=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            global_row_number(
+                ray.data.from_arrow(tbl).repartition(7), "v", num_partitions=13
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_keys_above_2_53(self):
+        # int64 boundaries: a float64 path would collapse 2^53+1 vs 2^53
+        base = 2**53
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([base + 1, base, base + 3, base + 2], pa.int64()),
+            }
+        )
+        self._check(tbl, descending=False)
+
+
 class TestStratifiedCap:
     def test_cap_and_determinism(self, ray_session):
         from docstrange_ray.ops.sampling import stratified_cap

@@ -298,6 +298,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def source_overlap(sf_dir):
+        """Pairwise source vocabulary Jaccard (mixture-curation
+        diagnostic): distinct (source, word) partial -> ONE word
+        shuffle -> pair-count partials -> bounded coalesced final."""
+        from docstrange_ray.io import read_parquet_clean
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        return textstats.source_vocab_overlap(docs)
+
     def global_doc_rank(sf_dir):
         """Global ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id):
         deterministic sample-based range partitioning -> ONE range
@@ -882,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": tfidf_terms,
         "bm25_search": bm25_search,
         "global_doc_rank": global_doc_rank,
+        "source_overlap": source_overlap,
         "gopher_filter": gopher_filter,
         "lm_quality": lm_quality,
         "pii_scrub": pii_scrub_q,
@@ -1336,6 +1348,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "source_overlap": r"""
+            WITH sw AS (
+                SELECT DISTINCT source,
+                       UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                          x -> x <> '')) AS word
+                FROM documents
+            ), tot AS (
+                SELECT source, COUNT(*) AS n FROM sw GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       COUNT(*) AS n_common
+                FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT source_a, source_b, n_common,
+                   ROUND(CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common), 6)
+                       AS jaccard
+            FROM pairs
+            JOIN tot ta ON ta.source = pairs.source_a
+            JOIN tot tb ON tb.source = pairs.source_b
         """,
         "global_doc_rank": r"""
             SELECT doc_id, n_chars,

@@ -175,6 +175,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_last_order",
         "user_sessions",
         "user_running_total",
+        "bm25_search",
+        "global_doc_rank",
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

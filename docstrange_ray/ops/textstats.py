@@ -1090,3 +1090,101 @@ def bm25_topk(ds, query_terms: list[str], k: int = 20, k1: float = 1.2, b: float
         return out.assign(score=[round(float(v), 6) for v in out["score"]])
 
     return coalesced_blocks(candidates, final)
+
+
+def source_vocab_overlap(ds, num_partitions: int | None = None):
+    """Pairwise vocabulary Jaccard between sources — the cross-source
+    similarity diagnostic a mixture-curation pass reads before choosing
+    sampling weights (near-identical sources are dedup candidates;
+    disjoint ones are mixture diversity).
+
+    Plan: per-batch DISTINCT (source, word) partial -> ONE word-keyed
+    shuffle (each word's source set lands whole in one block) -> per
+    block emit pair-count partials (one row per co-occurring source
+    pair per block) + per-source distinct-word totals -> ONE coalesced
+    final. The final needs totals and pairs together, so it must see
+    every key: correct because the partial space is n_blocks x
+    (n_sources^2 + n_sources) — sources are a curated mixture list
+    (tens to thousands), never corpus-scale. A word co-occurring in
+    many sources emits quadratic pair rows; cap the blow-up upstream by
+    filtering stopword-universal words if n_sources grows large.
+    Jaccard = ``n_common / (n_a + n_b - n_common)`` on exact int64
+    counts, rounded at emit. Tokenization is the ``word_counts``
+    contract.
+
+    Returns Dataset[(source_a, source_b, n_common, jaccard)], pairs
+    with source_a < source_b and n_common >= 1."""
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    def distinct_partial(batch: pa.Table) -> pd.DataFrame:
+        seen: set[tuple[str, str]] = set()
+        for src, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in set((t or "").lower().split()):
+                seen.add((src, w))
+        return pd.DataFrame(
+            {
+                "source": [s for s, _ in seen],
+                "word": [w for _, w in seen],
+            }
+        )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["source", "word"])
+        rows_a, rows_b, rows_n = [], [], []
+        # per-source distinct-word totals ride along as ("", source) rows
+        tot = df.groupby("source").size()
+        for src, n in tot.items():
+            rows_a.append("")
+            rows_b.append(src)
+            rows_n.append(int(n))
+        for _, grp in df.groupby("word", sort=False):
+            srcs = sorted(grp["source"].tolist())
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    rows_a.append(srcs[i])
+                    rows_b.append(srcs[j])
+                    rows_n.append(1)
+        out = pd.DataFrame({"source_a": rows_a, "source_b": rows_b, "n": rows_n})
+        return out.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+
+    partials = grouped_blocks(
+        ds.map_batches(
+            arrow_out(distinct_partial), batch_format="pyarrow", batch_size=65536
+        ),
+        ["word"],
+        pair_partials,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+        totals = dict(
+            zip(df.loc[df["source_a"] == "", "source_b"], df.loc[df["source_a"] == "", "n"])
+        )
+        pairs = df[df["source_a"] != ""].copy()
+        if not len(pairs):
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([], dtype="object"),
+                    "source_b": pd.Series([], dtype="object"),
+                    "n_common": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        na = pairs["source_a"].map(totals).to_numpy(dtype=np.int64)
+        nb = pairs["source_b"].map(totals).to_numpy(dtype=np.int64)
+        nc = pairs["n"].to_numpy(dtype=np.int64)
+        jac = [round(int(c) / int(a + b - c), 6) for c, a, b in zip(nc, na, nb)]
+        return pd.DataFrame(
+            {
+                "source_a": pairs["source_a"].to_numpy(),
+                "source_b": pairs["source_b"].to_numpy(),
+                "n_common": nc,
+                "jaccard": np.array(jac, dtype=np.float64),
+            }
+        ).sort_values(["source_a", "source_b"])
+
+    return coalesced_blocks(partials, final, batch_format="pandas")

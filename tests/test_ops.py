@@ -1143,6 +1143,76 @@ class TestBM25:
         assert len(out) == 0
 
 
+class TestSourceVocabOverlap:
+    """source_vocab_overlap (one word shuffle + bounded coalesced
+    final) vs in-test DuckDB."""
+
+    SQL = r"""
+        WITH sw AS (
+            SELECT DISTINCT source,
+                   UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ), tot AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+            FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+            GROUP BY a.source, b.source)
+        SELECT source_a, source_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN tot ta ON ta.source = pairs.source_a
+        JOIN tot tb ON tb.source = pairs.source_b
+        ORDER BY source_a, source_b
+    """
+
+    @pytest.fixture()
+    def src_docs(self):
+        return pa.table(
+            {
+                "source": ["s1", "s1", "s2", "s3", "s3"],
+                "text": [
+                    "alpha beta gamma",
+                    "beta delta",
+                    "beta gamma epsilon",
+                    "zeta eta",
+                    "theta zeta",
+                ],
+            }
+        )
+
+    def test_vs_duckdb(self, src_docs):
+        from docstrange_ray.ops.textstats import source_vocab_overlap
+
+        got = (
+            source_vocab_overlap(ray.data.from_arrow(src_docs))
+            .to_pandas()
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", src_docs)
+        exp = con.sql(self.SQL).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # s3 shares no vocabulary with s1/s2: exactly one pair (s1, s2)
+        assert set(zip(got["source_a"], got["source_b"])) == {("s1", "s2")}
+
+    def test_batch_invariant(self, src_docs):
+        from docstrange_ray.ops.textstats import source_vocab_overlap
+
+        a = (
+            source_vocab_overlap(ray.data.from_arrow(src_docs))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        b = (
+            source_vocab_overlap(ray.data.from_arrow(src_docs).repartition(5))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestPii:
     """PII detect/redact: Arrow RE2 kernels vs DuckDB RE2 on adversarial
     shapes (cross-category near-misses, multiple hits, no hits)."""

@@ -391,3 +391,150 @@ def test_journeys_and_interarrival_random_vs_duckdb(events):
     got_i = got_i.sort_values("user_id").reset_index(drop=True)
     exp_i = exp_i.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_i, exp_i, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=_docs, terms=st.lists(_small_vocab, min_size=1, max_size=3, unique=True))
+def test_bm25_random_vs_duckdb(docs, terms):
+    """Random corpora + random small-vocab queries: the pinned float
+    expression shape must reproduce DuckDB's doubles bit-for-bit."""
+    from docstrange_ray.ops.textstats import bm25_topk
+
+    tbl = pa.Table.from_pylist([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    got = bm25_topk(ray.data.from_arrow(tbl).repartition(3), terms, k=10).to_pandas()
+    if len(got):
+        got = got.sort_values("doc_id").reset_index(drop=True)
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    pivots = "\n + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN part END), 0)" for t in sorted(terms)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = (
+        con.sql(
+            rf"""WITH w AS (
+              SELECT doc_id, UNNEST(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+              FROM documents
+            ), dl AS (
+              SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
+              FROM documents d LEFT JOIN (
+                  SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id) t USING (doc_id)
+            ), stats AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT SUM(dl) FROM dl) / (SELECT COUNT(*) FROM documents) AS avgdl
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM w
+              WHERE term IN ({tl}) GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+              WHERE term IN ({tl}) GROUP BY term
+            ), parts AS (
+              SELECT tf.doc_id, tf.term,
+                     LN((stats.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+                     * (tf.tf * (1.2e0 + 1.0e0))
+                     / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (dl.dl / stats.avgdl)))
+                     AS part
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+            )
+            SELECT doc_id, ROUND(s, 6) AS score, matched FROM (
+              SELECT doc_id, {pivots} AS s, COUNT(*) AS matched
+              FROM parts GROUP BY doc_id)
+            ORDER BY s DESC, doc_id LIMIT 10"""
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    if len(got) == 0 or exp.empty:
+        assert len(got) == 0 and exp.empty
+    else:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=80),
+    descending=st.booleans(),
+    parts=st.integers(2, 9),
+)
+def test_global_row_number_random_vs_duckdb(vals, descending, parts):
+    """Random (heavily tied) keys at random partition counts: ranks
+    must equal ROW_NUMBER at every parallelism."""
+    from docstrange_ray.shuffle import global_row_number
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(vals)), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    got = (
+        global_row_number(
+            ray.data.from_arrow(tbl).repartition(3),
+            "v",
+            descending=descending,
+            num_partitions=parts,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    order = "DESC" if descending else ""
+    exp = (
+        con.sql(
+            f"SELECT doc_id, v, ROW_NUMBER() OVER (ORDER BY v {order}, doc_id) AS rank FROM t"
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "v", "rank"]], exp[["doc_id", "v", "rank"]], check_dtype=False
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3", "s4"]), _doc),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_source_overlap_random_vs_duckdb(rows):
+    from docstrange_ray.ops.textstats import source_vocab_overlap
+
+    tbl = pa.Table.from_pylist([{"source": s, "text": t} for s, t in rows])
+    got = source_vocab_overlap(ray.data.from_arrow(tbl).repartition(4)).to_pandas()
+    if len(got):
+        got = got.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = (
+        con.sql(
+            r"""WITH sw AS (
+              SELECT DISTINCT source, UNNEST(list_filter(
+                  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+              FROM documents
+            ), tot AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+              FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+              GROUP BY a.source, b.source)
+            SELECT source_a, source_b, n_common,
+                   ROUND(CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common), 6) AS jaccard
+            FROM pairs
+            JOIN tot ta ON ta.source = pairs.source_a
+            JOIN tot tb ON tb.source = pairs.source_b
+            ORDER BY source_a, source_b"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    if len(got) == 0 or exp.empty:
+        assert len(got) == 0 and exp.empty
+    else:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

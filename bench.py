@@ -120,9 +120,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # cost gate finds no straggler-class documents ---
     t0 = time.time()
     n_slice = min(50000, n_docs)
-    out = extract_pipeline(
-        read_corpus(cpath).limit(n_slice), skew_threshold_units=16
-    )
+    # materialize the slice: extract_pipeline scans its input twice and
+    # a bare .limit() over a parallel read can yield a different row
+    # subset per scan (docs duplicated or dropped across the branches —
+    # observed live; see the input contract in extract_pipeline)
+    slice_ds = read_corpus(cpath).limit(n_slice).materialize()
+    out = extract_pipeline(slice_ds, skew_threshold_units=16)
     n_exploded = out.count()
     assert n_exploded == n_slice, (n_exploded, n_slice)
     timings["extract_forced_explode_50k"] = round(time.time() - t0, 3)

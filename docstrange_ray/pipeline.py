@@ -69,6 +69,15 @@ def extract_pipeline(
     execution and union. The input is scanned twice (column-pruned
     parquet scans are cheap; shuffling every finished document is not).
 
+    **Input contract: the two scans must yield the same row SET.**
+    Row order may differ (the gate is content-based, so branch
+    assignment is per-row deterministic), but a source whose re-execution
+    can return a different subset — ``.limit()`` over a parallel read,
+    ``random_shuffle``, ``random_sample`` — puts a document in both
+    branches (duplicate output row) or neither (silently dropped).
+    ``.materialize()`` such an input first; plain ``read_parquet``
+    scans are set-deterministic and need nothing.
+
     ``skew_threshold_units=None`` selects the single-branch inline plan
     (everything extracted in one stateless ``map_batches``) — correct
     when no document is large enough to straggle a task.

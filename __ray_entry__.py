@@ -298,6 +298,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def late_suppliers(sf_dir):
+        """Q21-shape EXISTS + NOT-EXISTS self-join: sole late shipper
+        on multi-supplier 'F' orders, resolved in ONE tagged orderkey
+        exchange (relational.sole_late_supplier)."""
+        from docstrange_ray import relational
+
+        return relational.sole_late_supplier(sf_dir)
+
     def source_overlap(sf_dir):
         """Pairwise source vocabulary Jaccard (mixture-curation
         diagnostic): distinct (source, word) partial -> ONE word
@@ -894,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": bm25_search,
         "global_doc_rank": global_doc_rank,
         "source_overlap": source_overlap,
+        "late_suppliers": late_suppliers,
         "gopher_filter": gopher_filter,
         "lm_quality": lm_quality,
         "pii_scrub": pii_scrub_q,
@@ -1348,6 +1357,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "late_suppliers": r"""
+            WITH lo AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per AS (
+                SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+                FROM lo GROUP BY l_orderkey, l_suppkey
+            ), ord AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+                FROM per GROUP BY l_orderkey
+            )
+            SELECT p.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+            FROM per p JOIN ord o USING (l_orderkey)
+            WHERE p.supp_late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+            GROUP BY p.l_suppkey
         """,
         "source_overlap": r"""
             WITH sw AS (

@@ -417,6 +417,122 @@ WHERE l_quantity < 0.2 * (
 """
 
 
+def sole_late_supplier(
+    sf_dir: str, late_days: int = 60, num_partitions: int | None = None
+):
+    """Q21-shape multi-way self-join (TPC-H Q21 adapted to this
+    schema's columns): suppliers who were the SOLE late shipper
+    (l_shipdate > o_orderdate + late_days) on a multi-supplier 'F'
+    order — an EXISTS + NOT-EXISTS pair over the same fact table.
+
+    Scale shape: both EXISTS arms need the ORDER's full supplier set,
+    so everything co-locates on orderkey — ONE tagged exchange ships
+    the lineitem detail rows and the (filtered, metadata-per-order)
+    order dates together; each block resolves the per-supplier late
+    flags, keeps orders with >=2 suppliers and exactly one late one,
+    and emits bounded per-supplier count partials; the per-supplier
+    final is ``adaptive_final`` (supplier space is dimension-scale,
+    verified not assumed). Timestamps normalize to int64 microseconds
+    on both sides so the +60-day comparison is exact integer math.
+
+    Returns Dataset[(s_suppkey, numwait)]."""
+    from docstrange_ray.shuffle import adaptive_final, arrow_out, grouped_blocks
+
+    late_us = np.int64(late_days) * 86_400 * 1_000_000
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def _us(s: pd.Series) -> np.ndarray:
+        return pd.to_datetime(s).astype("datetime64[us]").astype("int64").to_numpy()
+
+    def tag_li(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {
+                "key": df["l_orderkey"].astype(np.int64),
+                "supp": df["l_suppkey"].astype(np.int64),
+                "ts": _us(df["l_shipdate"]),
+                "side": np.int8(0),
+            }
+        )
+
+    def tag_od(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df[df["o_orderstatus"] == "F"]
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype(np.int64),
+                "supp": np.int64(0),
+                "ts": _us(df["o_orderdate"]),
+                "side": np.int8(1),
+            }
+        )
+
+    tagged = li.map_batches(arrow_out(tag_li), batch_format="pyarrow").union(
+        od.map_batches(arrow_out(tag_od), batch_format="pyarrow")
+    )
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "numwait": pd.Series([], dtype="int64"),
+            }
+        )
+        ords = df[df["side"] == 1][["key", "ts"]].rename(columns={"ts": "ots"})
+        det = df[df["side"] == 0]
+        if not len(ords) or not len(det):
+            return empty
+        d = det.merge(ords, on="key")  # drops non-'F' orders
+        if not len(d):
+            return empty
+        d["late"] = (d["ts"].to_numpy() > d["ots"].to_numpy() + late_us).astype(
+            np.int64
+        )
+        per = d.groupby(["key", "supp"], as_index=False)["late"].max()
+        ost = per.groupby("key").agg(n_supp=("supp", "size"), n_late=("late", "sum"))
+        sole = ost[(ost["n_supp"] >= 2) & (ost["n_late"] == 1)].index
+        hit = per[(per["late"] == 1) & per["key"].isin(sole)]
+        if not len(hit):
+            return empty
+        out = hit.groupby("supp", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "s_suppkey": out["supp"].astype(np.int64),
+                "numwait": out["size"].astype(np.int64),
+            }
+        )
+
+    partials = grouped_blocks(tagged, ["key"], block, num_partitions, batch_format="pandas")
+    return adaptive_final(
+        partials,
+        lambda df: df.groupby("s_suppkey", as_index=False)["numwait"].sum(),
+        keys=["s_suppkey"],
+        batch_format="pandas",
+    )
+
+
+SOLE_LATE_SUPPLIER_SQL = """
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+), per AS (
+    SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+    FROM lo GROUP BY l_orderkey, l_suppkey
+), ord AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+    FROM per GROUP BY l_orderkey
+)
+SELECT p.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+FROM per p JOIN ord o USING (l_orderkey)
+WHERE p.supp_late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+GROUP BY p.l_suppkey
+"""
+
+
 def top_supplier_revenue(sf_dir: str, num_partitions: int | None = None):
     """Argmax-over-aggregate shape (TPC-H Q15): the supplier(s) with
     the maximum lineitem revenue, ties included.

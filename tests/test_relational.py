@@ -298,6 +298,62 @@ class TestRelationalOracles:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSoleLateSupplier:
+    """Q21-shape (sole late shipper on a multi-supplier 'F' order):
+    sf0.001 oracle parity + hand-built edge cases."""
+
+    def test_vs_duckdb(self, con, ray_session):
+        from docstrange_ray import relational
+
+        _assert_match(
+            relational.sole_late_supplier(SF), relational.SOLE_LATE_SUPPLIER_SQL, con
+        )
+
+    def test_edge_cases(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from docstrange_ray import relational
+
+        d0 = pd.Timestamp("2024-01-01")
+        late = d0 + pd.Timedelta(days=61)
+        ontime = d0 + pd.Timedelta(days=59)
+        li = pd.DataFrame(
+            {
+                # order 1: sole late supplier 10 among {10, 11} -> counts
+                # order 2: single-supplier order, late -> excluded (no EXISTS)
+                # order 3: two late suppliers -> excluded (NOT EXISTS fails)
+                # order 4: non-'F' order, sole late -> excluded
+                # order 5: supplier 10 late on one line, on time on another
+                #          (MAX(late) per supplier) + on-time 12 -> counts
+                "l_orderkey": [1, 1, 2, 3, 3, 4, 4, 5, 5, 5],
+                "l_suppkey": [10, 11, 10, 11, 12, 10, 11, 10, 10, 12],
+                "l_shipdate": [
+                    late, ontime, late, late, late, late, ontime,
+                    late, ontime, ontime,
+                ],
+            }
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4, 5],
+                "o_orderdate": [d0] * 5,
+                "o_orderstatus": ["F", "F", "F", "O", "F"],
+            }
+        )
+        sf = str(tmp_path)
+        pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+        pq.write_table(pa.Table.from_pandas(orders), f"{sf}/orders.parquet")
+        got = (
+            relational.sole_late_supplier(sf)
+            .to_pandas()
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        exp = pd.DataFrame({"s_suppkey": [10], "numwait": [2]})
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 class TestHashJoin:
     def test_inner_join_matches_pandas(self):
         import ray.data

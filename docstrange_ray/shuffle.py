@@ -260,7 +260,11 @@ def global_row_number(
     the driver). Skew note: ties on ``key`` are never split across
     buckets, so a value holding >1/num_partitions of the corpus makes a
     hot bucket — pass a higher-cardinality key (or pre-compose
-    key+tiebreak into one column) for heavy-tie domains.
+    key+tiebreak into one column) for heavy-tie domains. ``key`` must
+    be integer-valued (boundaries are int64 end to end — float64 would
+    collapse keys above 2^53); rank string keys by first mapping them
+    to an order-preserving int64 (e.g. a dictionary-encode + broadcast
+    of the sorted vocabulary) or extend the boundary comparison.
 
     Returns Dataset[input columns + rank:int64] (1-based, dense)."""
     import numpy as np

@@ -298,6 +298,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast back, per-doc scoring with no second shuffle."""
         return textstats.tfidf_topk(read_docs(sf_dir), k=5)
 
+    def global_length_rank(sf_dir):
+        """Global RANK() (ties share rank) over n_chars DESC — the
+        tie-sharing sibling of global_doc_rank; exactness relies on
+        equal keys never splitting across range buckets."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.shuffle import global_row_number
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return global_row_number(
+            docs, "n_chars", descending=True, tiebreak="doc_id", rank_kind="rank"
+        )
+
     def late_suppliers(sf_dir):
         """Q21-shape EXISTS + NOT-EXISTS self-join: sole late shipper
         on multi-supplier 'F' orders, resolved in ONE tagged orderkey
@@ -903,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_doc_rank": global_doc_rank,
         "source_overlap": source_overlap,
         "late_suppliers": late_suppliers,
+        "global_length_rank": global_length_rank,
         "gopher_filter": gopher_filter,
         "lm_quality": lm_quality,
         "pii_scrub": pii_scrub_q,
@@ -1357,6 +1372,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "global_length_rank": r"""
+            SELECT doc_id, n_chars,
+                   RANK() OVER (ORDER BY n_chars DESC) AS rank
+            FROM documents
         """,
         "late_suppliers": r"""
             WITH lo AS (

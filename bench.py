@@ -249,7 +249,12 @@ SCALING_HI = 16
 # Each level runs twice (fresh process each time); the MINIMUM is
 # reported — this sandbox VM shows +-10% run-to-run interference from
 # the shared host, and min-of-2 is the standard noise floor estimate.
-SCALING_REPEATS = 2
+# min-of-N per leg: the min is the capability estimator on a shared
+# host whose interference arrives in multi-minute bursts (BASELINE.md
+# §4b variance notes) — 3 repeats gives each leg a chance to land in a
+# gap without changing what is measured. GRAFT_SCALING_REPEATS
+# overrides (large-corpus runs amortize bursts by duration instead).
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", 3))
 
 
 def run_scaling(sf_dir: str, lo: int = SCALING_LO, hi: int = SCALING_HI) -> dict:
@@ -259,7 +264,13 @@ def run_scaling(sf_dir: str, lo: int = SCALING_LO, hi: int = SCALING_HI) -> dict
     import pyarrow.parquet as pq
 
     n_sf_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    n_docs = n_sf_docs * BENCH_DOCS_PER_SF_DOC
+    # GRAFT_SCALING_DOCS overrides the corpus size: a larger corpus
+    # shrinks the fixed-cost share (session init + read planning +
+    # plan sample, ~2.5 s) at the high-parallelism leg and integrates
+    # over more of this host's interference bursts (scripts/noise_probe)
+    n_docs = int(
+        os.environ.get("GRAFT_SCALING_DOCS", n_sf_docs * BENCH_DOCS_PER_SF_DOC)
+    )
     ensure_corpus(n_docs)
     results = {}
     for ncpu in (lo, hi):

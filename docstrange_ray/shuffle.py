@@ -234,10 +234,15 @@ def global_row_number(
     tiebreak: str = "doc_id",
     num_partitions: int | None = None,
     candidates_per_block: int = 64,
+    rank_kind: str = "row_number",
 ):
-    """Distributed global ROW_NUMBER() OVER (ORDER BY key [DESC],
-    tiebreak ASC) — the one window shape that genuinely needs a global
-    sort. Ray Data's ``Dataset.sort`` range-partitions too, but gives no
+    """Distributed global ROW_NUMBER() / RANK() / DENSE_RANK() OVER
+    (ORDER BY key [DESC], tiebreak ASC) — the window shapes that
+    genuinely need a global sort. ``rank_kind`` selects the semantics;
+    RANK and DENSE_RANK are exact because equal keys are never split
+    across buckets, so tie groups resolve block-locally and the driver
+    only needs per-bucket row counts (RANK) or per-bucket distinct-key
+    counts (DENSE_RANK) for the offsets. Ray Data's ``Dataset.sort`` range-partitions too, but gives no
     way to learn a block's global offset inside ``map_batches``, so the
     range exchange is explicit here:
 
@@ -317,22 +322,37 @@ def global_row_number(
         .materialize()
     )
 
+    if rank_kind not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown rank_kind {rank_kind!r}")
+
     def counts(batch: pa.Table) -> pd.DataFrame:
-        vc = pd.Series(batch.column("__bucket").to_numpy()).value_counts()
+        df = pd.DataFrame(
+            {
+                "bucket": batch.column("__bucket").to_numpy(),
+                "k": batch.column(key).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("bucket")["k"].agg(["size", "nunique"]).reset_index()
         return pd.DataFrame(
-            {"bucket": vc.index.astype(np.int64), "n": vc.to_numpy(dtype=np.int64)}
+            {
+                "bucket": g["bucket"].astype(np.int64),
+                "n": g["size"].astype(np.int64),
+                "nd": g["nunique"].astype(np.int64),
+            }
         )
 
-    per_bucket: dict[int, int] = {}
+    per_bucket: dict[int, list[int]] = {}
     for r in coloc.map_batches(
         arrow_out(counts), batch_format="pyarrow", batch_size=None
     ).take_all():  # bounded: <= num_partitions rows
-        per_bucket[int(r["bucket"])] = per_bucket.get(int(r["bucket"]), 0) + int(r["n"])
+        cur = per_bucket.setdefault(int(r["bucket"]), [0, 0])
+        cur[0] += int(r["n"])
+        cur[1] += int(r["nd"])
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(per_bucket):
         offsets[b] = acc
-        acc += per_bucket[b]
+        acc += per_bucket[b][1] if rank_kind == "dense_rank" else per_bucket[b][0]
 
     def rank_block(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
@@ -345,7 +365,19 @@ def global_row_number(
         ranks = np.empty(len(df), dtype=np.int64)
         pos = 0
         for b, size in df.groupby("__bucket", sort=True).size().items():
-            ranks[pos : pos + size] = offsets[int(b)] + 1 + np.arange(size)
+            off = offsets[int(b)]
+            if rank_kind == "row_number":
+                ranks[pos : pos + size] = off + 1 + np.arange(size)
+            else:
+                k = df["__k"].to_numpy()[pos : pos + size]
+                first = np.r_[True, k[1:] != k[:-1]]
+                if rank_kind == "rank":
+                    # ties share the rank of their first row
+                    fp = np.arange(size)[first]
+                    reps = np.diff(np.r_[fp, size])
+                    ranks[pos : pos + size] = off + 1 + np.repeat(fp, reps)
+                else:  # dense_rank
+                    ranks[pos : pos + size] = off + np.cumsum(first)
             pos += size
         df["rank"] = ranks
         return df.drop(columns=["__bucket", "__k"])

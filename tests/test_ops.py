@@ -1653,6 +1653,57 @@ class TestGlobalRowNumber:
         )
         pd.testing.assert_frame_equal(a, b)
 
+    def test_rank_and_dense_rank_vs_duckdb(self):
+        import numpy as np
+
+        from docstrange_ray.shuffle import global_row_number
+
+        rng = np.random.RandomState(5)
+        n = 800
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "v": pa.array(rng.randint(0, 12, size=n), pa.int64()),  # heavy ties
+            }
+        )
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for kind, fn in (("rank", "RANK()"), ("dense_rank", "DENSE_RANK()")):
+            got = (
+                global_row_number(
+                    ray.data.from_arrow(tbl).repartition(5),
+                    "v",
+                    descending=True,
+                    num_partitions=6,
+                    rank_kind=kind,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            exp = (
+                con.sql(
+                    f"SELECT doc_id, v, {fn} OVER (ORDER BY v DESC) AS rank FROM t"
+                )
+                .df()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["doc_id", "v", "rank"]],
+                exp[["doc_id", "v", "rank"]],
+                check_dtype=False,
+            )
+
+    def test_bad_rank_kind(self):
+        import pytest as _pytest
+
+        from docstrange_ray.shuffle import global_row_number
+
+        tbl = pa.table({"doc_id": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+        with _pytest.raises(ValueError, match="rank_kind"):
+            global_row_number(ray.data.from_arrow(tbl), "v", rank_kind="percentile")
+
     def test_keys_above_2_53(self):
         # int64 boundaries: a float64 path would collapse 2^53+1 vs 2^53
         base = 2**53

@@ -457,10 +457,11 @@ def test_bm25_random_vs_duckdb(docs, terms):
     vals=st.lists(st.integers(-50, 50), min_size=1, max_size=80),
     descending=st.booleans(),
     parts=st.integers(2, 9),
+    kind=st.sampled_from(["row_number", "rank", "dense_rank"]),
 )
-def test_global_row_number_random_vs_duckdb(vals, descending, parts):
-    """Random (heavily tied) keys at random partition counts: ranks
-    must equal ROW_NUMBER at every parallelism."""
+def test_global_row_number_random_vs_duckdb(vals, descending, parts, kind):
+    """Random (heavily tied) keys at random partition counts: every
+    rank kind must match its SQL window function at every parallelism."""
     from docstrange_ray.shuffle import global_row_number
 
     tbl = pa.table(
@@ -475,6 +476,7 @@ def test_global_row_number_random_vs_duckdb(vals, descending, parts):
             "v",
             descending=descending,
             num_partitions=parts,
+            rank_kind=kind,
         )
         .to_pandas()
         .sort_values("doc_id")
@@ -483,9 +485,11 @@ def test_global_row_number_random_vs_duckdb(vals, descending, parts):
     con = duckdb.connect()
     con.register("t", tbl)
     order = "DESC" if descending else ""
+    fn = {"row_number": "ROW_NUMBER()", "rank": "RANK()", "dense_rank": "DENSE_RANK()"}[kind]
+    tie = ", doc_id" if kind == "row_number" else ""
     exp = (
         con.sql(
-            f"SELECT doc_id, v, ROW_NUMBER() OVER (ORDER BY v {order}, doc_id) AS rank FROM t"
+            f"SELECT doc_id, v, {fn} OVER (ORDER BY v {order}{tie}) AS rank FROM t"
         )
         .df()
         .sort_values("doc_id")

@@ -736,6 +736,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_ref", "mime", "width", "height", "channels", "sample_rate", "duration_ms"]
         )
 
+    def audio_features(sf_dir):
+        """REAL audio decode: PCM16 WAV payloads (tones + noise,
+        stdlib writers) -> genuine RMS / zero-crossing-rate /
+        duration via the from-scratch RIFF+PCM decoder
+        (ops/media_meta.decode_wav)."""
+        import pyarrow as _pa
+        import ray
+        from docstrange_ray.ops import multimodal
+        from docstrange_ray.synth_files import make_wav, make_wav_tone
+
+        rows = []
+        for i in range(200):
+            if i % 4 == 0:
+                payload = make_wav(100 + (i % 7) * 50, sample_rate=8000)
+            else:
+                payload = make_wav_tone(
+                    220.0 + 55.0 * (i % 8), 80 + (i % 5) * 40, sample_rate=8000
+                )
+            rows.append(
+                {
+                    "media_ref": f"media://aud/{i}",
+                    "payload": payload,
+                    "mime": "audio/wav",
+                    "width": -1,
+                    "height": -1,
+                    "n_frames": 1,
+                }
+            )
+        tbl = _pa.Table.from_pylist(rows, schema=multimodal.MEDIA_SCHEMA)
+        return multimodal.audio_features(ray.data.from_arrow(tbl))
+
     def media_frames(sf_dir):
         """REAL multi-frame decode: animated GIF payloads (stdlib
         writer) -> uniform frame sampling with genuine pixel means via
@@ -968,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
+        "audio_features": audio_features,
         "ivf_ann_topk": ivf_ann_topk,
         "pq_ann_topk": pq_ann_topk,
         # relational

@@ -712,3 +712,42 @@ def gif_frame_count(data: bytes) -> int:
         pos += 1
         count += 1
     return count
+
+
+def decode_wav(data: bytes):
+    """REAL stdlib-free WAV decode -> ``(samples int16 (n, channels),
+    sample_rate)``: RIFF chunk walk (same walk as sniff_media), fmt
+    validation, little-endian PCM16 payload via one zero-copy
+    ``np.frombuffer``. Non-PCM (compressed) and non-16-bit WAVs are
+    rejected clearly — PCM16 is the overwhelmingly dominant layout and
+    the only one decodable without a codec."""
+    import struct as _struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    n = len(data)
+    fmt = None
+    payload = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = _struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt = _struct.unpack("<HHIIHH", data[i + 8 : i + 24])
+        elif cid == b"data":
+            payload = data[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_format}) unsupported")
+    if bits != 16:
+        raise ValueError(f"{bits}-bit WAV unsupported (PCM16 only)")
+    frames = len(payload) // (2 * channels)
+    samples = np.frombuffer(
+        payload, dtype="<i2", count=frames * channels
+    ).reshape(frames, channels)
+    return samples, sample_rate

@@ -1031,3 +1031,26 @@ def synth_gif_frames(n_frames: int, width: int, height: int, seed: int = 0):
         phase = (h[i % 16] + 17 * i) % 251
         frames.append(((yy * 3 + xx * 7 + phase * 5) % 256).astype(np.uint8))
     return frames
+
+
+def make_wav_tone(
+    freq_hz: float, duration_ms: int, sample_rate: int = 8000, amplitude: float = 0.5
+) -> bytes:
+    """A fully valid PCM16 WAV carrying a sine tone (stdlib ``wave`` +
+    math) — a non-trivial fixture for the real audio decode path."""
+    import io as _io
+    import math
+    import wave
+
+    n = int(sample_rate * duration_ms / 1000)
+    frames = bytearray()
+    for i in range(n):
+        v = int(amplitude * 32767 * math.sin(2 * math.pi * freq_hz * i / sample_rate))
+        frames += v.to_bytes(2, "little", signed=True)
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()

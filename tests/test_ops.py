@@ -970,6 +970,109 @@ class TestGifCodec:
         check()
 
 
+class TestAudioDecode:
+    """From-scratch WAV PCM16 decode (media_meta.decode_wav) + the
+    audio feature actor stage."""
+
+    def test_round_trip_exact(self):
+        import io
+        import wave
+
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_wav
+
+        rng = np.random.RandomState(0)
+        pcm = rng.randint(-(2**15), 2**15, size=(500, 2)).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(pcm.tobytes())
+        s, sr = decode_wav(buf.getvalue())
+        assert sr == 44100
+        assert np.array_equal(s, pcm)
+
+    def test_rejects_non_wav_and_nonpcm(self):
+        import pytest as _pytest
+
+        from docstrange_ray.ops.media_meta import decode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"not a wav .........")
+        # forge a float-format WAV header (audio_format=3)
+        import struct
+
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+            + b"data" + struct.pack("<I", 0)
+        )
+        with _pytest.raises(ValueError, match="non-PCM"):
+            decode_wav(hdr)
+
+    def test_tone_features(self):
+        import math
+
+        import numpy as np
+
+        from docstrange_ray.ops.media_meta import decode_wav
+        from docstrange_ray.synth_files import make_wav_tone
+
+        data = make_wav_tone(440.0, 250, sample_rate=8000, amplitude=0.5)
+        s, sr = decode_wav(data)
+        assert sr == 8000 and len(s) == 2000
+        x = s.astype(np.float64) / 32768.0
+        rms = float(np.sqrt((x * x).mean()))
+        # sine RMS = A / sqrt(2), within int16 quantization tolerance
+        assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+
+    def test_actor_real_and_fake_paths(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from docstrange_ray.ops.multimodal import MEDIA_SCHEMA, AudioFeatureActor
+        from docstrange_ray.synth_files import make_wav_tone
+
+        rows = [
+            {
+                "media_ref": "m://tone",
+                "payload": make_wav_tone(440.0, 100),
+                "mime": "audio/wav",
+                "width": -1,
+                "height": -1,
+                "n_frames": 1,
+            },
+            {
+                "media_ref": "m://blob",
+                "payload": b"\x01\x02\x03\x04" * 32,
+                "mime": "audio/mp3",
+                "width": -1,
+                "height": -1,
+                "n_frames": 1,
+            },
+        ]
+        out = AudioFeatureActor(backend="auto")(
+            pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        ).to_pylist()
+        by_ref = {r["media_ref"]: r for r in out}
+        assert by_ref["m://tone"]["real_decode"] is True
+        assert abs(by_ref["m://tone"]["rms"] - 0.353553) < 0.01
+        assert by_ref["m://tone"]["duration_ms"] == 100
+        assert by_ref["m://tone"]["zcr"] > 0.05  # 440 Hz at 8 kHz: ~0.11
+        assert by_ref["m://blob"]["real_decode"] is False
+        assert by_ref["m://blob"]["duration_ms"] == -1
+
+    def test_codec_backend_gated(self):
+        import pytest as _pytest
+
+        from docstrange_ray.ops.multimodal import AudioFeatureActor
+
+        with _pytest.raises(NotImplementedError):
+            AudioFeatureActor(backend="mp3")
+
+
 class TestCorpusTerms:
     """top_ngrams (partial-reduce + one shuffle + coalesced top-k) and
     tfidf_topk (distributed df broadcast back) vs in-test DuckDB."""

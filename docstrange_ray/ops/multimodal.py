@@ -208,6 +208,7 @@ class FrameSampleActor:
             batch.column("payload").to_pylist(),
             batch.column("n_frames").to_pylist(),
         ):
+            payload = payload or b""
             if self.backend == "auto" and payload[:6] in (b"GIF87a", b"GIF89a"):
                 try:
                     rows.extend(self._real_gif_rows(ref, payload))
@@ -297,6 +298,7 @@ class AudioFeatureActor:
             batch.column("media_ref").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
+            payload = payload or b""
             real = False
             if self.backend == "auto" and payload[:4] == b"RIFF":
                 try:

@@ -578,6 +578,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.rolling_fingerprint, batch_format="pyarrow"
         )
 
+    def jaccard_join_pairs(sf_dir):
+        """EXACT 3-gram-Jaccard self-join at t=0.5 via prefix
+        filtering (hash-order AllPairs/PPJoin) — deterministic, no
+        LSH recall gap; shares the bloom-prefiltered verify tail with
+        the MinHash path."""
+        from docstrange_ray.ops.dedup import jaccard_join
+
+        return jaccard_join(read_docs(sf_dir), threshold=0.5)
+
     def minhash_near_dups(sf_dir):
         pairs = dedup.near_dup_pairs(read_docs(sf_dir), threshold=0.8)
         return pa.Table.from_pylist(
@@ -973,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,
+        "jaccard_join_pairs": jaccard_join_pairs,
         "near_dup_drops": near_dup_drops,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
@@ -1404,6 +1414,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "jaccard_join_pairs": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+                FROM l, UNNEST(range(len(ws) - 2)) AS t(i)
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   ROUND(CAST(c AS DOUBLE) / (ta.n + tb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN tot ta ON ta.doc_id = inter.doc_id_a
+            JOIN tot tb ON tb.doc_id = inter.doc_id_b
+            WHERE CAST(c AS DOUBLE) / (ta.n + tb.n - c) >= 0.5
         """,
         "global_length_rank": r"""
             SELECT doc_id, n_chars,

@@ -653,11 +653,31 @@ def near_dup_pairs_ds(
     first distributed rewrite paid SIX sequential materialized exchanges
     (hash_join schema fetches force materialization) and quadrupled the
     fixture bench — this shape streams end-to-end."""
+    cands = minhash_candidates(ds, num_partitions)
+    return _verified_pairs(
+        cands, ds, threshold, ngram, num_partitions, prefilter
+    )
+
+
+def _verified_pairs(
+    cands,
+    ds,
+    threshold: float,
+    ngram: int,
+    num_partitions=None,
+    prefilter: bool = True,
+):
+    """The shared exact-verification tail (exchanges 2 + 3 of the
+    near_dup_pairs_ds plan): candidate (doc_id_a, doc_id_b) pairs ->
+    bloom-prefiltered repartition join attaching each member doc's
+    n-gram set -> pair-keyed exchange computing exact Jaccard and
+    keeping >= threshold. Pair-keyed collapse dedups multi-source
+    candidates for free. Used by both the MinHash-LSH path and the
+    exact prefix-filter join (jaccard_join)."""
     from docstrange_ray.shuffle import grouped_blocks
 
     import numpy as np
 
-    cands = minhash_candidates(ds, num_partitions)
     bloom_ref = None
     if prefilter:
         import ray as _ray
@@ -1465,3 +1485,100 @@ def snapshot_diff(new_ds, base_ds, num_partitions: int | None = None):
     return grouped_blocks(
         tagged, ["content_md5"], diff_block, num_partitions, batch_format="pandas"
     )
+
+
+def jaccard_join(
+    ds,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    num_partitions=None,
+    posting_cap: int = 256,
+):
+    """EXACT n-gram-Jaccard similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08 — public papers) — the deterministic complement to the
+    MinHash-LSH path: no banding recall gap, correct at ANY threshold,
+    including ones below the LSH-reliable zone.
+
+    Prefix-filter lemma: under any FIXED global token order, two sets
+    with ``J(x, y) >= t`` must share a token inside both prefixes of
+    length ``|s| - ceil(t * |s|) + 1``. The global order used here is
+    the 64-bit gram HASH order — consistent everywhere with ZERO extra
+    passes and ZERO broadcast (gram vocabulary is corpus-scale, so a
+    df-ordered map cannot broadcast at 100 TB; df-ascending ordering —
+    the classic perf refinement that makes prefixes maximally rare —
+    is a documented variant needing one extra gram-df pass plus a
+    co-partition rank join, worth it only for skewed gram
+    distributions).
+
+    Plan: shuffle-free prefix explode (one row per PREFIX gram, never
+    per gram) -> ONE gram-keyed exchange -> per-gram candidate pairs
+    with the length filter ``|small| >= t * |large|`` (posting lists
+    over ``posting_cap`` docs are truncated WITH A WARNING — a gram in
+    >cap docs is a stop-gram whose pairs other prefix grams almost
+    surely re-find) -> the shared `_verified_pairs` tail (bloom
+    prefilter + repartition join + pair-keyed exact verify), where
+    multi-gram duplicate candidates collapse for free.
+
+    Returns Dataset[(doc_id_a, doc_id_b, jaccard)], exact."""
+    import math
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def prefix_explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        arrs = _shingle_arrays(texts, ngram)  # sorted unique uint64 per doc
+        out_g, out_d, out_n = [], [], []
+        for did, arr in zip(ids, arrs):
+            n = len(arr)
+            if not n:
+                continue
+            plen = n - math.ceil(threshold * n) + 1
+            for g in arr[:plen]:
+                out_g.append(np.int64(g))
+                out_d.append(did)
+                out_n.append(n)
+        return pd.DataFrame(
+            {
+                "gram": np.array(out_g, dtype=np.int64),
+                "doc_id": out_d,
+                "n": np.array(out_n, dtype=np.int64),
+            }
+        )
+
+    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("gram", sort=False):
+            if len(grp) < 2:
+                continue
+            if len(grp) > posting_cap:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "jaccard_join: posting list truncated (%d > cap %d)",
+                    len(grp),
+                    posting_cap,
+                )
+                grp = grp.iloc[:posting_cap]
+            docs = sorted(zip(grp["doc_id"].tolist(), grp["n"].tolist()))
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    (da, na), (db, nb) = docs[i], docs[j]
+                    if da == db:
+                        continue
+                    # length filter: J <= min/max, so min < t*max can't pass
+                    if min(na, nb) < threshold * max(na, nb):
+                        continue
+                    out_a.append(da)
+                    out_b.append(db)
+        return pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b}).drop_duplicates()
+
+    cands = grouped_blocks(
+        ds.map_batches(arrow_out(prefix_explode), batch_format="pyarrow", batch_size=65536),
+        ["gram"],
+        gram_pairs,
+        num_partitions,
+        batch_format="pandas",
+    )
+    return _verified_pairs(cands, ds, threshold, ngram, num_partitions)

@@ -452,6 +452,91 @@ class TestFrameSampling:
             FrameSampleActor(backend="ffmpeg")
 
 
+class TestJaccardJoin:
+    """Exact prefix-filter similarity join (ops/dedup.jaccard_join) —
+    must equal brute-force n-gram Jaccard at ANY threshold, including
+    below the LSH-reliable zone."""
+
+    @staticmethod
+    def _brute(docs, t, ngram=3):
+        from docstrange_ray.ops.dedup import _shingles
+
+        sets = {d["doc_id"]: _shingles(d["text"], ngram) for d in docs}
+        out = []
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                u = sets[a] | sets[b]
+                j = len(sets[a] & sets[b]) / len(u) if u else 0.0
+                if j >= t:
+                    out.append((a, b, round(j, 6)))
+        return sorted(out)
+
+    @staticmethod
+    def _docs():
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " extra tail words here"},  # near dup
+            {"doc_id": 3, "text": base.replace("quick", "slow")},     # near dup
+            {"doc_id": 4, "text": "completely different content with many unique words"},
+            {"doc_id": 5, "text": "another unrelated document about distributed engines"},
+            {"doc_id": 6, "text": " ".join(f"w{i} w{i+1} filler" for i in range(8))},
+        ]
+        return rows
+
+    @pytest.mark.parametrize("t", [0.3, 0.5, 0.8])
+    def test_equals_brute_force(self, t):
+        from docstrange_ray.ops.dedup import jaccard_join
+
+        docs = self._docs()
+        got = sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in jaccard_join(
+                ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(3),
+                threshold=t,
+            ).take_all()
+        )
+        assert got == self._brute(docs, t)
+
+    def test_low_threshold_below_lsh_zone(self):
+        # t=0.25: banding at the minhash path's fixed parameters is not
+        # reliable this low; the prefix filter must still be complete
+        from docstrange_ray.ops.dedup import jaccard_join
+
+        docs = self._docs()
+        got = sorted(
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in jaccard_join(
+                ray.data.from_arrow(pa.Table.from_pylist(docs)), threshold=0.25
+            ).take_all()
+        )
+        assert got == [(a, b) for a, b, _ in self._brute(docs, 0.25)]
+
+    def test_property_random_vs_brute(self):
+        from hypothesis import given, settings, strategies as st
+
+        from docstrange_ray.ops.dedup import jaccard_join
+
+        word = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+        doc = st.lists(word, min_size=0, max_size=20).map(" ".join)
+
+        @settings(max_examples=6, deadline=None)
+        @given(texts=st.lists(doc, min_size=1, max_size=10), t=st.sampled_from([0.4, 0.6]))
+        def check(texts, t):
+            docs = [{"doc_id": i, "text": x} for i, x in enumerate(texts)]
+            got = sorted(
+                (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+                for r in jaccard_join(
+                    ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(2),
+                    threshold=t,
+                ).take_all()
+            )
+            assert got == self._brute(docs, t)
+
+        check()
+
+
 class TestDupClusters:
     def test_union_find_transitive(self):
         from docstrange_ray.ops.dedup import dup_clusters

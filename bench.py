@@ -163,6 +163,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "incremental_dedup",
         "heavy_tokens",
         "minhash_near_dups",
+        "jaccard_join_pairs",
         "simhash_pairs",
         "dup_spans",
         "pack_offsets",

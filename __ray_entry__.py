@@ -578,6 +578,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.rolling_fingerprint, batch_format="pyarrow"
         )
 
+    def jaccard_drops(sf_dir):
+        """Exact near-dup drop list at t=0.5: prefix-filter Jaccard
+        join -> distributed min-label-propagation components -> drop
+        everything but each cluster's min-id representative. The
+        deterministic-threshold counterpart of near_dup_drops."""
+        from docstrange_ray.ops.dedup import dup_clusters_ds, jaccard_join
+
+        pairs = jaccard_join(read_docs(sf_dir), threshold=0.5)
+        labels = dup_clusters_ds(pairs)
+
+        def drops(batch):
+            import pyarrow.compute as pc
+
+            keep = pc.not_equal(batch.column("node"), batch.column("label"))
+            t = batch.filter(keep)
+            return t.select(["node"]).rename_columns(["doc_id"])
+
+        return labels.map_batches(drops, batch_format="pyarrow")
+
     def jaccard_join_pairs(sf_dir):
         """EXACT 3-gram-Jaccard self-join at t=0.5 via prefix
         filtering (hash-order AllPairs/PPJoin) — deterministic, no
@@ -983,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "minhash_near_dups": minhash_near_dups,
         "jaccard_join_pairs": jaccard_join_pairs,
+        "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
@@ -1414,6 +1434,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "jaccard_drops": r"""
+            WITH RECURSIVE l AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+                FROM l, UNNEST(range(len(ws) - 2)) AS t(i)
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), prs AS (
+                SELECT pa, pb FROM inter
+                JOIN tot ta ON ta.doc_id = inter.pa
+                JOIN tot tb ON tb.doc_id = inter.pb
+                WHERE CAST(c AS DOUBLE) / (ta.n + tb.n - c) >= 0.5
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM prs UNION SELECT pb, pa FROM prs
+            ), lbl(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, x.label FROM edges e JOIN lbl x ON x.node = e.b
+            )
+            SELECT node AS doc_id
+            FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
+            WHERE m <> node
         """,
         "jaccard_join_pairs": r"""
             WITH l AS (

@@ -1487,12 +1487,52 @@ def snapshot_diff(new_ds, base_ds, num_partitions: int | None = None):
     )
 
 
+def _heavy_gram_hashes(ds, ngram: int, k: int) -> "np.ndarray":
+    """Approximate top-k grams by DOCUMENT frequency via a per-batch
+    Misra-Gries sketch over gram hashes (bounded state: <= 4k counters
+    per batch, n_blocks x 4k sketch rows cross one coalesced combine —
+    never the gram vocabulary). Used to demote stop-grams in
+    jaccard_join's global order; approximation is safe there because
+    ANY consistent order preserves the join's exactness."""
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    cap = 4 * k
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        counts: dict[int, int] = {}
+        for arr in _shingle_arrays(texts, ngram):
+            for g in arr.astype(np.int64).tolist():  # distinct per doc
+                counts[g] = counts.get(g, 0) + 1
+            if len(counts) > 2 * cap:  # MG decrement step
+                m = sorted(counts.values())[len(counts) - cap]
+                counts = {g: c - m for g, c in counts.items() if c > m}
+        items = sorted(counts.items(), key=lambda kv: -kv[1])[:cap]
+        return pd.DataFrame(
+            {
+                "gram": np.array([g for g, _ in items], dtype=np.int64),
+                "n": np.array([c for _, c in items], dtype=np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False)["n"].sum()
+        return g.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+
+    rows = coalesced_blocks(
+        ds.map_batches(arrow_out(sketch), batch_format="pyarrow", batch_size=65536),
+        final,
+    ).take_all()  # bounded: k rows
+    return np.sort(np.array([r["gram"] for r in rows], dtype=np.int64))
+
+
 def jaccard_join(
     ds,
     threshold: float = 0.5,
     ngram: int = 3,
     num_partitions=None,
     posting_cap: int = 256,
+    demote_heavy_grams: int = 0,
 ):
     """EXACT n-gram-Jaccard similarity self-join via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
@@ -1520,20 +1560,44 @@ def jaccard_join(
     prefilter + repartition join + pair-keyed exact verify), where
     multi-gram duplicate candidates collapse for free.
 
+    ``demote_heavy_grams=k`` adds the bounded stop-gram refinement: a
+    Misra-Gries pass finds the ~k most document-frequent grams
+    (sketch-bounded state, k-bounded broadcast — NOT the corpus-scale
+    df map) and moves them to the END of the global order, pushing
+    stop-grams out of every prefix so their quadratic posting lists
+    never form. Exactness is unaffected — the order stays globally
+    consistent — only candidate volume drops.
+
     Returns Dataset[(doc_id_a, doc_id_b, jaccard)], exact."""
     import math
 
+    import ray
+
     from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    heavy_ref = (
+        ray.put(_heavy_gram_hashes(ds, ngram, demote_heavy_grams))
+        if demote_heavy_grams
+        else None
+    )
 
     def prefix_explode(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_pylist()
         texts = [t or "" for t in batch.column("text").to_pylist()]
         arrs = _shingle_arrays(texts, ngram)  # sorted unique uint64 per doc
+        heavy = ray.get(heavy_ref) if heavy_ref is not None else None
         out_g, out_d, out_n = [], [], []
         for did, arr in zip(ids, arrs):
             n = len(arr)
             if not n:
                 continue
+            if heavy is not None and len(heavy):
+                # stop-grams demoted to the order's tail: non-heavy
+                # (hash-asc) first, heavy (hash-asc) last — globally
+                # consistent because the heavy set is global
+                a64 = arr.astype(np.int64)
+                hv = np.isin(a64, heavy)
+                arr = np.concatenate([arr[~hv], arr[hv]])
             plen = n - math.ceil(threshold * n) + 1
             for g in arr[:plen]:
                 out_g.append(np.int64(g))

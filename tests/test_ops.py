@@ -513,6 +513,48 @@ class TestJaccardJoin:
         )
         assert got == [(a, b) for a, b, _ in self._brute(docs, 0.25)]
 
+    def test_demote_heavy_grams_invariant(self):
+        # demotion changes only the global order; output must be
+        # byte-identical, and the MG pass must surface the planted
+        # universal stop-gram
+        import numpy as np
+
+        from docstrange_ray.ops.dedup import (
+            _heavy_gram_hashes,
+            _shingles,
+            jaccard_join,
+        )
+
+        stop = "common phrase here"
+        docs = [
+            {"doc_id": i, "text": f"{stop} unique{i} tail{i} word{i} more{i} x{i}"}
+            for i in range(12)
+        ]
+        docs += [
+            {"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta eta"},
+            {"doc_id": 101, "text": "alpha beta gamma delta epsilon zeta theta"},
+        ]
+        tbl = pa.Table.from_pylist(docs)
+        base = sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in jaccard_join(ray.data.from_arrow(tbl), threshold=0.5).take_all()
+        )
+        demoted = sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in jaccard_join(
+                ray.data.from_arrow(tbl).repartition(3),
+                threshold=0.5,
+                demote_heavy_grams=4,
+            ).take_all()
+        )
+        assert demoted == base
+        assert (100, 101) in {(a, b) for a, b, _ in base}
+        heavy = _heavy_gram_hashes(ray.data.from_arrow(tbl), 3, 4)
+        stop_hash = np.int64(
+            np.array(sorted(_shingles(stop, 3)), dtype=np.uint64).astype(np.int64)[0]
+        )
+        assert stop_hash in heavy
+
     def test_property_random_vs_brute(self):
         from hypothesis import given, settings, strategies as st
 

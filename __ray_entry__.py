@@ -1267,10 +1267,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
             ), v AS (SELECT COUNT(*) AS v FROM uni),
             bi AS (
+                -- mirrors lm_score's bigram_min_count=2 prune: bigrams
+                -- below the floor take the smoothed c=0 path via the
+                -- LEFT JOIN's COALESCE
                 SELECT w1, w2, COUNT(*) AS c FROM (
                     SELECT ws[i] AS w1, ws[i+1] AS w2
                     FROM docs, UNNEST(range(1, len(ws))) AS t(i))
                 GROUP BY w1, w2
+                HAVING COUNT(*) >= 2
             ), docbi AS (
                 SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
                 FROM docs, UNNEST(range(1, len(ws))) AS t(i)

@@ -1,0 +1,33 @@
+"""Numeric emit helpers shared by oracle-matched operators.
+
+``round6`` exists because numpy rounds half-to-even while DuckDB's
+``ROUND`` rounds half-away-from-zero: ``np.round(1/128, 6)`` is
+``0.007812`` but DuckDB says ``0.007813``.  Any emitted quotient of
+integers (novelty, TTR, Jaccard, MinHash estimates, rank fractions)
+can land exactly on an odd/2^k midpoint, so every oracle-facing
+rounded emit must use half-away semantics.  Verified against DuckDB
+``ROUND(x, 6)`` over 40k tie and random cases (zero divergence; plain
+``np.round`` diverges).  See NOTES_r3.md "np.round is half-even".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["round6", "round_half_away"]
+
+
+def round_half_away(x, ndigits: int = 6):
+    """Round half away from zero — DuckDB / ANSI-SQL ``ROUND`` semantics.
+
+    Elementwise over numpy arrays (and scalars); always returns float64.
+    ``copysign + floor(|x|*10^d + 0.5)`` matches DuckDB bit-for-bit on
+    dyadic-rational ties where ``np.round``'s banker's rounding differs.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0**ndigits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+
+
+# Signature-compatible drop-in for the common ``np.round(arr, 6)`` emit.
+round6 = round_half_away

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from docstrange_ray.numerics import round6
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
@@ -56,7 +58,7 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10)
             [
                 pa.array(out_q, type=pa.int64()),
                 pa.array(out_v, type=pa.int64()),
-                pa.array(np.round(out_s, 6), type=pa.float64()),
+                pa.array(round6(out_s, 6), type=pa.float64()),
             ],
             names=["query_id", "vec_id", "score"],
         )
@@ -177,7 +179,7 @@ def ivf_topk(
             [
                 pa.array(out_q, type=pa.int64()),
                 pa.array(out_v, type=pa.int64()),
-                pa.array(np.round(out_s, 6), type=pa.float64()),
+                pa.array(round6(out_s, 6), type=pa.float64()),
             ],
             names=["query_id", "vec_id", "score"],
         )
@@ -288,7 +290,7 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
             [
                 pa.array(out_q, type=pa.int64()),
                 pa.array(out_v, type=pa.int64()),
-                pa.array(np.round(out_s, 6), type=pa.float64()),
+                pa.array(round6(out_s, 6), type=pa.float64()),
             ],
             names=["query_id", "vec_id", "score"],
         )
@@ -452,7 +454,7 @@ def ivf_pq_topk(
             [
                 pa.array(out_q, type=pa.int64()),
                 pa.array(out_v, type=pa.int64()),
-                pa.array(np.round(out_s, 6), type=pa.float64()),
+                pa.array(round6(out_s, 6), type=pa.float64()),
             ],
             names=["query_id", "vec_id", "score"],
         )

@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from docstrange_ray.numerics import round6
+
 
 def _words_of(texts: pa.ChunkedArray | pa.Array):
     """Lowercased whitespace words per doc (list<string>), '' -> []."""
@@ -138,7 +140,7 @@ def nb_predict(ds, model: NBModel, text_col: str = "text", out_col: str = "nb_la
                 sums = np.add.reduceat(m.logp[ci][slot_sorted], starts_c)
                 sums[empty] = 0.0
                 scores[:, ci] += sums
-        scores = np.round(scores, 6)
+        scores = round6(scores, 6)
         best = np.argmax(scores, axis=1)
         out_labels = np.asarray(m.labels, dtype=object)[best]
         return pa.Table.from_arrays(

@@ -31,6 +31,8 @@ import pyarrow as pa
 
 from docstrange_ray.ops.textstats import content_fingerprint
 
+from docstrange_ray.numerics import round6
+
 NUM_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
@@ -521,7 +523,7 @@ def minhash_candidates(ds, num_partitions: int | None = None):
             {
                 "doc_id_a": pd.Series(rows_a, dtype=df["doc_id"].dtype),
                 "doc_id_b": pd.Series(rows_b, dtype=df["doc_id"].dtype),
-                "est_jaccard": np.round(np.array(est, dtype=np.float64), 6),
+                "est_jaccard": round6(np.array(est, dtype=np.float64), 6),
             }
         )
 

@@ -15,6 +15,8 @@ import hashlib
 
 import pyarrow as pa
 
+from docstrange_ray.numerics import round6
+
 
 def _threshold_hex(fraction: float) -> str:
     """4-hex-char threshold compared lexicographically against md5
@@ -254,7 +256,7 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id"):
             ["__pri", id_col], ascending=[False, True], kind="mergesort"
         ).head(k)
         out = top[[id_col, weight_col]].reset_index(drop=True)
-        out["priority"] = np.round(top["__pri"].to_numpy(), 6)
+        out["priority"] = round6(top["__pri"].to_numpy(), 6)
         return out
 
     parts = ds.map_batches(arrow_out(candidates), batch_format="pyarrow")

@@ -41,6 +41,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from docstrange_ray.numerics import round6
+
 from docstrange_ray.ops.ann import _as_matrix, _normalize
 
 
@@ -69,7 +71,7 @@ def _lowest_k_rows(ds, k: int) -> np.ndarray:
 def _assign_rounded(mat_norm: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """argmax over ROUNDED cosines; np.argmax's first-max rule = the
     lowest-cid tie-break the SQL oracle uses."""
-    sims = np.round(mat_norm @ cents.T, 6)
+    sims = round6(mat_norm @ cents.T, 6)
     return np.argmax(sims, axis=1).astype(np.int64)
 
 
@@ -101,7 +103,7 @@ def kmeans_fit(ds, k: int = 8, n_iters: int = 2, init: str = "first-k") -> np.nd
         cents = _kmeanspp_init(mat, min(k, len(mat)))
     else:  # pragma: no cover - caller error
         raise ValueError(f"unknown init {init!r}")
-    cents = np.round(cents, 6)
+    cents = round6(cents, 6)
     k = len(cents)
 
     for _ in range(n_iters):
@@ -145,7 +147,7 @@ def kmeans_fit(ds, k: int = 8, n_iters: int = 2, init: str = "first-k") -> np.nd
         for r in reduced:
             mean = np.asarray(r["psum"], dtype=np.float64) / r["n"]
             new[r["cid"]] = _normalize(mean[None, :])[0]
-        cents = np.round(new, 6)
+        cents = round6(new, 6)
     return cents
 
 
@@ -200,7 +202,7 @@ def semantic_dedup(
             dropped = np.zeros(m, dtype=bool)
             for lo in range(1, m, _CHUNK):
                 hi = min(lo + _CHUNK, m)
-                sims = np.round(mat[lo:hi] @ mat[:hi].T, 6)  # rows lo..hi vs all earlier
+                sims = round6(mat[lo:hi] @ mat[:hi].T, 6)  # rows lo..hi vs all earlier
                 # row lo+r may only see columns with absolute index < lo+r
                 earlier = np.arange(hi)[None, :] < (lo + np.arange(hi - lo))[:, None]
                 dropped[lo:hi] = ((sims >= tau) & earlier).any(axis=1)

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from docstrange_ray.numerics import round6
+
 _WORD_OR_PUNCT = re.compile(r"\w+|[^\w\s]")
 _PUNCT = re.compile(r"[.!?,;:]")
 _WS_RUN = re.compile(r"\s+")
@@ -101,7 +103,7 @@ def quality_score(batch: pa.Table) -> pa.Table:
     wlen_score = np.exp(-0.5 * np.square((avg_wlen - 5.0) / 3.0))
     stop_score = np.clip(n_stop / np.maximum(n_words, 1) * 5.0, 0, 1)
     score = 0.4 * len_score + 0.3 * wlen_score + 0.3 * stop_score
-    return t.append_column("quality", pa.array(np.round(score, 6)))
+    return t.append_column("quality", pa.array(round6(score, 6)))
 
 
 class LangId:
@@ -449,10 +451,10 @@ def lexical_diversity(ds):
                 "doc_id": doc_ids,
                 "n_words": lens[d],
                 "n_distinct": agg["n_distinct"].to_numpy(np.int64),
-                "entropy_bits": np.round(
+                "entropy_bits": round6(
                     np.log2(n) - agg["sclc"].to_numpy(np.float64) / n, 6
                 ),
-                "ttr": np.round(agg["n_distinct"].to_numpy(np.float64) / n, 6),
+                "ttr": round6(agg["n_distinct"].to_numpy(np.float64) / n, 6),
             }
         )
 
@@ -520,7 +522,7 @@ def doc_novelty(ds, n: int = 3, num_partitions: int | None = None):
                 "doc_id": g["doc_id"].astype(np.int64),
                 "n_grams": g["n_grams"].astype(np.int64),
                 "n_unique": g["n_unique"].astype(np.int64),
-                "novelty": np.round(
+                "novelty": round6(
                     g["n_unique"].to_numpy(np.float64)
                     / g["n_grams"].to_numpy(np.float64),
                     6,
@@ -652,7 +654,7 @@ def pmi_collocations(
         # corpora (nu^2 alone is 1e14); the sum of logs is exact-enough
         # at 6 dp and each term + the left-to-right association is
         # mirrored literally by the SQL oracle, preserving bit parity
-        pmi = np.round(
+        pmi = round6(
             np.log(df["c_xy"].to_numpy(np.float64))
             + 2.0 * np.log(float(nu))
             - np.log(float(nb))
@@ -854,24 +856,53 @@ def tfidf_topk(
     return ds.map_batches(score_batch, batch_format="pyarrow")
 
 
-def lm_score(ds, num_partitions: int | None = None):
+def lm_score(
+    ds,
+    num_partitions: int | None = None,
+    bigram_min_count: int = 2,
+    plan: str = "auto",
+    broadcast_bigram_limit: int = 2_000_000,
+):
     """Statistical language-model quality scoring (the CCNet-recipe
     shape, with an in-corpus bigram model standing in for KenLM): train
     add-one-smoothed bigram statistics over the corpus DISTRIBUTED (one
-    count shuffle), broadcast the vocabulary-scale tables once, and
-    score every document as its mean bigram cross-entropy
-    ``-mean log2 (c(w1 w2)+1)/(c(w1)+V)`` — low bits-per-bigram =
-    typical phrasing, high = atypical/garbled (the repetition/fluency
-    signal real pipelines threshold on).
+    count shuffle) and score every document as its mean bigram
+    cross-entropy ``-mean log2 (c(w1 w2)+1)/(c(w1)+V)`` — low
+    bits-per-bigram = typical phrasing, high = atypical/garbled (the
+    repetition/fluency signal real pipelines threshold on).
 
-    Same broadcast assumption as tf-idf: counts are vocabulary-scale
-    (Heaps-law sublinear), not corpus-scale; an unbounded vocabulary
-    swaps the broadcast for a bigram-keyed co-partition join. Documents
-    with fewer than two words emit no row. Returns
-    Dataset[(doc_id, bits_per_bigram)] rounded to 6 dp."""
+    Scale bounds (the bigram vocabulary grows near-linearly with corpus
+    tokens — unlike the Heaps-sublinear unigram table — so it gets two
+    independent defenses):
+
+    * ``bigram_min_count`` — bigrams whose EXACT global count is below
+      the floor are pruned inside the count shuffle's final (a
+      HAVING-style filter on already-reduced counts, so the prune is
+      deterministic and SQL-mirrorable) and score as the smoothed floor
+      ``c=0``. By Zipf, singleton bigrams dominate the table; pruning
+      them removes most of its mass while perturbing cross-entropy by
+      at most ``log2(min_count)`` bits on the pruned pairs — the same
+      reason KenLM/CCNet models ship count-pruned.
+    * ``plan`` — ``broadcast`` collects the (pruned) bigram table and
+      ships it once via ``ray.put``; ``join`` never materializes it:
+      per-doc bigram occurrences co-partition-join the count table on
+      the bigram key and only the inner-join CORRECTION term
+      ``sum occ*log2(c+1)`` flows back (pruned/absent bigrams
+      contribute log2(0+1)=0, so no outer join is needed); the base
+      term ``sum log2(c(w1)+V)`` is computed shuffle-free from the
+      unigram broadcast (vocabulary-scale, same assumption as tf-idf).
+      ``auto`` (default) counts the pruned table (free — it is
+      materialized for the gate) and takes broadcast at/below
+      ``broadcast_bigram_limit`` entries — the same measure-then-choose
+      gate as tf-idf/embedding-dup.
+
+    Documents with fewer than two words emit no row. Returns
+    Dataset[(doc_id, bits_per_bigram)] rounded to 6 dp. The two plans
+    agree to 6 dp on real corpora (pinned by a test); sub-ulp summation
+    order differs (per-pair mean vs base-minus-correction)."""
     import ray
 
-    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
 
     def count_partial(batch: pa.Table) -> pd.DataFrame:
         from collections import Counter
@@ -892,51 +923,171 @@ def lm_score(ds, num_partitions: int | None = None):
             {"key": [k for k, _ in rows], "c": np.array([c for _, c in rows], dtype=np.int64)}
         )
 
-    counts = grouped_blocks(
+    def count_final(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("key", as_index=False)["c"].sum()
+        # HAVING-style prune on EXACT post-reduce counts: bigram rows
+        # below the floor never leave the shuffle. Unigrams always kept
+        # (they are the denominator and |V|).
+        keep = ~g["key"].str.startswith("b ") | (g["c"] >= bigram_min_count)
+        return g[keep]
+
+    counts_ds = grouped_blocks(
         ds.map_batches(arrow_out(count_partial), batch_format="pyarrow", batch_size=65536),
         ["key"],
-        lambda d: d.groupby("key", as_index=False)["c"].sum(),
+        count_final,
         num_partitions,
         batch_format="pandas",
-    ).take_all()  # vocabulary-scale
-    uni_c: dict[str, int] = {}
-    bi_c: dict[tuple[str, str], int] = {}
-    for r in counts:
-        k = r["key"]
-        if k.startswith("u "):
-            uni_c[k[2:]] = int(r["c"])
-        else:
-            a, b = k[2:].split(" ", 1)
-            bi_c[(a, b)] = int(r["c"])
-    vocab_size = len(uni_c)
-    ref = ray.put((uni_c, bi_c, vocab_size))
+    ).materialize()
+    if plan == "auto":
+        plan = "broadcast" if counts_ds.count() <= broadcast_bigram_limit else "join"
 
-    def score_batch(batch: pa.Table) -> pa.Table:
-        uni, bi, v = ray.get(ref)
-        out_doc, out_score = [], []
+    if plan == "broadcast":
+        uni_c: dict[str, int] = {}
+        bi_c: dict[tuple[str, str], int] = {}
+        for r in counts_ds.take_all():  # gated: <= broadcast_bigram_limit rows
+            k = r["key"]
+            if k.startswith("u "):
+                uni_c[k[2:]] = int(r["c"])
+            else:
+                a, b = k[2:].split(" ", 1)
+                bi_c[(a, b)] = int(r["c"])
+        vocab_size = len(uni_c)
+        ref = ray.put((uni_c, bi_c, vocab_size))
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            uni, bi, v = ray.get(ref)
+            out_doc, out_score = [], []
+            for did, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                ws = (t or "").lower().split()
+                if len(ws) < 2:
+                    continue
+                bits = np.array(
+                    [
+                        -np.log2((bi.get((a, b), 0) + 1.0) / (uni.get(a, 0) + v))
+                        for a, b in zip(ws, ws[1:])
+                    ]
+                )
+                out_doc.append(did)
+                out_score.append(float(round6(bits.mean())))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out_doc, type=batch.schema.field("doc_id").type),
+                    pa.array(out_score, type=pa.float64()),
+                ],
+                names=["doc_id", "bits_per_bigram"],
+            )
+
+        return ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # plan == 'join': only the unigram table (vocabulary-scale) is
+    # broadcast; the bigram table stays distributed.
+    uni_rows = counts_ds.map_batches(
+        lambda d: d[d["key"].str.startswith("u ")][["key", "c"]],
+        batch_format="pandas",
+    )
+    uni_c = {r["key"][2:]: int(r["c"]) for r in uni_rows.take_all()}
+    vocab_size = len(uni_c)
+    uni_ref = ray.put((uni_c, vocab_size))
+    bi_ds = counts_ds.map_batches(
+        lambda d: d[d["key"].str.startswith("b ")][["key", "c"]],
+        batch_format="pandas",
+    )
+
+    def base_partial(batch: pa.Table) -> pd.DataFrame:
+        """Per-doc floor term sum log2(c(w1)+V) + the pair count."""
+        uni, v = ray.get(uni_ref)
+        out_doc, out_n, out_base = [], [], []
         for did, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             ws = (t or "").lower().split()
             if len(ws) < 2:
                 continue
-            bits = np.array(
-                [
-                    -np.log2((bi.get((a, b), 0) + 1.0) / (uni.get(a, 0) + v))
-                    for a, b in zip(ws, ws[1:])
-                ]
+            base = float(
+                np.sum(np.log2([uni.get(a, 0) + v for a in ws[:-1]], dtype=np.float64))
             )
             out_doc.append(did)
-            out_score.append(round(float(bits.mean()), 6))
-        return pa.Table.from_arrays(
-            [
-                pa.array(out_doc, type=batch.schema.field("doc_id").type),
-                pa.array(out_score, type=pa.float64()),
-            ],
-            names=["doc_id", "bits_per_bigram"],
+            out_n.append(len(ws) - 1)
+            out_base.append(base)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype=np.int64),
+                "n_pairs": pd.Series(out_n, dtype=np.int64),
+                "base_bits": pd.Series(out_base, dtype=np.float64),
+                "corr_bits": np.float64(0.0),
+            }
         )
 
-    return ds.map_batches(score_batch, batch_format="pyarrow")
+    def occ_partial(batch: pa.Table) -> pd.DataFrame:
+        """Per-doc DISTINCT bigram occurrence counts, keyed like the count table."""
+        from collections import Counter
+
+        out_doc, out_key, out_occ = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = (t or "").lower().split()
+            for (a, b), c in Counter(zip(ws, ws[1:])).items():
+                out_doc.append(did)
+                out_key.append("b " + a + " " + b)
+                out_occ.append(c)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype=np.int64),
+                "key": pd.Series(out_key, dtype=object),
+                "occ": pd.Series(out_occ, dtype=np.int64),
+            }
+        )
+
+    occs = ds.map_batches(arrow_out(occ_partial), batch_format="pyarrow", batch_size=65536)
+    joined = hash_join(occs, bi_ds, key="key", num_partitions=num_partitions)
+
+    def corr_block(dfb: pd.DataFrame) -> pd.DataFrame:
+        if not len(dfb):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "base_bits": pd.Series([], dtype="float64"),
+                    "corr_bits": pd.Series([], dtype="float64"),
+                }
+            )
+        corr = dfb["occ"].to_numpy(np.float64) * np.log2(
+            dfb["c"].to_numpy(np.float64) + 1.0
+        )
+        g = (
+            pd.DataFrame({"doc_id": dfb["doc_id"].to_numpy(np.int64), "corr": corr})
+            .groupby("doc_id", as_index=False)["corr"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype(np.int64),
+                "n_pairs": np.int64(0),
+                "base_bits": np.float64(0.0),
+                "corr_bits": g["corr"].astype(np.float64),
+            }
+        )
+
+    corrections = joined.map_batches(arrow_out(corr_block), batch_format="pandas")
+    base = ds.map_batches(arrow_out(base_partial), batch_format="pyarrow", batch_size=65536)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[["n_pairs", "base_bits", "corr_bits"]].sum()
+        n = g["n_pairs"].to_numpy(np.float64)
+        bits = (g["base_bits"].to_numpy(np.float64) - g["corr_bits"].to_numpy(np.float64)) / n
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype(np.int64),
+                "bits_per_bigram": round6(bits),
+            }
+        )
+
+    return grouped_blocks(
+        base.union(corrections), ["doc_id"], per_doc, num_partitions, batch_format="pandas"
+    )
 
 
 def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:

@@ -30,6 +30,8 @@ import ray.data
 
 from docstrange_ray.shuffle import adaptive_final, arrow_out, coalesced_blocks
 
+from docstrange_ray.numerics import round6
+
 Q1_CUTOFF = "2000-01-01"
 
 
@@ -1407,7 +1409,7 @@ def source_percent_rank(sf_dir: str, num_partitions: int | None = None):
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
                 "source": df["source"].to_numpy(),
-                "pct_rank": np.round(pr, 6),
+                "pct_rank": round6(pr, 6),
             }
         )
 
@@ -1746,7 +1748,7 @@ def event_affinity(sf_dir: str, num_partitions: int | None = None):
         ca = p["type_a"].map(c).to_numpy(np.int64)
         cb = p["type_b"].map(c).to_numpy(np.int64)
         n_both = p["n"].to_numpy(np.int64)
-        lift = np.round(n_both * 1.0 * n_users / (ca * 1.0 * cb), 6)
+        lift = round6(n_both * 1.0 * n_users / (ca * 1.0 * cb), 6)
         return pd.DataFrame(
             {
                 "type_a": p["type_a"],
@@ -1945,7 +1947,7 @@ def user_interarrival(sf_dir: str, num_partitions: int | None = None):
             {
                 "user_id": g["user_id"].to_numpy(np.int64),
                 "n_events": g["n"].to_numpy(np.int64),
-                "mean_gap_sec": np.round(span_us / (gaps * 1_000_000.0), 6),
+                "mean_gap_sec": round6(span_us / (gaps * 1_000_000.0), 6),
             }
         )
 

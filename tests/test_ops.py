@@ -1665,13 +1665,16 @@ class TestLmScore:
             uni.update(ws)
             bi.update(zip(ws, ws[1:]))
         v = len(uni)
+        # mirror the default bigram_min_count=2 prune: sub-floor bigrams
+        # take the smoothed c=0 floor
+        bi = {k: c for k, c in bi.items() if c >= 2}
         exp = {}
         for did, t in enumerate(texts):
             ws = t.lower().split()
             if len(ws) < 2:
                 continue
             bits = [
-                -np.log2((bi[(a, b)] + 1.0) / (uni[a] + v))
+                -np.log2((bi.get((a, b), 0) + 1.0) / (uni[a] + v))
                 for a, b in zip(ws, ws[1:])
             ]
             exp[did] = round(float(np.mean(bits)), 6)
@@ -1684,6 +1687,38 @@ class TestLmScore:
         # a repeated high-frequency bigram scores fewer bits than a
         # one-off bigram chain
         assert got_map[len(texts) - 3] < max(got_map.values())
+
+    def test_plan_gate_and_parity(self):
+        """auto routes to join above the gate; both plans agree to 6 dp.
+
+        Pins VERDICT-r3 #2: the bigram table must never be
+        driver-materialized above broadcast_bigram_limit."""
+        texts = [
+            " ".join(f"t{(i * 7 + j) % 53}" for j in range(12)) for i in range(60)
+        ]
+        tbl = pa.table(
+            {"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": texts}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        bcast = (
+            textstats.lm_score(ds, plan="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # tiny limit forces auto -> join; output must match broadcast
+        join = (
+            textstats.lm_score(ds, plan="auto", broadcast_bigram_limit=10)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert (join["doc_id"] == bcast["doc_id"]).all()
+        assert np.abs(
+            join["bits_per_bigram"].to_numpy() - bcast["bits_per_bigram"].to_numpy()
+        ).max() <= 1e-6
+        # generous limit keeps auto on broadcast (bit-identical)
+        auto_b = (
+            textstats.lm_score(ds, plan="auto", broadcast_bigram_limit=1_000_000)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(auto_b, bcast)
 
 
 class TestGopherFilter:
@@ -3154,6 +3189,48 @@ class TestDocNovelty:
         )
         assert got["doc_id"].tolist() == [0, 1, 2]
         assert got["novelty"].tolist() == [0.0, 0.0, 1.0]
+
+    def test_rounding_tie_matches_duckdb(self, ray_session):
+        """novelty = 1/128 lands exactly on a 6-digit midpoint (7812.5e-6).
+
+        np.round (half-even) gives 0.007812; DuckDB ROUND (half-away)
+        gives 0.007813 — the one red row in CORRECTNESS_r03. Pins the
+        half-away emit (docstrange_ray.numerics.round6)."""
+        from docstrange_ray.ops.textstats import doc_novelty
+
+        words = [f"w{i:03d}" for i in range(130)]
+        # doc 0: 130 words -> 128 trigrams; doc 1 shares the first 127,
+        # so doc 0 has exactly 1 unique gram: novelty = 1/128.
+        tbl = pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": " ".join(words)},
+                {"doc_id": 1, "text": " ".join(words[:129])},
+            ]
+        )
+        got = (
+            doc_novelty(ray.data.from_arrow(tbl).repartition(2), n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.loc[0, "n_grams"] == 128 and got.loc[0, "n_unique"] == 1
+        exp = duckdb.sql("SELECT ROUND(1.0 / 128, 6) AS r").df()["r"][0]
+        assert got.loc[0, "novelty"] == exp == 0.007813
+
+    def test_round6_matches_duckdb_on_ties(self):
+        """Unit pin for the shared helper: dyadic ties + random values."""
+        import numpy as np
+
+        from docstrange_ray.numerics import round6
+
+        cases = [o / 2.0**k for k in range(1, 18) for o in (1, 3, 127, 255)]
+        cases += [-c for c in cases]
+        rng = np.random.default_rng(7)
+        cases += list(rng.uniform(-50, 50, 2000))
+        xs = np.array(cases, dtype=np.float64)
+        df = pd.DataFrame({"x": xs})
+        exp = duckdb.sql("SELECT ROUND(x, 6) AS r FROM df").df()["r"].to_numpy()
+        assert (round6(xs) == exp).all()
 
 
 class TestSharedGramPairs:

@@ -1446,9 +1446,15 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '') AS ws
                 FROM documents
             ), g AS (
+                -- mirrors _shingle_arrays: docs shorter than the gram
+                -- width contribute ONE whole-text shingle (empty docs
+                -- none), so sub-ngram near-identical docs still pair
                 SELECT DISTINCT doc_id,
                        ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
                 FROM l, UNNEST(range(len(ws) - 2)) AS t(i)
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS gram
+                FROM l WHERE len(ws) BETWEEN 1 AND 2
             ), tot AS (
                 SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
             ), inter AS (
@@ -1478,9 +1484,15 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '') AS ws
                 FROM documents
             ), g AS (
+                -- mirrors _shingle_arrays: docs shorter than the gram
+                -- width contribute ONE whole-text shingle (empty docs
+                -- none), so sub-ngram near-identical docs still pair
                 SELECT DISTINCT doc_id,
                        ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
                 FROM l, UNNEST(range(len(ws) - 2)) AS t(i)
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS gram
+                FROM l WHERE len(ws) BETWEEN 1 AND 2
             ), tot AS (
                 SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
             ), inter AS (

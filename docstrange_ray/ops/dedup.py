@@ -288,9 +288,11 @@ def dup_spans(ds, window: int = 16, num_partitions: int | None = None):
     Hash: the house rolling polynomial (mod 2^61-1, base 1000003, md5
     word values — ``rolling_fingerprint`` / the doc_fingerprint oracle),
     reproduced verbatim by the SQL oracle via ``list_reduce``. The
-    Mersenne modulus needs >64-bit intermediates, so the hash fold is
-    bigint Python per word — batch-parallel and bounded per doc, the
-    same cost class the fingerprint op accepts.
+    Mersenne modulus needs >64-bit intermediates, so the fold is bigint
+    Python — but a TRUE rolling update (subtract the outgoing term
+    scaled by BASE^{window-1}, shift, add the incoming term): O(1) per
+    position, window-independent, byte-identical to the from-scratch
+    fold. Batch-parallel and bounded per doc.
 
     Positions are 1-based word indices; spans inclusive. Returns
     Dataset[(doc_id, span_start, span_end)] — docs with no duplicated
@@ -299,6 +301,12 @@ def dup_spans(ds, window: int = 16, num_partitions: int | None = None):
 
     MOD = (1 << 61) - 1
     BASE = 1_000_003
+
+    # For the rolling O(1)-per-position update: h_{i+1} =
+    # (h_i - v_i * BASE^{window-1}) * BASE + v_{i+window} (mod M) —
+    # identical values to the from-scratch fold, 1 mul+1 mod per word
+    # instead of ``window`` of them.
+    BW = pow(BASE, window - 1, MOD)
 
     def explode(batch: pa.Table) -> dict[str, pd.DataFrame]:
         word_cache: dict[str, int] = {}
@@ -316,10 +324,14 @@ def dup_spans(ds, window: int = 16, num_partitions: int | None = None):
                     v = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
                     word_cache[w] = v
                 vals.append(v)
-            for i in range(len(vals) - window + 1):
-                h = 0
-                for v in vals[i : i + window]:
-                    h = (h * BASE + v) % MOD
+            h = 0
+            for v in vals[:window]:
+                h = (h * BASE + v) % MOD
+            rows_h.append(h)
+            rows_d.append(did)
+            rows_p.append(1)
+            for i in range(1, len(vals) - window + 1):
+                h = ((h - vals[i - 1] * BW) * BASE + vals[i + window - 1]) % MOD
                 rows_h.append(h)
                 rows_d.append(did)
                 rows_p.append(i + 1)
@@ -1533,8 +1545,8 @@ def jaccard_join(
     threshold: float = 0.5,
     ngram: int = 3,
     num_partitions=None,
-    posting_cap: int = 256,
-    demote_heavy_grams: int = 0,
+    posting_cap: int | None = None,
+    demote_heavy_grams: int = 1024,
 ):
     """EXACT n-gram-Jaccard similarity self-join via prefix filtering
     (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
@@ -1555,22 +1567,31 @@ def jaccard_join(
 
     Plan: shuffle-free prefix explode (one row per PREFIX gram, never
     per gram) -> ONE gram-keyed exchange -> per-gram candidate pairs
-    with the length filter ``|small| >= t * |large|`` (posting lists
-    over ``posting_cap`` docs are truncated WITH A WARNING — a gram in
-    >cap docs is a stop-gram whose pairs other prefix grams almost
-    surely re-find) -> the shared `_verified_pairs` tail (bloom
-    prefilter + repartition join + pair-keyed exact verify), where
-    multi-gram duplicate candidates collapse for free.
+    with the length filter ``|small| >= t * |large|`` -> the shared
+    `_verified_pairs` tail (bloom prefilter + repartition join +
+    pair-keyed exact verify), where multi-gram duplicate candidates
+    collapse for free.
 
-    ``demote_heavy_grams=k`` adds the bounded stop-gram refinement: a
-    Misra-Gries pass finds the ~k most document-frequent grams
-    (sketch-bounded state, k-bounded broadcast — NOT the corpus-scale
-    df map) and moves them to the END of the global order, pushing
-    stop-grams out of every prefix so their quadratic posting lists
-    never form. Exactness is unaffected — the order stays globally
-    consistent — only candidate volume drops.
+    ``demote_heavy_grams=k`` (DEFAULT ON, k=1024) is the bounded
+    stop-gram refinement: a Misra-Gries pass finds the ~k most
+    document-frequent grams (sketch-bounded state, k-bounded broadcast
+    — NOT the corpus-scale df map) and moves them to the END of the
+    global order, pushing stop-grams out of every prefix so their
+    quadratic posting lists never form. Exactness is unaffected — the
+    order stays globally consistent — only candidate volume drops.
+    Pass 0 to skip the extra corpus pass on corpora known gram-uniform.
 
-    Returns Dataset[(doc_id_a, doc_id_b, jaccard)], exact."""
+    ``posting_cap`` is an OPT-IN approximation knob (default None =
+    never truncate): when set, a posting list longer than the cap keeps
+    only the ``cap`` lowest-(n, doc_id) docs — deterministic across
+    runs — logs a warning, and the join's exactness contract is VOID
+    for pairs whose every shared prefix gram was truncated. With
+    demotion on, hot grams leave the prefixes anyway, so the cap
+    should stay None outside adversarial memory budgets.
+
+    Returns Dataset[(doc_id_a, doc_id_b, jaccard)] — exact (every pair
+    with true J >= threshold present, with exact jaccard values)
+    whenever ``posting_cap`` is None."""
     import math
 
     import ray
@@ -1618,15 +1639,20 @@ def jaccard_join(
         for _, grp in df.groupby("gram", sort=False):
             if len(grp) < 2:
                 continue
-            if len(grp) > posting_cap:
+            if posting_cap is not None and len(grp) > posting_cap:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "jaccard_join: posting list truncated (%d > cap %d)",
+                    "jaccard_join: posting list truncated (%d > cap %d) — "
+                    "exactness void for pairs only this gram covered",
                     len(grp),
                     posting_cap,
                 )
-                grp = grp.iloc[:posting_cap]
+                # deterministic subset: keep the cap lowest-(n, doc_id)
+                # docs, not whichever rows arrived first in the block
+                grp = grp.sort_values(["n", "doc_id"], kind="mergesort").iloc[
+                    :posting_cap
+                ]
             docs = sorted(zip(grp["doc_id"].tolist(), grp["n"].tolist()))
             for i in range(len(docs)):
                 for j in range(i + 1, len(docs)):

@@ -1093,9 +1093,13 @@ def lm_score(
 def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
     """Rolling polynomial hash over word windows; the per-doc fingerprint
     is the MINIMUM window hash (a 1-perm MinHash — deterministic,
-    cross-process stable, no PYTHONHASHSEED dependence)."""
+    cross-process stable, no PYTHONHASHSEED dependence). True O(1)
+    rolling update per position (outgoing term scaled by
+    BASE^{window-1} subtracted, shift, incoming added) — byte-identical
+    to the from-scratch fold."""
     MOD = (1 << 61) - 1
     BASE = 1_000_003
+    BW = pow(BASE, window - 1, MOD)
     out = []
     word_cache: dict[str, int] = {}
     for t in batch.column("text").to_pylist():
@@ -1109,13 +1113,15 @@ def rolling_fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
                 v = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
                 word_cache[w] = v
             vals.append(v)
-        hashes = []
-        for i in range(len(vals) - window + 1):
-            h = 0
-            for v in vals[i : i + window]:
-                h = (h * BASE + v) % MOD
-            hashes.append(h)
-        out.append(min(hashes))
+        h = 0
+        for v in vals[:window]:
+            h = (h * BASE + v) % MOD
+        mn = h
+        for i in range(1, len(vals) - window + 1):
+            h = ((h - vals[i - 1] * BW) * BASE + vals[i + window - 1]) % MOD
+            if h < mn:
+                mn = h
+        out.append(mn)
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(out, type=pa.int64())],
         names=["doc_id", "fingerprint"],

@@ -555,6 +555,43 @@ class TestJaccardJoin:
         )
         assert stop_hash in heavy
 
+    def test_hot_gram_pair_found_by_default(self):
+        """Adversarial: a pair whose ONLY shared gram is hot (appears in
+        every doc). Pins VERDICT-r3 #4: the default path (posting_cap
+        None) must find it; an explicit cap loses it DETERMINISTICALLY
+        (lowest-(n, doc_id) survivors, stable across runs)."""
+        from docstrange_ray.ops.dedup import jaccard_join
+
+        # every doc = hot phrase "p1 p2 p3" + 3 private words: all pairs
+        # share exactly 1 of 7 grams -> J = 1/7 >= t=0.1
+        docs = [
+            {"doc_id": i, "text": f"p1 p2 p3 a{i} b{i} c{i}"} for i in range(20)
+        ] + [
+            {"doc_id": 900, "text": "p1 p2 p3 ax bx cx"},
+            {"doc_id": 901, "text": "p1 p2 p3 ay by cy"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(3)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in jaccard_join(ds, threshold=0.1).take_all()
+        }
+        assert (900, 901) in got and len(got) == 22 * 21 // 2
+        # opt-in cap: only the 8 lowest doc_ids survive the hot list
+        capped = [
+            sorted(
+                (r["doc_id_a"], r["doc_id_b"])
+                for r in jaccard_join(
+                    ds, threshold=0.1, posting_cap=8
+                ).take_all()
+            )
+            for _ in range(2)
+        ]
+        assert capped[0] == capped[1]  # deterministic truncation
+        assert (900, 901) not in set(capped[0])
+        assert set(capped[0]) == {
+            (a, b) for a in range(8) for b in range(8) if a < b
+        }
+
     def test_property_random_vs_brute(self):
         from hypothesis import given, settings, strategies as st
 

@@ -173,19 +173,35 @@ def kmeans_clusters(ds, k: int = 8, n_iters: int = 2, init: str = "first-k"):
     return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
 
 
-_CHUNK = 2048  # gram-matrix row chunk: bounds per-cluster memory to
-# CHUNK x cluster_size floats even for hot clusters
+_CHUNK = 2048  # sim-matrix tile edge: the pairwise pass materializes at
+# most CHUNK x CHUNK similarity floats at a time (both axes tiled), so
+# a hot cluster can never blow a worker's heap through the gram matrix.
 
 
 def semantic_dedup(
     ds, k: int = 8, n_iters: int = 2, tau: float = 0.4, init: str = "first-k",
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, target_cluster_size: int | None = None,
 ):
     """SemDeDup-style pruning: returns (vec_id, cluster, kept) where
     kept=0 iff some lower-vec_id member of the same cluster has rounded
-    cosine >= tau. ONE embedding shuffle (keyed by cluster)."""
+    cosine >= tau. ONE embedding shuffle (keyed by cluster).
+
+    Scale notes (VERDICT-r3 #5): the cluster key caps the prune's
+    PARALLELISM at k, and each group block holds one whole cluster's
+    embeddings — so k must scale with the corpus. Pass
+    ``target_cluster_size`` to derive ``k = max(k, ceil(n / target))``
+    (SemDeDup itself runs k ~ 100k clusters for exactly this reason);
+    the fixed default k=8 is the small-fixture/SQL-oracle setting. The
+    per-cluster pairwise pass is tiled on BOTH axes (<= _CHUNK^2
+    similarity floats live at once), so the only O(cluster) worker
+    allocation left is the normalized float64 copy of the cluster's own
+    embedding matrix — proportional to the group block grouped_blocks
+    already co-located."""
     from docstrange_ray.shuffle import grouped_blocks
 
+    if target_cluster_size is not None:
+        n = ds.count()
+        k = max(k, -(-n // target_cluster_size))
     cents = kmeans_fit(ds, k=k, n_iters=n_iters, init=init)
     assigned = kmeans_assign(ds, cents).select_columns(
         ["vec_id", "cluster", "embedding"]
@@ -202,10 +218,17 @@ def semantic_dedup(
             dropped = np.zeros(m, dtype=bool)
             for lo in range(1, m, _CHUNK):
                 hi = min(lo + _CHUNK, m)
-                sims = round6(mat[lo:hi] @ mat[:hi].T, 6)  # rows lo..hi vs all earlier
-                # row lo+r may only see columns with absolute index < lo+r
-                earlier = np.arange(hi)[None, :] < (lo + np.arange(hi - lo))[:, None]
-                dropped[lo:hi] = ((sims >= tau) & earlier).any(axis=1)
+                hit = np.zeros(hi - lo, dtype=bool)
+                # column tiles: row lo+r may only see columns < lo+r
+                for co in range(0, hi, _CHUNK):
+                    ce = min(co + _CHUNK, hi)
+                    sims = round6(mat[lo:hi] @ mat[co:ce].T)
+                    earlier = (
+                        np.arange(co, ce)[None, :]
+                        < (lo + np.arange(hi - lo))[:, None]
+                    )
+                    hit |= ((sims >= tau) & earlier).any(axis=1)
+                dropped[lo:hi] = hit
             frames.append(
                 pd.DataFrame(
                     {

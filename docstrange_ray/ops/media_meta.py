@@ -14,9 +14,34 @@ each payload), vectorization is the batch, no shuffle.
 
 from __future__ import annotations
 
+import functools
 import struct
+import zlib
 
 import pyarrow as pa
+
+
+def _normalize_parse_errors(fn):
+    """Decode entry points promise: malformed input raises ValueError.
+
+    A truncated header raises struct.error, truncated block data
+    IndexError, a corrupt LZW code KeyError, corrupt DEFLATE zlib.error
+    — all are EXPECTED inputs for a decoder fed arbitrary bytes, so
+    they normalize to ValueError here rather than crashing actor tasks
+    whose fallback paths catch ValueError (ADVICE-r3 #2)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (KeyError, IndexError, struct.error, zlib.error, EOFError, OverflowError) as e:
+            raise ValueError(
+                f"malformed payload in {fn.__name__}: {type(e).__name__}: {e}"
+            ) from e
+
+    return wrapped
 
 
 def sniff_media(data: bytes) -> dict:
@@ -96,6 +121,7 @@ def sniff_media(data: bytes) -> dict:
     return out
 
 
+@_normalize_parse_errors
 def decode_png(data: bytes):
     """REAL stdlib PNG decode -> grayscale ``numpy (h, w) uint8``:
     IDAT inflate + per-scanline unfiltering (None/Sub/Up/Average/Paeth)
@@ -292,6 +318,7 @@ def _receive_extend(reader: _JpegBitReader, s: int) -> int:
     return v
 
 
+@_normalize_parse_errors
 def decode_jpeg_gray(data: bytes):
     """REAL stdlib+numpy baseline-JPEG decode -> grayscale ``numpy
     (h, w) uint8``. From-scratch ITU-T T.81 baseline path: marker walk,
@@ -579,6 +606,7 @@ def _luma(rgb: "np.ndarray") -> "np.ndarray":
     ).astype(np.uint8)
 
 
+@_normalize_parse_errors
 def decode_gif_frames(data: bytes, max_frames: int = 0):
     """REAL stdlib GIF decode -> list of grayscale ``numpy (h, w) uint8``
     frames, composed per the GIF89a disposal model.
@@ -677,6 +705,7 @@ def decode_gif_frames(data: bytes, max_frames: int = 0):
     return frames
 
 
+@_normalize_parse_errors
 def gif_frame_count(data: bytes) -> int:
     """Count image descriptors by walking the block structure WITHOUT
     entropy decoding — the cheap metadata path for frame sampling."""
@@ -714,6 +743,7 @@ def gif_frame_count(data: bytes) -> int:
     return count
 
 
+@_normalize_parse_errors
 def decode_wav(data: bytes):
     """REAL stdlib-free WAV decode -> ``(samples int16 (n, channels),
     sample_rate)``: RIFF chunk walk (same walk as sniff_media), fmt

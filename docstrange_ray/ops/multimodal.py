@@ -316,6 +316,12 @@ class AudioFeatureActor:
                     else 0.0
                 )
                 dur = int(round(1000 * len(samples) / sr))
+            elif real:
+                # a structurally valid WAV with an empty data payload IS
+                # a real decode — report genuine zero features, not the
+                # fake branch's container-byte stats (ADVICE-r3 #3)
+                rms = zcr = 0.0
+                dur = 0
             else:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 rms = round(float(arr.mean()) / 255.0, 6) if len(arr) else 0.0

@@ -1289,22 +1289,33 @@ def source_vocab_overlap(ds, num_partitions: int | None = None):
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["source", "word"])
-        rows_a, rows_b, rows_n = [], [], []
-        # per-source distinct-word totals ride along as ("", source) rows
+        rows_k, rows_a, rows_b, rows_n = [], [], [], []
+        # per-source distinct-word totals ride along as kind=0 rows — a
+        # dedicated marker column, NOT an in-band sentinel key, so a
+        # source literally named "" can never collide (ADVICE-r3 #4)
         tot = df.groupby("source").size()
         for src, n in tot.items():
-            rows_a.append("")
+            rows_k.append(0)
+            rows_a.append(src)
             rows_b.append(src)
             rows_n.append(int(n))
         for _, grp in df.groupby("word", sort=False):
             srcs = sorted(grp["source"].tolist())
             for i in range(len(srcs)):
                 for j in range(i + 1, len(srcs)):
+                    rows_k.append(1)
                     rows_a.append(srcs[i])
                     rows_b.append(srcs[j])
                     rows_n.append(1)
-        out = pd.DataFrame({"source_a": rows_a, "source_b": rows_b, "n": rows_n})
-        return out.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+        out = pd.DataFrame(
+            {
+                "kind": pd.Series(rows_k, dtype=np.int8),
+                "source_a": rows_a,
+                "source_b": rows_b,
+                "n": rows_n,
+            }
+        )
+        return out.groupby(["kind", "source_a", "source_b"], as_index=False)["n"].sum()
 
     partials = grouped_blocks(
         ds.map_batches(
@@ -1317,11 +1328,10 @@ def source_vocab_overlap(ds, num_partitions: int | None = None):
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
-        totals = dict(
-            zip(df.loc[df["source_a"] == "", "source_b"], df.loc[df["source_a"] == "", "n"])
-        )
-        pairs = df[df["source_a"] != ""].copy()
+        df = df.groupby(["kind", "source_a", "source_b"], as_index=False)["n"].sum()
+        tot_rows = df[df["kind"] == 0]
+        totals = dict(zip(tot_rows["source_a"], tot_rows["n"]))
+        pairs = df[df["kind"] == 1].copy()
         if not len(pairs):
             return pd.DataFrame(
                 {
@@ -1334,7 +1344,7 @@ def source_vocab_overlap(ds, num_partitions: int | None = None):
         na = pairs["source_a"].map(totals).to_numpy(dtype=np.int64)
         nb = pairs["source_b"].map(totals).to_numpy(dtype=np.int64)
         nc = pairs["n"].to_numpy(dtype=np.int64)
-        jac = [round(int(c) / int(a + b - c), 6) for c, a, b in zip(nc, na, nb)]
+        jac = round6(nc.astype(np.float64) / (na + nb - nc))
         return pd.DataFrame(
             {
                 "source_a": pairs["source_a"].to_numpy(),

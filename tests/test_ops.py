@@ -1236,6 +1236,67 @@ class TestAudioDecode:
         with _pytest.raises(NotImplementedError):
             AudioFeatureActor(backend="mp3")
 
+    def test_empty_wav_is_real_decode_with_zero_features(self):
+        # ADVICE-r3 #3: a structurally valid WAV with an empty data
+        # payload is a REAL decode — zero features, not container-byte
+        # stats with duration -1
+        import pyarrow as pa
+
+        from docstrange_ray.ops.multimodal import MEDIA_SCHEMA, AudioFeatureActor
+        from docstrange_ray.synth_files import make_wav
+
+        row = {
+            "media_ref": "m://empty",
+            "payload": make_wav(0),
+            "mime": "audio/wav",
+            "width": -1,
+            "height": -1,
+            "n_frames": 1,
+        }
+        out = AudioFeatureActor(backend="auto")(
+            pa.Table.from_pylist([row], schema=MEDIA_SCHEMA)
+        ).to_pylist()[0]
+        assert out["real_decode"] is True
+        assert out["rms"] == 0.0 and out["zcr"] == 0.0 and out["duration_ms"] == 0
+
+    def test_truncated_media_takes_fake_path_not_crash(self):
+        # ADVICE-r3 #2: truncated/corrupt GIF bytes raise struct.error/
+        # IndexError/KeyError from the raw parsers; the decode entry
+        # points normalize ALL parse failures to ValueError so the
+        # actors' documented fake fallback engages instead of the task
+        # crashing
+        import numpy as np
+        import pyarrow as pa
+
+        from docstrange_ray.ops.multimodal import (
+            MEDIA_SCHEMA,
+            FrameSampleActor,
+            ImageDecodeActor,
+        )
+        from docstrange_ray.synth_files import make_gif_animated, synth_gif_frames
+
+        g = make_gif_animated(synth_gif_frames(3, 12, 10, seed=1))
+        corrupt = bytearray(g)
+        corrupt[len(corrupt) // 2] ^= 0xFF
+        rows = [
+            {
+                "media_ref": f"m://bad{i}",
+                "payload": p,
+                "mime": "image/gif",
+                "width": 12,
+                "height": 10,
+                "n_frames": 3,
+            }
+            for i, p in enumerate(
+                [g[:8], g[:20], g[: len(g) // 2], g[:-3], bytes(corrupt)]
+            )
+        ]
+        tbl = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        out = FrameSampleActor(backend="auto", n_sample=2)(tbl)
+        assert out.num_rows >= len(rows)  # every payload produced rows
+        dec = ImageDecodeActor(backend="auto")(tbl)
+        assert dec.num_rows == len(rows)
+
 
 class TestCorpusTerms:
     """top_ngrams (partial-reduce + one shuffle + coalesced top-k) and
@@ -1463,6 +1524,24 @@ class TestSourceVocabOverlap:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         # s3 shares no vocabulary with s1/s2: exactly one pair (s1, s2)
         assert set(zip(got["source_a"], got["source_b"])) == {("s1", "s2")}
+
+    def test_source_named_empty_string(self):
+        # ADVICE-r3 #4: "" used to be the in-band totals sentinel; a
+        # source literally named "" must now get correct totals/Jaccard
+        from docstrange_ray.ops.textstats import source_vocab_overlap
+
+        docs = pa.table(
+            {
+                "source": ["", "", "b"],
+                "text": ["alpha beta gamma", "delta", "alpha beta zeta"],
+            }
+        )
+        got = source_vocab_overlap(ray.data.from_arrow(docs)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        # "": {alpha,beta,gamma,delta} (4), b: {alpha,beta,zeta} (3), common 2
+        assert (r["source_a"], r["source_b"]) == ("", "b")
+        assert r["n_common"] == 2 and r["jaccard"] == 0.4
 
     def test_batch_invariant(self, src_docs):
         from docstrange_ray.ops.textstats import source_vocab_overlap

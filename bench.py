@@ -36,6 +36,105 @@ BENCH_DOCS_PER_SF_DOC = 40
 CORPUS_VERSION = 3  # bump when synth population mix changes (cache key)
 
 
+def probe_seconds() -> float:
+    """One rep of scripts/noise_probe.py's fixed single-thread workload —
+    recorded into the bench JSON so every datapoint carries its own
+    interference reading (round-3 protocol: only compare bench numbers
+    whose probe values are within ~1.5x; quiet floor ~0.16 s on this
+    host)."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = a * 1.0000001 + 3.0
+        hashlib.md5(b"x" * 4_000_000).hexdigest()
+    return round(time.perf_counter() - t0, 3)
+
+
+# Per-operator queries run in FRESH Ray sessions (one subprocess per
+# group): a single 31-op session accumulates object-store pressure and
+# idle actor-pool workers that amplify host interference on later ops
+# (VERDICT r3: q1_pricing/events_hourly/ann_topk inflated 3-5x with no
+# code change). Groups keep the session count bounded (~4 x 3 s session
+# overhead) while bounding cross-op accumulation to a group.
+OP_GROUPS: list[list[str]] = [
+    [
+        "real_format_extract",
+        "token_count",
+        "top_ngrams",
+        "tfidf_terms",
+        "gopher_filter",
+        "heavy_tokens",
+        "bm25_search",
+    ],
+    [
+        "exact_dedup",
+        "incremental_dedup",
+        "minhash_near_dups",
+        "jaccard_join_pairs",
+        "simhash_pairs",
+        "dup_spans",
+    ],
+    [
+        "pack_offsets",
+        "nb_classify",
+        "source_mix",
+        "semantic_dedup",
+        "ann_topk",
+        "pq_ann_topk",
+        "curated_docs",
+    ],
+    [
+        "q1_pricing",
+        "events_hourly",
+        "events_sliding",
+        "events_last_order",
+        "user_sessions",
+        "user_running_total",
+        "global_doc_rank",
+    ],
+]
+
+
+def run_ops_group(sf_dir: str, num_cpus: int, group_idx: int) -> dict:
+    """One fresh-session subprocess: time each op in OP_GROUPS[group_idx]."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from docstrange_ray.shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in OP_GROUPS[group_idx]:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+        del res
+    ray.shutdown()
+    return timings
+
+
 def corpus_dir(n_docs: int) -> str:
     return f"/tmp/dsray_bench_corpus/v{CORPUS_VERSION}-seed{SEED}-n{n_docs}"
 
@@ -71,6 +170,7 @@ ray.shutdown()
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    probe_headline = probe_seconds()
     import ray
 
     ray.init(
@@ -149,44 +249,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert rerun == [], f"resume rewrote {len(rerun)} partitions"
     timings["run_extract_job_resume_noop"] = round(time.time() - t0, 3)
 
-    # --- representative per-operator timings ---
-    import __ray_entry__ as entrymod
+    # the headline session ends here; per-op groups run in FRESH
+    # sessions (see OP_GROUPS) so a long session's accumulated state
+    # can't contaminate later ops
+    ray.shutdown()
 
-    qs = entrymod.queries()
-    for name in (
-        "real_format_extract",
-        "token_count",
-        "top_ngrams",
-        "tfidf_terms",
-        "gopher_filter",
-        "exact_dedup",
-        "incremental_dedup",
-        "heavy_tokens",
-        "minhash_near_dups",
-        "jaccard_join_pairs",
-        "simhash_pairs",
-        "dup_spans",
-        "pack_offsets",
-        "nb_classify",
-        "source_mix",
-        "semantic_dedup",
-        "ann_topk",
-        "pq_ann_topk",
-        "curated_docs",
-        "q1_pricing",
-        "events_hourly",
-        "events_sliding",
-        "events_last_order",
-        "user_sessions",
-        "user_running_total",
-        "bm25_search",
-        "global_doc_rank",
-    ):
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.time() - t0, 3)
+    probes: dict[str, float] = {"headline": probe_headline}
+    for gi in range(len(OP_GROUPS)):
+        probes[f"group{gi}"] = probe_seconds()
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ops-group", str(gi)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        timings.update(json.loads(out.strip().splitlines()[-1]))
 
     result = {
         "metric": "end-to-end extraction seconds (headline) + per-op seconds",
@@ -197,8 +279,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 2),
+        "probes": probes,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
-    ray.shutdown()
     return result
 
 
@@ -312,6 +395,9 @@ if __name__ == "__main__":
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--ops-group" in sys.argv:
+        gi = int(sys.argv[sys.argv.index("--ops-group") + 1])
+        print(json.dumps(run_ops_group(sf_dir, ncpu, gi)))
     elif "--headline-only" in sys.argv:
         n_docs = int(os.environ["GRAFT_N_DOCS"])
         print(json.dumps(run_headline_only(sf_dir, ncpu, n_docs)))

@@ -720,7 +720,7 @@ def tfidf_topk(
     k: int = 5,
     num_partitions: int | None = None,
     plan: str = "auto",
-    broadcast_term_limit: int = 5_000_000,
+    broadcast_term_limit: int = 2_000_000,
 ):
     """Per-document top-k terms by tf-idf (idf = ln(N/df)).
 

@@ -748,6 +748,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_emb(sf_dir), q, qids, k=10, m=16, n_codes=64, n_probe=8
         )
 
+    def _planted_ann_table():
+        """Deterministic planted-neighbor fixture (VERDICT-r3 #7): 4
+        md5-derived base vectors (vec_id 0..3), 9 positively-SCALED
+        copies each (vec_id 4 + b*9 + c — cosine exactly 1.0 after
+        normalization, but different stored bytes), plus 480 md5 random
+        fillers whose cosine vs any base stays far from 1. The exact
+        top-10 for query b is therefore {b} + its 9 copies, all at
+        rounded score 1.0 — SQL-expressible as pure arithmetic."""
+        import hashlib as _hl
+
+        import pyarrow as _pa
+
+        D = 16
+
+        def md5vec(tag: str) -> np.ndarray:
+            h = _hl.md5(tag.encode()).digest()
+            return np.array([float(h[j]) - 127.5 for j in range(D)])
+
+        vecs: list[np.ndarray] = [md5vec(f"base:{b}") for b in range(4)]
+        for b in range(4):
+            for c in range(9):
+                vecs.append(vecs[b] * float(c + 2))
+        vecs.extend(md5vec(f"fill:{i}") for i in range(480))
+        return _pa.table(
+            {
+                "vec_id": _pa.array(range(len(vecs)), _pa.int64()),
+                "embedding": _pa.array(
+                    [v.astype(np.float32) for v in vecs],
+                    _pa.list_(_pa.float32()),
+                ),
+            }
+        )
+
+    def ivf_recall_planted(sf_dir):
+        """IVF recall oracle: on the planted fixture the true top-10 per
+        query lies entirely in the query's own IVF list (identical
+        normalized vectors assign identically), so the approximate probe
+        must return the exact planted set — SQL-oracled."""
+        import ray
+
+        tbl = _planted_ann_table()
+        q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"][:4].to_pylist()]
+        )
+        return ann.ivf_topk(
+            ray.data.from_arrow(tbl).repartition(8), q, [0, 1, 2, 3], k=10,
+            n_centroids=8, n_probe=2,
+        )
+
+    def lsh_recall_planted(sf_dir):
+        """LSH-bucket recall oracle on the planted fixture: identical
+        normalized vectors share a hyperplane signature by construction,
+        so the bucket probe must return the exact planted set."""
+        import ray
+
+        tbl = _planted_ann_table()
+        q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"][:4].to_pylist()]
+        )
+        return ann.lsh_topk(ray.data.from_arrow(tbl).repartition(8), q, [0, 1, 2, 3], k=10)
+
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
@@ -765,22 +826,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def audio_features(sf_dir):
-        """REAL audio decode: PCM16 WAV payloads (tones + noise,
-        stdlib writers) -> genuine RMS / zero-crossing-rate /
-        duration via the from-scratch RIFF+PCM decoder
-        (ops/media_meta.decode_wav)."""
+        """REAL audio decode: PCM16 WAV payloads (exact-integer square
+        waves + silence, stdlib writers) -> genuine RMS /
+        zero-crossing-rate / duration via the from-scratch RIFF+PCM
+        decoder (ops/media_meta.decode_wav). Square waves make every
+        feature an exact rational (RMS = amp/32768, ZCR = flips/(n-1)),
+        so the whole query is SQL-oracled — the oracle regenerates the
+        sample signs arithmetically and recomputes the features."""
         import pyarrow as _pa
         import ray
         from docstrange_ray.ops import multimodal
-        from docstrange_ray.synth_files import make_wav, make_wav_tone
+        from docstrange_ray.synth_files import make_wav, make_wav_square
 
         rows = []
         for i in range(200):
             if i % 4 == 0:
                 payload = make_wav(100 + (i % 7) * 50, sample_rate=8000)
             else:
-                payload = make_wav_tone(
-                    220.0 + 55.0 * (i % 8), 80 + (i % 5) * 40, sample_rate=8000
+                payload = make_wav_square(
+                    200 + 50 * (i % 8),
+                    80 + (i % 5) * 40,
+                    sample_rate=8000,
+                    amp=6000 + (i % 5) * 1500,
                 )
             rows.append(
                 {
@@ -1032,6 +1099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": audio_features,
         "ivf_ann_topk": ivf_ann_topk,
         "pq_ann_topk": pq_ann_topk,
+        "ivf_recall_planted": ivf_recall_planted,
+        "lsh_recall_planted": lsh_recall_planted,
         # relational
         "q1_pricing": relational.q1_pricing,
         "q6_revenue": relational.q6_revenue,
@@ -2224,6 +2293,102 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
                          e.vec_id ASC
             ) <= 10
+        """,
+        # media_metadata: the Ray side sniffs REAL container bytes; the
+        # generator (synth_files.real_media_table) parametrizes every
+        # header field as modular arithmetic of the row index, so the
+        # expected table is SQL-buildable from the same arithmetic —
+        # the sniffer must recover exactly what the writers encoded.
+        "media_metadata": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            ), idx AS (
+                SELECT UNNEST(range((SELECT n FROM nn))) AS i
+            )
+            SELECT 'media://real/' || i AS media_ref,
+                   CASE i % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                              WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg'
+                   END AS mime,
+                   CASE i % 5 WHEN 0 THEN 16 + (i % 5) * 8
+                              WHEN 1 THEN 8 + (i % 4) * 4
+                              WHEN 2 THEN -1
+                              ELSE 32 + (i % 3) * 16 END AS width,
+                   CASE i % 5 WHEN 0 THEN 16 + (i % 3) * 8
+                              WHEN 1 THEN 8 + (i % 2) * 4
+                              WHEN 2 THEN -1
+                              ELSE 24 + (i % 2) * 8 END AS height,
+                   CASE i % 5 WHEN 2 THEN 1 ELSE -1 END AS channels,
+                   CASE i % 5 WHEN 2 THEN 8000 ELSE -1 END AS sample_rate,
+                   CASE i % 5 WHEN 2 THEN 50 + (i % 5) * 25 ELSE -1 END
+                       AS duration_ms
+            FROM idx
+        """,
+        # audio_features: the Ray side decodes REAL WAV bytes; the
+        # generator writes exact-integer square waves (+ silence), so
+        # the oracle regenerates sample SIGNS arithmetically and
+        # recomputes RMS/ZCR/duration as exact rationals.
+        "audio_features": r"""
+            WITH idx AS (
+                SELECT UNNEST(range(200)) AS i
+            ), sil AS (
+                SELECT 'media://aud/' || i AS media_ref,
+                       0.0 AS rms, 0.0 AS zcr,
+                       (100 + (i % 7) * 50)::BIGINT AS duration_ms,
+                       TRUE AS real_decode
+                FROM idx WHERE i % 4 = 0
+            ), sq AS (
+                SELECT i,
+                       (6000 + (i % 5) * 1500)::BIGINT AS amp,
+                       (200 + 50 * (i % 8))::BIGINT AS freq,
+                       (80 + (i % 5) * 40)::BIGINT AS dur
+                FROM idx WHERE i % 4 <> 0
+            ), samp AS (
+                SELECT sq.i, sq.amp, sq.dur, t.j,
+                       ((t.j * 2 * sq.freq) // 8000) % 2 AS phase
+                FROM sq, UNNEST(range(8 * sq.dur)) AS t(j)
+            ), flips AS (
+                SELECT i, amp, dur,
+                       SUM(CASE WHEN phase <> prev THEN 1 ELSE 0 END) AS n_flips,
+                       COUNT(*) AS n
+                FROM (
+                    SELECT i, amp, dur, phase,
+                           LAG(phase) OVER (PARTITION BY i ORDER BY j) AS prev
+                    FROM samp
+                )
+                WHERE prev IS NOT NULL
+                GROUP BY i, amp, dur
+            )
+            SELECT 'media://aud/' || i AS media_ref,
+                   ROUND(amp / 32768.0, 6) AS rms,
+                   ROUND(CAST(n_flips AS DOUBLE) / n, 6) AS zcr,
+                   dur AS duration_ms,
+                   TRUE AS real_decode
+            FROM flips
+            UNION ALL
+            SELECT * FROM sil
+        """,
+        # planted-neighbor ANN recall oracles: the fixture is built so
+        # the EXACT top-10 per query is {base} + its 9 scaled copies at
+        # rounded cosine 1.0 (fillers provably below) — the approximate
+        # probes must therefore return exactly this arithmetic table.
+        "ivf_recall_planted": r"""
+            WITH q AS (SELECT UNNEST(range(4)) AS b),
+                 c AS (SELECT UNNEST(range(9)) AS c)
+            SELECT b::BIGINT AS query_id, vec_id, 1.0 AS score FROM (
+                SELECT b, b::BIGINT AS vec_id FROM q
+                UNION ALL
+                SELECT b, (4 + b * 9 + c)::BIGINT FROM q, c
+            )
+        """,
+        "lsh_recall_planted": r"""
+            WITH q AS (SELECT UNNEST(range(4)) AS b),
+                 c AS (SELECT UNNEST(range(9)) AS c)
+            SELECT b::BIGINT AS query_id, vec_id, 1.0 AS score FROM (
+                SELECT b, b::BIGINT AS vec_id FROM q
+                UNION ALL
+                SELECT b, (4 + b * 9 + c)::BIGINT FROM q, c
+            )
         """,
         "q1_pricing": relational.Q1_SQL,
         "q6_revenue": relational.Q6_SQL,

@@ -25,6 +25,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from docstrange_ray.numerics import round6
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_ref", pa.string()),
@@ -330,8 +332,8 @@ class AudioFeatureActor:
             rows.append(
                 {
                     "media_ref": ref,
-                    "rms": round(rms, 6),
-                    "zcr": round(zcr, 6),
+                    "rms": float(round6(rms)),
+                    "zcr": float(round6(zcr)),
                     "duration_ms": dur,
                     "real_decode": real,
                 }

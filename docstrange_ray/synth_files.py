@@ -607,6 +607,32 @@ def make_wav(duration_ms: int, sample_rate: int = 8000, channels: int = 1) -> by
     return buf.getvalue()
 
 
+def make_wav_square(
+    freq: int, duration_ms: int, sample_rate: int = 8000, amp: int = 12000
+) -> bytes:
+    """A PCM16 WAV square wave with EXACT integer samples: sample j is
+    ``+amp`` when ``(j * 2 * freq) // sample_rate`` is even, ``-amp``
+    otherwise. Every derived feature is an exact rational (RMS =
+    amp/32768, ZCR = flips/(n-1)), which is what makes the
+    audio_features driver query SQL-oracle-able — a sine tone's
+    int16 quantization depends on libm ulps, a square wave's doesn't."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    n = int(sample_rate * duration_ms / 1000)
+    j = np.arange(n, dtype=np.int64)
+    sgn = np.where(((j * 2 * freq) // sample_rate) % 2 == 0, amp, -amp)
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(sgn.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def make_jpeg_header(width: int, height: int) -> bytes:
     """A structurally valid JPEG prefix (SOI, JFIF APP0, SOF0 with the
     given dimensions, EOI) — header-sniffable; carries no entropy-coded

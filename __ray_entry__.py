@@ -168,8 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from docstrange_ray.sources import extract_files
         from docstrange_ray.synth_files import make_png_gray
 
+        from docstrange_ray.synth_files import make_text_png
+
         out = (
-            "/tmp/dsray_pixel_pages_v1_"
+            "/tmp/dsray_pixel_pages_v2_"
             f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         )
         if not os.path.isdir(out):
@@ -181,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     img[y0 : y0 + 7 + (i % 2), 8 : 110 - (li * 9) % 40] = 20
                 with open(os.path.join(out, f"page{i}.png"), "wb") as f:
                     f.write(make_png_gray(img))
+            # glyph-font pages: the recognizer reads ACTUAL text back
+            # from actual pixels (extract/glyphs template matcher)
+            for i in range(4):
+                lines = [f"PAGE {i + 2} OF 9", "RAY DATA ENGINE", f"SECTION {i + 2}-A"]
+                with open(os.path.join(out, f"text{i}.png"), "wb") as f:
+                    f.write(make_text_png(lines))
 
         def flatten(batch: pa.Table) -> pa.Table:
             from docstrange_ray.schema import FLAT_SPANS_SCHEMA

@@ -88,8 +88,12 @@ class ProjectionProfileBackend:
     pre-neural layout technique (ink-row histograms). Each detected
     band becomes a block with REAL bbox geometry (y-range from the row
     profile, x-range from the column profile inside the band) in
-    reading order. RECOGNITION needs a model, so block text is a
-    deterministic placeholder carrying the real geometry — a
+    reading order. RECOGNITION runs the deterministic glyph-template
+    matcher (extract/glyphs: nearest 5x7 bitmap template per
+    column-profile cell — the pre-neural OCR-B approach, no weights):
+    native-scale font pages read back their ACTUAL text from actual
+    pixels; any band the font can't read keeps the geometry-only
+    placeholder, so arbitrary scans degrade to round-3 behavior. A
     weights-bearing backend (DoclingPageBackend) OCRs the same pixels
     behind the same interface. Descriptor payloads without an image
     pass through untouched (mock semantics), so mixed corpora extract
@@ -132,14 +136,19 @@ class ProjectionProfileBackend:
             band = dark[y0:y]
             cols = np.where(band.any(axis=0))[0]
             x0, x1 = (int(cols[0]), int(cols[-1]) + 1) if cols.size else (0, img.shape[1])
+            from docstrange_ray.extract.glyphs import read_line
+
+            recognized = read_line(band[:, x0:x1])
             blocks.append(
                 {
-                    "text": f"[text line {len(blocks) + 1}: {y - y0}px]",
+                    "text": recognized
+                    if recognized is not None
+                    else f"[text line {len(blocks) + 1}: {y - y0}px]",
                     "x": x0,
                     "y": int(y0),
                     "w": x1 - x0,
                     "h": int(y - y0),
-                    "conf": 0.9,
+                    "conf": 0.99 if recognized is not None else 0.9,
                 }
             )
         return json.dumps(

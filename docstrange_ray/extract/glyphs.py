@@ -1,0 +1,151 @@
+"""Tiny 5x7 bitmap font + glyph-template matcher — the deterministic
+recognizer behind ``page_backend='pixels'``.
+
+The reference's recognition step is easyocr's neural text reader
+(neural_document_processor.py:623-644); no weights are installable in
+this sandbox, so the pixels backend pairs its REAL projection-profile
+layout geometry with the classic pre-neural recognizer: binarize, cut
+glyph cells on the column profile, and nearest-template match against a
+fixed bitmap font (the approach of 1970s-era OCR-B readers — public
+domain math, no model artifact). It genuinely reads pixels: rendering
+text with :func:`docstrange_ray.synth_files.render_text_image` and
+extracting it round-trips through actual ink. Its contract is narrow
+and documented: native-scale 5x7 glyphs, uppercase+digits+punctuation;
+anything unmatched falls back to the geometry-only placeholder text, so
+scanned real-world pages degrade exactly to the round-3 behavior.
+
+Glyph patterns are the ubiquitous public-domain HD44780-style 5x7
+forms, hand-entered.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GLYPH_H = 7
+GLYPH_W = 5
+ADVANCE = GLYPH_W + 1  # 1px inter-glyph gap; a space is a skipped cell
+
+_RAW: dict[str, tuple[str, ...]] = {
+    "A": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "B": ("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    "C": (".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    "D": ("###..", "#..#.", "#...#", "#...#", "#...#", "#..#.", "###.."),
+    "E": ("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    "F": ("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    "G": (".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".####"),
+    "H": ("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "I": (".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "J": ("..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."),
+    "K": ("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    "L": ("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    "M": ("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    "N": ("#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"),
+    "O": (".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "P": ("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    "Q": (".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    "R": ("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    "S": (".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    "T": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "U": ("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "V": ("#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "W": ("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    "X": ("#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"),
+    "Y": ("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    "Z": ("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    "0": (".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    "1": ("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "2": (".###.", "#...#", "....#", "..##.", ".#...", "#....", "#####"),
+    "3": ("#####", "...#.", "..#..", "...#.", "....#", "#...#", ".###."),
+    "4": ("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    "5": ("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    "6": ("..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."),
+    "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
+    ".": (".....", ".....", ".....", ".....", ".....", ".##..", ".##.."),
+    ",": (".....", ".....", ".....", ".....", ".##..", "..#..", ".#..."),
+    "-": (".....", ".....", ".....", ".###.", ".....", ".....", "....."),
+    ":": (".....", ".##..", ".##..", ".....", ".##..", ".##..", "....."),
+    "/": ("....#", "....#", "...#.", "..#..", ".#...", "#....", "#...."),
+    "#": (".#.#.", ".#.#.", "#####", ".#.#.", "#####", ".#.#.", ".#.#."),
+}
+
+
+def glyph_bitmap(ch: str) -> np.ndarray:
+    """(7, 5) bool ink mask for a supported character."""
+    rows = _RAW[ch]
+    return np.array([[c == "#" for c in r] for r in rows], dtype=bool)
+
+
+def _crop_ink(mask: np.ndarray) -> np.ndarray:
+    """Crop a bool mask to its ink bounding box."""
+    ys, xs = np.nonzero(mask)
+    return mask[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+
+_TEMPLATES: list[tuple[str, np.ndarray]] | None = None
+
+
+def _templates() -> list[tuple[str, np.ndarray]]:
+    global _TEMPLATES
+    if _TEMPLATES is None:
+        _TEMPLATES = [(ch, _crop_ink(glyph_bitmap(ch))) for ch in _RAW]
+    return _TEMPLATES
+
+
+def match_cell(cell: np.ndarray, max_dist: int = 1) -> str | None:
+    """Nearest-template match of an ink-cropped glyph cell (bool mask).
+    Returns the character, or None when no same-shape template is
+    within ``max_dist`` differing pixels. max_dist=1 keeps matching
+    unambiguous: the closest same-shape template pair ('0'/'O') differs
+    by 3 pixels, so a cell within 1 of one glyph is >= 2 from every
+    other (pinned by TestPixelsBackend's pairwise-distance test)."""
+    best_ch, best_d = None, max_dist + 1
+    for ch, tpl in _templates():
+        if tpl.shape != cell.shape:
+            continue
+        d = int(np.count_nonzero(tpl != cell))
+        if d < best_d:
+            best_ch, best_d = ch, d
+    return best_ch
+
+
+def read_line(band: np.ndarray, space_gap: int = 6) -> str | None:
+    """Recognize one text-line band (bool ink mask, full line height).
+
+    Cells are cut on the column profile (runs of inked columns); a gap
+    of >= ``space_gap`` empty columns reads as a word space. Bounds:
+    adjacent glyphs' ink-to-ink gap is at most 4 px (narrowest ink
+    inset is start col 1 / end col 2, e.g. ','→'-'), while a skipped
+    space cell yields at least 7 px — so 6 separates them with margin.
+    Returns the recognized string, or None when ANY
+    cell fails to match — callers fall back to geometry-only output, so
+    a page this font can't read degrades cleanly."""
+    cols = band.any(axis=0)
+    if not cols.any():
+        return None
+    runs: list[tuple[int, int]] = []
+    x = 0
+    w = band.shape[1]
+    while x < w:
+        if not cols[x]:
+            x += 1
+            continue
+        x0 = x
+        while x < w and cols[x]:
+            x += 1
+        runs.append((x0, x))
+    out: list[str] = []
+    prev_end: int | None = None
+    for x0, x1 in runs:
+        if prev_end is not None and x0 - prev_end >= space_gap:
+            out.append(" ")
+        prev_end = x1
+        cell = band[:, x0:x1]
+        ys = np.nonzero(cell.any(axis=1))[0]
+        ch = match_cell(cell[ys.min() : ys.max() + 1])
+        if ch is None:
+            return None
+        out.append(ch)
+    return "".join(out)

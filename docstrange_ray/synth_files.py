@@ -607,6 +607,39 @@ def make_wav(duration_ms: int, sample_rate: int = 8000, channels: int = 1) -> by
     return buf.getvalue()
 
 
+def render_text_image(
+    lines: list[str], margin: int = 4, line_gap: int = 5, ink: int = 20, bg: int = 250
+):
+    """Render text lines into a grayscale page image with the 5x7
+    bitmap font (extract/glyphs) — the fixture generator for the
+    pixels-backend OCR round trip: glyphs advance 6px (1px gap), a
+    space skips one cell, lines are 7px tall with ``line_gap`` rows
+    between. Returns numpy (h, w) uint8. Unsupported characters raise
+    KeyError — fixtures use the font's charset (uppercase, digits,
+    basic punctuation)."""
+    import numpy as np
+
+    from docstrange_ray.extract.glyphs import ADVANCE, GLYPH_H, GLYPH_W, glyph_bitmap
+
+    lines = [ln.upper() for ln in lines]
+    w = 2 * margin + max((len(ln) * ADVANCE - 1 for ln in lines), default=1)
+    h = 2 * margin + len(lines) * GLYPH_H + max(0, len(lines) - 1) * line_gap
+    img = np.full((h, w), bg, dtype=np.uint8)
+    for li, ln in enumerate(lines):
+        y = margin + li * (GLYPH_H + line_gap)
+        for ci, ch in enumerate(ln):
+            if ch == " ":
+                continue
+            x = margin + ci * ADVANCE
+            img[y : y + GLYPH_H, x : x + GLYPH_W][glyph_bitmap(ch)] = ink
+    return img
+
+
+def make_text_png(lines: list[str]) -> bytes:
+    """PNG-encoded :func:`render_text_image` page."""
+    return make_png_gray(render_text_image(lines))
+
+
 def make_wav_square(
     freq: int, duration_ms: int, sample_rate: int = 8000, amp: int = 12000
 ) -> bytes:

@@ -557,6 +557,56 @@ class TestPixelsBackend:
         desc = json.dumps({"embedded_text": "abc", "blocks": []})
         assert ProjectionProfileBackend().analyze_page(desc) == desc
 
+    def test_glyph_font_unambiguous_and_round_trips(self):
+        # every supported char round-trips alone and in a pangram; any
+        # same-shape template pair differs by > 2*max_dist pixels so the
+        # nearest-template match can never confuse two glyphs
+        import numpy as np
+
+        from docstrange_ray.extract import glyphs
+        from docstrange_ray.synth_files import render_text_image
+
+        chars = sorted(glyphs._RAW)
+        tpls = [(ch, glyphs._crop_ink(glyphs.glyph_bitmap(ch))) for ch in chars]
+        for i, (ca, ta) in enumerate(tpls):
+            for cb, tb in tpls[i + 1 :]:
+                if ta.shape == tb.shape:
+                    # > 2*max_dist(=1): nearest-match can't confuse glyphs
+                    assert int(np.count_nonzero(ta != tb)) > 2, (ca, cb)
+        line = "".join(chars)
+        img = render_text_image([line], margin=2)
+        band = img < 128
+        ys = np.nonzero(band.any(axis=1))[0]
+        xs = np.nonzero(band.any(axis=0))[0]
+        got = glyphs.read_line(band[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1])
+        assert got == line
+
+    def test_glyph_recognizer_reads_real_text_end_to_end(self, ray_session, tmp_path):
+        """S12 with actual recognition: render text with the bitmap
+        font, decode + segment + template-match through the full
+        pipeline — extracted spans contain the rendered text (VERDICT-r3
+        #8), still span-equal to the sequential oracle."""
+        from dataclasses import replace
+
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.sources import extract_files, read_files
+        from docstrange_ray.synth_files import make_text_png
+
+        p = tmp_path / "text_page.png"
+        # avoid 0/1/| which the reference-faithful M8 OCR postprocess rewrites
+        p.write_bytes(make_text_png(["HELLO WORLD 42", "RAY DATA ENGINE"]))
+        cfg = replace(DEFAULT, page_backend="pixels")
+        rows = extract_files(str(p), cfg).take_all()
+        assert len(rows) == 1
+        joined = " ".join(s["text"] for s in rows[0]["spans"])
+        assert "HELLO WORLD 42" in joined and "RAY DATA ENGINE" in joined
+        inputs = read_files(str(p), cfg).take_all()
+        oracle = extract_corpus(
+            [{k: r[k] for k in ("doc_id", "spans")} for r in inputs], cfg
+        )
+        assert [dict(s) for s in rows[0]["spans"]] == oracle[0]["spans"]
+
     def test_pipeline_matches_oracle_with_pixels_backend(self, ray_session, tmp_path):
         from dataclasses import replace
 

@@ -29,6 +29,9 @@ import pyarrow.parquet as pq
 
 _EXTRACT_DOCS_CAP = 2000
 
+# mixture_weights targets — mirrored literally in the oracle SQL VALUES
+MIXTURE_TARGETS = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1}
+
 
 def _corpus_size(sf_dir: str) -> int:
     """Deterministic synthetic corpus size for this sf tier (scaled off
@@ -820,6 +823,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
+    def embedding_decontam(sf_dir):
+        """Semantic decontamination (ops/decontam.embedding_decontaminate):
+        vec_id < 16 plays the benchmark, the rest the corpus; one
+        benchmark broadcast + one shuffle-free matmul scan. SQL-oracled
+        (max rounded cosine + lowest-bench-id argmax)."""
+        from docstrange_ray.ops.decontam import embedding_decontaminate
+
+        emb = read_emb(sf_dir).materialize()
+        bench = emb.filter(expr="vec_id < 16")
+        corpus = emb.filter(expr="vec_id >= 16")
+        return embedding_decontaminate(corpus, bench, threshold=0.35)
+
+    def mixture_weights(sf_dir):
+        """Source-mixture sampling rates (ops/sampling.mixture_weights):
+        closed-form largest-feasible-corpus solve from ONE bounded
+        per-source aggregate. SQL-oracled."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sampling import mixture_weights as _mw
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return _mw(docs, MIXTURE_TARGETS)
+
     def media_metadata(sf_dir):
         """REAL media bytes (valid PNG/GIF/WAV + JPEG headers, stdlib
         writers) → header-sniffed metadata columns (ops/media_meta):
@@ -1109,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": pq_ann_topk,
         "ivf_recall_planted": ivf_recall_planted,
         "lsh_recall_planted": lsh_recall_planted,
+        "embedding_decontam": embedding_decontam,
+        "mixture_weights": mixture_weights,
         # relational
         "q1_pricing": relational.q1_pricing,
         "q6_revenue": relational.q6_revenue,
@@ -2397,6 +2426,47 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT b, (4 + b * 9 + c)::BIGINT FROM q, c
             )
+        """,
+        "embedding_decontam": r"""
+            SELECT vec_id, bench_id, max_cos FROM (
+                SELECT e.vec_id, b.vec_id AS bench_id,
+                       ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                           AS max_cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               e.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                               DESC,
+                               b.vec_id ASC) AS rn
+                FROM embeddings e, embeddings b
+                WHERE e.vec_id >= 16 AND b.vec_id < 16
+            ) WHERE rn = 1 AND max_cos >= 0.35
+        """,
+        # mixture_weights: targets mirrored literally from MIXTURE_TARGETS;
+        # identical double expression shapes (c*share/tot, left-assoc) keep
+        # the rounded rates bit-equal.
+        "mixture_weights": r"""
+            WITH tgt(source, share) AS (VALUES
+                ('src0', 0.3), ('src1', 0.25), ('src2', 0.2),
+                ('src3', 0.15), ('src4', 0.1)
+            ), t AS (
+                SELECT source, SUM(n_chars) AS tot
+                FROM documents GROUP BY source
+            ), c AS (
+                SELECT MIN(t.tot / tgt.share) AS c
+                FROM t JOIN tgt USING (source) WHERE tgt.share > 0
+            )
+            SELECT t.source,
+                   t.tot::BIGINT AS total_value,
+                   COALESCE(tgt.share, 0.0) AS target_share,
+                   ROUND(CASE WHEN COALESCE(tgt.share, 0) > 0
+                              THEN c.c * tgt.share / t.tot ELSE 0.0 END, 6)
+                       AS sample_rate,
+                   ROUND(CASE WHEN COALESCE(tgt.share, 0) > 0
+                              THEN c.c * tgt.share ELSE 0.0 END, 6)
+                       AS expected_value
+            FROM t LEFT JOIN tgt USING (source) CROSS JOIN c
         """,
         "q1_pricing": relational.Q1_SQL,
         "q6_revenue": relational.Q6_SQL,

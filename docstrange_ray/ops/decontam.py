@@ -70,3 +70,57 @@ def decontaminate(corpus_ds, bench_ds, n: int = 13):
         )
 
     return corpus_ds.map_batches(score, batch_format="pyarrow")
+
+
+def embedding_decontaminate(corpus_ds, bench_ds, threshold: float = 0.8):
+    """Semantic decontamination: flag corpus vectors whose max cosine
+    against ANY benchmark vector reaches ``threshold`` — the
+    embedding-space complement to the n-gram overlap rule (catches
+    paraphrased eval leakage that shares no 13-gram; the recipe used
+    alongside n-gram decontam in recent open-data pipelines, e.g.
+    the FineWeb/Dolma-style audits).
+
+    Same scale shape as :func:`decontaminate`: the benchmark side is
+    SMALL by definition, so it is collected once (sorted by vec_id),
+    L2-normalized, ``ray.put`` ONCE, and the corpus streams through one
+    shuffle-free ``map_batches`` doing a single matmul per batch —
+    zero exchanges at any corpus size.
+
+    Emits Dataset[(vec_id, bench_id, max_cos)] for flagged vectors;
+    ``bench_id`` is the LOWEST benchmark vec_id attaining the (rounded)
+    max — deterministic and SQL-reproducible. Comparisons use the
+    6-dp-rounded cosine (house convention, DuckDB parity)."""
+    import numpy as np
+    import ray
+
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.ops.ann import _as_matrix, _normalize
+
+    rows = bench_ds.take_all()  # benchmark-scale only
+    rows.sort(key=lambda r: int(r["vec_id"]))
+    bench_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    bench = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    ref = ray.put((bench_ids, bench))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bids, bmat = ray.get(ref)
+        ids = batch.column("vec_id")
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        sims = round6(mat @ bmat.T)  # (rows, n_bench), rounded BEFORE argmax
+        best = np.argmax(sims, axis=1)  # first max = lowest bench vec_id
+        mx = sims[np.arange(len(best)), best]
+        keep = mx >= threshold
+        import numpy as _np
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(_np.asarray(ids, dtype=_np.int64)[keep], type=pa.int64()),
+                pa.array(bids[best[keep]], type=pa.int64()),
+                pa.array(mx[keep], type=pa.float64()),
+            ],
+            names=["vec_id", "bench_id", "max_cos"],
+        )
+
+    return corpus_ds.map_batches(score, batch_format="pyarrow")

@@ -261,3 +261,64 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id"):
 
     parts = ds.map_batches(arrow_out(candidates), batch_format="pyarrow")
     return coalesced_blocks(parts, final)
+
+
+def mixture_weights(ds, targets: dict[str, float], value_col: str = "n_chars"):
+    """Source-mixture sampling rates: given target mixture proportions
+    (summing to 1) over the ``source`` column, compute the per-source
+    keep RATE that realizes the largest corpus whose value mass
+    (chars/tokens) matches the target exactly without upsampling —
+    the weighting step every multi-source pretraining mix runs (the
+    Pile / LLaMA-style mixture tables) before weighted sampling.
+
+    Math: with per-source totals T_s and targets p_s, the binding
+    source maximizes p_s/T_s; the realizable corpus is
+    C = min_{p_s>0} T_s / p_s and rate_s = C * p_s / T_s  (= 1 for the
+    binding source; sources with p_s = 0 get rate 0).
+
+    Scale shape: ONE bounded aggregate — per-batch partial sums
+    (n_sources rows per batch) -> coalesced final (n_sources total;
+    sources are a curated list, never corpus-scale); the closed-form
+    solve happens inside the bounded final. Zero corpus-scale state.
+
+    Returns Dataset[(source, total_value, target_share, sample_rate,
+    expected_value)] rounded at emit; unknown sources (present in the
+    corpus, absent from ``targets``) get target 0/rate 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pylist(),
+                "v": np.asarray(batch.column(value_col), dtype=np.int64),
+            }
+        )
+        return df.groupby("source", as_index=False)["v"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False)["v"].sum().sort_values("source")
+        tot = g["v"].to_numpy(np.float64)
+        share = np.array([float(targets.get(s, 0.0)) for s in g["source"]])
+        with np.errstate(divide="ignore"):
+            cap = np.where(share > 0, tot / share, np.inf)
+        c = float(cap.min()) if len(cap) else 0.0
+        rate = np.where(share > 0, c * share / tot, 0.0)
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "total_value": g["v"].astype(np.int64),
+                "target_share": share,
+                "sample_rate": round6(rate),
+                "expected_value": round6(c * share),
+            }
+        )
+
+    return coalesced_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
+        final,
+    )

@@ -1751,6 +1751,93 @@ class TestDecontaminate:
         assert list(got["doc_id"]) == [1] and list(got["n_overlap"]) == [1]
 
 
+class TestEmbeddingDecontam:
+    def test_flags_planted_paraphrase(self, ray_session):
+        from docstrange_ray.ops.decontam import embedding_decontaminate
+
+        rng = np.random.default_rng(9)
+        bench = rng.normal(size=(4, 12))
+        # corpus: 2 near-copies of bench[1] and bench[3], 20 randoms
+        near = [bench[1] * 3.0, bench[3] + rng.normal(scale=1e-3, size=12)]
+        fills = rng.normal(size=(20, 12))
+        def tbl(mat, ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [r.astype(np.float32) for r in mat], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        bds = ray.data.from_arrow(tbl(bench, [0, 1, 2, 3]))
+        cds = ray.data.from_arrow(
+            tbl(np.vstack([near, fills]), list(range(100, 122)))
+        ).repartition(3)
+        got = embedding_decontaminate(cds, bds, threshold=0.95).to_pandas()
+        got = got.sort_values("vec_id").reset_index(drop=True)
+        assert got["vec_id"].tolist() == [100, 101]
+        assert got["bench_id"].tolist() == [1, 3]
+        assert (got["max_cos"] >= 0.999).all()
+
+    def test_tie_breaks_to_lowest_bench_id(self, ray_session):
+        from docstrange_ray.ops.decontam import embedding_decontaminate
+
+        v = np.eye(8)[0]
+        bds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([5, 2], pa.int64()),  # unsorted on purpose
+                    "embedding": pa.array(
+                        [(v * 2).astype(np.float32), v.astype(np.float32)],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+        cds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([9], pa.int64()),
+                    "embedding": pa.array([v.astype(np.float32)], pa.list_(pa.float32())),
+                }
+            )
+        )
+        got = embedding_decontaminate(cds, bds, threshold=0.5).to_pandas()
+        # both bench vectors tie at rounded cos 1.0 -> lowest vec_id (2)
+        assert got["bench_id"].tolist() == [2]
+
+
+class TestMixtureWeights:
+    def test_closed_form_vs_duckdb(self, ray_session):
+        from docstrange_ray.ops.sampling import mixture_weights
+
+        rows = []
+        totals = {"a": 1000, "b": 400, "c": 250, "d": 77}
+        for s, tot in totals.items():
+            # split each source's mass over several docs
+            parts = [tot // 3, tot // 3, tot - 2 * (tot // 3)]
+            rows += [{"source": s, "n_chars": p} for p in parts]
+        targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = (
+            mixture_weights(ds, targets)
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        # binding source: min(T/p) = min(2000, 1333.3, 1250) -> c (=250/0.2)
+        assert got.loc[got["source"] == "c", "sample_rate"].iloc[0] == 1.0
+        exp_c = 250 / 0.2
+        assert np.allclose(
+            got["expected_value"],
+            [exp_c * 0.5, exp_c * 0.3, exp_c * 0.2, 0.0],
+            atol=1e-6,
+        )
+        # target-0 source kept with rate 0
+        assert got.loc[got["source"] == "d", "sample_rate"].iloc[0] == 0.0
+        # realized mixture == target exactly (that's the solve)
+        ev = got["expected_value"].to_numpy()
+        assert np.allclose(ev[:3] / ev[:3].sum(), [0.5, 0.3, 0.2], atol=1e-9)
+
+
 class TestLmScore:
     """Bigram-LM cross-entropy scoring vs a sequential in-test model.
 

@@ -823,6 +823,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
+    def ccnet_buckets(sf_dir):
+        """CCNet-recipe composition (ops/curate.ccnet_buckets): lang-ID
+        -> bigram-LM scoring -> per-language tercile head/middle/tail
+        split. Fully SQL-oracled end-to-end (lang argmax + pruned LM +
+        integer-arithmetic tercile positions in one statement)."""
+        from docstrange_ray.ops.curate import ccnet_buckets as _cb
+
+        return _cb(read_docs(sf_dir))
+
     def embedding_decontam(sf_dir):
         """Semantic decontamination (ops/decontam.embedding_decontaminate):
         vec_id < 16 plays the benchmark, the rest the corpus; one
@@ -1138,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_recall_planted": lsh_recall_planted,
         "embedding_decontam": embedding_decontam,
         "mixture_weights": mixture_weights,
+        "ccnet_buckets": ccnet_buckets,
         # relational
         "q1_pricing": relational.q1_pricing,
         "q6_revenue": relational.q6_revenue,
@@ -2426,6 +2436,78 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT b, (4 + b * 9 + c)::BIGINT FROM q, c
             )
+        """,
+        # ccnet_buckets: lang_id argmax CTE + the pruned bigram-LM CTE +
+        # integer-arithmetic tercile positions ((n+2)//3, (2n+2)//3 =
+        # ceil) over ROW_NUMBER — the group_quantiles exactness contract.
+        "ccnet_buckets": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT UNNEST(ws) AS w FROM docs) GROUP BY w
+            ), v AS (SELECT COUNT(*) AS v FROM uni),
+            bi AS (
+                SELECT w1, w2, COUNT(*) AS c FROM (
+                    SELECT ws[i] AS w1, ws[i+1] AS w2
+                    FROM docs, UNNEST(range(1, len(ws))) AS t(i))
+                GROUP BY w1, w2
+                HAVING COUNT(*) >= 2
+            ), docbi AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+            ), scores AS (
+                SELECT d.doc_id,
+                       ROUND(AVG(-LOG2((COALESCE(b.c, 0) + 1.0) / (u.c + v.v))), 6)
+                           AS bits_per_bigram
+                FROM docbi d
+                JOIN uni u ON u.w = d.w1
+                LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+                CROSS JOIN v
+                GROUP BY d.doc_id
+            ), lwords AS (
+                SELECT doc_id, lower(w) AS w
+                FROM documents,
+                     UNNEST(regexp_extract_all(text, '[a-zA-Zäöüéèêàçñ]+')) AS t(w)
+            ), hits AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE w IN ('der','die','das','und','ist','nicht','ein','mit','für','von')) AS h_de,
+                       COUNT(*) FILTER (WHERE w IN ('the','and','of','to','is','in','that','it','for','with')) AS h_en,
+                       COUNT(*) FILTER (WHERE w IN ('el','la','los','las','es','un','una','para','que','con')) AS h_es,
+                       COUNT(*) FILTER (WHERE w IN ('le','la','les','et','est','un','une','pour','que','dans')) AS h_fr
+                FROM lwords GROUP BY doc_id
+            ), lang AS (
+                SELECT d.doc_id,
+                       CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+                            WHEN COALESCE(GREATEST(h_de, h_en, h_es, h_fr), 0) = 0 THEN 'und'
+                            WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                            WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                            WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                            ELSE 'fr' END AS pred_lang
+                FROM documents d LEFT JOIN hits h USING (doc_id)
+            ), j AS (
+                SELECT l.doc_id, l.pred_lang, s.bits_per_bigram
+                FROM lang l JOIN scores s USING (doc_id)
+            ), ranked AS (
+                SELECT pred_lang, bits_per_bigram AS s,
+                       ROW_NUMBER() OVER (PARTITION BY pred_lang
+                                          ORDER BY bits_per_bigram) AS rn,
+                       COUNT(*) OVER (PARTITION BY pred_lang) AS n
+                FROM j
+            ), th AS (
+                SELECT pred_lang,
+                       MAX(CASE WHEN rn = (n + 2) // 3 THEN s END) AS t1,
+                       MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN s END) AS t2
+                FROM ranked GROUP BY pred_lang
+            )
+            SELECT j.doc_id, j.pred_lang, j.bits_per_bigram,
+                   CASE WHEN j.bits_per_bigram <= th.t1 THEN 'head'
+                        WHEN j.bits_per_bigram <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM j JOIN th USING (pred_lang)
         """,
         "embedding_decontam": r"""
             SELECT vec_id, bench_id, max_cos FROM (

@@ -161,3 +161,70 @@ def curated_docs_full(
     return grouped_blocks(
         tagged, ["doc_id"], anti_join, num_partitions, batch_format="pandas"
     )
+
+
+def ccnet_buckets(ds, num_partitions: int | None = None):
+    """CCNet-style quality bucketing (Wenzek et al. 2020, arXiv:
+    1911.00359 — the CommonCrawl curation recipe): language-ID every
+    document, score it with the bigram-LM cross-entropy
+    (:func:`docstrange_ray.ops.textstats.lm_score` — the in-corpus
+    stand-in for CCNet's KenLM), and split each LANGUAGE into
+    head/middle/tail at the per-language score TERCILES (CCNet keeps
+    head+middle for training; low bits = fluent).
+
+    Plan (all bounded):
+      1. lang-ID — shuffle-free actor-pool scan.
+      2. lm_score — its own bounded plan (pruned count shuffle +
+         broadcast-or-join gate).
+      3. ONE doc_id co-partition join of (lang) x (score).
+      4. per-language terciles via the value-count histogram exchange
+         (:func:`rankstats.group_quantiles` exactness contract —
+         positions ceil(q*n) in integer arithmetic, quantile_disc
+         parity). Scores are 6-dp-rounded, so the histogram carries
+         DISTINCT (lang, score) values, not rows.
+      5. the tiny (n_langs x 2) threshold table broadcasts; bucketing
+         is a shuffle-free final scan.
+
+    Returns Dataset[(doc_id, pred_lang, bits_per_bigram, bucket)] with
+    bucket in {'head','middle','tail'}: head iff score <= p33, middle
+    iff score <= p66, else tail. Docs with < 2 words have no score and
+    are omitted (the lm_score contract)."""
+    import ray
+
+    from docstrange_ray.ops.rankstats import group_quantiles
+    from docstrange_ray.ops.textstats import LangId, lm_score
+    from docstrange_ray.shuffle import hash_join
+
+    lang = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    scores = lm_score(ds, num_partitions=num_partitions)
+    joined = hash_join(
+        lang.materialize(), scores.materialize(), key="doc_id",
+        num_partitions=num_partitions,
+    ).materialize()
+
+    th_rows = group_quantiles(
+        joined, "pred_lang", "bits_per_bigram",
+        quantiles=((1, 3), (2, 3)), num_partitions=num_partitions,
+    ).take_all()  # bounded: one row per language
+    th = {r["pred_lang"]: (float(r["p33"]), float(r["p66"])) for r in th_rows}
+    ref = ray.put(th)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        langs = batch.column("pred_lang").to_pylist()
+        scores_col = batch.column("bits_per_bigram").to_pylist()
+        buckets = []
+        for lg, s in zip(langs, scores_col):
+            t1, t2 = t[lg]
+            buckets.append("head" if s <= t1 else ("middle" if s <= t2 else "tail"))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("pred_lang"),
+                batch.column("bits_per_bigram"),
+                pa.array(buckets, type=pa.string()),
+            ],
+            names=["doc_id", "pred_lang", "bits_per_bigram", "bucket"],
+        )
+
+    return joined.map_batches(bucket, batch_format="pyarrow")

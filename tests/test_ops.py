@@ -1751,6 +1751,41 @@ class TestDecontaminate:
         assert list(got["doc_id"]) == [1] and list(got["n_overlap"]) == [1]
 
 
+class TestCcnetBuckets:
+    def test_vs_oracle_sql_multilang(self, ray_session):
+        import __ray_entry__ as entrymod
+        from docstrange_ray.ops.curate import ccnet_buckets
+
+        rng = np.random.default_rng(13)
+        en = "the cat and the dog is in that house for it with them".split()
+        de = "der hund und die katze ist nicht ein tier mit uns von hier".split()
+        rows = []
+        for i in range(30):
+            words = (en if i % 2 == 0 else de)
+            k = 6 + int(rng.integers(0, 6))
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": " ".join(words[int(rng.integers(0, 3)) :][:k]),
+                }
+            )
+        tbl = pa.Table.from_pylist(rows)
+        got = (
+            ccnet_buckets(ray.data.from_arrow(tbl).repartition(3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        exp = (
+            con.execute(entrymod.oracle_sql()["ccnet_buckets"]).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # both languages present and all three buckets assigned somewhere
+        assert set(got["pred_lang"]) == {"en", "de"}
+        assert set(got["bucket"]) == {"head", "middle", "tail"}
+
+
 class TestEmbeddingDecontam:
     def test_flags_planted_paraphrase(self, ray_session):
         from docstrange_ray.ops.decontam import embedding_decontaminate

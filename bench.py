@@ -86,6 +86,8 @@ OP_GROUPS: list[list[str]] = [
         "ann_topk",
         "pq_ann_topk",
         "curated_docs",
+        "ccnet_buckets",
+        "embedding_decontam",
     ],
     [
         "q1_pricing",

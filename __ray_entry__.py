@@ -2492,9 +2492,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l.doc_id, l.pred_lang, s.bits_per_bigram
                 FROM lang l JOIN scores s USING (doc_id)
             ), ranked AS (
-                SELECT pred_lang, bits_per_bigram AS s,
+                -- terciles over the 3dp-QUANTIZED score (the histogram
+                -- bound mirrored from ops/curate.ccnet_buckets)
+                SELECT pred_lang, ROUND(bits_per_bigram, 3) AS s,
                        ROW_NUMBER() OVER (PARTITION BY pred_lang
-                                          ORDER BY bits_per_bigram) AS rn,
+                                          ORDER BY ROUND(bits_per_bigram, 3)) AS rn,
                        COUNT(*) OVER (PARTITION BY pred_lang) AS n
                 FROM j
             ), th AS (
@@ -2504,8 +2506,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM ranked GROUP BY pred_lang
             )
             SELECT j.doc_id, j.pred_lang, j.bits_per_bigram,
-                   CASE WHEN j.bits_per_bigram <= th.t1 THEN 'head'
-                        WHEN j.bits_per_bigram <= th.t2 THEN 'middle'
+                   CASE WHEN ROUND(j.bits_per_bigram, 3) <= th.t1 THEN 'head'
+                        WHEN ROUND(j.bits_per_bigram, 3) <= th.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM j JOIN th USING (pred_lang)
         """,

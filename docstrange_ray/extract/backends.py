@@ -119,6 +119,8 @@ class ProjectionProfileBackend:
             return payload  # undecodable image: fall back to descriptor path
         import numpy as np
 
+        from docstrange_ray.extract.glyphs import read_line
+
         dark = img.astype(np.float64) < max(1.0, float(img.mean()))
         rows = dark.sum(axis=1)
         thr = max(1.0, self.MIN_INK_FRACTION * img.shape[1])
@@ -136,8 +138,6 @@ class ProjectionProfileBackend:
             band = dark[y0:y]
             cols = np.where(band.any(axis=0))[0]
             x0, x1 = (int(cols[0]), int(cols[-1]) + 1) if cols.size else (0, img.shape[1])
-            from docstrange_ray.extract.glyphs import read_line
-
             recognized = read_line(band[:, x0:x1])
             blocks.append(
                 {

@@ -180,17 +180,22 @@ def ccnet_buckets(ds, num_partitions: int | None = None):
       4. per-language terciles via the value-count histogram exchange
          (:func:`rankstats.group_quantiles` exactness contract —
          positions ceil(q*n) in integer arithmetic, quantile_disc
-         parity). Scores are 6-dp-rounded, so the histogram carries
-         DISTINCT (lang, score) values, not rows.
+         parity) over the score QUANTIZED to 3 dp (half-away). The
+         quantization is what bounds the exchange: a continuous score
+         ships ~one distinct value per doc, but bits-per-bigram lives
+         in ~[0, 40], so 3 dp caps the histogram at ~40k values per
+         language no matter the corpus size — CCNet itself takes
+         percentiles from a binned histogram for the same reason.
       5. the tiny (n_langs x 2) threshold table broadcasts; bucketing
-         is a shuffle-free final scan.
+         is a shuffle-free final scan on the SAME quantized value.
 
     Returns Dataset[(doc_id, pred_lang, bits_per_bigram, bucket)] with
-    bucket in {'head','middle','tail'}: head iff score <= p33, middle
-    iff score <= p66, else tail. Docs with < 2 words have no score and
+    bucket in {'head','middle','tail'}: head iff round3(score) <= p33,
+    middle iff <= p66, else tail. Docs with < 2 words have no score and
     are omitted (the lm_score contract)."""
     import ray
 
+    from docstrange_ray.numerics import round_half_away
     from docstrange_ray.ops.rankstats import group_quantiles
     from docstrange_ray.ops.textstats import LangId, lm_score
     from docstrange_ray.shuffle import hash_join
@@ -202,19 +207,32 @@ def ccnet_buckets(ds, num_partitions: int | None = None):
         num_partitions=num_partitions,
     ).materialize()
 
+    def add_quantized(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        qs = round_half_away(
+            np.asarray(batch.column("bits_per_bigram"), dtype=np.float64), 3
+        )
+        return batch.append_column("qs", pa.array(qs, type=pa.float64()))
+
+    quantized = joined.map_batches(add_quantized, batch_format="pyarrow")
     th_rows = group_quantiles(
-        joined, "pred_lang", "bits_per_bigram",
+        quantized, "pred_lang", "qs",
         quantiles=((1, 3), (2, 3)), num_partitions=num_partitions,
     ).take_all()  # bounded: one row per language
     th = {r["pred_lang"]: (float(r["p33"]), float(r["p66"])) for r in th_rows}
     ref = ray.put(th)
 
     def bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         t = ray.get(ref)
         langs = batch.column("pred_lang").to_pylist()
-        scores_col = batch.column("bits_per_bigram").to_pylist()
+        qs = round_half_away(
+            np.asarray(batch.column("bits_per_bigram"), dtype=np.float64), 3
+        )
         buckets = []
-        for lg, s in zip(langs, scores_col):
+        for lg, s in zip(langs, qs):
             t1, t2 = t[lg]
             buckets.append("head" if s <= t1 else ("middle" if s <= t2 else "tail"))
         return pa.Table.from_arrays(

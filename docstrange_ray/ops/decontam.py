@@ -97,6 +97,8 @@ def embedding_decontaminate(corpus_ds, bench_ds, threshold: float = 0.8):
     from docstrange_ray.ops.ann import _as_matrix, _normalize
 
     rows = bench_ds.take_all()  # benchmark-scale only
+    if not rows:
+        raise ValueError("embedding_decontaminate: benchmark dataset is empty")
     rows.sort(key=lambda r: int(r["vec_id"]))
     bench_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
     bench = _normalize(
@@ -112,11 +114,9 @@ def embedding_decontaminate(corpus_ds, bench_ds, threshold: float = 0.8):
         best = np.argmax(sims, axis=1)  # first max = lowest bench vec_id
         mx = sims[np.arange(len(best)), best]
         keep = mx >= threshold
-        import numpy as _np
-
         return pa.Table.from_arrays(
             [
-                pa.array(_np.asarray(ids, dtype=_np.int64)[keep], type=pa.int64()),
+                pa.array(np.asarray(ids, dtype=np.int64)[keep], type=pa.int64()),
                 pa.array(bids[best[keep]], type=pa.int64()),
                 pa.array(mx[keep], type=pa.float64()),
             ],

@@ -823,7 +823,10 @@ def _verified_pairs(
             if jac >= threshold:
                 out_a.append(aa)
                 out_b.append(bb)
-                out_j.append(round(jac, 6))
+                # half-away emit: an exact jaccard is a quotient of ints
+                # and CAN land on a 6dp midpoint (65/128), where builtin
+                # round()'s banker's rounding diverges from DuckDB ROUND
+                out_j.append(float(round6(jac)))
         return pa.Table.from_arrays(
             [
                 pa.array(out_a, type=id_t),
@@ -1639,6 +1642,20 @@ def jaccard_join(
         for _, grp in df.groupby("gram", sort=False):
             if len(grp) < 2:
                 continue
+            if posting_cap is None and len(grp) > 4096:
+                # exactness demands the O(df^2) candidates; flag loud so
+                # the operator of a boilerplate-heavy corpus (many grams
+                # hot but below the MG-k demotion rank) can choose a
+                # bigger demote_heavy_grams or an explicit posting_cap
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "jaccard_join: UNBOUNDED posting list of %d docs -> "
+                    "%d candidate pairs for one gram; consider raising "
+                    "demote_heavy_grams or setting posting_cap",
+                    len(grp),
+                    len(grp) * (len(grp) - 1) // 2,
+                )
             if posting_cap is not None and len(grp) > posting_cap:
                 import logging
 

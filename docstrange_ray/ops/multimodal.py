@@ -326,7 +326,9 @@ class AudioFeatureActor:
                 dur = 0
             else:
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                rms = round(float(arr.mean()) / 255.0, 6) if len(arr) else 0.0
+                # no inner round(): the half-away round6 at emit is the
+                # single rounding point (a quotient of ints can tie)
+                rms = float(arr.mean()) / 255.0 if len(arr) else 0.0
                 zcr = 0.0
                 dur = -1
             rows.append(

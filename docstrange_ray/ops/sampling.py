@@ -304,10 +304,16 @@ def mixture_weights(ds, targets: dict[str, float], value_col: str = "n_chars"):
         g = df.groupby("source", as_index=False)["v"].sum().sort_values("source")
         tot = g["v"].to_numpy(np.float64)
         share = np.array([float(targets.get(s, 0.0)) for s in g["source"]])
+        # c = 0 when no targeted source has corpus mass (inf would NaN
+        # the expected_value emits); a zero-mass targeted source binds
+        # at c = 0 (nothing is realizable).
         with np.errstate(divide="ignore"):
             cap = np.where(share > 0, tot / share, np.inf)
-        c = float(cap.min()) if len(cap) else 0.0
-        rate = np.where(share > 0, c * share / tot, 0.0)
+        c = float(cap.min()) if len(cap) else np.inf
+        if not np.isfinite(c):
+            c = 0.0
+        with np.errstate(invalid="ignore"):
+            rate = np.where((share > 0) & (tot > 0), c * share / tot, 0.0)
         return pd.DataFrame(
             {
                 "source": g["source"],

@@ -200,6 +200,9 @@ def semantic_dedup(
     from docstrange_ray.shuffle import grouped_blocks
 
     if target_cluster_size is not None:
+        # materialize first: count() + the fit/assign scans would
+        # otherwise each re-execute a lazy upstream pipeline
+        ds = ds.materialize()
         n = ds.count()
         k = max(k, -(-n // target_cluster_size))
     cents = kmeans_fit(ds, k=k, n_iters=n_iters, init=init)

@@ -939,7 +939,15 @@ def lm_score(
         batch_format="pandas",
     ).materialize()
     if plan == "auto":
-        plan = "broadcast" if counts_ds.count() <= broadcast_bigram_limit else "join"
+        # gate on the BIGRAM table size only — the unigram rows ride the
+        # same counts table but are broadcast under either plan
+        n_bigrams = counts_ds.map_batches(
+            lambda d: pd.DataFrame(
+                {"n": [int(d["key"].str.startswith("b ").sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("n")
+        plan = "broadcast" if (n_bigrams or 0) <= broadcast_bigram_limit else "join"
 
     if plan == "broadcast":
         uni_c: dict[str, int] = {}

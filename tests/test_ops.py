@@ -1872,6 +1872,19 @@ class TestMixtureWeights:
         ev = got["expected_value"].to_numpy()
         assert np.allclose(ev[:3] / ev[:3].sum(), [0.5, 0.3, 0.2], atol=1e-9)
 
+    def test_no_matching_targets_yields_zeros_not_nan(self, ray_session):
+        from docstrange_ray.ops.sampling import mixture_weights
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist(
+                [{"source": "a", "n_chars": 10}, {"source": "b", "n_chars": 5}]
+            )
+        )
+        got = mixture_weights(ds, {"web": 1.0}).to_pandas()
+        assert (got["sample_rate"] == 0.0).all()
+        assert (got["expected_value"] == 0.0).all()
+        assert not got.isna().any().any()
+
 
 class TestLmScore:
     """Bigram-LM cross-entropy scoring vs a sequential in-test model.
@@ -3525,6 +3538,11 @@ class TestDocNovelty:
         df = pd.DataFrame({"x": xs})
         exp = duckdb.sql("SELECT ROUND(x, 6) AS r FROM df").df()["r"].to_numpy()
         assert (round6(xs) == exp).all()
+        # and at 3 dp (the ccnet_buckets histogram quantization)
+        from docstrange_ray.numerics import round_half_away
+
+        exp3 = duckdb.sql("SELECT ROUND(x, 3) AS r FROM df").df()["r"].to_numpy()
+        assert (round_half_away(xs, 3) == exp3).all()
 
 
 class TestSharedGramPairs:

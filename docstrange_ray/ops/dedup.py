@@ -1204,14 +1204,14 @@ def embedding_dup_pairs_bucketed(
                 for j in hits:
                     rows_a.append(int(ids[0]))
                     rows_b.append(int(ids[j + 1]))
-                    vals.append(round(float(cos[j]), 6))
+                    vals.append(float(round6(cos[j])))
                 continue
             cos = mat @ mat.T
             ii, jj = np.where(np.triu(cos >= threshold, k=1))
             for i, j in zip(ii, jj):
                 rows_a.append(int(ids[i]))
                 rows_b.append(int(ids[j]))
-                vals.append(round(float(cos[i, j]), 6))
+                vals.append(float(round6(cos[i, j])))
         return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "cos": vals}).astype(
             {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
         )
@@ -1293,7 +1293,7 @@ def embedding_dup_pairs(
                 if bids[i] < all_ids[j]:  # emit each unordered pair once
                     rows_a.append(int(bids[i]))
                     rows_b.append(int(all_ids[j]))
-                    vals.append(round(float(cos[i, j]), 6))
+                    vals.append(float(round6(cos[i, j])))
         return pa.Table.from_arrays(
             [
                 pa.array(rows_a, type=pa.int64()),

@@ -142,7 +142,7 @@ class ImageDecodeActor:
             out.append(
                 {
                     "media_ref": ref,
-                    "mean_intensity": round(float(img.mean()), 6),
+                    "mean_intensity": float(round6(img.mean())),
                     "feature": (small.mean(axis=0) / 255.0).round(6).tolist(),
                 }
             )
@@ -198,7 +198,7 @@ class FrameSampleActor:
             {
                 "media_ref": ref,
                 "frame_index": fi,
-                "frame_mean": round(float(frames[fi].mean()), 6),
+                "frame_mean": float(round6(frames[fi].mean())),
             }
             for fi in idxs
         ]
@@ -229,7 +229,7 @@ class FrameSampleActor:
                     {
                         "media_ref": ref,
                         "frame_index": fi,
-                        "frame_mean": round(float(sl.mean()) if len(sl) else 0.0, 6),
+                        "frame_mean": float(round6(sl.mean())) if len(sl) else 0.0,
                     }
                 )
         return pa.Table.from_pylist(

@@ -187,8 +187,8 @@ def gopher_quality_filter(batch: pa.Table) -> pa.Table:
             and stops >= GOPHER_MIN_DISTINCT_STOPWORDS
         )
         n_words.append(nw)
-        mean_wlen.append(round(mwl, 6))
-        alpha_frac.append(round(af, 6))
+        mean_wlen.append(float(round6(mwl)))
+        alpha_frac.append(float(round6(af)))
         n_stop.append(stops)
         passed.append(ok)
     return pa.Table.from_arrays(
@@ -232,10 +232,10 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
         n5 = max(0, nw - 4)
         n_words.append(nw)
         n_distinct.append(nd)
-        dupw.append(round(1.0 - nd / nw, 6) if nw else 0.0)
-        top2.append(round(max(g2.values()) * 2.0 / nw, 6) if g2 else 0.0)
+        dupw.append(float(round6(1.0 - nd / nw)) if nw else 0.0)
+        top2.append(float(round6(max(g2.values()) * 2.0 / nw)) if g2 else 0.0)
         dup5.append(
-            round(sum(c for c in g5.values() if c >= 2) / n5, 6) if n5 else 0.0
+            float(round6(sum(c for c in g5.values() if c >= 2) / n5)) if n5 else 0.0
         )
     return pa.Table.from_arrays(
         [
@@ -813,7 +813,7 @@ def tfidf_topk(
                 .groupby("doc_id", sort=False)
                 .head(k)
             )
-            out = out.assign(score=[round(float(v), 6) for v in out["score"]])
+            out = out.assign(score=[float(round6(v)) for v in out["score"]])
             return out[["doc_id", "term", "tf", "score"]]
 
         return grouped_blocks(
@@ -842,7 +842,7 @@ def tfidf_topk(
                 out_doc.append(did)
                 out_term.append(w)
                 out_tf.append(c)
-                out_score.append(round(score, 6))
+                out_score.append(float(round6(score)))
         return pa.Table.from_arrays(
             [
                 pa.array(out_doc, type=batch.schema.field("doc_id").type),
@@ -1252,7 +1252,7 @@ def bm25_topk(ds, query_terms: list[str], k: int = 20, k1: float = 1.2, b: float
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         out = local_topk(df)
-        return out.assign(score=[round(float(v), 6) for v in out["score"]])
+        return out.assign(score=[float(round6(v)) for v in out["score"]])
 
     return coalesced_blocks(candidates, final)
 

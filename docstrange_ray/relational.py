@@ -1533,8 +1533,8 @@ def hourly_trend(sf_dir: str):
                 intercepts.append(None)
                 continue
             slope = float(num) / float(den)
-            slopes.append(round(slope, 6))
-            intercepts.append(round((float(sy) - slope * float(sx)) / float(n), 6))
+            slopes.append(float(round6(slope)))
+            intercepts.append(float(round6((float(sy) - slope * float(sx)) / float(n))))
         return pd.DataFrame(
             {
                 "event_type": g["event_type"],
@@ -1632,11 +1632,11 @@ def length_dispersion(sf_dir: str):
         g = tmp.groupby("source", as_index=False)[["n", "sx", "sq"]].sum()
         means, variances = [], []
         for n, sx, sq in zip(g["n"].tolist(), g["sx"].tolist(), g["sq"].tolist()):
-            means.append(round(float(sx) / float(n), 6))
+            means.append(float(round6(float(sx) / float(n))))
             variances.append(
                 None
                 if n < 2
-                else round(float(n * sq - sx * sx) / float(n * (n - 1)), 6)
+                else float(round6(float(n * sq - sx * sx) / float(n * (n - 1))))
             )
         return pd.DataFrame(
             {

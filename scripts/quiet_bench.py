@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Probe-bracketed headline measurement: loop until a run lands inside
+a verified-quiet window (probe <= threshold BEFORE and AFTER), so the
+datapoint is interpretable regardless of when the host's steal bursts
+arrive. Prints one JSON line per attempt; 'accepted' marks clean
+brackets. Usage:
+    python scripts/quiet_bench.py [num_cpus] [max_minutes] [n_accept]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import probe_seconds  # noqa: E402
+
+FLOOR_OK = 0.35  # ~2x the 0.163 quiet floor
+ncpu = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 30
+n_accept = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+deadline = time.time() + max_minutes * 60
+accepted = 0
+while time.time() < deadline and accepted < n_accept:
+    p1 = probe_seconds()
+    if p1 > FLOOR_OK:
+        time.sleep(45)
+        continue
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf,
+               GRAFT_N_DOCS=os.environ.get("GRAFT_N_DOCS", "200000"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"), "--headline-only"],
+        env=env, capture_output=True, text=True,
+    ).stdout
+    try:
+        r = json.loads(out.strip().splitlines()[-1])
+    except Exception:
+        print(json.dumps({"error": out[-200:]}))
+        continue
+    p2 = probe_seconds()
+    ok = p2 <= FLOOR_OK
+    accepted += int(ok)
+    print(json.dumps({"num_cpus": ncpu, "probe_before": p1, "value": r["value"],
+                      "docs_per_sec": r["docs_per_sec"], "probe_after": p2,
+                      "accepted": ok}), flush=True)
+print(json.dumps({"done": True, "accepted": accepted}))

@@ -542,3 +542,88 @@ def test_source_overlap_random_vs_duckdb(rows):
         assert len(got) == 0 and exp.empty
     else:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    totals=st.lists(st.integers(1, 10_000), min_size=1, max_size=6),
+    shares=st.lists(st.integers(0, 5), min_size=1, max_size=6),
+)
+def test_mixture_weights_realizes_targets(totals, shares):
+    # random per-source totals + integer share weights (normalized);
+    # invariants: rates in [0,1], the binding source rate == 1, and the
+    # realized mixture equals the target exactly for targeted sources
+    from docstrange_ray.ops.sampling import mixture_weights
+
+    n = min(len(totals), len(shares))
+    totals, shares = totals[:n], shares[:n]
+    ssum = sum(shares)
+    targets = {
+        f"s{i}": (shares[i] / ssum if ssum else 0.0) for i in range(n)
+    }
+    rows = [{"source": f"s{i}", "n_chars": totals[i]} for i in range(n)]
+    got = (
+        mixture_weights(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2),
+            targets,
+        )
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    assert not got.isna().any().any()
+    assert ((got["sample_rate"] >= 0) & (got["sample_rate"] <= 1.0)).all()
+    pos = got[got["target_share"] > 0]
+    if len(pos):
+        assert np.isclose(pos["sample_rate"].max(), 1.0, atol=1e-6)
+        ev = pos["expected_value"].to_numpy()
+        if ev.sum() > 0:
+            assert np.allclose(
+                ev / ev.sum(), pos["target_share"].to_numpy(), atol=1e-4
+            )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_bench=st.integers(1, 6),
+    n_corpus=st.integers(1, 30),
+    threshold=st.sampled_from([0.2, 0.5, 0.9]),
+)
+def test_embedding_decontam_equals_brute_force(seed, n_bench, n_corpus, threshold):
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.ops.decontam import embedding_decontaminate
+
+    rng = np.random.default_rng(seed)
+    bench = rng.normal(size=(n_bench, 8))
+    corpus = rng.normal(size=(n_corpus, 8))
+
+    def tbl(mat, start):
+        return pa.table(
+            {
+                "vec_id": pa.array(range(start, start + len(mat)), pa.int64()),
+                "embedding": pa.array(
+                    [r.astype(np.float32) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    got = embedding_decontaminate(
+        ray.data.from_arrow(tbl(corpus, 100)).repartition(3),
+        ray.data.from_arrow(tbl(bench, 0)),
+        threshold=threshold,
+    ).to_pandas()
+    if len(got) == 0:
+        # empty Ray result loses its schema (known quirk) — normalize
+        got = pd.DataFrame({"vec_id": [], "bench_id": [], "max_cos": []})
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    # brute force on the same float32-stored vectors
+    bn = bench.astype(np.float32).astype(np.float64)
+    cn = corpus.astype(np.float32).astype(np.float64)
+    bn /= np.linalg.norm(bn, axis=1, keepdims=True)
+    cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+    sims = round6(cn @ bn.T)
+    best = np.argmax(sims, axis=1)
+    mx = sims[np.arange(len(best)), best]
+    keep = np.nonzero(mx >= threshold)[0]
+    assert got["vec_id"].tolist() == [100 + int(i) for i in keep]
+    assert got["bench_id"].tolist() == [int(best[i]) for i in keep]
+    assert np.allclose(got["max_cos"], mx[keep], atol=1e-9)

@@ -16,17 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import probe_seconds  # noqa: E402
 
 FLOOR_OK = 0.35  # ~2x the 0.163 quiet floor
-ncpu = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 30
-n_accept = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-deadline = time.time() + max_minutes * 60
-accepted = 0
-while time.time() < deadline and accepted < n_accept:
-    p1 = probe_seconds()
-    if p1 > FLOOR_OK:
-        time.sleep(45)
-        continue
+
+
+def run_leg(ncpu: int, sf: str) -> dict | None:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf,
                GRAFT_N_DOCS=os.environ.get("GRAFT_N_DOCS", "200000"))
     out = subprocess.run(
@@ -35,14 +27,45 @@ while time.time() < deadline and accepted < n_accept:
         env=env, capture_output=True, text=True,
     ).stdout
     try:
-        r = json.loads(out.strip().splitlines()[-1])
+        return json.loads(out.strip().splitlines()[-1])
     except Exception:
-        print(json.dumps({"error": out[-200:]}))
-        continue
-    p2 = probe_seconds()
-    ok = p2 <= FLOOR_OK
-    accepted += int(ok)
-    print(json.dumps({"num_cpus": ncpu, "probe_before": p1, "value": r["value"],
-                      "docs_per_sec": r["docs_per_sec"], "probe_after": p2,
-                      "accepted": ok}), flush=True)
-print(json.dumps({"done": True, "accepted": accepted}))
+        print(json.dumps({"error": out[-200:]}), flush=True)
+        return None
+
+
+def main():
+    # usage: quiet_bench.py [cpus[,cpus2,...]] [max_minutes] [n_accept_each]
+    levels = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "32").split(",")]
+    max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 30
+    n_accept = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    deadline = time.time() + max_minutes * 60
+    acc: dict[int, list[float]] = {n: [] for n in levels}
+    while time.time() < deadline and any(len(v) < n_accept for v in acc.values()):
+        # next level still needing accepted runs (round-robin by need)
+        ncpu = min((n for n in levels if len(acc[n]) < n_accept),
+                   key=lambda n: len(acc[n]))
+        p1 = probe_seconds()
+        if p1 > FLOOR_OK:
+            time.sleep(45)
+            continue
+        r = run_leg(ncpu, sf)
+        if r is None:
+            continue
+        p2 = probe_seconds()
+        ok = p2 <= FLOOR_OK
+        if ok:
+            acc[ncpu].append(r["value"])
+        print(json.dumps({"num_cpus": ncpu, "probe_before": p1,
+                          "value": r["value"], "docs_per_sec": r["docs_per_sec"],
+                          "probe_after": p2, "accepted": ok}), flush=True)
+    summary = {"done": True,
+               "accepted": {str(n): sorted(v) for n, v in acc.items()}}
+    if len(levels) == 2 and all(acc[n] for n in levels):
+        lo, hi = sorted(levels)
+        eff = (min(acc[lo]) / min(acc[hi])) / (hi / lo)
+        summary["scaling_efficiency"] = round(eff, 3)
+    print(json.dumps(summary))
+
+
+main()

@@ -485,6 +485,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_encode(read_docs(sf_dir), vocab_size=20)
 
+    def bpe_pair_counts_q(sf_dir):
+        """First-iteration BPE statistics: top-50 adjacent character
+        pairs within words, weighted by word frequency (ONE word
+        exchange -> bounded pair final). SQL-oracled via character
+        arithmetic over the word table."""
+        from docstrange_ray.ops import bpe
+
+        return bpe.pair_counts(read_docs(sf_dir), top_k=50)
+
+    def bpe_merges_q(sf_dir):
+        """Learned BPE merge list (rank, left, right, freq), 32 merges,
+        Sennrich tie-break (freq DESC, pair ASC). The auto plan gates
+        in-memory vs distributed on the counted word-type table; plan
+        parity and a sequential ground-truth oracle are pinned in
+        tests/test_bpe.py (iterative — not SQL-expressible)."""
+        from docstrange_ray.ops import bpe
+
+        return bpe.bpe_train(read_docs(sf_dir), n_merges=32)
+
+    def bpe_token_counts_q(sf_dir):
+        """Per-doc token counts under the learned 32-merge BPE:
+        broadcast merge list, distinct-word factorize encode per batch,
+        shuffle-free (pytest-oracled vs per-word sequential encode)."""
+        from docstrange_ray.ops import bpe
+
+        docs = read_docs(sf_dir)
+        merges = bpe.bpe_train(docs, n_merges=32)
+        return bpe.bpe_encode_counts(docs, merges)
+
     def shared_gram_pairs_q(sf_dir):
         """Copy-detection pairs: docs sharing >=3 rare 4-grams
         (df <= 8) via an inverted-index pair exchange with a
@@ -1102,6 +1131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": snapshot_diff_q,
         "heavy_tokens": heavy_tokens_q,
         "vocab_encode": vocab_encode_q,
+        "bpe_pair_counts": bpe_pair_counts_q,
+        "bpe_merges": bpe_merges_q,
+        "bpe_token_counts": bpe_token_counts_q,
         "pmi_collocations": pmi_collocations_q,
         "lexical_diversity": lexical_diversity_q,
         "doc_novelty": doc_novelty_q,
@@ -2027,6 +2059,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dups
             FROM documents
             GROUP BY 1
+        """,
+        "bpe_pair_counts": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '')) AS w
+                FROM documents
+            ), words AS (
+                SELECT w, COUNT(*) AS f FROM toks GROUP BY w
+            ), idx AS (
+                SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i
+                FROM words WHERE length(w) >= 2
+            ), pairs AS (
+                SELECT substr(w, i, 1) AS left_sym,
+                       substr(w, i + 1, 1) AS right_sym,
+                       CAST(SUM(f) AS BIGINT) AS freq
+                FROM idx GROUP BY 1, 2
+            )
+            SELECT left_sym, right_sym, freq FROM pairs
+            ORDER BY freq DESC, left_sym, right_sym LIMIT 50
         """,
         "vocab_encode": r"""
             WITH docs AS (

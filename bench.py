@@ -69,6 +69,7 @@ OP_GROUPS: list[list[str]] = [
         "gopher_filter",
         "heavy_tokens",
         "bm25_search",
+        "bpe_merges",
     ],
     [
         "exact_dedup",

@@ -61,9 +61,11 @@ def main():
                           "probe_after": p2, "accepted": ok}), flush=True)
     summary = {"done": True,
                "accepted": {str(n): sorted(v) for n, v in acc.items()}}
-    if len(levels) == 2 and all(acc[n] for n in levels):
-        lo, hi = sorted(levels)
+    done = sorted(n for n in levels if acc[n])
+    if len(done) >= 2:
+        lo, hi = done[0], done[-1]
         eff = (min(acc[lo]) / min(acc[hi])) / (hi / lo)
+        summary["scaling_pair"] = [lo, hi]
         summary["scaling_efficiency"] = round(eff, 3)
     print(json.dumps(summary))
 

@@ -514,6 +514,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe.bpe_train(docs, n_merges=32)
         return bpe.bpe_encode_counts(docs, merges)
 
+    def unigram_seed_counts_q(sf_dir):
+        """First-iteration unigram-LM (SentencePiece) statistics:
+        top-50 seed substrings (length <= 4) of word types weighted by
+        word frequency (ONE word exchange -> bounded substring final).
+        SQL-oracled via substring arithmetic over the word table."""
+        from docstrange_ray.ops import unigram
+
+        return unigram.seed_counts(read_docs(sf_dir), max_piece_len=4, top_k=50)
+
+    def unigram_vocab_q(sf_dir):
+        """Learned unigram-LM piece vocabulary (piece, logp), 64 pieces,
+        deterministic hard-EM (Viterbi) with exact integer expected
+        counts — local and distributed plans bit-identical, pinned in
+        tests/test_unigram.py (iterative — not SQL-expressible)."""
+        from docstrange_ray.ops import unigram
+
+        return unigram.unigram_train(read_docs(sf_dir), vocab_size=64)
+
+    def unigram_token_counts_q(sf_dir):
+        """Per-doc token counts under the learned 64-piece unigram LM:
+        broadcast vocab, distinct-word factorize Viterbi encode per
+        batch, shuffle-free (pytest-oracled vs an independent DP)."""
+        from docstrange_ray.ops import unigram
+
+        docs = read_docs(sf_dir)
+        vocab = unigram.unigram_train(docs, vocab_size=64)
+        return unigram.unigram_encode_counts(docs, vocab)
+
     def shared_gram_pairs_q(sf_dir):
         """Copy-detection pairs: docs sharing >=3 rare 4-grams
         (df <= 8) via an inverted-index pair exchange with a
@@ -1134,6 +1162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_merges": bpe_merges_q,
         "bpe_token_counts": bpe_token_counts_q,
+        "unigram_seed_counts": unigram_seed_counts_q,
+        "unigram_vocab": unigram_vocab_q,
+        "unigram_token_counts": unigram_token_counts_q,
         "pmi_collocations": pmi_collocations_q,
         "lexical_diversity": lexical_diversity_q,
         "doc_novelty": doc_novelty_q,
@@ -2079,6 +2110,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT left_sym, right_sym, freq FROM pairs
             ORDER BY freq DESC, left_sym, right_sym LIMIT 50
+        """,
+        "unigram_seed_counts": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '')) AS w
+                FROM documents
+            ), words AS (
+                SELECT w, COUNT(*) AS f FROM toks GROUP BY w
+            ), starts AS (
+                SELECT w, f, unnest(generate_series(1, length(w))) AS i
+                FROM words
+            ), pieces AS (
+                SELECT substr(w, i, L) AS piece,
+                       CAST(SUM(f) AS BIGINT) AS freq
+                FROM starts, UNNEST(generate_series(1, 4)) AS t(L)
+                WHERE i + L - 1 <= length(w)
+                GROUP BY 1
+            )
+            SELECT piece, freq FROM pieces
+            ORDER BY freq DESC, piece LIMIT 50
         """,
         "vocab_encode": r"""
             WITH docs AS (

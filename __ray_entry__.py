@@ -87,6 +87,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
 
+    def read_docs_lang(sf_dir):
+        # classifier features need the label column too (column-pruned)
+        return read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
     def read_emb(sf_dir):
         return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
@@ -541,6 +547,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = read_docs(sf_dir)
         vocab = unigram.unigram_train(docs, vocab_size=64)
         return unigram.unigram_encode_counts(docs, vocab)
+
+    def logreg_grad0_q(sf_dir):
+        """2x the logistic log-likelihood gradient at w=0 for the
+        lang=='en' quality-signal classifier: per feature,
+        sum(x * (2y-1)) — exact int64 (p(0)=1/2 exactly), ONE scan with
+        single-row block partials. SQL-oracled."""
+        from docstrange_ray.ops import classifier
+
+        return classifier.grad_at_zero(read_docs_lang(sf_dir))
+
+    def quality_classifier_q(sf_dir):
+        """Distributed IRLS logistic regression (Spark-MLlib shape:
+        per-block ZᵀWZ / Zᵀ(y-p) partials, d²-float exchange per
+        iteration) predicting lang=='en' from the exact quality
+        signals; returns (feature, coef_raw, coef_std). Pinned in
+        tests/test_classifier.py vs an independent whole-matrix IRLS
+        (iterative float optimum — not SQL-expressible)."""
+        from docstrange_ray.ops import classifier
+
+        return classifier.train_logreg(read_docs_lang(sf_dir))
+
+    def classifier_eval_q(sf_dir):
+        """Train + score in-corpus: one confusion-matrix row
+        (tp, fp, fn, tn, accuracy) under the trained classifier —
+        broadcast coefficients, shuffle-free scoring scan. NOTE: the
+        driver testdata's lang label is statistically independent of
+        its text, so converging to the base rate IS the correct fit
+        here; tests/test_classifier.py pins that the same estimator
+        recovers a planted signal when one exists."""
+        from docstrange_ray.ops import classifier
+
+        return classifier.confusion(read_docs_lang(sf_dir))
 
     def shared_gram_pairs_q(sf_dir):
         """Copy-detection pairs: docs sharing >=3 rare 4-grams
@@ -1165,6 +1203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_seed_counts": unigram_seed_counts_q,
         "unigram_vocab": unigram_vocab_q,
         "unigram_token_counts": unigram_token_counts_q,
+        "logreg_grad0": logreg_grad0_q,
+        "quality_classifier": quality_classifier_q,
+        "classifier_eval": classifier_eval_q,
         "pmi_collocations": pmi_collocations_q,
         "lexical_diversity": lexical_diversity_q,
         "doc_novelty": doc_novelty_q,
@@ -2110,6 +2151,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT left_sym, right_sym, freq FROM pairs
             ORDER BY freq DESC, left_sym, right_sym LIMIT 50
+        """,
+        "logreg_grad0": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                           AS n_words,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                           AS sum_word_len,
+                       CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+                           AS n_punct,
+                       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+                           AS n_stopwords,
+                       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS BIGINT)
+                           AS n_en_markers,
+                       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS s
+                FROM documents
+            )
+            SELECT 'bias' AS feature, CAST(SUM(s) AS BIGINT) AS grad2x FROM q
+            UNION ALL
+            SELECT 'n_words', CAST(SUM(s * n_words) AS BIGINT) FROM q
+            UNION ALL
+            SELECT 'sum_word_len', CAST(SUM(s * sum_word_len) AS BIGINT) FROM q
+            UNION ALL
+            SELECT 'n_punct', CAST(SUM(s * n_punct) AS BIGINT) FROM q
+            UNION ALL
+            SELECT 'n_stopwords', CAST(SUM(s * n_stopwords) AS BIGINT) FROM q
+            UNION ALL
+            SELECT 'n_en_markers', CAST(SUM(s * n_en_markers) AS BIGINT) FROM q
         """,
         "unigram_seed_counts": r"""
             WITH toks AS (

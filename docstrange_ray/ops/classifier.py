@@ -1,26 +1,31 @@
-"""Multinomial Naive-Bayes text classifier — the fasttext-shaped stage.
+"""Distributed L2-regularized logistic regression over document quality
+signals (the trained-filter stage of a curation pipeline: fastText-style
+"reference vs crawl" classifiers, CCNet's quality LM cousins — here a
+linear model over the engine's exact integer quality signals, trained
+with iteratively reweighted least squares).
 
-CCNet-style curation pipelines run a trained linear text classifier
-over every document (fasttext langid, quality classifiers trained on
-Wikipedia-vs-crawl). No model weights ship in this sandbox, so the
-rebuild provides the same pipeline shape with a classifier that TRAINS
-INSIDE the engine: multinomial NB over whitespace words with add-one
-smoothing — closed-form, so training is pure counting:
+Scale shape (the Spark-MLlib / Newton-on-partials pattern)
+----------------------------------------------------------
+The model is d-dimensional with tiny d (5 features), so every pass is a
+pure scan with BOUNDED partials:
 
-* **train** — ONE shuffle of (label, word, partial_count) rows
-  (partial-reduced per batch first, so hot words cost one row per
-  batch, not one per occurrence) plus a tiny label-prior aggregate.
-  The model (vocab array + per-class count matrix + priors) is
-  vocabulary-scale, broadcast once via ``ray.put`` — the same bounded
-  Heaps-law assumption ``tfidf_topk`` documents.
-* **predict** — shuffle-free: per batch, factorize words against the
-  broadcast vocab and sum log-probabilities per (doc, class) with
-  ``np.add.reduceat``; argmax with rounded scores (6 dp) and
-  lowest-label tie-break, reproducible across block orders and vs the
-  DuckDB oracle (which rebuilds the same counts + smoothing in SQL).
+1. ONE moments pass: per-batch (n, sum x, sum x², sum y) — a single
+   row per block — coalesced to the driver for standardization stats.
+2. Per IRLS iteration: broadcast (w, mu, sigma) once (``ray.put``,
+   d floats); each block emits ONE row holding the flattened d×d
+   Gram/Hessian partial ZᵀWZ, the gradient partial Zᵀ(y−p), and the
+   log-likelihood partial; the driver sums ≤ n_blocks rows and solves a
+   d×d system. Per-iteration exchange volume: n_blocks × (d²+d+2)
+   floats — independent of corpus size. Iterations are bounded
+   (quadratic convergence; default 25 with an early tol stop).
+3. Scoring broadcasts the d raw-space coefficients once — shuffle-free.
 
-Unseen-at-train words score the smoothing floor 1/(class_total+|V|) —
-same as a count-0 vocab word, which is what the SQL LEFT JOIN yields.
+Determinism: block partial-sum ORDER is nondeterministic, so converged
+coefficients carry last-ulp float noise across runs; tests pin against
+an independent driver-side IRLS at rtol 1e-6 (the ridge keeps the
+optimum unique and well-conditioned). The gradient at w = 0 however is
+EXACT — p is exactly 1/2, so 2·∇LL(0) = Σ x·(2y−1) is an int64 sum in
+any order — which is what the ``logreg_grad0`` SQL oracle checks.
 """
 
 from __future__ import annotations
@@ -28,134 +33,231 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from docstrange_ray.numerics import round6
+from docstrange_ray.numerics import round_half_away
+from docstrange_ray.ops.textstats import _LANG_MARKERS, quality_stats
+from docstrange_ray.shuffle import arrow_out, coalesced_blocks
 
-
-def _words_of(texts: pa.ChunkedArray | pa.Array):
-    """Lowercased whitespace words per doc (list<string>), '' -> []."""
-    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(texts))
-    return pc.split_pattern_regex(trimmed, pattern=r"\s+")
-
-
-class NBModel:
-    """vocab: sorted word array; counts: (C, V) word counts per class;
-    class_totals: (C,); priors: (C,) doc counts; labels: sorted class
-    names. log P(w|c) = ln((counts+1) / (class_total + V))."""
-
-    def __init__(self, labels, vocab, counts, priors):
-        self.labels = list(labels)
-        self.vocab = pd.Index(vocab)
-        self.counts = np.asarray(counts, dtype=np.float64)
-        self.priors = np.asarray(priors, dtype=np.float64)
-        v = len(self.vocab)
-        tot = self.counts.sum(axis=1, keepdims=True)
-        # column V = the smoothing floor for out-of-vocab words
-        smoothed = np.concatenate(
-            [self.counts + 1.0, np.ones((len(self.labels), 1))], axis=1
-        )
-        self.logp = np.log(smoothed / (tot + v))
-        self.logprior = np.log(self.priors / self.priors.sum())
+FEATURES = [
+    "bias", "n_words", "sum_word_len", "n_punct", "n_stopwords", "n_en_markers",
+]
+_D = len(FEATURES)
 
 
-def nb_train(ds, label_col: str = "lang", text_col: str = "text") -> NBModel:
-    """One (label, word) count shuffle + one tiny prior aggregate."""
-    from docstrange_ray.shuffle import adaptive_final
+def _feature_matrix(batch: pa.Table) -> np.ndarray:
+    """n x d int64 design matrix from the exact quality signals
+    (column 0 is the all-ones bias; the last column counts hits in the
+    lang-ID English marker set — the signal that makes the lang target
+    actually learnable)."""
+    q = quality_stats(batch)
+    n = q.num_rows
+    X = np.empty((n, _D), dtype=np.int64)
+    X[:, 0] = 1
+    for j, col in enumerate(["n_words", "sum_word_len", "n_punct", "n_stopwords"]):
+        X[:, j + 1] = np.asarray(q.column(col), dtype=np.int64)
+    en = _LANG_MARKERS["en"]
+    texts = batch.column("text").to_pylist()
+    X[:, 5] = np.fromiter(
+        (sum(1 for w in (t or "").lower().split() if w in en) for t in texts),
+        np.int64,
+        count=n,
+    )
+    return X
+
+
+def _labels(batch: pa.Table, target_lang: str) -> np.ndarray:
+    langs = batch.column("lang").to_pylist()
+    return np.fromiter((1 if l == target_lang else 0 for l in langs),
+                       np.int64, count=len(langs))
+
+
+def grad_at_zero(ds, target_lang: str = "en"):
+    """2x the log-likelihood gradient at w = 0: per feature,
+    Σ x·(2y−1) — an EXACT int64 statistic (p(0) = 1/2 exactly), hence
+    SQL-oracleable. One scan, one single-row partial per block."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        words = _words_of(batch.column(text_col))
-        labels = batch.column(label_col).to_pylist()
-        reps = pc.list_value_length(words).fill_null(0).to_numpy(zero_copy_only=False)
-        flat = words.combine_chunks().flatten().to_pandas()
-        flat_labels = np.repeat(np.asarray(labels, dtype=object), reps)
-        df = pd.DataFrame({"label": flat_labels, "w": flat})
-        df = df[df["w"] != ""]
-        out = df.groupby(["label", "w"], as_index=False, sort=False).size()
-        return out.rename(columns={"size": "c"})
+        X = _feature_matrix(batch)
+        s = 2 * _labels(batch, target_lang) - 1
+        g = X.T @ s
+        return pd.DataFrame({"feature": FEATURES, "grad2x": g.astype(np.int64)})
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["label", "w"], as_index=False, sort=False)["c"].sum()
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    counts = adaptive_final(partials, combine, keys=["label", "w"]).to_pandas()
-
-    prior_partials = ds.map_batches(
-        lambda b: pd.DataFrame(
-            {"label": b.column(label_col).to_pylist()}
-        ).groupby("label", as_index=False).size().rename(columns={"size": "n"}),
-        batch_format="pyarrow",
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow",
+                              batch_size=8192)
+    return coalesced_blocks(
+        partials,
+        lambda df: df.groupby("feature", as_index=False, sort=True)["grad2x"].sum(),
     )
-    priors_df = adaptive_final(
-        prior_partials,
-        lambda df: df.groupby("label", as_index=False)["n"].sum(),
-        keys=["label"],
-    ).to_pandas()
-
-    labels = sorted(priors_df["label"])
-    vocab = np.sort(counts["w"].unique())
-    vidx = pd.Index(vocab)
-    cmat = np.zeros((len(labels), len(vocab)), dtype=np.int64)
-    lpos = {l: i for i, l in enumerate(labels)}
-    cmat[
-        [lpos[l] for l in counts["label"]], vidx.get_indexer(counts["w"])
-    ] = counts["c"].to_numpy()
-    pri = np.zeros(len(labels), dtype=np.int64)
-    pri[[lpos[l] for l in priors_df["label"]]] = priors_df["n"].to_numpy()
-    return NBModel(labels, vocab, cmat, pri)
 
 
-def nb_predict(ds, model: NBModel, text_col: str = "text", out_col: str = "nb_label"):
-    """Shuffle-free scoring: (doc_id, nb_label, nb_score). Score =
-    rounded(6) ln prior + sum of word log-probs; tie -> first label in
-    sorted order (np.argmax first-max)."""
+def _moments(ds, target_lang: str):
+    """(count, per-feature sums, per-feature sum-of-squares, label sum)
+    in ONE scan; exact int64 partials."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _feature_matrix(batch)
+        y = _labels(batch, target_lang)
+        row = {"n": np.int64(len(X)), "sy": y.sum()}
+        for j, f in enumerate(FEATURES):
+            row[f"s_{f}"] = X[:, j].sum()
+            row[f"ss_{f}"] = (X[:, j].astype(object) ** 2).sum()  # overflow-safe
+        return pd.DataFrame([row])
+
+    summed = coalesced_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=8192),
+        lambda df: pd.DataFrame([df.astype(object).sum(axis=0)]),
+    ).take_all()
+    return summed[0]
+
+
+def train_logreg(
+    ds,
+    target_lang: str = "en",
+    n_iters: int = 25,
+    ridge: float = 1e-3,
+    tol: float = 1e-10,
+) -> pd.DataFrame:
+    """Fit P(lang == target | quality signals) by distributed IRLS.
+
+    Returns one row per feature: (feature, coef_raw, coef_std) where
+    coef_raw lives in raw-signal space (bias row = the intercept) and
+    coef_std in standardized space. ``ridge`` penalizes standardized
+    non-bias coefficients (keeps the optimum unique on separable data).
+    """
     import ray
 
-    ref = ray.put(model)
+    m = _moments(ds, target_lang)
+    n = float(m["n"])
+    if n == 0:
+        return pd.DataFrame({"feature": FEATURES,
+                             "coef_raw": np.zeros(_D),
+                             "coef_std": np.zeros(_D)})
+    mu = np.array([float(m[f"s_{f}"]) / n for f in FEATURES])
+    var = np.array(
+        [float(m[f"ss_{f}"]) / n - (float(m[f"s_{f}"]) / n) ** 2 for f in FEATURES]
+    )
+    sigma = np.sqrt(np.maximum(var, 0.0))
+    mu[0], sigma[0] = 0.0, 1.0  # bias column stays 1
+    sigma[sigma == 0.0] = 1.0  # constant features contribute nothing
 
-    def score(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        words = _words_of(batch.column(text_col))
-        reps = pc.list_value_length(words).fill_null(0).to_numpy(zero_copy_only=False)
-        flat = words.combine_chunks().flatten().to_pandas().to_numpy(dtype=object)
-        keep = flat != ""
-        flat = flat[keep]
-        # per-word vocab slot; OOV -> the smoothing column V
-        slots = m.vocab.get_indexer(flat)
-        slots = np.where(slots < 0, len(m.vocab), slots)
-        # word-count per doc after dropping empties
-        doc_of = np.repeat(np.arange(len(reps)), reps)[keep]
-        n = len(reps)
-        scores = np.tile(m.logprior, (n, 1))  # (docs, classes)
-        if len(flat):
-            order = np.argsort(doc_of, kind="stable")
-            doc_sorted = doc_of[order]
-            slot_sorted = slots[order]
-            starts = np.searchsorted(doc_sorted, np.arange(n))
-            empty = np.diff(np.append(starts, len(flat))) == 0
-            # reduceat rejects index == len and repeats the previous sum
-            # for empty segments: clip, then zero the empty docs
-            starts_c = np.minimum(starts, len(flat) - 1)
-            for ci in range(len(m.labels)):
-                sums = np.add.reduceat(m.logp[ci][slot_sorted], starts_c)
-                sums[empty] = 0.0
-                scores[:, ci] += sums
-        scores = round6(scores, 6)
-        best = np.argmax(scores, axis=1)
-        out_labels = np.asarray(m.labels, dtype=object)[best]
-        return pa.Table.from_arrays(
-            [
-                batch.column("doc_id"),
-                pa.array(out_labels, type=pa.string()),
-                pa.array(scores[np.arange(n), best], type=pa.float64()),
-            ],
-            names=["doc_id", out_col, "nb_score"],
+    w = np.zeros(_D)
+    pen = np.full(_D, ridge)
+    pen[0] = 0.0  # never penalize the intercept
+
+    for _ in range(n_iters):
+        state = ray.put((w.copy(), mu.copy(), sigma.copy()))
+
+        def partial(batch: pa.Table, _target=target_lang) -> pd.DataFrame:
+            import ray as _ray
+
+            w_, mu_, sg_ = _ray.get(state)
+            X = _feature_matrix(batch).astype(np.float64)
+            Z = (X - mu_) / sg_
+            y = _labels(batch, _target).astype(np.float64)
+            eta = Z @ w_
+            p = 1.0 / (1.0 + np.exp(-np.clip(eta, -35, 35)))
+            wt = np.maximum(p * (1.0 - p), 1e-10)
+            H = Z.T @ (Z * wt[:, None])
+            g = Z.T @ (y - p)
+            ll = float(np.sum(y * np.log(np.maximum(p, 1e-300))
+                              + (1 - y) * np.log(np.maximum(1 - p, 1e-300))))
+            row = {"ll": ll}
+            for j in range(_D):
+                row[f"g{j}"] = g[j]
+                for k in range(_D):
+                    row[f"h{j}_{k}"] = H[j, k]
+            return pd.DataFrame([row])
+
+        agg = coalesced_blocks(
+            ds.map_batches(arrow_out(partial), batch_format="pyarrow",
+                           batch_size=8192),
+            lambda df: pd.DataFrame([df.sum(axis=0)]),
+        ).take_all()[0]
+        g = np.array([agg[f"g{j}"] for j in range(_D)]) - pen * w
+        H = np.array([[agg[f"h{j}_{k}"] for k in range(_D)] for j in range(_D)])
+        H += np.diag(pen)
+        delta = np.linalg.solve(H, g)
+        w = w + delta
+        if np.max(np.abs(delta)) < tol:
+            break
+
+    coef_raw = w / sigma
+    coef_raw[0] = w[0] - float(np.sum(w[1:] * mu[1:] / sigma[1:]))
+    return pd.DataFrame({"feature": FEATURES, "coef_raw": coef_raw,
+                         "coef_std": w})
+
+
+def classify_docs(ds, coefs: pd.DataFrame, threshold: float = 0.5):
+    """Score every document under raw-space coefficients (broadcast
+    once): (doc_id, score, pred) — shuffle-free."""
+    import ray
+
+    order = {f: i for i, f in enumerate(FEATURES)}
+    w = np.zeros(_D)
+    for f, c in zip(coefs["feature"], coefs["coef_raw"]):
+        w[order[str(f)]] = float(c)
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        w_ = _ray.get(w_ref)
+        X = _feature_matrix(batch).astype(np.float64)
+        eta = X @ w_
+        p = 1.0 / (1.0 + np.exp(-np.clip(eta, -35, 35)))
+        return pd.DataFrame(
+            {
+                "doc_id": batch.column("doc_id").to_pylist(),
+                "score": round_half_away(p, 6),
+                "pred": (p >= threshold).astype(np.int8),
+            }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return ds.map_batches(arrow_out(score), batch_format="pyarrow",
+                          batch_size=8192)
 
 
-def nb_classify(ds, label_col: str = "lang", text_col: str = "text"):
-    """Train-and-score over the same corpus (the oracled query shape)."""
-    model = nb_train(ds, label_col=label_col, text_col=text_col)
-    return nb_predict(ds, model, text_col=text_col)
+def confusion(ds, target_lang: str = "en", **train_kw) -> pd.DataFrame:
+    """Train + evaluate on the corpus: one row with confusion counts and
+    accuracy (training-set evaluation — the demo is the distributed
+    training/scoring shape, not a holdout protocol)."""
+    import ray
+
+    coefs = train_logreg(ds, target_lang=target_lang, **train_kw)
+    order = {f: i for i, f in enumerate(FEATURES)}
+    w = np.zeros(_D)
+    for f, c in zip(coefs["feature"], coefs["coef_raw"]):
+        w[order[str(f)]] = float(c)
+    w_ref = ray.put(w)
+
+    def partial(batch: pa.Table, _target=target_lang) -> pd.DataFrame:
+        import ray as _ray
+
+        w_ = _ray.get(w_ref)
+        X = _feature_matrix(batch).astype(np.float64)
+        y = _labels(batch, _target)
+        p = 1.0 / (1.0 + np.exp(-np.clip(X @ w_, -35, 35)))
+        pred = (p >= 0.5).astype(np.int64)
+        return pd.DataFrame(
+            [
+                {
+                    "tp": int(((pred == 1) & (y == 1)).sum()),
+                    "fp": int(((pred == 1) & (y == 0)).sum()),
+                    "fn": int(((pred == 0) & (y == 1)).sum()),
+                    "tn": int(((pred == 0) & (y == 0)).sum()),
+                }
+            ]
+        )
+
+    agg = coalesced_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow",
+                       batch_size=8192),
+        lambda df: pd.DataFrame([df.sum(axis=0)]),
+    ).take_all()[0]
+    tp, fp, fn, tn = (int(agg[k]) for k in ("tp", "fp", "fn", "tn"))
+    total = tp + fp + fn + tn
+    acc = round_half_away(np.float64(tp + tn) / total, 6) if total else 0.0
+    return pd.DataFrame(
+        [{"tp": tp, "fp": fp, "fn": fn, "tn": tn,
+          "accuracy": float(acc)}]
+    )

@@ -70,6 +70,7 @@ OP_GROUPS: list[list[str]] = [
         "heavy_tokens",
         "bm25_search",
         "bpe_merges",
+        "unigram_vocab",
     ],
     [
         "exact_dedup",
@@ -98,6 +99,7 @@ OP_GROUPS: list[list[str]] = [
         "user_sessions",
         "user_running_total",
         "global_doc_rank",
+        "quality_classifier",
     ],
 ]
 

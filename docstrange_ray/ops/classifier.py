@@ -90,21 +90,48 @@ def grad_at_zero(ds, target_lang: str = "en"):
     )
 
 
-def _moments(ds, target_lang: str):
+def _design_matrix_ds(ds, target_lang: str):
+    """Materialized compact design matrix (columns x0..x{d-1}, y):
+    feature extraction runs ONCE; every IRLS iteration then scans
+    d+1 int64 columns instead of re-parsing text — at 100 TB the
+    iteration working set is ~50 bytes/doc regardless of text size."""
+
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        X = _feature_matrix(batch)
+        out = {f"x{j}": X[:, j] for j in range(_D)}
+        out["y"] = _labels(batch, target_lang)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(
+        arrow_out(extract), batch_format="pyarrow", batch_size=8192
+    ).materialize()
+
+
+def _xy(batch: pa.Table):
+    n = batch.num_rows
+    X = np.empty((n, _D), dtype=np.float64)
+    for j in range(_D):
+        X[:, j] = np.asarray(batch.column(f"x{j}"), dtype=np.float64)
+    y = np.asarray(batch.column("y"), dtype=np.float64)
+    return X, y
+
+
+def _moments(feats):
     """(count, per-feature sums, per-feature sum-of-squares, label sum)
-    in ONE scan; exact int64 partials."""
+    in ONE scan of the design matrix; exact int64 partials."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        X = _feature_matrix(batch)
-        y = _labels(batch, target_lang)
-        row = {"n": np.int64(len(X)), "sy": y.sum()}
+        row = {"n": np.int64(batch.num_rows),
+               "sy": np.asarray(batch.column("y"), np.int64).sum()}
         for j, f in enumerate(FEATURES):
-            row[f"s_{f}"] = X[:, j].sum()
-            row[f"ss_{f}"] = (X[:, j].astype(object) ** 2).sum()  # overflow-safe
+            col = np.asarray(batch.column(f"x{j}"), np.int64)
+            row[f"s_{f}"] = col.sum()
+            row[f"ss_{f}"] = (col.astype(object) ** 2).sum()  # overflow-safe
         return pd.DataFrame([row])
 
     summed = coalesced_blocks(
-        ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=8192),
+        feats.map_batches(arrow_out(partial), batch_format="pyarrow",
+                          batch_size=None),
         lambda df: pd.DataFrame([df.astype(object).sum(axis=0)]),
     ).take_all()
     return summed[0]
@@ -124,9 +151,16 @@ def train_logreg(
     coef_std in standardized space. ``ridge`` penalizes standardized
     non-bias coefficients (keeps the optimum unique on separable data).
     """
+    feats = _design_matrix_ds(ds, target_lang)
+    return _train_on_feats(feats, n_iters=n_iters, ridge=ridge, tol=tol)
+
+
+def _train_on_feats(
+    feats, n_iters: int = 25, ridge: float = 1e-3, tol: float = 1e-10
+) -> pd.DataFrame:
     import ray
 
-    m = _moments(ds, target_lang)
+    m = _moments(feats)
     n = float(m["n"])
     if n == 0:
         return pd.DataFrame({"feature": FEATURES,
@@ -147,13 +181,12 @@ def train_logreg(
     for _ in range(n_iters):
         state = ray.put((w.copy(), mu.copy(), sigma.copy()))
 
-        def partial(batch: pa.Table, _target=target_lang) -> pd.DataFrame:
+        def partial(batch: pa.Table) -> pd.DataFrame:
             import ray as _ray
 
             w_, mu_, sg_ = _ray.get(state)
-            X = _feature_matrix(batch).astype(np.float64)
+            X, y = _xy(batch)
             Z = (X - mu_) / sg_
-            y = _labels(batch, _target).astype(np.float64)
             eta = Z @ w_
             p = 1.0 / (1.0 + np.exp(-np.clip(eta, -35, 35)))
             wt = np.maximum(p * (1.0 - p), 1e-10)
@@ -169,8 +202,8 @@ def train_logreg(
             return pd.DataFrame([row])
 
         agg = coalesced_blocks(
-            ds.map_batches(arrow_out(partial), batch_format="pyarrow",
-                           batch_size=8192),
+            feats.map_batches(arrow_out(partial), batch_format="pyarrow",
+                              batch_size=None),
             lambda df: pd.DataFrame([df.sum(axis=0)]),
         ).take_all()[0]
         g = np.array([agg[f"g{j}"] for j in range(_D)]) - pen * w
@@ -220,22 +253,23 @@ def classify_docs(ds, coefs: pd.DataFrame, threshold: float = 0.5):
 def confusion(ds, target_lang: str = "en", **train_kw) -> pd.DataFrame:
     """Train + evaluate on the corpus: one row with confusion counts and
     accuracy (training-set evaluation — the demo is the distributed
-    training/scoring shape, not a holdout protocol)."""
+    training/scoring shape, not a holdout protocol). Builds the design
+    matrix ONCE and both trains and scores from it."""
     import ray
 
-    coefs = train_logreg(ds, target_lang=target_lang, **train_kw)
+    feats = _design_matrix_ds(ds, target_lang)
+    coefs = _train_on_feats(feats, **train_kw)
     order = {f: i for i, f in enumerate(FEATURES)}
     w = np.zeros(_D)
     for f, c in zip(coefs["feature"], coefs["coef_raw"]):
         w[order[str(f)]] = float(c)
     w_ref = ray.put(w)
 
-    def partial(batch: pa.Table, _target=target_lang) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         import ray as _ray
 
         w_ = _ray.get(w_ref)
-        X = _feature_matrix(batch).astype(np.float64)
-        y = _labels(batch, _target)
+        X, y = _xy(batch)
         p = 1.0 / (1.0 + np.exp(-np.clip(X @ w_, -35, 35)))
         pred = (p >= 0.5).astype(np.int64)
         return pd.DataFrame(
@@ -250,8 +284,8 @@ def confusion(ds, target_lang: str = "en", **train_kw) -> pd.DataFrame:
         )
 
     agg = coalesced_blocks(
-        ds.map_batches(arrow_out(partial), batch_format="pyarrow",
-                       batch_size=8192),
+        feats.map_batches(arrow_out(partial), batch_format="pyarrow",
+                          batch_size=None),
         lambda df: pd.DataFrame([df.sum(axis=0)]),
     ).take_all()[0]
     tp, fp, fn, tn = (int(agg[k]) for k in ("tp", "fp", "fn", "tn"))

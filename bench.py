@@ -37,21 +37,97 @@ CORPUS_VERSION = 3  # bump when synth population mix changes (cache key)
 
 
 def probe_seconds() -> float:
-    """One rep of scripts/noise_probe.py's fixed single-thread workload —
-    recorded into the bench JSON so every datapoint carries its own
-    interference reading (round-3 protocol: only compare bench numbers
-    whose probe values are within ~1.5x; quiet floor ~0.16 s on this
-    host)."""
+    """Min-of-3 reps of scripts/noise_probe.py's fixed single-thread
+    workload (after one UNTIMED warm-up rep) — recorded into the bench
+    JSON so every datapoint carries its own interference reading
+    (round-3 protocol: only compare bench numbers whose probe values
+    are within ~1.5x; quiet floor ~0.16 s on this host).
+
+    The warm-up is load-bearing: after any idle period (e.g. the 45 s
+    acceptance-loop sleep in quiet_bench) the FIRST rep on this host
+    reads 10-15x the floor from CPU-frequency ramp / cache cold start —
+    measured 2.37 s cold vs 0.215 s for the very next rep — which is a
+    local artifact, not cross-VM steal. Round-4 discovery; earlier
+    single-rep probe readings in the 1.5-2.5 band are suspect for
+    exactly this reason. Min-of-3 then estimates steal, the thing the
+    protocol actually gates on."""
     import hashlib
 
     import numpy as np
 
     a = np.arange(8_000_000, dtype=np.float64)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _ = a * 1.0000001 + 3.0
-        hashlib.md5(b"x" * 4_000_000).hexdigest()
-    return round(time.perf_counter() - t0, 3)
+
+    def one_rep() -> float:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _ = a * 1.0000001 + 3.0
+            hashlib.md5(b"x" * 4_000_000).hexdigest()
+        return time.perf_counter() - t0
+
+    one_rep()  # warm-up, untimed
+    return round(min(one_rep() for _ in range(3)), 3)
+
+
+def multicore_probe_seconds(n_procs: int = 8) -> dict:
+    """Concurrent-capacity probe: run ``n_procs`` copies of the fixed
+    single-thread workload in separate PROCESSES and report the
+    slowest per-process time plus the /proc/stat sys+steal tick deltas.
+
+    Round-4 discovery: the single-thread probe can sit AT the quiet
+    floor while 16 concurrent processes starve 20-50x (measured:
+    user 8.5 CPU-s vs sys 448 + steal 220 CPU-s during one 42 s burst —
+    the lock-holder-preemption signature of an oversubscribed
+    hypervisor). Scaling legs are only interpretable when BOTH probes
+    are clean: single-thread <= ~2x floor AND multicore max_proc <=
+    ~3x the single-proc floor (~0.35 s for the 2-rep workload)."""
+    import subprocess
+
+    code = (
+        "import hashlib, numpy as np, time\n"
+        "a = np.arange(8_000_000, dtype=np.float64)\n"
+        "_ = a * 1.0000001 + 3.0; hashlib.md5(b'x' * 4_000_000).hexdigest()\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(2):\n"
+        "    _ = a * 1.0000001 + 3.0\n"
+        "    hashlib.md5(b'x' * 4_000_000).hexdigest()\n"
+        "print(time.perf_counter() - t0)\n"
+    )
+
+    def stat_ticks():
+        parts = open("/proc/stat").readline().split()[1:9]
+        vals = [int(x) for x in parts]
+        return vals[2], vals[7]  # sys, steal
+
+    def burst():
+        s0, st0 = stat_ticks()
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE)
+            for _ in range(n_procs)
+        ]
+        times = [float(p.communicate()[0]) for p in procs]
+        wall = time.perf_counter() - t0
+        s1, st1 = stat_ticks()
+        return {
+            "n_procs": n_procs,
+            "wall": round(wall, 2),
+            "per_proc_min": round(min(times), 3),
+            "per_proc_max": round(max(times), 3),
+            "sys_ticks": s1 - s0,
+            "steal_ticks": st1 - st0,
+        }
+
+    # First burst after an idle period always pays a spawn-storm
+    # artifact (page-cache/frequency cold start — measured 36.9 s wall
+    # for a burst whose immediate repeat took 1.8 s); it is a warm-up,
+    # not a steal measurement. Report the second burst, keep the first
+    # for the record.
+    warm = burst()
+    out = burst()
+    out["warmup_wall"] = warm["wall"]
+    out["warmup_per_proc_max"] = warm["per_proc_max"]
+    return out
 
 
 # Per-operator queries run in FRESH Ray sessions (one subprocess per

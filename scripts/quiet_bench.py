@@ -13,9 +13,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import probe_seconds  # noqa: E402
+from bench import multicore_probe_seconds, probe_seconds  # noqa: E402
 
 FLOOR_OK = 0.35  # ~2x the 0.163 quiet floor
+# multicore gate (round-4): the single-thread probe sits at the floor
+# while concurrent processes starve 20-50x when the hypervisor is
+# oversubscribed; the 2-rep workload's single-proc floor is ~0.32 s,
+# so max_proc above ~3x means a scaling leg would measure the HOST.
+MC_FLOOR_OK = 1.0
 
 
 def run_leg(ncpu: int, sf: str) -> dict | None:
@@ -49,16 +54,26 @@ def main():
         if p1 > FLOOR_OK:
             time.sleep(45)
             continue
+        mc1 = multicore_probe_seconds()
+        if mc1["per_proc_max"] > MC_FLOOR_OK:
+            print(json.dumps({"skip": "multicore_contended", "mc": mc1}),
+                  flush=True)
+            time.sleep(45)
+            continue
         r = run_leg(ncpu, sf)
         if r is None:
             continue
         p2 = probe_seconds()
-        ok = p2 <= FLOOR_OK
+        mc2 = multicore_probe_seconds()
+        ok = p2 <= FLOOR_OK and mc2["per_proc_max"] <= MC_FLOOR_OK
         if ok:
             acc[ncpu].append(r["value"])
         print(json.dumps({"num_cpus": ncpu, "probe_before": p1,
+                          "mc_before": mc1["per_proc_max"],
                           "value": r["value"], "docs_per_sec": r["docs_per_sec"],
-                          "probe_after": p2, "accepted": ok}), flush=True)
+                          "probe_after": p2,
+                          "mc_after": mc2["per_proc_max"],
+                          "accepted": ok}), flush=True)
     summary = {"done": True,
                "accepted": {str(n): sorted(v) for n, v in acc.items()}}
     done = sorted(n for n in levels if acc[n])

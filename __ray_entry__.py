@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         )
 
+    def read_docs_src(sf_dir):
+        return read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+
     def read_emb(sf_dir):
         return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
@@ -579,6 +584,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from docstrange_ray.ops import classifier
 
         return classifier.confusion(read_docs_lang(sf_dir))
+
+    def dsir_bucket_counts_q(sf_dir):
+        """DSIR (Xie et al. 2023) hashed unigram+bigram bucket counts:
+        (bucket, raw_c, tgt_c) with target = source 'src0'; exact int64
+        over ONE bounded exchange (<= 4096 buckets, corpus-independent).
+        SQL-oracled via the md5-prefix bucket hash."""
+        from docstrange_ray.ops import dsir
+
+        return dsir.bucket_counts(read_docs_src(sf_dir), m=4096,
+                                  target_source="src0")
+
+    def dsir_weights_q(sf_dir):
+        """Per-doc DSIR importance log-weights under the add-one
+        smoothed bucket multinomials (broadcast m-float lambda, one
+        shuffle-free scoring scan); floats — pytest-oracled vs an
+        independent Counter/loop reference."""
+        from docstrange_ray.ops import dsir
+
+        return dsir.dsir_logweights(read_docs_src(sf_dir), m=4096,
+                                    target_source="src0")
+
+    def dsir_selected_q(sf_dir):
+        """Deterministic Gumbel top-k DSIR selection (k=100): sampling
+        without replacement proportional to importance weight, with
+        md5-derived Gumbel noise (pure function of doc_id — stable
+        across cluster sizes). Per-block top-k candidates -> coalesced
+        final; rerun-identical (pinned in tests/test_dsir.py)."""
+        from docstrange_ray.ops import dsir
+
+        return dsir.dsir_select(read_docs_src(sf_dir), k=100, m=4096,
+                                target_source="src0")
+
+    def cm_estimates_q(sf_dir):
+        """Count-Min sketch (Cormode-Muthukrishnan) frequency estimates
+        for five probe tokens (one absent): per-block d x w matrices as
+        single binary-blob rows, elementwise-merged — no token crosses
+        an exchange. Deterministic md5 row hashes make the SKETCH math
+        itself SQL-reproducible, so the oracle checks the estimates
+        exactly (not just the true counts)."""
+        from docstrange_ray.ops.sketch import countmin_estimates
+
+        return countmin_estimates(
+            read_docs(sf_dir),
+            ["data", "query", "table", "merge", "zz_absent_token"],
+            d=4, w=2048,
+        )
 
     def shared_gram_pairs_q(sf_dir):
         """Copy-detection pairs: docs sharing >=3 rare 4-grams
@@ -1206,6 +1257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_grad0": logreg_grad0_q,
         "quality_classifier": quality_classifier_q,
         "classifier_eval": classifier_eval_q,
+        "dsir_bucket_counts": dsir_bucket_counts_q,
+        "dsir_weights": dsir_weights_q,
+        "dsir_selected": dsir_selected_q,
+        "cm_estimates": cm_estimates_q,
         "pmi_collocations": pmi_collocations_q,
         "lexical_diversity": lexical_diversity_q,
         "doc_novelty": doc_novelty_q,
@@ -2151,6 +2206,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT left_sym, right_sym, freq FROM pairs
             ORDER BY freq DESC, left_sym, right_sym LIMIT 50
+        """,
+        "cm_estimates": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ), counts AS (
+                SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+            ), rows_ AS (
+                SELECT unnest(range(0, 4)) AS j
+            ), bucketed AS (
+                SELECT j,
+                       ('0x' || substr(md5(j::VARCHAR || '|' || w), 1, 8))::UBIGINT
+                           % 2048 AS bucket,
+                       SUM(c) AS s
+                FROM counts, rows_
+                GROUP BY 1, 2
+            ), q(token) AS (
+                VALUES ('data'), ('query'), ('table'), ('merge'),
+                       ('zz_absent_token')
+            )
+            SELECT q.token, CAST(MIN(COALESCE(b.s, 0)) AS BIGINT) AS est
+            FROM q
+            CROSS JOIN rows_ r
+            LEFT JOIN bucketed b
+              ON b.j = r.j
+             AND b.bucket = ('0x' || substr(md5(r.j::VARCHAR || '|' || q.token), 1, 8))::UBIGINT % 2048
+            GROUP BY q.token
+        """,
+        "dsir_bucket_counts": r"""
+            WITH docs AS (
+                SELECT source,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT source, ws[i] AS tok
+                FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            ), bi AS (
+                SELECT source, ws[i] || ' ' || ws[i + 1] AS tok
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+            ), toks AS (
+                SELECT source, tok FROM uni
+                UNION ALL
+                SELECT source, tok FROM bi
+            )
+            SELECT CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS BIGINT)
+                       AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS raw_c,
+                   CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
+                       AS tgt_c
+            FROM toks GROUP BY 1
         """,
         "logreg_grad0": r"""
             WITH q AS (

@@ -374,3 +374,67 @@ def approx_quantiles(
 
     parts = ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536)
     return coalesced_blocks(parts, combine)
+
+
+def _cm_bucket(j: int, token: str, w: int) -> int:
+    """Row-j Count-Min bucket of a token: md5(f"{j}|{token}") prefix
+    mod w — the repo's SQL-parity hash idiom, so the full sketch is
+    exactly reproducible in the DuckDB oracle."""
+    import hashlib
+
+    return (
+        int.from_bytes(
+            hashlib.md5(f"{j}|{token}".encode("utf-8")).digest()[:4], "big"
+        )
+        % w
+    )
+
+
+def countmin_estimates(
+    ds, query_tokens: list[str], d: int = 4, w: int = 2048
+):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) estimates of the
+    corpus frequencies of ``query_tokens``: (token, est) with the
+    one-sided guarantee est >= true count and
+    est <= true + e/w * N with probability 1 - (1/2)^d-ish per row.
+
+    Scale shape: each block emits its d x w int64 count matrix as ONE
+    binary-blob row (d*w*8 bytes, corpus-independent); the coalesced
+    final sums the matrices elementwise — mergeability is the whole
+    point of the sketch. No token ever crosses an exchange; the
+    communication volume is O(blocks * d * w) regardless of vocabulary
+    size. Deterministic (md5-derived row hashes), hence SQL-oracleable
+    EXACTLY — the oracle replicates the sketch math, not just the true
+    counts."""
+    if d < 1 or w < 8:
+        raise ValueError(f"need d >= 1, w >= 8; got d={d}, w={w}")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vc = word_counts(batch.column("text").to_pylist())
+        M = np.zeros((d, w), dtype=np.int64)
+        toks = vc.index.to_numpy(dtype=object)
+        cnts = vc.to_numpy(dtype=np.int64)
+        for j in range(d):
+            buckets = np.fromiter(
+                (_cm_bucket(j, t, w) for t in toks), np.int64, count=len(toks)
+            )
+            np.add.at(M[j], buckets, cnts)
+        return pd.DataFrame({"sketch": [M.tobytes()]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.zeros((d, w), dtype=np.int64)
+        for b in df["sketch"]:
+            M += np.frombuffer(b, dtype=np.int64).reshape(d, w)
+        ests = [
+            int(min(M[j, _cm_bucket(j, t, w)] for j in range(d)))
+            for t in query_tokens
+        ]
+        return pd.DataFrame(
+            {"token": list(query_tokens),
+             "est": np.asarray(ests, dtype=np.int64)}
+        )
+
+    parts = ds.map_batches(
+        arrow_out(partial), batch_format="pyarrow", batch_size=65536
+    )
+    return coalesced_blocks(parts, combine)

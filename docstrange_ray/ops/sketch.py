@@ -406,6 +406,8 @@ def countmin_estimates(
     size. Deterministic (md5-derived row hashes), hence SQL-oracleable
     EXACTLY — the oracle replicates the sketch math, not just the true
     counts."""
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
     if d < 1 or w < 8:
         raise ValueError(f"need d >= 1, w >= 8; got d={d}, w={w}")
 

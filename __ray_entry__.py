@@ -969,6 +969,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
+    def margin_mined_pairs(sf_dir):
+        """Margin-criterion pair mining (Artetxe & Schwenk 2019 ratio
+        margin; productionized as CCMatrix): even-label embeddings mine
+        their argmax-ratio-margin odd-label candidate among the full
+        top-4 cosine neighbours, forward direction, margin >= 1.0.
+        Exact broadcast plan (fixture sits under the embedding-op brute
+        gate); ops/bitext.margin_pairs_bucketed is the 10^12-row IVF
+        multi-probe plan, recall pinned in tests/test_bitext.py."""
+        from docstrange_ray.ops import bitext
+
+        return bitext.margin_pairs(read_emb(sf_dir), k=4, threshold=1.0, plan="broadcast")
+
     def ccnet_buckets(sf_dir):
         """CCNet-recipe composition (ops/curate.ccnet_buckets): lang-ID
         -> bigram-LM scoring -> per-language tercile head/middle/tail
@@ -1278,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs,
         "simhash_drops": simhash_drops,
         "embedding_dups": embedding_dups,
+        "margin_mined_pairs": margin_mined_pairs,
         "nb_classify": nb_classify_q,
         "source_mix": source_mix_q,
         "pack_offsets": pack_offsets_q,
@@ -2480,6 +2493,34 @@ def oracle_sql() -> dict[str, str]:
             FROM fp
             WHERE content_md5 NOT IN (SELECT content_md5 FROM base)
             GROUP BY content_md5
+        """,
+        # the paper's exact contract: candidates = top-4 by (cos DESC,
+        # tgt ASC); mx/my = 6dp means over those; ratio margin re-rounded;
+        # argmax per source with (margin DESC, cos DESC, tgt ASC) ties.
+        # Ray emits the identical 6dp operands (see ops/bitext.py emit
+        # discipline), so the value-hash matches bit-for-bit.
+        "margin_mined_pairs": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label % 2 AS side
+                       FROM embeddings),
+            x AS (SELECT vec_id, e FROM v WHERE side = 0),
+            y AS (SELECT vec_id, e FROM v WHERE side = 1),
+            xy AS (SELECT x.vec_id AS src_id, y.vec_id AS tgt_id,
+                          ROUND(list_cosine_similarity(x.e, y.e), 6) AS cos
+                   FROM x, y),
+            ck AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rn
+                   FROM xy) WHERE rn <= 4),
+            mx AS (SELECT src_id, ROUND(AVG(cos), 6) AS mx FROM ck GROUP BY src_id),
+            yk AS (SELECT * FROM (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                       PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rn
+                   FROM xy) WHERE rn <= 4),
+            my AS (SELECT tgt_id, ROUND(AVG(cos), 6) AS my FROM yk GROUP BY tgt_id),
+            m AS (SELECT c.src_id, c.tgt_id, c.cos,
+                         ROUND(c.cos / ((mx.mx + my.my) / 2), 6) AS margin
+                  FROM ck c JOIN mx USING (src_id) JOIN my USING (tgt_id)),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                      ORDER BY margin DESC, cos DESC, tgt_id) AS rn FROM m)
+            SELECT src_id, tgt_id, cos, margin FROM r WHERE rn = 1 AND margin >= 1.0
         """,
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

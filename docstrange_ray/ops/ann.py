@@ -139,6 +139,30 @@ def ivf_assign(ds, centroids: np.ndarray):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def ivf_assign_multi(ds, centroids: np.ndarray, n_probe: int = 2):
+    """Multi-probe IVF assignment: explode each row into its ``n_probe``
+    nearest-centroid buckets (the faiss nprobe idea applied to the
+    *indexed* side). Downstream bucket-local pair consumers see a pair
+    whenever the two rows' probe sets intersect — recall rises with
+    n_probe at n_probe× exchange volume; consumers must dedup pairs."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        mat = _normalize(_as_matrix(batch.column("embedding")))
+        p = min(n_probe, cents.shape[0])
+        order = np.argsort(-(mat @ cents.T), axis=1)[:, :p].astype(np.int32)
+        parts = [
+            batch.append_column("bucket", pa.array(order[:, j], type=pa.int32()))
+            for j in range(p)
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,

@@ -163,6 +163,7 @@ OP_GROUPS: list[list[str]] = [
         "semantic_dedup",
         "ann_topk",
         "pq_ann_topk",
+        "margin_mined_pairs",
         "curated_docs",
         "ccnet_buckets",
         "embedding_decontam",

@@ -182,10 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from docstrange_ray.sources import extract_files
         from docstrange_ray.synth_files import make_png_gray
 
-        from docstrange_ray.synth_files import make_text_png
+        from docstrange_ray.synth_files import make_table_png, make_text_png
 
         out = (
-            "/tmp/dsray_pixel_pages_v2_"
+            "/tmp/dsray_pixel_pages_v3_"
             f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         )
         if not os.path.isdir(out):
@@ -203,6 +203,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lines = [f"PAGE {i + 2} OF 9", "RAY DATA ENGINE", f"SECTION {i + 2}-A"]
                 with open(os.path.join(out, f"text{i}.png"), "wb") as f:
                     f.write(make_text_png(lines))
+            # ruled-table pages: grid structure + per-cell glyph OCR
+            # (the TableFormer-analogue path, extract/backends._detect_tables)
+            for i in range(2):
+                grid = [
+                    ["ITEM", "QTY", "PRICE"],
+                    [f"PART {i + 2}A", str(7 + i), f"{i + 3}.25"],
+                    [f"PART {i + 2}B", str(12 + i), f"{i + 4}.50"],
+                ]
+                with open(os.path.join(out, f"table{i}.png"), "wb") as f:
+                    f.write(make_table_png(grid))
 
         def flatten(batch: pa.Table) -> pa.Table:
             from docstrange_ray.schema import FLAT_SPANS_SCHEMA

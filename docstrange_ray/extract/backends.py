@@ -79,6 +79,143 @@ class DoclingPageBackend:
         raise NotImplementedError("real-weights path: models unavailable here")
 
 
+# The widest ink run any 5x7 font glyph produces is GLYPH_W = 5 px
+# ('#'/'E' rows), so a horizontal run this long can only be a drawn rule.
+_RULE_MIN_RUN = 12
+# a rule column/row must be inked across this fraction of its span
+_RULE_FILL = 0.9
+
+
+def _runs(mask):
+    """(start, end_exclusive) pairs of consecutive True in a 1-D bool mask."""
+    import numpy as np
+
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], mask.astype(np.int8), [0]))))
+    return list(zip(idx[::2], idx[1::2]))
+
+
+def _rule_bars(dark):
+    """Horizontal rule bars: maximal groups of consecutive rows whose
+    longest dark run is >= _RULE_MIN_RUN. Returns [(y0, y1, x0, x1)]
+    with the x-extent of the qualifying runs."""
+    import numpy as np
+
+    rule_rows = []
+    for y in range(dark.shape[0]):
+        long = [(a, b) for a, b in _runs(dark[y]) if b - a >= _RULE_MIN_RUN]
+        if long:
+            rule_rows.append((y, min(a for a, _ in long), max(b for _, b in long)))
+    bars = []
+    for y, x0, x1 in rule_rows:
+        if bars and y == bars[-1][1]:
+            py0, _, px0, px1 = bars[-1]
+            bars[-1] = (py0, y + 1, min(px0, x0), max(px1, x1))
+        else:
+            bars.append((y, y + 1, x0, x1))
+    return bars
+
+
+def _v_bars(dark, y0, y1, x0, x1):
+    """Vertical rule bars inside a region: maximal groups of consecutive
+    columns dark across >= _RULE_FILL of the region's rows. Returns
+    [(cx0, cx1)] in absolute column coordinates."""
+    if y1 <= y0 or x1 <= x0:
+        return []
+    region = dark[y0:y1, x0:x1]
+    filled = region.sum(axis=0) >= _RULE_FILL * (y1 - y0)
+    return [(x0 + a, x0 + b) for a, b in _runs(filled)]
+
+
+def _detect_tables(dark, read_line):
+    """Ruled-table structure recognition over a binarized page: find
+    horizontal rule bars, chain vertically-connected ones into tables,
+    cut the grid at rule intersections, and glyph-OCR every cell — the
+    model-free analogue of the reference's TableFormer stage
+    (neural_document_processor.py:317, SURVEY A2), which predicts this
+    same row/col/cell structure from the same pixels with a transformer.
+
+    Returns ``(blocks, consumed)``: one block per table ROW with
+    '|'-joined cell text (page_to_spans classifies it table_row and
+    reassembles the markdown grid) and a bool row mask covering the
+    table regions so line segmentation skips them. A table whose cells
+    the font can't read degrades to ONE geometry-only placeholder block
+    (same contract as unreadable text lines). Empty cells read as ''
+    and collapse downstream (_split_table_cells drops empties) —
+    documented, matching the descriptor-path semantics."""
+    bars = _rule_bars(dark)
+    blocks: list[dict] = []
+    consumed = [False] * dark.shape[0]
+    i = 0
+    while i < len(bars):
+        chain = [bars[i]]
+        j = i + 1
+        while j < len(bars):
+            prev, nxt = chain[-1], bars[j]
+            ox0, ox1 = max(prev[2], nxt[2]), min(prev[3], nxt[3])
+            if ox1 - ox0 < _RULE_MIN_RUN or len(
+                _v_bars(dark, prev[1], nxt[0], ox0, ox1)
+            ) < 2:
+                break
+            chain.append(nxt)
+            j += 1
+        if len(chain) < 2:
+            i += 1
+            continue
+        i = j
+        tx0 = min(b[2] for b in chain)
+        tx1 = max(b[3] for b in chain)
+        ty0, ty1 = chain[0][0], chain[-1][1]
+        # one consistent column grid across the whole table interior
+        vbars = _v_bars(dark, chain[0][1], chain[-1][0], tx0, tx1)
+        strips = [(chain[k][1], chain[k + 1][0]) for k in range(len(chain) - 1)]
+        cell_spans = [
+            (vbars[k][1], vbars[k + 1][0]) for k in range(len(vbars) - 1)
+        ]
+        for y in range(ty0, ty1):
+            consumed[y] = True
+        grid: list[list[str]] | None = []
+        for sy0, sy1 in strips:
+            row: list[str] = []
+            for cx0, cx1 in cell_spans:
+                cell = dark[sy0:sy1, cx0:cx1]
+                if not cell.any():
+                    row.append("")
+                    continue
+                text = read_line(cell)
+                if text is None:
+                    grid = None
+                    break
+                row.append(text)
+            if grid is None:
+                break
+            grid.append(row)
+        if grid is None:
+            blocks.append(
+                {
+                    "text": f"[table {len(strips)}x{len(cell_spans)}: "
+                    f"{ty1 - ty0}px]",
+                    "x": int(tx0),
+                    "y": int(ty0),
+                    "w": int(tx1 - tx0),
+                    "h": int(ty1 - ty0),
+                    "conf": 0.9,
+                }
+            )
+            continue
+        for (sy0, sy1), row in zip(strips, grid):
+            blocks.append(
+                {
+                    "text": " | ".join(row),
+                    "x": int(tx0),
+                    "y": int(sy0),
+                    "w": int(tx1 - tx0),
+                    "h": int(sy1 - sy0),
+                    "conf": 0.99,
+                }
+            )
+    return blocks, consumed
+
+
 class ProjectionProfileBackend:
     """REAL layout analysis without model weights: for payloads carrying
     an encoded page image (``{"image_b64": ...}`` — the S12 image route,
@@ -122,18 +259,20 @@ class ProjectionProfileBackend:
         from docstrange_ray.extract.glyphs import read_line
 
         dark = img.astype(np.float64) < max(1.0, float(img.mean()))
+        # Ruled tables first: grid structure + per-cell OCR (A2 analogue);
+        # their rows are excluded from line segmentation below.
+        blocks, consumed = _detect_tables(dark, read_line)
         rows = dark.sum(axis=1)
         thr = max(1.0, self.MIN_INK_FRACTION * img.shape[1])
         ink = rows >= thr
-        blocks = []
         y = 0
         h = img.shape[0]
         while y < h:
-            if not ink[y]:
+            if not ink[y] or consumed[y]:
                 y += 1
                 continue
             y0 = y
-            while y < h and ink[y]:
+            while y < h and ink[y] and not consumed[y]:
                 y += 1
             band = dark[y0:y]
             cols = np.where(band.any(axis=0))[0]

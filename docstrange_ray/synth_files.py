@@ -640,6 +640,62 @@ def make_text_png(lines: list[str]) -> bytes:
     return make_png_gray(render_text_image(lines))
 
 
+def render_table_image(
+    rows: list[list[str]],
+    margin: int = 4,
+    cell_pad: int = 3,
+    ink: int = 20,
+    bg: int = 250,
+):
+    """Render a RULED table into a grayscale page image: 1px horizontal
+    rules above/below every row, 1px vertical rules around every column,
+    cell text in the 5x7 bitmap font — the fixture generator for the
+    pixels-backend table-structure round trip (the model-free analogue
+    of the reference's TableFormer input: a table is ink geometry, not
+    markup). Column widths size to the widest cell; ``cell_pad`` px of
+    whitespace insets text from the rules (must stay < the recognizer's
+    word-space gap so cells don't grow phantom spaces). Returns numpy
+    (h, w) uint8."""
+    import numpy as np
+
+    from docstrange_ray.extract.glyphs import ADVANCE, GLYPH_H, GLYPH_W, glyph_bitmap
+
+    rows = [[str(c).upper() for c in r] for r in rows]
+    ncols = max(len(r) for r in rows)
+    rows = [r + [""] * (ncols - len(r)) for r in rows]
+    col_w = [
+        max(max(len(r[j]) for r in rows) * ADVANCE - 1, 1) + 2 * cell_pad
+        for j in range(ncols)
+    ]
+    cell_h = GLYPH_H + 2 * cell_pad
+    w = 2 * margin + sum(col_w) + ncols + 1
+    h = 2 * margin + len(rows) * cell_h + len(rows) + 1
+    img = np.full((h, w), bg, dtype=np.uint8)
+    ys = [margin + k * (cell_h + 1) for k in range(len(rows) + 1)]
+    xs = [margin]
+    for cw in col_w:
+        xs.append(xs[-1] + 1 + cw)
+    for y in ys:
+        img[y, xs[0] : xs[-1] + 1] = ink
+    for x in xs:
+        img[ys[0] : ys[-1] + 1, x] = ink
+    for ri, r in enumerate(rows):
+        ty = ys[ri] + 1 + cell_pad
+        for ci, cell in enumerate(r):
+            tx = xs[ci] + 1 + cell_pad
+            for k, ch in enumerate(cell):
+                if ch == " ":
+                    continue
+                x0 = tx + k * ADVANCE
+                img[ty : ty + GLYPH_H, x0 : x0 + GLYPH_W][glyph_bitmap(ch)] = ink
+    return img
+
+
+def make_table_png(rows: list[list[str]]) -> bytes:
+    """PNG-encoded :func:`render_table_image` page."""
+    return make_png_gray(render_table_image(rows))
+
+
 def make_wav_square(
     freq: int, duration_ms: int, sample_rate: int = 8000, amp: int = 12000
 ) -> bytes:

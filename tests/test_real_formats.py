@@ -627,3 +627,115 @@ class TestPixelsBackend:
         inputs = read_files(str(p), cfg).take_all()
         oracle = extract_corpus([{k: r[k] for k in ("doc_id", "spans")} for r in inputs], cfg)
         assert [dict(s) for s in rows[0]["spans"]] == oracle[0]["spans"]
+
+
+class TestPixelsTableStructure:
+    """Ruled-table structure recognition from REAL pixels: the
+    model-free analogue of the reference's TableFormer stage
+    (neural_document_processor.py:317, SURVEY A2) — horizontal/vertical
+    rule detection, grid cut at intersections, per-cell glyph OCR."""
+
+    @staticmethod
+    def _blocks(img):
+        import base64
+        import json
+
+        from docstrange_ray.extract.backends import ProjectionProfileBackend
+        from docstrange_ray.synth_files import make_png_gray
+
+        payload = json.dumps(
+            {"image_b64": base64.b64encode(make_png_gray(img)).decode()}
+        )
+        return json.loads(ProjectionProfileBackend().analyze_page(payload))["blocks"]
+
+    def test_table_round_trips_through_pixels(self):
+        import base64
+        import json
+
+        from docstrange_ray.extract.backends import ProjectionProfileBackend
+        from docstrange_ray.extract.page_extract import page_to_spans
+        from docstrange_ray.extract.table_extract import grid_to_markdown
+        from docstrange_ray.synth_files import make_table_png
+
+        rows = [["NAME", "QTY", "PRICE"], ["WIDGET A", "12", "3.50"],
+                ["GADGET B", "7", "10.25"]]
+        payload = json.dumps(
+            {"image_b64": base64.b64encode(make_table_png(rows)).decode()}
+        )
+        desc = ProjectionProfileBackend().analyze_page(payload)
+        blocks = json.loads(desc)["blocks"]
+        assert [b["text"] for b in blocks] == [
+            "NAME | QTY | PRICE", "WIDGET A | 12 | 3.50", "GADGET B | 7 | 10.25",
+        ]
+        # rows carry real strip geometry: 13px tall, stacked 14px apart
+        assert [b["y"] for b in blocks] == [5, 19, 33]
+        assert all(b["h"] == 13 for b in blocks)
+        # downstream reassembly: one table span, canonical markdown grid
+        spans = page_to_spans(desc, 1)
+        assert [s["kind"] for s in spans] == ["heading", "table"]
+        assert spans[1]["text"] == grid_to_markdown(rows)
+
+    def test_mixed_page_text_and_table(self):
+        import numpy as np
+
+        from docstrange_ray.synth_files import render_table_image, render_text_image
+
+        tbl = render_table_image([["ID", "NAME"], ["7", "ROW A"]])
+        txt = render_text_image(["INVENTORY REPORT."])
+        h = txt.shape[0] + 8 + tbl.shape[0]
+        w = max(txt.shape[1], tbl.shape[1])
+        img = np.full((h, w), 250, np.uint8)
+        img[: txt.shape[0], : txt.shape[1]] = txt
+        img[txt.shape[0] + 8 :, : tbl.shape[1]] = tbl
+        blocks = self._blocks(img)
+        texts = sorted(b["text"] for b in blocks)
+        assert texts == ["7 | ROW A", "ID | NAME", "INVENTORY REPORT."]
+        # table rows are excluded from line segmentation (no duplicates)
+        assert len(blocks) == 3
+
+    def test_unreadable_cell_degrades_to_placeholder(self):
+        import numpy as np
+
+        from docstrange_ray.synth_files import render_table_image
+
+        img = render_table_image([["AB", "CD"], ["EF", "GH"]]).copy()
+        noise = (np.add.outer(np.arange(5), np.arange(10)) % 2).astype(bool)
+        img[22:27, 30:40] = np.where(noise, 20, 250)
+        blocks = self._blocks(img)
+        assert [b["text"] for b in blocks] == ["[table 2x2: 29px]"]
+        assert blocks[0]["conf"] == 0.9  # geometry-only confidence
+
+    def test_lone_rule_is_not_a_table(self):
+        import numpy as np
+
+        img = np.full((40, 100), 250, np.uint8)
+        img[10, 5:95] = 20  # divider rule, no grid
+        img[25:32, 10:80] = 20  # plain ink band
+        blocks = self._blocks(img)
+        assert all("[text line" in b["text"] for b in blocks)
+
+    def test_table_extracts_end_to_end(self, ray_session, tmp_path):
+        """S12 + A2 through the full pipeline: a PNG of a ruled table
+        extracts to a markdown table span, span-equal to the sequential
+        oracle."""
+        from dataclasses import replace
+
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.extract.table_extract import grid_to_markdown
+        from docstrange_ray.sources import extract_files, read_files
+        from docstrange_ray.synth_files import make_table_png
+
+        rows = [["CODE", "CITY"], ["SFO", "SAN FRANCISCO"], ["AMS", "AMSTERDAM"]]
+        p = tmp_path / "table_page.png"
+        p.write_bytes(make_table_png(rows))
+        cfg = replace(DEFAULT, page_backend="pixels")
+        got = extract_files(str(p), cfg).take_all()
+        assert len(got) == 1
+        tables = [s for s in got[0]["spans"] if s["kind"] == "table"]
+        assert [t["text"] for t in tables] == [grid_to_markdown(rows)]
+        inputs = read_files(str(p), cfg).take_all()
+        oracle = extract_corpus(
+            [{k: r[k] for k in ("doc_id", "spans")} for r in inputs], cfg
+        )
+        assert [dict(s) for s in got[0]["spans"]] == oracle[0]["spans"]

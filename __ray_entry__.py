@@ -789,6 +789,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster representative)."""
         return dedup.near_dup_drop_list_ds(read_docs(sf_dir), threshold=0.8)
 
+    def near_dup_keep_best(sf_dir):
+        """Quality-aware dedup representative selection: each near-dup
+        cluster keeps its LONGEST member (max n_chars, min-doc_id
+        tiebreak) instead of the arbitrary min-id — RefinedWeb's
+        keep-the-best policy. Pairs -> distributed connected components
+        -> ONE co-partition score join -> per-cluster argmax."""
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+        return dedup.keep_best_drop_list_ds(docs, score_col="n_chars", threshold=0.8)
+
+    def c4_clean(sf_dir):
+        """C4's line-level cleaning rules (Raffel et al. 2020 §2.2)
+        over a deterministically LINED corpus: the flat word-stream
+        documents get 7-word lines whose punctuation / noise
+        decorations derive from md5(doc_id:j) (the repo's md5-parity
+        oracle idiom — terminal punct, missing punct, a javascript
+        line, a too-short line, page-level lorem-ipsum / curly-brace
+        markers), then ops.curate.c4_clean applies the paper's line and
+        page rules. Shuffle-free end to end — every rule is per-line or
+        per-document."""
+        import hashlib as _hl
+
+        from docstrange_ray.ops.curate import c4_clean as _c4
+
+        def line_structure(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = []
+            for doc_id, text in zip(ids, texts):
+                ws = text.split()
+                lines = []
+                for j in range((len(ws) + 6) // 7):
+                    body = " ".join(ws[7 * j : 7 * j + 7])
+                    d = _hl.md5(f"{doc_id}:{j}".encode()).hexdigest()[0]
+                    if d == "c":
+                        lines.append(body + "?")
+                    elif d == "d":
+                        lines.append(body)  # no terminal punct
+                    elif d == "e":
+                        lines.append("javascript " + body + ".")
+                    elif d == "f":
+                        lines.append(" ".join(ws[7 * j : 7 * j + 2]) + ".")
+                    else:
+                        lines.append(body + ".")
+                h0 = _hl.md5(str(doc_id).encode()).hexdigest()[0]
+                if h0 == "0":
+                    lines.append("lorem ipsum dolor sit amet.")
+                elif h0 == "1":
+                    lines.append("var config = { x: 1 };")
+                out.append("\n".join(lines))
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), pa.array(out, type=pa.string())],
+                names=["doc_id", "text"],
+            )
+
+        lined = read_docs(sf_dir).map_batches(
+            line_structure, batch_format="pyarrow"
+        )
+        return _c4(lined)
+
     def quality_filter(sf_dir):
         import pyarrow.compute as pc
 
@@ -1296,6 +1357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_pairs": jaccard_join_pairs,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
+        "near_dup_keep_best": near_dup_keep_best,
+        "c4_clean": c4_clean,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
         "simhash_drops": simhash_drops,
@@ -2128,6 +2191,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id
             FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
             WHERE m <> node
+        """,
+        # same pair + component closure as near_dup_drops, but the
+        # representative is the cluster's LONGEST member (max n_chars,
+        # min doc_id tiebreak) — verifies keep_best_drop_list_ds's
+        # score join + per-cluster argmax end to end
+        "near_dup_keep_best": r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(ws) - 1,
+                                             CASE WHEN len(ws) > 0 THEN 2 ELSE 1 END)),
+                           i -> CASE WHEN len(ws) >= 3
+                                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     ELSE array_to_string(ws, ' ') END)) AS gs
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ), e AS (
+                SELECT doc_id, UNNEST(gs) AS gram, len(gs) AS n FROM g
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni,
+                       ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), prs AS (
+                SELECT pa, pb FROM inter WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM prs UNION SELECT pb, pa FROM prs
+            ), lbl(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e2.a, l.label FROM edges e2 JOIN lbl l ON l.node = e2.b
+            ), comp AS (
+                SELECT node, MIN(label) AS label FROM lbl GROUP BY node
+            ), scored AS (
+                SELECT c.node, c.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.label
+                           ORDER BY d.n_chars DESC, c.node ASC) AS rn
+                FROM comp c JOIN documents d ON d.doc_id = c.node
+            )
+            SELECT node AS doc_id FROM scored WHERE rn > 1
+        """,
+        # the md5-decorated line fixture rebuilt arithmetically, then
+        # C4's line rules (terminal punct, >=3 words, no javascript)
+        # and page rules (curly brace / lorem ipsum / >=5 kept lines)
+        # applied in SQL — verifies ops.curate.c4_clean bit-for-bit
+        "c4_clean": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, w,
+                       UNNEST(range(CAST(ceil(len(w) / 7.0) AS BIGINT))) AS j
+                FROM ws
+            ), dec AS (
+                SELECT doc_id, j,
+                       CASE substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1)
+                           WHEN 'c' THEN array_to_string(w[(7*j+1):(7*j+7)], ' ') || '?'
+                           WHEN 'd' THEN array_to_string(w[(7*j+1):(7*j+7)], ' ')
+                           WHEN 'e' THEN 'javascript ' || array_to_string(w[(7*j+1):(7*j+7)], ' ') || '.'
+                           WHEN 'f' THEN array_to_string(w[(7*j+1):(7*j+2)], ' ') || '.'
+                           ELSE array_to_string(w[(7*j+1):(7*j+7)], ' ') || '.'
+                       END AS line
+                FROM idx
+                UNION ALL
+                SELECT doc_id, 1000000 AS j,
+                       CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           WHEN '0' THEN 'lorem ipsum dolor sit amet.'
+                           WHEN '1' THEN 'var config = { x: 1 };'
+                       END AS line
+                FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n_total,
+                       MAX(CASE WHEN contains(line, '{')
+                                  OR contains(lower(line), 'lorem ipsum')
+                                THEN 1 ELSE 0 END) AS bad
+                FROM dec GROUP BY doc_id
+            ), kept AS (
+                SELECT doc_id, j, trim(line) AS line
+                FROM dec
+                WHERE substr(trim(line), length(trim(line)), 1)
+                          IN ('.', '!', '?', '"')
+                  AND len(list_filter(regexp_split_to_array(trim(line), '\s+'),
+                                      x -> x <> '')) >= 3
+                  AND NOT contains(lower(line), 'javascript')
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.j) AS clean_text,
+                   COUNT(*) AS n_kept,
+                   ANY_VALUE(t.n_total) AS n_total
+            FROM kept k JOIN tot t USING (doc_id)
+            WHERE t.bad = 0
+            GROUP BY k.doc_id
+            HAVING COUNT(*) >= 5
         """,
         # the full distributed dedup chain oracled: exact all-pairs
         # hamming (valid: blocking complete for <=3, no star cap at this

@@ -246,3 +246,74 @@ def ccnet_buckets(ds, num_partitions: int | None = None):
         )
 
     return joined.map_batches(bucket, batch_format="pyarrow")
+
+
+# --- C4 line-level cleaning ---------------------------------------------------
+
+
+def c4_clean(ds, min_kept_lines: int = 5, min_words: int = 3):
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    recipe that produced the C4 corpus), as ONE shuffle-free vectorized
+    batch pass (the op is embarrassingly parallel: every rule is
+    per-line or per-document, so nothing ever crosses an exchange and
+    the stage streams at read speed at any corpus size):
+
+      line level (a line = a ``\\n``-separated segment, stripped):
+        * keep only lines ending in a terminal punctuation mark
+          (``. ! ? "``);
+        * keep only lines with at least ``min_words`` words;
+        * drop any line containing the word "javascript" (case-folded
+          substring, as C4 does);
+      document level:
+        * drop the whole document if it contains a curly bracket
+          (``{``) or the phrase "lorem ipsum" (case-folded);
+        * drop the document if fewer than ``min_kept_lines`` lines
+          survive — the paper's "fewer than 5 sentences" rule, with
+          sentence = retained line (every retained line ends in
+          terminal punctuation, so at fixture granularity the two
+          coincide; documented contract).
+
+    Returns Dataset[(doc_id, clean_text, n_kept, n_total)] of surviving
+    documents: ``clean_text`` = the stripped kept lines re-joined with
+    ``\\n`` in original order, ``n_kept``/``n_total`` = kept / original
+    line counts (int64). The reference has no corpus-curation stage at
+    all — this family is the training-data extension (SURVEY §2 LLM-ops
+    block)."""
+    import pandas as pd
+
+    def clean(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        low_doc = df["text"].str.lower()
+        bad_doc = df["text"].str.contains("{", regex=False) | low_doc.str.contains(
+            "lorem ipsum", regex=False
+        )
+        lines = (
+            df.set_index("doc_id")["text"].str.split("\n").explode().str.strip()
+        )
+        n_total = lines.groupby(level=0, sort=False).size()
+        n_words = lines.str.split().str.len().fillna(0)
+        keep = (
+            lines.str.slice(-1).isin([".", "!", "?", '"'])
+            & (n_words >= min_words)
+            & ~lines.str.lower().str.contains("javascript", regex=False)
+        )
+        kept = lines[keep]
+        agg = kept.groupby(level=0, sort=False).agg(["count", "\n".join])
+        agg.columns = ["n_kept", "clean_text"]
+        out = (
+            df[~bad_doc.values][["doc_id"]]
+            .merge(agg, left_on="doc_id", right_index=True)
+            .merge(n_total.rename("n_total"), left_on="doc_id", right_index=True)
+        )
+        out = out[out["n_kept"] >= min_kept_lines]
+        return pa.Table.from_arrays(
+            [
+                pa.array(out["doc_id"], type=batch.schema.field("doc_id").type),
+                pa.array(out["clean_text"], type=pa.string()),
+                pa.array(out["n_kept"].astype("int64")),
+                pa.array(out["n_total"].astype("int64")),
+            ],
+            names=["doc_id", "clean_text", "n_kept", "n_total"],
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -1004,6 +1004,63 @@ def near_dup_drop_list_ds(
     return labels.map_batches(drops, batch_format="pyarrow")
 
 
+def keep_best_drop_list_ds(
+    ds,
+    score_col: str = "n_chars",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    num_partitions=None,
+):
+    """Quality-aware dedup representative selection: each near-dup
+    cluster keeps its BEST member (max ``score_col``, ties broken by
+    min doc_id) instead of :func:`near_dup_drop_list_ds`'s arbitrary
+    min-id — the policy real curation pipelines want ("keep the
+    longest / highest-quality duplicate"; e.g. RefinedWeb keeps the
+    longest near-duplicate). Fully distributed:
+
+      pairs (:func:`near_dup_pairs_ds`, 3 exchanges)
+      -> connected components (:func:`dup_clusters_ds`)
+      -> ONE co-partition join of labels onto the corpus's
+         (doc_id, score) projection (only CLUSTER MEMBERS survive the
+         inner join — a tiny fraction of the corpus, so the join's
+         exchange is pair-scale, not corpus-scale)
+      -> per-cluster argmax block-locally after ONE label exchange.
+
+    A cluster's rows co-locate in one block for the argmax; near-dup
+    clusters are small (the LSH verify threshold bounds them), same
+    boundedness assumption as the rest of the chain. Returns
+    Dataset[(doc_id,)] to DROP."""
+    from docstrange_ray.shuffle import grouped_blocks, hash_join
+
+    text_proj = ds.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    pairs = near_dup_pairs_ds(
+        text_proj, threshold=threshold, ngram=ngram, num_partitions=num_partitions
+    )
+    labels = dup_clusters_ds(pairs, num_partitions=num_partitions)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column(score_col)],
+            names=["node", "score"],
+        )
+
+    scores = ds.map_batches(project, batch_format="pyarrow")
+    joined = hash_join(labels, scores, key="node", num_partitions=num_partitions)
+
+    def pick(df):
+        df = df.sort_values(
+            ["label", "score", "node"], ascending=[True, False, True]
+        )
+        drop = df[df.duplicated("label", keep="first")]
+        return drop[["node"]].rename(columns={"node": "doc_id"})
+
+    return grouped_blocks(
+        joined, ["label"], pick, num_partitions, batch_format="pandas"
+    )
+
+
 def near_dup_drop_list(ds, threshold: float = 0.8, ngram: int = 3):
     """The actionable dedup output: doc_ids to DROP so each near-dup
     cluster keeps exactly its min-doc_id representative. Composes the

@@ -3674,3 +3674,100 @@ def test_heavy_tokens_rejects_k_below_guarantee():
 
     with pytest.raises(ValueError, match="too small for fraction"):
         heavy_tokens(None, fraction=0.05, k=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeepBestDedup:
+    """Quality-aware representative selection: each near-dup cluster
+    keeps its max-score member (RefinedWeb's keep-the-longest policy),
+    not the min id."""
+
+    def test_keeps_highest_score_not_min_id(self):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            {"doc_id": 1, "text": base, "n_chars": len(base)},
+            {"doc_id": 2, "text": base + " lam", "n_chars": len(base) + 4},
+            {"doc_id": 3, "text": base + " lam mu", "n_chars": len(base) + 7},
+            {"doc_id": 9, "text": "totally different words entirely unrelated content here", "n_chars": 10},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        drops = sorted(
+            r["doc_id"]
+            for r in dedup.keep_best_drop_list_ds(ds, threshold=0.5).take_all()
+        )
+        # 3 is the longest cluster member -> kept; plain min-id policy
+        # would have kept 1 instead
+        assert drops == [1, 2]
+
+    def test_score_tie_breaks_to_min_id(self):
+        txt = "one two three four five six seven eight nine ten"
+        rows = [
+            {"doc_id": i, "text": txt, "n_chars": len(txt)} for i in (5, 7)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        drops = sorted(
+            r["doc_id"]
+            for r in dedup.keep_best_drop_list_ds(ds, threshold=0.5).take_all()
+        )
+        assert drops == [7]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4Clean:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2): every
+    line and page rule exercised on a purpose-built fixture."""
+
+    FIXTURE = [
+        # 5 good lines + 1 too-short + 1 no-terminal-punct -> kept 5/7
+        ("d1", "Good line one here.\nshort.\nNo terminal punct line here\n"
+               "Another good line yes.\nLine three is fine!\n"
+               "Line four works too?\nLine five ends well."),
+        # javascript line dropped -> only 2 kept -> page dropped (<5)
+        ("d2", "Has javascript in this line.\nOnly two good lines here.\n"
+               "Second good line right here."),
+        # curly bracket -> page dropped regardless of line quality
+        ("d3", "curly { brace doc.\nAa bb cc.\nDd ee ff.\nGg hh ii.\n"
+               "Jj kk ll.\nMm nn oo."),
+        # lorem ipsum (case-folded) -> page dropped
+        ("d4", "lorem IPSUM somewhere here now.\nAa bb cc.\nDd ee ff.\n"
+               "Gg hh ii.\nJj kk ll.\nMm nn oo."),
+        # exactly 5 clean lines -> kept intact
+        ("d5", "One fine line right here.\nTwo fine lines right here.\n"
+               "Three fine lines right here.\nFour fine lines right here.\n"
+               "Five fine lines right here."),
+    ]
+
+    def _run(self):
+        from docstrange_ray.ops.curate import c4_clean
+
+        tbl = pa.table(
+            {
+                "doc_id": [d for d, _ in self.FIXTURE],
+                "text": [t for _, t in self.FIXTURE],
+            }
+        )
+        out = c4_clean(ray.data.from_arrow(tbl)).take_all()
+        return {r["doc_id"]: r for r in out}
+
+    def test_page_and_line_rules(self):
+        got = self._run()
+        assert sorted(got) == ["d1", "d5"]
+        assert got["d1"]["n_kept"] == 5 and got["d1"]["n_total"] == 7
+        assert got["d1"]["clean_text"] == (
+            "Good line one here.\nAnother good line yes.\n"
+            "Line three is fine!\nLine four works too?\nLine five ends well."
+        )
+        assert got["d5"]["n_kept"] == 5 and got["d5"]["n_total"] == 5
+        assert got["d5"]["clean_text"] == self.FIXTURE[4][1]
+
+    def test_terminal_quote_counts_and_strip(self):
+        from docstrange_ray.ops.curate import c4_clean
+
+        text = '  "Quoted line ends well."  \nAa bb cc.\nDd ee ff.\nGg hh ii.\nJj kk ll.'
+        tbl = pa.table({"doc_id": ["q1"], "text": [text]})
+        out = c4_clean(ray.data.from_arrow(tbl)).take_all()
+        assert len(out) == 1
+        # kept lines are stripped before reassembly; closing quote is
+        # terminal punctuation
+        assert out[0]["clean_text"].startswith('"Quoted line ends well."\n')
+        assert out[0]["n_kept"] == 5

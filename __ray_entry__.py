@@ -745,6 +745,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.rolling_fingerprint, batch_format="pyarrow"
         )
 
+    def winnow_fps(sf_dir):
+        """Winnowing fingerprints (Schleimer et al. 2003 / MOSS):
+        rolling k=4 gram hash, min-rightmost selection over window=5 —
+        the LOCAL-similarity sketch (any shared >=8-word run yields a
+        shared fingerprint). Shuffle-free kernel; oracle rebuilds the
+        selection with a windowed ROW_NUMBER."""
+        from docstrange_ray.ops.dedup import winnow_fingerprints
+
+        return read_docs(sf_dir).map_batches(
+            winnow_fingerprints, batch_format="pyarrow"
+        )
+
+    def winnow_pairs_q(sf_dir):
+        """Shared-winnowing-fingerprint candidate pairs with the MOSS
+        stop-fingerprint rule (df > 64 discarded as boilerplate): two
+        pre-reduced exchanges, text never moves."""
+        from docstrange_ray.ops.dedup import winnow_pairs
+
+        return winnow_pairs(read_docs(sf_dir))
+
     def jaccard_drops(sf_dir):
         """Exact near-dup drop list at t=0.5: prefix-filter Jaccard
         join -> distributed min-label-propagation components -> drop
@@ -1353,6 +1373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_length_quantiles": approx_length_quantiles_q,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "winnow_fps": winnow_fps,
+        "winnow_pairs": winnow_pairs_q,
         "minhash_near_dups": minhash_near_dups,
         "jaccard_join_pairs": jaccard_join_pairs,
         "jaccard_drops": jaccard_drops,
@@ -2365,6 +2387,87 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(MIN(h) AS BIGINT) AS fingerprint
             FROM wins GROUP BY doc_id
+        """,
+        # winnowing: k=4 rolling gram hash (same fold as
+        # doc_fingerprint), then per-window-of-5 min with RIGHTMOST
+        # position on ties (ROW_NUMBER h ASC, i DESC), distinct picks.
+        "winnow_fps": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws0
+                FROM documents
+            ), padded AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws0) < 4
+                            THEN list_concat(ws0, list_transform(range(4 - len(ws0)),
+                                                                 x -> chr(0)))
+                            ELSE ws0 END AS ws
+                FROM docs
+            ), vals AS (
+                SELECT doc_id,
+                       list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT::HUGEINT) AS vs
+                FROM padded
+            ), grams AS (
+                SELECT doc_id, i,
+                       ((((((vs[i] % 2305843009213693951) * 1000003 + vs[i+1]) % 2305843009213693951)
+                          * 1000003 + vs[i+2]) % 2305843009213693951)
+                          * 1000003 + vs[i+3]) % 2305843009213693951 AS h,
+                       len(vs) - 3 AS n
+                FROM vals, UNNEST(range(1, len(vs) - 2)) AS t(i)
+            ), sel AS (
+                SELECT doc_id, i, h,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                                          ORDER BY h ASC, i DESC) AS rn
+                FROM grams, UNNEST(range(1, greatest(n - 5 + 1, 1) + 1)) AS w(s)
+                WHERE i BETWEEN s AND s + 4
+            )
+            SELECT DISTINCT doc_id, CAST(i - 1 AS BIGINT) AS pos, CAST(h AS BIGINT) AS fp
+            FROM sel WHERE rn = 1
+        """,
+        "winnow_pairs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws0
+                FROM documents
+            ), padded AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws0) < 4
+                            THEN list_concat(ws0, list_transform(range(4 - len(ws0)),
+                                                                 x -> chr(0)))
+                            ELSE ws0 END AS ws
+                FROM docs
+            ), vals AS (
+                SELECT doc_id,
+                       list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT::HUGEINT) AS vs
+                FROM padded
+            ), grams AS (
+                SELECT doc_id, i,
+                       ((((((vs[i] % 2305843009213693951) * 1000003 + vs[i+1]) % 2305843009213693951)
+                          * 1000003 + vs[i+2]) % 2305843009213693951)
+                          * 1000003 + vs[i+3]) % 2305843009213693951 AS h,
+                       len(vs) - 3 AS n
+                FROM vals, UNNEST(range(1, len(vs) - 2)) AS t(i)
+            ), sel AS (
+                SELECT doc_id, i, h,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                                          ORDER BY h ASC, i DESC) AS rn
+                FROM grams, UNNEST(range(1, greatest(n - 5 + 1, 1) + 1)) AS w(s)
+                WHERE i BETWEEN s AND s + 4
+            ), fps AS (
+                SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rn = 1
+            ), live AS (
+                SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64
+            ), pairs AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       COUNT(*) AS n_shared
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN live l ON l.fp = a.fp
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM pairs WHERE n_shared >= 2
         """,
         "exact_dedup": r"""
             SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,

@@ -143,6 +143,7 @@ OP_GROUPS: list[list[str]] = [
         "top_ngrams",
         "tfidf_terms",
         "gopher_filter",
+        "c4_clean",
         "heavy_tokens",
         "bm25_search",
         "bpe_merges",
@@ -154,6 +155,8 @@ OP_GROUPS: list[list[str]] = [
         "minhash_near_dups",
         "jaccard_join_pairs",
         "simhash_pairs",
+        "winnow_pairs",
+        "near_dup_keep_best",
         "dup_spans",
     ],
     [

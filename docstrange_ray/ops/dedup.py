@@ -1748,3 +1748,168 @@ def jaccard_join(
         batch_format="pandas",
     )
     return _verified_pairs(cands, ds, threshold, ngram, num_partitions)
+
+
+# --- Winnowing fingerprints (MOSS) -------------------------------------------
+
+
+def winnow_fingerprints(batch: pa.Table, k: int = 4, window: int = 5) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-similarity sketch): hash every word
+    k-gram with the rolling polynomial fold (O(1) per position, the
+    :func:`docstrange_ray.ops.textstats.rolling_fingerprint` kernel),
+    then from every window of ``window`` consecutive gram hashes select
+    the minimum, RIGHTMOST position on ties (simple winnowing — a pure
+    function of the text, so both the distributed plan and the SQL
+    oracle reproduce it bit-for-bit; the paper's "robust" variant is
+    stateful left-to-right and adds nothing at fixture scale).
+
+    The guarantee that makes this a LOCAL similarity sketch (unlike the
+    whole-document min in ``rolling_fingerprint``): any shared word run
+    of length >= window + k - 1 between two documents produces at least
+    one shared fingerprint. Expected density ~ 2/(window+1) selections
+    per gram.
+
+    Output: one row per distinct selected (doc_id, pos, fp) — ``pos``
+    is the 0-based gram index, ``fp`` the gram hash (< 2^61, emitted
+    int64). Documents shorter than ``k`` words are padded with NUL
+    words to one whole-text gram (the rolling_fingerprint convention).
+    Shuffle-free; per-batch md5 word-value cache."""
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    BW = pow(BASE, k - 1, MOD)
+    ids: list = []
+    poss: list[int] = []
+    fps: list[int] = []
+    word_cache: dict[str, int] = {}
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        words = (t or "").lower().split()
+        if len(words) < k:
+            words = words + ["\x00"] * (k - len(words))
+        vals = []
+        for wd in words:
+            v = word_cache.get(wd)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(wd.encode()).digest()[:8], "big")
+                word_cache[wd] = v
+            vals.append(v)
+        h = 0
+        for v in vals[:k]:
+            h = (h * BASE + v) % MOD
+        g = [h]
+        for i in range(1, len(vals) - k + 1):
+            h = ((h - vals[i - 1] * BW) * BASE + vals[i + k - 1]) % MOD
+            g.append(h)
+        ga = np.asarray(g, dtype=np.uint64)
+        n = len(ga)
+        if n <= window:
+            sel = np.asarray([n - 1 - int(ga[::-1].argmin())])
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(ga, window)
+            rev = sw[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(n - window + 1) + (window - 1 - rev))
+        ids.extend([doc_id] * len(sel))
+        poss.extend(int(p) for p in sel)
+        fps.extend(int(x) for x in ga[sel])
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, type=batch.schema.field("doc_id").type),
+            pa.array(poss, type=pa.int64()),
+            pa.array(fps, type=pa.int64()),
+        ],
+        names=["doc_id", "pos", "fp"],
+    )
+
+
+def winnow_pairs(
+    ds,
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 2,
+    max_df: int = 64,
+    num_partitions=None,
+):
+    """Local-similarity candidate pairs over winnowing fingerprints:
+    documents sharing >= ``min_shared`` distinct fingerprints, with the
+    shared count. EXACT under the published stop-fingerprint rule —
+    fingerprints appearing in more than ``max_df`` documents are
+    DISCARDED before pairing (MOSS's "ignore matches that appear in too
+    many documents": a fingerprint shared by half the corpus identifies
+    boilerplate, not similarity). Unlike a posting-list truncation this
+    is a principled, deterministic rule on the fingerprint's exact
+    document frequency (fully visible block-locally after the fp
+    exchange), and the SQL oracle mirrors it.
+
+    TWO pre-reduced exchanges, text never moves:
+      1. fp-keyed: each fingerprint's (exact) posting list co-locates;
+         df filter + within-list pair explode (O(df²) bounded by
+         max_df² per fingerprint);
+      2. pair-keyed: shared-fingerprint counts + min_shared filter.
+
+    Returns Dataset[(doc_id_a, doc_id_b, n_shared)], doc_id_a < doc_id_b."""
+    import pandas as pd
+
+    from docstrange_ray.shuffle import grouped_blocks
+
+    def fps_distinct(batch: pa.Table) -> pa.Table:
+        t = winnow_fingerprints(batch, k=k, window=window)
+        df = t.select(["doc_id", "fp"]).to_pandas().drop_duplicates()
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["doc_id"], type=batch.schema.field("doc_id").type),
+                pa.array(df["fp"], type=pa.int64()),
+            ],
+            names=["doc_id", "fp"],
+        )
+
+    fps = ds.map_batches(fps_distinct, batch_format="pyarrow")
+
+    def pairs_in_group(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out_a: list = []
+        out_b: list = []
+        for _, grp in df.groupby("fp", sort=False):
+            if not 2 <= len(grp) <= max_df:
+                continue
+            docs = sorted(grp["doc_id"].tolist())
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    out_a.append(docs[i])
+                    out_b.append(docs[j])
+        id_t = tbl.schema.field("doc_id").type
+        return pa.Table.from_arrays(
+            [pa.array(out_a, type=id_t), pa.array(out_b, type=id_t)],
+            names=["doc_id_a", "doc_id_b"],
+        )
+
+    pair_rows = grouped_blocks(
+        fps, ["fp"], pairs_in_group, num_partitions, batch_format="pyarrow"
+    )
+
+    def count_shared(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = (
+            df.groupby(["doc_id_a", "doc_id_b"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+        g = g[g["n_shared"] >= min_shared]
+        id_t = tbl.schema.field("doc_id_a").type
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["doc_id_a"], type=id_t),
+                pa.array(g["doc_id_b"], type=id_t),
+                pa.array(g["n_shared"].astype("int64")),
+            ],
+            names=["doc_id_a", "doc_id_b", "n_shared"],
+        )
+
+    return grouped_blocks(
+        pair_rows,
+        ["doc_id_a", "doc_id_b"],
+        count_shared,
+        num_partitions,
+        batch_format="pyarrow",
+    )

@@ -3771,3 +3771,119 @@ class TestC4Clean:
         # terminal punctuation
         assert out[0]["clean_text"].startswith('"Quoted line ends well."\n')
         assert out[0]["n_kept"] == 5
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS sketch
+    — ops/dedup.winnow_fingerprints / winnow_pairs). Pinned against an
+    independent brute-force reference and the paper's locality
+    guarantee: any shared word run of length >= window + k - 1 yields
+    at least one shared fingerprint."""
+
+    K, W = 4, 5
+
+    @staticmethod
+    def _brute(text, k=4, window=5):
+        import hashlib
+
+        MOD, BASE = (1 << 61) - 1, 1_000_003
+        words = (text or "").lower().split()
+        if len(words) < k:
+            words = words + ["\x00"] * (k - len(words))
+        vals = [
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            for w in words
+        ]
+        grams = []
+        for i in range(len(vals) - k + 1):
+            h = 0
+            for v in vals[i : i + k]:
+                h = (h * BASE + v) % MOD
+            grams.append(h)
+        n = len(grams)
+        sel = set()
+        for s in range(max(n - window + 1, 1)):
+            best = None
+            for i in range(s, min(s + window, n)):
+                if best is None or grams[i] < grams[best] or (
+                    grams[i] == grams[best] and i > best
+                ):
+                    best = i
+            sel.add((best, grams[best]))
+        return sorted(sel)
+
+    def test_kernel_equals_brute_force(self):
+        import random
+
+        from docstrange_ray.ops.dedup import winnow_fingerprints
+
+        rng = random.Random(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(40)
+        ] + ["", "one", "one two three", "x " * 100]
+        tbl = pa.table(
+            {"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts}
+        )
+        out = winnow_fingerprints(tbl, k=self.K, window=self.W)
+        got: dict = {}
+        for d, p, f in zip(*(out.column(c).to_pylist() for c in ("doc_id", "pos", "fp"))):
+            got.setdefault(d, []).append((p, f))
+        for i, t in enumerate(texts):
+            assert sorted(got.get(f"d{i}", [])) == self._brute(t, self.K, self.W), i
+
+    def test_short_doc_single_fingerprint(self):
+        from docstrange_ray.ops.dedup import winnow_fingerprints
+
+        tbl = pa.table({"doc_id": ["a", "b"], "text": ["", "two words"]})
+        out = winnow_fingerprints(tbl, k=self.K, window=self.W)
+        assert out.column("pos").to_pylist() == [0, 0]
+        assert out.num_rows == 2
+
+    def test_locality_guarantee_and_pairing(self):
+        # two docs that differ everywhere EXCEPT one shared run of
+        # window + k - 1 = 8 words: the winnowing guarantee says they
+        # MUST share a fingerprint, and winnow_pairs must surface them.
+        from docstrange_ray.ops.dedup import winnow_fingerprints, winnow_pairs
+
+        run = "the shared copied sentence fragment lives right here"  # 8 words
+        assert len(run.split()) == self.W + self.K - 1
+        rows = {
+            "doc_id": ["p", "q", "r"],
+            "text": [
+                "totally unrelated lead-in words before " + run + " and a unique tail",
+                "different opening material then " + run + " with another ending",
+                "no overlap with anything else at all in this document",
+            ],
+        }
+        tbl = pa.table(rows)
+        out = winnow_fingerprints(tbl, k=self.K, window=self.W)
+        fps: dict = {}
+        for d, f in zip(out.column("doc_id").to_pylist(), out.column("fp").to_pylist()):
+            fps.setdefault(d, set()).add(f)
+        assert fps["p"] & fps["q"], "locality guarantee violated"
+        pairs = winnow_pairs(
+            ray.data.from_arrow(tbl), k=self.K, window=self.W, min_shared=1
+        ).take_all()
+        assert {(r["doc_id_a"], r["doc_id_b"]) for r in pairs} == {("p", "q")}
+
+    def test_boilerplate_fingerprints_discarded(self):
+        # a fingerprint present in > max_df documents identifies
+        # boilerplate and is dropped BEFORE pairing (MOSS rule): docs
+        # sharing ONLY the boilerplate run never pair.
+        from docstrange_ray.ops.dedup import winnow_pairs
+
+        boiler = "standard footer text repeated on every single page here"
+        rows = [
+            {"doc_id": f"b{i}", "text": f"unique{i} opener{i} words{i} then " + boiler}
+            for i in range(6)
+        ]
+        ds = ray.data.from_items(rows)
+        # max_df=3 < 6 docs -> every boilerplate fingerprint is dropped;
+        # the unique prefixes share nothing -> no pairs at all.
+        got = winnow_pairs(ds, k=self.K, window=self.W, min_shared=1, max_df=3).take_all()
+        assert got == []
+        # raising max_df past the corpus size restores the pairs
+        got2 = winnow_pairs(ds, k=self.K, window=self.W, min_shared=1, max_df=10).take_all()
+        assert len(got2) == 15  # C(6,2) — all docs share the boilerplate run

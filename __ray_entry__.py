@@ -1313,6 +1313,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = [int(r["vec_id"]) for r in first]
         return ann.brute_force_topk(read_emb(sf_dir), q, qids, k=10)
 
+    def knn_classify_q(sf_dir):
+        """Leave-one-out k-NN label prediction (brute/exact plan):
+        corpus broadcast once, one shuffle-free matmul scan, round6
+        scores ranked (desc, nid asc), vote ties to lowest label —
+        all mirrored verbatim by the SQL oracle."""
+        return ann.knn_classify(read_emb(sf_dir), k=10, plan="brute")
+
+    def knn_classify_ivf_q(sf_dir):
+        """Scale plan for the same op: IVF coarse quantizer, queries
+        probe n_probe buckets, ONE bucket exchange + ONE qid merge/vote
+        exchange — approximate (agreement vs brute pinned in
+        tests/test_pca_knn.py; exact on separated clusters)."""
+        return ann.knn_classify(
+            read_emb(sf_dir), k=10, plan="ivf", n_centroids=8, n_probe=3
+        )
+
+    def pca_scatter_q(sf_dir):
+        """The distributed PCA moment exchange made oracle-visible:
+        raw second-moment sums sxx = sum x_i x_j (+ first moments) per
+        dimension pair, computed as per-block d x d partials reduced in
+        one coalesced combine — SQL rebuilds them by unnesting the
+        embedding lists. d=64 -> 4096 rows, corpus-independent."""
+        from docstrange_ray.ops import pca
+
+        return pca.second_moment_table(read_emb(sf_dir))
+
+    def pca_project_q(sf_dir):
+        """Fit (moments scan + driver eigh, sign-deterministic) then
+        project to 8 components via a broadcast shuffle-free scan.
+        Eigendecomposition is LAPACK — not SQL-expressible; pinned by
+        pytest vs a whole-matrix numpy reference instead."""
+        from docstrange_ray.ops import pca
+
+        emb = read_emb(sf_dir)
+        mu, comps, _ = pca.pca_fit(emb, n_components=8)
+        return pca.pca_project(emb, mu, comps)
+
+    def pca_variance_q(sf_dir):
+        """Scree table: top-8 eigenvalues + ratio over the FULL trace.
+        Same single moment scan; pytest-pinned (LAPACK floats)."""
+        from docstrange_ray.ops import pca
+
+        return pca.pca_variance_table(read_emb(sf_dir), n_components=8)
+
     return {
         # extraction
         "extract_flagship": extract_flagship,
@@ -1412,6 +1456,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": pq_ann_topk,
         "ivf_recall_planted": ivf_recall_planted,
         "lsh_recall_planted": lsh_recall_planted,
+        "knn_classify": knn_classify_q,
+        "knn_classify_ivf": knn_classify_ivf_q,
+        "pca_scatter": pca_scatter_q,
+        "pca_project": pca_project_q,
+        "pca_variance": pca_variance_q,
         "embedding_decontam": embedding_decontam,
         "mixture_weights": mixture_weights,
         "ccnet_buckets": ccnet_buckets,
@@ -2941,6 +2990,46 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
                          e.vec_id ASC
             ) <= 10
+        """,
+        # knn_classify: leave-one-out kNN vote — neighbor rank
+        # (round6 score DESC, nid ASC) and vote tie-break
+        # (votes DESC, label ASC) mirror ops/ann.knn_classify verbatim.
+        "knn_classify": """
+            WITH sims AS (
+                SELECT q.vec_id AS vec_id, q.label AS true_label,
+                       e.vec_id AS nid, e.label AS nlabel,
+                       ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                           AS score
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            ), knn AS (
+                SELECT * FROM sims
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, nid ASC) <= 10
+            ), votes AS (
+                SELECT vec_id, true_label, nlabel AS pred_label,
+                       CAST(COUNT(*) AS BIGINT) AS votes
+                FROM knn GROUP BY vec_id, true_label, nlabel
+            )
+            SELECT vec_id, CAST(pred_label AS BIGINT) AS pred_label, votes,
+                   CAST(true_label AS BIGINT) AS true_label,
+                   CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
+            FROM votes
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY votes DESC, pred_label ASC) = 1
+        """,
+        # pca_scatter: the PCA moment exchange — raw sums per dimension
+        # pair, rebuilt by 1-based list indexing over the embedding.
+        "pca_scatter": """
+            WITH dims AS (SELECT UNNEST(range(64)) AS i),
+            x AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT d1.i AS i, d2.i AS j,
+                   ROUND(SUM(e[d1.i + 1] * e[d2.i + 1]), 6) AS sxx,
+                   ROUND(SUM(e[d1.i + 1]), 6) AS si,
+                   ROUND(SUM(e[d2.i + 1]), 6) AS sj
+            FROM x, dims d1, dims d2
+            GROUP BY d1.i, d2.i
         """,
         # media_metadata: the Ray side sniffs REAL container bytes; the
         # generator (synth_files.real_media_table) parametrizes every

@@ -496,3 +496,183 @@ def ivf_pq_topk(
     return coalesced_blocks(
         encoded.map_batches(local_topk, batch_format="pyarrow"), reduce_topk
     )
+
+
+# --- k-NN label classification (leave-one-out self-join) ---------------------
+
+# Above this corpus size the brute plan is wrong twice over: the driver
+# materializes the full N x D float64 matrix for the broadcast, and the
+# per-batch matmul is O(N) per query row (quadratic overall). Mirrors
+# dedup.EMBED_BRUTE_ROW_LIMIT.
+KNN_BRUTE_ROW_LIMIT = 100_000
+
+
+def _vote_rows(qids, qlabels, nids, nlabels, scores, k: int):
+    """Deterministic per-query vote over candidate neighbor rows.
+
+    Candidates arrive as flat parallel arrays (already self-excluded and
+    nid-deduplicated per query). Neighbor ranking: (score desc, nid asc);
+    winner label: (votes desc, label asc) — both mirrored verbatim by
+    the SQL oracle. Returns a DataFrame row per query."""
+    df = pd.DataFrame(
+        {"qid": qids, "tlabel": qlabels, "nid": nids,
+         "nlabel": nlabels, "score": scores}
+    )
+    out = []
+    for qid, g in df.groupby("qid", sort=True):
+        g = g.sort_values(["score", "nid"], ascending=[False, True]).head(k)
+        labs, counts = np.unique(g["nlabel"].to_numpy(), return_counts=True)
+        win = int(np.argmax(counts))  # labs sorted asc -> lowest label wins ties
+        out.append(
+            {"vec_id": int(qid), "pred_label": int(labs[win]),
+             "votes": int(counts[win]), "true_label": int(g["tlabel"].iloc[0]),
+             "correct": int(labs[win] == g["tlabel"].iloc[0])}
+        )
+    cols = ["vec_id", "pred_label", "votes", "true_label", "correct"]
+    res = pd.DataFrame(out, columns=cols)
+    return res.astype({c: np.int64 for c in cols})
+
+
+def _local_knn_rows(qids, qlabels, qmat, ids, labels, mat, k: int):
+    """Per-query local top-k against a candidate matrix: scores are
+    round6'd BEFORE ranking (the oracle ROUNDs inside its ORDER BY), the
+    query's own row is masked, and rank ties at the k boundary break on
+    nid asc. Returns flat (qid, tlabel, nid, nlabel, score) arrays."""
+    cos = round6(qmat @ mat.T)  # (Q, M)
+    out_q, out_t, out_n, out_l, out_s = [], [], [], [], []
+    for qi in range(cos.shape[0]):
+        row = cos[qi].copy()
+        row[ids == qids[qi]] = -2.0  # below any cosine: leave-one-out
+        m_eff = int((row > -2.0).sum())
+        kk = min(k, m_eff)
+        if kk == 0:
+            continue
+        kth = np.partition(row, -kk)[-kk]
+        cand = np.where(row >= kth)[0]
+        order = np.lexsort((ids[cand], -row[cand]))[:kk]
+        sel = cand[order]
+        out_q.extend([int(qids[qi])] * kk)
+        out_t.extend([int(qlabels[qi])] * kk)
+        out_n.extend(int(ids[j]) for j in sel)
+        out_l.extend(int(labels[j]) for j in sel)
+        out_s.extend(float(row[j]) for j in sel)
+    return out_q, out_t, out_n, out_l, out_s
+
+
+def knn_classify(ds, k: int = 10, plan: str = "auto",
+                 n_probe: int = 2, n_centroids: int = 16,
+                 brute_limit: int = KNN_BRUTE_ROW_LIMIT,
+                 num_partitions: int | None = None):
+    """Leave-one-out k-NN label prediction over (vec_id, embedding, label).
+
+    Returns Dataset[(vec_id, pred_label, votes, true_label, correct)]:
+    each vector's label predicted by majority vote over its k nearest
+    OTHER vectors by cosine. Neighbor rank ties: (score desc, vec_id
+    asc); vote ties: lowest label — both deterministic and mirrored by
+    the SQL oracle (exact under the brute plan).
+
+    Plans (the dedup.embedding_dup_pairs auto-gate pattern):
+      * ``brute`` — EXACT: corpus (ids, labels, normalized matrix)
+        broadcast ONCE via ``ray.put``; one shuffle-free scan where each
+        batch is the query side of a float64 matmul. Driver holds the
+        N x D matrix, so gated at ``brute_limit`` rows.
+      * ``ivf`` — scale path: k-means coarse quantizer; indexed rows
+        take their 1 nearest bucket, query rows probe ``n_probe``
+        buckets; ONE bucket exchange does bucket-local top-k, a second
+        qid exchange merges the probes and votes. Approximate (recall
+        pinned in tests); every stage is bounded per partition.
+      * ``auto`` — brute under ``brute_limit`` (ds.count() is parquet
+        metadata, not a scan), ivf above.
+    """
+    import ray
+
+    from docstrange_ray.shuffle import grouped_blocks
+
+    if plan == "auto":
+        plan = "brute" if ds.count() <= brute_limit else "ivf"
+
+    if plan == "brute":
+        rows = ds.take_all()
+        rows.sort(key=lambda r: r["vec_id"])
+        ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+        labels = np.asarray([r["label"] for r in rows], dtype=np.int64)
+        mat = _normalize(
+            np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        )
+        ref = ray.put((ids, labels, mat))
+
+        def classify(batch: pa.Table) -> pa.Table:
+            cids, clabels, cmat = ray.get(ref)
+            qids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            qlabels = np.asarray(batch.column("label"), dtype=np.int64)
+            qmat = _normalize(_as_matrix(batch.column("embedding")))
+            flat = _local_knn_rows(qids, qlabels, qmat, cids, clabels, cmat, k)
+            return pa.Table.from_pandas(_vote_rows(*flat, k=k),
+                                        preserve_index=False)
+
+        return ds.map_batches(classify, batch_format="pyarrow")
+
+    if plan != "ivf":
+        raise ValueError(f"unknown knn plan: {plan}")
+
+    cents = train_ivf_centroids(ds, n_centroids=n_centroids)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            )
+        return fn
+
+    indexed = ivf_assign(ds, cents).map_batches(tag(0), batch_format="pyarrow")
+    probes = ivf_assign_multi(ds, cents, n_probe=n_probe).map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+
+    def bucket_knn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("bucket", sort=False):
+            gi = g[g["side"] == 0]
+            gq = g[g["side"] == 1]
+            if gi.empty or gq.empty:
+                continue
+            ids = gi["vec_id"].to_numpy(dtype=np.int64)
+            labels = gi["label"].to_numpy(dtype=np.int64)
+            mat = _normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in gi["embedding"]])
+            )
+            qids = gq["vec_id"].to_numpy(dtype=np.int64)
+            qlabels = gq["label"].to_numpy(dtype=np.int64)
+            qmat = _normalize(
+                np.stack([np.asarray(v, dtype=np.float64) for v in gq["embedding"]])
+            )
+            oq, ot, on, ol, os_ = _local_knn_rows(
+                qids, qlabels, qmat, ids, labels, mat, k
+            )
+            out.append(pd.DataFrame(
+                {"qid": oq, "tlabel": ot, "nid": on, "nlabel": ol, "score": os_}
+            ))
+        if not out:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype=np.int64),
+                 "tlabel": pd.Series(dtype=np.int64),
+                 "nid": pd.Series(dtype=np.int64),
+                 "nlabel": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = grouped_blocks(
+        indexed.union(probes), ["bucket"], bucket_knn, num_partitions,
+        batch_format="pandas",
+    )
+
+    def vote_block(df: pd.DataFrame) -> pd.DataFrame:
+        # a neighbor found via several probed buckets appears once per
+        # bucket — dedup (qid, nid) before ranking
+        df = df.drop_duplicates(["qid", "nid"])
+        return _vote_rows(df["qid"], df["tlabel"], df["nid"],
+                          df["nlabel"], df["score"], k=k)
+
+    return grouped_blocks(cand, ["qid"], vote_block, num_partitions,
+                          batch_format="pandas")

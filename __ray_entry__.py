@@ -735,6 +735,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    def cdc_chunks_q(sf_dir):
+        """Content-defined chunking (FastCDC/LBFS word-anchor rule):
+        boundary after any word with md5-hash % 8 == 0 — a pure local
+        function of the text, shuffle-free. SQL-oracled (windowed
+        cumulative anchor sum + string_agg md5)."""
+        return dedup.cdc_chunk_table(read_docs(sf_dir), divisor=8)
+
+    def cdc_dup_chunks_q(sf_dir):
+        """Cross-document duplicated CDC chunks: batch-local
+        (chunk, doc) pre-reduce then ONE chunk_md5 exchange — the
+        storage-dedup / boilerplate view. SQL-oracled."""
+        return dedup.cdc_dup_chunks(read_docs(sf_dir), divisor=8)
+
     def lang_id(sf_dir):
         return read_docs(sf_dir).map_batches(
             textstats.LangId, batch_format="pyarrow", concurrency=(1, 4)
@@ -1387,6 +1400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate_q,
         "repetition_stats": repetition,
         "passage_dedup": passage_dedup_q,
+        "cdc_chunks": cdc_chunks_q,
+        "cdc_dup_chunks": cdc_dup_chunks_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -1741,6 +1756,62 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM win WHERE rn = 1
             GROUP BY doc_id
+        """,
+        # cdc_chunks / cdc_dup_chunks: boundaries = windowed cumulative
+        # sum of word anchors (md5 % 8 == 0, the engine's word-hash
+        # parity idiom); chunk identity = md5 of the space-joined words.
+        "cdc_chunks": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), w AS (
+                SELECT doc_id, i, ws[i] AS w,
+                       CASE WHEN ('0x' || substr(md5(ws[i]), 1, 16))::UBIGINT
+                                 % 8 = 0 THEN 1 ELSE 0 END AS anchor
+                FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            ), c AS (
+                SELECT doc_id, i, w,
+                       CAST(COALESCE(SUM(anchor) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS chunk_idx
+                FROM w
+            )
+            SELECT doc_id, chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   md5(string_agg(w, ' ' ORDER BY i)) AS chunk_md5
+            FROM c GROUP BY doc_id, chunk_idx
+        """,
+        "cdc_dup_chunks": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), w AS (
+                SELECT doc_id, i, ws[i] AS w,
+                       CASE WHEN ('0x' || substr(md5(ws[i]), 1, 16))::UBIGINT
+                                 % 8 = 0 THEN 1 ELSE 0 END AS anchor
+                FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            ), c AS (
+                SELECT doc_id, i, w,
+                       COALESCE(SUM(anchor) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS chunk_idx
+                FROM w
+            ), chunks AS (
+                SELECT doc_id, chunk_idx,
+                       md5(string_agg(w, ' ' ORDER BY i)) AS chunk_md5
+                FROM c GROUP BY doc_id, chunk_idx
+            )
+            SELECT chunk_md5,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MIN(doc_id) AS min_doc
+            FROM chunks GROUP BY chunk_md5
+            HAVING COUNT(DISTINCT doc_id) > 1
         """,
         "repetition_stats": r"""
             WITH docs AS (

@@ -1913,3 +1913,106 @@ def winnow_pairs(
         num_partitions,
         batch_format="pyarrow",
     )
+
+
+# --- content-defined chunking (FastCDC shape, word anchors) -------------------
+
+
+def cdc_chunk_table(ds, divisor: int = 16, num_partitions=None):
+    """Content-defined chunking at word granularity (the FastCDC /
+    LBFS anchor idea, Muthitacharoen et al. 2001): a chunk boundary
+    falls AFTER any word whose 64-bit md5 hash is ``0 mod divisor``,
+    so boundaries are a pure LOCAL function of the text — an insertion
+    shifts at most one chunk, unlike fixed-width blocks. Expected
+    chunk length = ``divisor`` words. Production FastCDC adds min/max
+    chunk bounds and a gear hash; the pure anchor rule is kept here
+    because it stays SQL-window-expressible (the oracle rebuilds
+    boundaries with a windowed cumulative sum).
+
+    Returns Dataset[(doc_id, chunk_idx, n_words, chunk_md5)] — one row
+    per chunk. Shuffle-free: chunking needs no cross-doc state; each
+    batch hashes its distinct words once (``_word_hashes_u64``) and
+    splits locally. Word-hash parity with the oracle:
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT``.
+    """
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        word_lists = [(t or "").lower().split() for t in texts]
+        all_words = [w for ws in word_lists for w in ws]
+        out_doc, out_idx, out_n, out_md5 = [], [], [], []
+        if all_words:
+            codes, uh = _word_hashes_u64(all_words)
+            anchors = (uh[codes] % np.uint64(divisor)) == 0
+            pos = 0
+            for did, ws in zip(doc_ids, word_lists):
+                k = len(ws)
+                if k == 0:
+                    continue
+                a = anchors[pos : pos + k]
+                pos += k
+                # chunk of word i = anchors among words[0..i-1]
+                cidx = np.concatenate(([0], np.cumsum(a[:-1])))
+                start = 0
+                for ci in range(int(cidx[-1]) + 1):
+                    end = start + int((cidx == ci).sum())
+                    chunk = " ".join(ws[start:end])
+                    out_doc.append(did)
+                    out_idx.append(ci)
+                    out_n.append(end - start)
+                    out_md5.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                    start = end
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_doc, dtype=np.int64),
+             "chunk_idx": pd.Series(out_idx, dtype=np.int64),
+             "n_words": pd.Series(out_n, dtype=np.int64),
+             "chunk_md5": pd.Series(out_md5, dtype=object)}
+        )
+
+    from docstrange_ray.shuffle import arrow_out
+
+    return ds.map_batches(arrow_out(explode), batch_format="pyarrow")
+
+
+def cdc_dup_chunks(ds, divisor: int = 16, num_partitions=None):
+    """Cross-document duplicated CDC chunks: chunks (by content md5)
+    occurring in more than one distinct document — the storage-dedup /
+    boilerplate-detection view of the corpus.
+
+    Scale shape: the chunk explode is shuffle-free; each batch then
+    PRE-REDUCES to distinct (chunk_md5, doc_id) rows with local
+    occurrence counts + min doc, so the ONE chunk_md5 exchange moves
+    at most one row per (chunk, doc) pair — a chunk repeated 1000x
+    inside one document crosses as a single row (hot-key safe).
+    Returns Dataset[(chunk_md5, n_docs, n_occurrences, min_doc)].
+    """
+    from docstrange_ray.shuffle import grouped_blocks
+
+    chunks = cdc_chunk_table(ds, divisor=divisor)
+
+    def pre_reduce(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["chunk_md5", "doc_id"]).to_pandas()
+        g = (
+            df.groupby(["chunk_md5", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="occ")
+        )
+        return g.astype({"doc_id": np.int64, "occ": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("chunk_md5", sort=False).agg(
+            n_docs=("doc_id", "nunique"),
+            n_occurrences=("occ", "sum"),
+            min_doc=("doc_id", "min"),
+        ).reset_index()
+        g = g[g["n_docs"] > 1]
+        return g.astype(
+            {"n_docs": np.int64, "n_occurrences": np.int64, "min_doc": np.int64}
+        )
+
+    from docstrange_ray.shuffle import arrow_out
+
+    pre = chunks.map_batches(arrow_out(pre_reduce), batch_format="pyarrow")
+    return grouped_blocks(pre, ["chunk_md5"], final, num_partitions,
+                          batch_format="pandas")

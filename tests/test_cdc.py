@@ -1,0 +1,109 @@
+"""Content-defined chunking tests (FastCDC word-anchor shape).
+
+The reference below re-derives chunking with plain loops and per-word
+hashlib calls (no factorize, no numpy, no Ray) — agreement pins the
+batch kernel, not the code.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+import ray
+
+from docstrange_ray.ops import dedup
+
+DIV = 4  # small divisor -> frequent anchors on tiny fixtures
+
+
+def ref_anchor(w: str) -> bool:
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") % DIV == 0
+
+
+def ref_chunks(text: str) -> list[list[str]]:
+    ws = (text or "").lower().split()
+    out, cur = [], []
+    for w in ws:
+        cur.append(w)
+        if ref_anchor(w):
+            out.append(cur)
+            cur = []
+    if cur:
+        out.append(cur)
+    return out
+
+
+def rows_of(texts):
+    return [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "pack my box with five dozen liquor jugs",
+    "",
+    "word",
+    "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+]
+
+
+class TestCDCChunks:
+    def test_matches_loop_reference(self):
+        ds = ray.data.from_items(rows_of(TEXTS))
+        got = dedup.cdc_chunk_table(ds, divisor=DIV).to_pandas()
+        got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        exp = []
+        for i, t in enumerate(TEXTS):
+            for ci, chunk in enumerate(ref_chunks(t)):
+                exp.append((i, ci, len(chunk),
+                            hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+        assert len(got) == len(exp)
+        for row, (did, ci, n, h) in zip(got.itertuples(index=False), exp):
+            assert (row.doc_id, row.chunk_idx, row.n_words, row.chunk_md5) == (
+                did, ci, n, h)
+
+    def test_empty_and_single_word_docs(self):
+        ds = ray.data.from_items(rows_of(["", "hello"]))
+        got = dedup.cdc_chunk_table(ds, divisor=DIV).to_pandas()
+        # empty doc -> no chunks; 1-word doc -> exactly one chunk
+        assert set(got["doc_id"]) == {1}
+        assert len(got) == 1 and got["n_words"].iloc[0] == 1
+
+    def test_insertion_shifts_at_most_neighbor_chunks(self):
+        """The CDC locality property: prepending words only changes
+        chunks up to the first anchor; all later chunk hashes are
+        preserved (this is what fixed-width blocking cannot do)."""
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+        edited = "INSERTED WORDS HERE " + base
+        h_base = {hashlib.md5(" ".join(c).encode()).hexdigest()
+                  for c in ref_chunks(base)}
+        h_edit = {hashlib.md5(" ".join(c).encode()).hexdigest()
+                  for c in ref_chunks(edited)}
+        # every base chunk after the first survives the edit
+        chunks_base = ref_chunks(base)
+        surviving = sum(
+            1 for c in chunks_base[1:]
+            if hashlib.md5(" ".join(c).encode()).hexdigest() in h_edit
+        )
+        assert surviving == len(chunks_base) - 1
+        assert h_base != h_edit  # the head chunk did change
+
+    def test_dup_chunks_cross_doc_only(self):
+        ds = ray.data.from_items(rows_of(TEXTS))
+        got = dedup.cdc_dup_chunks(ds, divisor=DIV).to_pandas()
+        # docs 0 and 4 are identical -> every one of their chunks is a dup
+        n_chunks_doc0 = len(ref_chunks(TEXTS[0]))
+        dup_from_pair = got[got["min_doc"] == 0]
+        assert len(dup_from_pair) >= n_chunks_doc0 - 1  # shared-with-others may merge
+        assert (got["n_docs"] >= 2).all()
+        # a chunk repeated only WITHIN one doc must not appear
+        solo = ray.data.from_items(rows_of(["x y z x y z x y z"]))
+        got_solo = dedup.cdc_dup_chunks(solo, divisor=DIV).to_pandas()
+        assert len(got_solo) == 0
+
+    def test_occurrence_counts(self):
+        # same 1-word doc three times; chunk appears once per doc
+        ds = ray.data.from_items(rows_of(["hello", "hello", "hello"]))
+        got = dedup.cdc_dup_chunks(ds, divisor=DIV).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (int(r["n_docs"]), int(r["n_occurrences"]), int(r["min_doc"])) == (3, 3, 0)

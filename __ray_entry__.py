@@ -822,6 +822,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster representative)."""
         return dedup.near_dup_drop_list_ds(read_docs(sf_dir), threshold=0.8)
 
+    def pair_edit_distance_q(sf_dir):
+        """Exact byte-level Levenshtein verification of the MinHash
+        near-dup pairs (the code-dedup second-stage pass): bounded pair
+        set materialized once, texts attached via two co-partition
+        hash_joins, vectorized Wagner-Fischer kernel per pair.
+        SQL-oracled bit-exact via DuckDB levenshtein() (byte-based —
+        the kernel matches it on unicode too)."""
+        return dedup.pair_edit_distance(read_docs(sf_dir), threshold=0.8)
+
     def near_dup_keep_best(sf_dir):
         """Quality-aware dedup representative selection: each near-dup
         cluster keeps its LONGEST member (max n_chars, min-doc_id
@@ -1402,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": passage_dedup_q,
         "cdc_chunks": cdc_chunks_q,
         "cdc_dup_chunks": cdc_dup_chunks_q,
+        "pair_edit_distance": pair_edit_distance_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -2298,6 +2308,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ni * 1.0 / (na + nb - ni), 6) AS jaccard
             FROM inter
             WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+        """,
+        # pair_edit_distance: the same exact-Jaccard pair CTE, then
+        # byte-level levenshtein over the pair texts (DuckDB's
+        # levenshtein and strlen are byte-based; the Ray kernel
+        # operates on UTF-8 bytes for unconditional parity).
+        "pair_edit_distance": r"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(ws) - 1,
+                                             CASE WHEN len(ws) > 0 THEN 2 ELSE 1 END)),
+                           i -> CASE WHEN len(ws) >= 3
+                                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     ELSE array_to_string(ws, ' ') END)) AS gs
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ), e AS (
+                SELECT doc_id, UNNEST(gs) AS gram, len(gs) AS n FROM g
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni,
+                       ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+                SELECT pa AS doc_id_a, pb AS doc_id_b FROM inter
+                WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+            )
+            SELECT p.doc_id_a, p.doc_id_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT)
+                       AS edit_distance,
+                   ROUND(1.0 - levenshtein(da.text, db.text)
+                             / GREATEST(strlen(da.text), strlen(db.text), 1),
+                         6) AS edit_sim
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_id_a
+            JOIN documents db ON db.doc_id = p.doc_id_b
         """,
         # ... and the MinHash drop list: components over those exact
         # pairs (recursive-CTE min-label closure), drop all but min id.

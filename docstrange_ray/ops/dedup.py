@@ -2016,3 +2016,105 @@ def cdc_dup_chunks(ds, divisor: int = 16, num_partitions=None):
     pre = chunks.map_batches(arrow_out(pre_reduce), batch_format="pyarrow")
     return grouped_blocks(pre, ["chunk_md5"], final, num_partitions,
                           batch_format="pandas")
+
+
+# --- exact edit-distance verification of near-dup pairs ----------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Wagner-Fischer edit distance with the vectorized running-min
+    insertion trick: after the deletion/substitution row update,
+    ``cur[j] = j + runmin(cur[k] - k)`` resolves the left-to-right
+    insertion chain in one ``np.minimum.accumulate`` — O(len(a)) numpy
+    row ops instead of an O(len(a)*len(b)) Python cell loop.
+
+    Operates on UTF-8 BYTES, not codepoints: DuckDB's ``levenshtein``
+    is byte-based (verified: levenshtein('café','cafe') = 2), and the
+    oracle contract must hold on any input, not just ASCII fixtures.
+    A codepoint variant would just decode first."""
+    if a == b:
+        return 0
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    n, m = len(ab), len(bb)
+    if n == 0 or m == 0:
+        return n or m
+    if m > n:  # iterate over the shorter string's rows
+        ab, bb, n, m = bb, ab, m, n
+    b_arr = np.frombuffer(bb, dtype=np.uint8)
+    ar = np.arange(m + 1, dtype=np.int64)
+    prev = ar.copy()
+    cur = np.empty(m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        cur[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (b_arr != ab[i - 1]), out=cur[1:])
+        np.minimum.accumulate(cur - ar, out=cur)
+        cur += ar
+        prev, cur = cur, prev
+    return int(prev[m])
+
+
+def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
+    """Exact character-level verification of the MinHash near-dup
+    candidates: Levenshtein distance + normalized similarity
+    ``1 - d / max(len_a, len_b)`` per pair — the second-stage filter
+    code-dedup pipelines run after shingle-level candidates (the
+    CodeParrot/BigCode recipe verifies token-Jaccard candidates with
+    an exact pass).
+
+    Scale shape: the pair set is the BOUNDED output of the distributed
+    dedup chain (materialized once — re-running its exchanges inside
+    both join plans is the round-4 plan-duplication deadlock); texts
+    attach via two co-partition hash_joins (documents never broadcast);
+    the O(len*len) kernel runs only on candidate pairs, never corpus-
+    pairwise. Returns (doc_id_a, doc_id_b, edit_distance, edit_sim).
+    """
+    from docstrange_ray.shuffle import hash_join
+
+    pairs = near_dup_pairs_ds(ds, threshold=threshold,
+                              num_partitions=num_partitions)
+    pairs = pairs.map_batches(
+        lambda b: b.select(["doc_id_a", "doc_id_b"]), batch_format="pyarrow"
+    ).materialize()  # bounded: near-dup pair count
+    docs = ds.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    j1 = hash_join(
+        pairs,
+        _rename(docs, {"doc_id": "doc_id_a", "text": "text_a"}),
+        key="doc_id_a",
+        num_partitions=num_partitions,
+    )
+    j2 = hash_join(
+        j1,
+        _rename(docs, {"doc_id": "doc_id_b", "text": "text_b"}),
+        key="doc_id_b",
+        num_partitions=num_partitions,
+    )
+
+    def compute(batch: pa.Table) -> pa.Table:
+        aa = batch.column("doc_id_a").to_pylist()
+        bb = batch.column("doc_id_b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        dists = np.array(
+            [_levenshtein(x or "", y or "") for x, y in zip(ta, tb)],
+            dtype=np.int64,
+        )
+        # byte lengths (DuckDB strlen), matching the byte-based distance
+        denom = np.maximum(
+            [max(len((x or "").encode("utf-8")), len((y or "").encode("utf-8")))
+             for x, y in zip(ta, tb)], 1
+        )
+        sims = round6(1.0 - dists / denom)
+        return pa.Table.from_arrays(
+            [
+                pa.array(aa, type=pa.int64()),
+                pa.array(bb, type=pa.int64()),
+                pa.array(dists, type=pa.int64()),
+                pa.array(sims, type=pa.float64()),
+            ],
+            names=["doc_id_a", "doc_id_b", "edit_distance", "edit_sim"],
+        )
+
+    return j2.map_batches(compute, batch_format="pyarrow")

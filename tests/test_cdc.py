@@ -107,3 +107,42 @@ class TestCDCChunks:
         assert len(got) == 1
         r = got.iloc[0]
         assert (int(r["n_docs"]), int(r["n_occurrences"]), int(r["min_doc"])) == (3, 3, 0)
+
+
+class TestPairEditDistance:
+    def test_kernel_matches_duckdb_bytes(self):
+        """DuckDB levenshtein is BYTE-based (levenshtein('café','cafe')
+        = 2); the kernel must agree on unicode, not just ASCII."""
+        import duckdb
+        import random
+
+        from docstrange_ray.ops.dedup import _levenshtein
+
+        rng = random.Random(7)
+        alph = "abcdé中 "
+        for _ in range(120):
+            a = "".join(rng.choices(alph, k=rng.randint(0, 12)))
+            b = "".join(rng.choices(alph, k=rng.randint(0, 12)))
+            ref = duckdb.execute(
+                "select levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert _levenshtein(a, b) == ref, (a, b)
+        assert _levenshtein("café", "cafe") == 2  # bytes, not codepoints
+
+    def test_pipeline_on_planted_near_dups(self):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau") * 2
+        edited = base.replace("delta", "delja", 1)  # one substitution (t->j)
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": edited},
+            {"doc_id": 2, "text": "completely different text about fish"},
+        ]
+        ds = ray.data.from_items(rows)
+        got = dedup.pair_edit_distance(ds, threshold=0.5).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (int(r["doc_id_a"]), int(r["doc_id_b"])) == (0, 1)
+        assert int(r["edit_distance"]) == 1
+        expect = 1.0 - 1 / len(base.encode())
+        assert r["edit_sim"] == pytest.approx(round(expect, 6), abs=2e-6)

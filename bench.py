@@ -158,6 +158,8 @@ OP_GROUPS: list[list[str]] = [
         "winnow_pairs",
         "near_dup_keep_best",
         "dup_spans",
+        "cdc_dup_chunks",
+        "pair_edit_distance",
     ],
     [
         "pack_offsets",
@@ -170,6 +172,8 @@ OP_GROUPS: list[list[str]] = [
         "curated_docs",
         "ccnet_buckets",
         "embedding_decontam",
+        "knn_classify",
+        "pca_project",
     ],
     [
         "q1_pricing",

@@ -2071,20 +2071,49 @@ def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
     """
     from docstrange_ray.shuffle import hash_join
 
+    import ray
+
     pairs = near_dup_pairs_ds(ds, threshold=threshold,
                               num_partitions=num_partitions)
     pairs = pairs.map_batches(
         lambda b: b.select(["doc_id_a", "doc_id_b"]), batch_format="pyarrow"
     ).materialize()  # bounded: near-dup pair count
+
+    # Pre-filter the corpus to docs that actually appear in a pair:
+    # without this, BOTH hash_joins exchange every document's text
+    # against a pair set that involves a tiny fraction of the corpus.
+    # The bloom is the same fixed-size OR-reduced bitmap the verify
+    # tail uses (false positives only cost filter slack — the joins
+    # are exact on doc_id).
+    bloom_ref = ray.put(_candidate_bloom(pairs))
+
+    def bloom_keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bits = ray.get(bloom_ref)
+        pos = _bloom_positions_vec(batch.column("doc_id").to_pylist(), _BLOOM_BITS)
+        hit = (
+            (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        ).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    # materialize the filtered docs (bounded: <= 2x pair count + bloom
+    # slack) — hash_join probes .schema() on both sides, which would
+    # otherwise re-execute the corpus scan per join (round-2 gotcha)
     docs = ds.map_batches(
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
-    )
+    ).map_batches(bloom_keep, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        # size the tail exchanges to the DATA (grouped_blocks contract):
+        # the joined rows number ~pair count, so the default
+        # cluster-CPU partition count would be ~all fixed cost
+        num_partitions = max(8, min(64, pairs.count() // 10_000))
     j1 = hash_join(
         pairs,
         _rename(docs, {"doc_id": "doc_id_a", "text": "text_a"}),
         key="doc_id_a",
         num_partitions=num_partitions,
-    )
+    ).materialize()  # bounded: pair count — j2's schema probe re-runs it otherwise
     j2 = hash_join(
         j1,
         _rename(docs, {"doc_id": "doc_id_b", "text": "text_b"}),

@@ -735,6 +735,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    _BLOCKLIST = ["hash", "merge", "slow query", "table", "able",
+                  "row scan", "a a"]
+
+    def blocklist_tags_q(sf_dir):
+        """Aho-Corasick multi-pattern blocklist tagging (RefinedWeb
+        banned-list step): automaton built once per actor, shuffle-free
+        scan; OCCURRENCE counts (overlaps included — 'able' also fires
+        inside 'table', 'a a' overlaps itself), which the SQL oracle
+        reproduces with a position scan rather than replace()."""
+        from docstrange_ray.ops.blocklist import blocklist_tags
+
+        return blocklist_tags(read_docs(sf_dir), _BLOCKLIST)
+
     def cdc_chunks_q(sf_dir):
         """Content-defined chunking (FastCDC/LBFS word-anchor rule):
         boundary after any word with md5-hash % 8 == 0 — a pure local
@@ -1412,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": cdc_chunks_q,
         "cdc_dup_chunks": cdc_dup_chunks_q,
         "pair_edit_distance": pair_edit_distance_q,
+        "blocklist_tags": blocklist_tags_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -1766,6 +1780,28 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM win WHERE rn = 1
             GROUP BY doc_id
+        """,
+        # blocklist_tags: occurrence semantics (overlaps included)
+        # rebuilt as a position scan — replace()-division would count
+        # non-overlapping only and diverge on 'a a'-style patterns.
+        "blocklist_tags": r"""
+            WITH pats AS (
+                SELECT * FROM (VALUES ('hash'), ('merge'), ('slow query'),
+                                      ('table'), ('able'), ('row scan'),
+                                      ('a a')) AS p(pat)
+            ), hits AS (
+                SELECT d.doc_id, p.pat, COUNT(*) AS c
+                FROM documents d, pats p,
+                     UNNEST(range(1, GREATEST(len(lower(d.text))
+                                              - len(p.pat) + 2, 1))) AS t(i)
+                WHERE substr(lower(d.text), i, len(p.pat)) = p.pat
+                GROUP BY d.doc_id, p.pat
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_matches,
+                   CAST(COUNT(h.pat) AS BIGINT) AS n_distinct
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            GROUP BY d.doc_id
         """,
         # cdc_chunks / cdc_dup_chunks: boundaries = windowed cumulative
         # sum of word anchors (md5 % 8 == 0, the engine's word-hash

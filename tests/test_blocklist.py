@@ -1,0 +1,71 @@
+"""Aho-Corasick blocklist tagger tests.
+
+Reference = brute-force position scan (startswith at every offset) —
+the same semantics the SQL oracle uses; agreement pins the automaton.
+"""
+
+import random
+
+import numpy as np
+import ray
+
+from docstrange_ray.ops.blocklist import AhoCorasick, blocklist_tags
+
+
+def brute(patterns, text):
+    t = (text or "").lower()
+    return [
+        sum(1 for i in range(len(t)) if t.startswith(p.lower(), i))
+        for p in patterns
+    ]
+
+
+class TestAhoCorasick:
+    def test_classic_nested_outputs(self):
+        # the textbook case: suffix patterns must fire via fail links
+        ac = AhoCorasick(["he", "she", "his", "hers"])
+        assert list(ac.count("ushers")) == [1, 1, 0, 1]
+
+    def test_self_overlapping(self):
+        assert list(AhoCorasick(["aa"]).count("aaaa")) == [3]
+        assert list(AhoCorasick(["a a"]).count("a a a")) == [2]
+
+    def test_case_insensitive_and_unicode(self):
+        ac = AhoCorasick(["Tablé"])
+        assert list(ac.count("TABLÉ tablé")) == [2]
+
+    def test_fuzz_vs_position_scan(self):
+        rng = random.Random(11)
+        alph = "abc"
+        for _ in range(200):
+            pats = list(
+                {"".join(rng.choices(alph, k=rng.randint(1, 4)))
+                 for _ in range(rng.randint(1, 6))}
+            )
+            text = "".join(rng.choices(alph + " ", k=rng.randint(0, 50)))
+            assert list(AhoCorasick(pats).count(text)) == brute(pats, text), (
+                pats, text)
+
+
+class TestBlocklistTags:
+    def test_pipeline_matches_brute(self):
+        pats = ["table", "able", "a a", "slow query"]
+        texts = [
+            "a a a table is stable",
+            "slow query on the table",
+            "",
+            "nothing relevant here",
+        ]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        got = blocklist_tags(ds, pats).to_pandas().sort_values("doc_id")
+        for _, r in got.iterrows():
+            c = brute(pats, texts[int(r["doc_id"])])
+            assert int(r["n_matches"]) == sum(c)
+            assert int(r["n_distinct"]) == sum(1 for x in c if x > 0)
+        # doc 0: 'a a' x2 ('a a a'); 'table' x2 ('table' AND inside
+        # 'sTABLE'); 'able' x2 ('tABLE' + 'stABLE'); n_distinct = 3
+        r0 = got[got["doc_id"] == 0].iloc[0]
+        assert int(r0["n_matches"]) == 6
+        assert int(r0["n_distinct"]) == 3

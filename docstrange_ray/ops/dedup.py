@@ -596,19 +596,18 @@ def _bloom_positions_vec(ids: list, m_bits: int) -> np.ndarray:
     return out
 
 
-def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
-    """Distributed bloom-filter build over candidate doc ids: each block
-    emits a fixed-size bitmap (m_bits/8 bytes — BOUNDED regardless of
-    candidate count), OR-reduced on the driver. The driver holds
-    n_blocks bitmaps transiently, never the id set."""
+def _ids_bloom(ds, cols: list[str], m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Distributed bloom-filter build over the ids in ``cols``: each
+    block emits a fixed-size bitmap (m_bits/8 bytes — BOUNDED
+    regardless of id count), OR-reduced on the driver. The driver
+    holds n_blocks bitmaps transiently, never the id set."""
     words = m_bits // 64
 
     def block_bloom(batch: pa.Table) -> pa.Table:
         bits = np.zeros(words, dtype=np.uint64)
-        ids = (
-            batch.column("doc_id_a").to_pylist()
-            + batch.column("doc_id_b").to_pylist()
-        )
+        ids: list = []
+        for c in cols:
+            ids.extend(batch.column(c).to_pylist())
         if ids:
             pos = _bloom_positions_vec(ids, m_bits).reshape(-1)
             np.bitwise_or.at(
@@ -621,12 +620,35 @@ def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
     acc = np.zeros(words, dtype=np.uint64)
     # iter_batches, not take_all: the driver OR-folds one bitmap at a
     # time instead of materializing n_blocks x 1 MiB rows at once
-    for batch in cands.map_batches(
+    for batch in ds.map_batches(
         block_bloom, batch_format="pyarrow", batch_size=None
     ).iter_batches(batch_format="pyarrow"):
         for blob in batch.column("bloom").to_pylist():
             acc |= np.frombuffer(blob, dtype=np.uint64)
     return acc
+
+
+def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Bloom over a candidate-PAIR dataset's (doc_id_a, doc_id_b)."""
+    return _ids_bloom(cands, ["doc_id_a", "doc_id_b"], m_bits)
+
+
+def _bloom_keep(bloom_ref, id_col: str):
+    """map_batches fn: keep rows whose ``id_col`` hits the broadcast
+    bloom (false positives pass — downstream joins are exact on id)."""
+    import ray
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bits = ray.get(bloom_ref)
+        pos = _bloom_positions_vec(batch.column(id_col).to_pylist(), _BLOOM_BITS)
+        hit = (
+            (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        ).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    return keep
 
 
 def near_dup_pairs_ds(
@@ -1046,7 +1068,16 @@ def keep_best_drop_list_ds(
             names=["node", "score"],
         )
 
-    scores = ds.map_batches(project, batch_format="pyarrow")
+    # bloom-prefilter the corpus score projection to cluster MEMBERS
+    # before the join: without it the join EXCHANGES every corpus
+    # (id, score) row against a member-scale label set — linear but
+    # pointless traffic at 100 TB (labels only contain members)
+    import ray as _ray
+
+    bloom_ref = _ray.put(_ids_bloom(labels, ["node"]))
+    scores = ds.map_batches(project, batch_format="pyarrow").map_batches(
+        _bloom_keep(bloom_ref, "node"), batch_format="pyarrow"
+    )
     joined = hash_join(labels, scores, key="node", num_partitions=num_partitions)
 
     def pick(df):
@@ -2086,23 +2117,14 @@ def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
     # tail uses (false positives only cost filter slack — the joins
     # are exact on doc_id).
     bloom_ref = ray.put(_candidate_bloom(pairs))
-
-    def bloom_keep(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        bits = ray.get(bloom_ref)
-        pos = _bloom_positions_vec(batch.column("doc_id").to_pylist(), _BLOOM_BITS)
-        hit = (
-            (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
-        ).all(axis=1)
-        return batch.filter(pa.array(hit))
-
     # materialize the filtered docs (bounded: <= 2x pair count + bloom
     # slack) — hash_join probes .schema() on both sides, which would
     # otherwise re-execute the corpus scan per join (round-2 gotcha)
     docs = ds.map_batches(
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
-    ).map_batches(bloom_keep, batch_format="pyarrow").materialize()
+    ).map_batches(
+        _bloom_keep(bloom_ref, "doc_id"), batch_format="pyarrow"
+    ).materialize()
     if num_partitions is None:
         # size the tail exchanges to the DATA (grouped_blocks contract):
         # the joined rows number ~pair count, so the default

@@ -735,6 +735,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    def source_zscore_q(sf_dir):
+        """Per-source z-score standardization of doc length: batch
+        (group, n, sum, sumsq) pre-reduce -> constant-size coalesced
+        combine -> broadcast moments -> shuffle-free scoring scan.
+        SQL-oracled (window AVG/STDDEV_POP)."""
+        from docstrange_ray.ops.rankstats import group_zscore
+
+        return group_zscore(
+            read_parquet_clean(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "source", "n_chars"],
+            )
+        )
+
     _BLOCKLIST = ["hash", "merge", "slow query", "table", "able",
                   "row scan", "a a"]
 
@@ -1426,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_chunks": cdc_dup_chunks_q,
         "pair_edit_distance": pair_edit_distance_q,
         "blocklist_tags": blocklist_tags_q,
+        "source_zscore": source_zscore_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -1780,6 +1795,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM win WHERE rn = 1
             GROUP BY doc_id
+        """,
+        "source_zscore": """
+            SELECT doc_id, source, n_chars,
+                   ROUND(CASE WHEN STDDEV_POP(n_chars) OVER w > 0
+                              THEN (n_chars - AVG(n_chars) OVER w)
+                                   / STDDEV_POP(n_chars) OVER w
+                              ELSE 0 END, 6) AS z
+            FROM documents
+            WINDOW w AS (PARTITION BY source)
         """,
         # blocklist_tags: occurrence semantics (overlaps included)
         # rebuilt as a position scan — replace()-division would count

@@ -25,6 +25,7 @@ aggregations are per-document, driver-side); these follow the partial
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -203,3 +204,65 @@ def robust_outliers(
         return df[np.asarray(mask)].reset_index(drop=True)
 
     return ds.map_batches(arrow_out(pick), batch_format="pyarrow")
+
+
+def group_zscore(ds, group_col: str = "source", value_col: str = "n_chars",
+                 id_col: str = "doc_id", num_partitions=None):
+    """Per-group z-score standardization (feature normalization before
+    mixing quality signals across sources): two shuffle-free scans
+    around one CONSTANT-SIZE reduce.
+
+    Scan 1 pre-reduces each batch to per-group (n, sum, sumsq) rows —
+    the exchange input is n_batches x n_groups rows regardless of
+    corpus size; a coalesced combine folds them into one moments row
+    per group (population sigma). The tiny moments table broadcasts
+    via ``ray.put`` and scan 2 emits ``z = (x - mu) / sigma`` round6'd
+    (sigma == 0 -> z = 0: a constant feature carries no signal).
+
+    Returns Dataset[(id_col, group_col, value_col, z)].
+    """
+    import ray
+
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pa.Table.from_arrays(
+            [batch.column(group_col), batch.column(value_col)],
+            names=["g", "v"],
+        ).to_pandas()
+        out = df.groupby("g", sort=False)["v"].agg(
+            n="count", s="sum", ss=lambda x: float((x.astype(float) ** 2).sum())
+        ).reset_index()
+        out["s"] = out["s"].astype(float)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("g", as_index=False)[["n", "s", "ss"]].sum()
+
+    moments = coalesced_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow"), combine
+    ).take_all()  # one row per group — bounded by group cardinality
+    stats = {}
+    for r in moments:
+        n, s, ss = float(r["n"]), float(r["s"]), float(r["ss"])
+        mu = s / n
+        var = max(ss / n - mu * mu, 0.0)
+        stats[r["g"]] = (mu, var ** 0.5)
+    ref = ray.put(stats)
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        groups = batch.column(group_col).to_pylist()
+        vals = np.asarray(batch.column(value_col), dtype=np.float64)
+        mus = np.array([st[g][0] for g in groups])
+        sigmas = np.array([st[g][1] for g in groups])
+        z = np.where(sigmas > 0, (vals - mus) / np.where(sigmas > 0, sigmas, 1.0), 0.0)
+        return pa.Table.from_arrays(
+            [batch.column(id_col), batch.column(group_col),
+             batch.column(value_col),
+             pa.array(round6(z), type=pa.float64())],
+            names=[id_col, group_col, value_col, "z"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -69,3 +69,31 @@ class TestBlocklistTags:
         r0 = got[got["doc_id"] == 0].iloc[0]
         assert int(r0["n_matches"]) == 6
         assert int(r0["n_distinct"]) == 3
+
+
+class TestGroupZscore:
+    def test_matches_loop_reference(self):
+        import statistics
+
+        from docstrange_ray.ops.rankstats import group_zscore
+
+        rows = [
+            {"doc_id": i, "source": f"s{i % 3}", "n_chars": (i * 7) % 50}
+            for i in range(60)
+        ]
+        # one constant group: sigma == 0 -> z = 0
+        rows += [{"doc_id": 100 + i, "source": "const", "n_chars": 5}
+                 for i in range(4)]
+        ds = ray.data.from_items(rows)
+        got = group_zscore(ds).to_pandas().sort_values("doc_id")
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r["n_chars"])
+        for _, r in got.iterrows():
+            vals = by_src[r["source"]]
+            mu = sum(vals) / len(vals)
+            sig = statistics.pstdev(vals)
+            exp = 0.0 if sig == 0 else (r["n_chars"] - mu) / sig
+            exp = round(exp + 0.0, 6) if exp >= 0 else -round(-exp, 6)
+            assert abs(r["z"] - exp) < 2e-6, (r["doc_id"], r["z"], exp)
+        assert (got[got["source"] == "const"]["z"] == 0.0).all()

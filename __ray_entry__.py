@@ -762,6 +762,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return blocklist_tags(read_docs(sf_dir), _BLOCKLIST)
 
+    def dup_positions_exact_q(sf_dir):
+        """Collision-free ExactSubstr positions via Manber-Myers
+        prefix-doubling equality classes: word strings cross ONE
+        exchange, then 2*log2(window) integer exchanges (no global
+        sort, no hash collisions). window=8 matches the fixture's
+        dup-run lengths."""
+        return dedup.dup_positions_exact(read_docs(sf_dir), window=8)
+
     def cdc_chunks_q(sf_dir):
         """Content-defined chunking (FastCDC/LBFS word-anchor rule):
         boundary after any word with md5-hash % 8 == 0 — a pure local
@@ -1441,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_edit_distance": pair_edit_distance_q,
         "blocklist_tags": blocklist_tags_q,
         "source_zscore": source_zscore_q,
+        "dup_positions_exact": dup_positions_exact_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,
@@ -1795,6 +1804,22 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM win WHERE rn = 1
             GROUP BY doc_id
+        """,
+        # dup_positions_exact: a window-text self-count — every 1-based
+        # position whose 8-word window occurs >= 2 times corpus-wide.
+        "dup_positions_exact": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), w AS (
+                SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS wt
+                FROM docs, UNNEST(range(1, len(ws) - 8 + 2)) AS t(i)
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS pos
+            FROM w
+            WHERE wt IN (SELECT wt FROM w GROUP BY wt HAVING COUNT(*) >= 2)
         """,
         "source_zscore": """
             SELECT doc_id, source, n_chars,

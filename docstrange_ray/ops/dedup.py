@@ -2169,3 +2169,157 @@ def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
         )
 
     return j2.map_batches(compute, batch_format="pyarrow")
+
+
+# --- collision-free ExactSubstr: prefix-doubling window classes ---------------
+
+
+def dup_positions_exact(ds, window: int = 16, num_partitions=None,
+                        seed_len: int | None = None):
+    """COLLISION-FREE exact-substring duplicate positions: every
+    1-based word position whose ``window``-word window occurs at least
+    twice anywhere in the corpus — :func:`dup_spans` semantics without
+    the rolling-hash collision probability.
+
+    Method (Manber-Myers 1990 prefix doubling, equality-classes-only):
+    positions start in word classes; each round the class of the first
+    ``s`` words combines with the class at ``p + s`` into the class of
+    the first ``2s`` words, until ``s == window``. Because only
+    EQUALITY matters (never order), class ids need no global sort —
+    each round assigns ``new_cls = min(gpos)`` over the (cls, r2)
+    group in ONE hash exchange, which is globally unique and
+    deterministic by construction. A position whose suffix ends within
+    ``s`` words pairs with the sentinel class -1; full-window
+    positions always draw on neighbors with enough words left
+    (``remaining >= window - s >= s``), so their classes are exact.
+
+    Scale shape: word strings cross ONE exchange (class-0 seeding);
+    afterwards the iterations move only the 5-int64 position
+    projection — ``2·log2(window)`` integer exchanges total, no global
+    sort anywhere. Every position receives EXACTLY one r2 message per
+    round (real from ``p + s``, or the sentinel emitted by tail
+    positions themselves), so the join is INNER — no null-padded int
+    columns to corrupt through pandas (the round-3 2^53 lesson).
+    Per-round results are materialized (bounded: the int projection)
+    so hash_join's schema probe cannot re-execute prior rounds.
+
+    ``window`` must be a power of two (binary doubling composes
+    length-s classes only with length-s classes; the default 16
+    matches :func:`dup_spans`). Global positions come from the
+    :mod:`ops.packing` prefix scan. Returns
+    Dataset[(doc_id, pos)] (1-based word positions), one row per
+    duplicated full-window position.
+    """
+    if window < 2 or window & (window - 1):
+        raise ValueError("window must be a power of two >= 2")
+    from docstrange_ray.ops.packing import pack_offsets
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    offs = pack_offsets(ds, budget=1 << 30).map_batches(
+        lambda b: b.select(["doc_id", "start_offset"]), batch_format="pyarrow"
+    )
+
+    # Seed classes at length min(4, window) instead of single words:
+    # the explode KNOWS each position's next seed_len-1 words locally,
+    # so seeding on the space-joined seed gram costs zero extra
+    # exchanges and removes log2(seed_len) doubling rounds — at toy
+    # scale each round is mostly fixed exchange cost, at cluster scale
+    # it is a full projection shuffle either way. Space-joining is
+    # injective (words contain no whitespace), and a tail shorter than
+    # seed_len serializes as its exact remaining words — precisely the
+    # class invariant (full-suffix encoding for remaining < s).
+    if seed_len is None:
+        seed_len = min(4, window)
+    if seed_len & (seed_len - 1) or not 1 <= seed_len <= window:
+        raise ValueError("seed_len must be a power of two <= window")
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        out_d, out_w, out_n, out_seed = [], [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (t or "").lower().split()
+            n = len(words)
+            for i in range(n):
+                out_d.append(did)
+                out_w.append(i)
+                out_n.append(n)
+                out_seed.append(" ".join(words[i : i + seed_len]))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_d, dtype=np.int64),
+             "widx": pd.Series(out_w, dtype=np.int64),
+             "n_words": pd.Series(out_n, dtype=np.int64),
+             "seed": pd.Series(out_seed, dtype=object)}
+        )
+
+    positions = hash_join(
+        ds.map_batches(arrow_out(explode), batch_format="pyarrow"),
+        offs,
+        key="doc_id",
+        num_partitions=num_partitions,
+    )
+
+    def add_gpos(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["gpos"] = df["start_offset"] + df["widx"]
+        return df[["gpos", "doc_id", "widx", "n_words", "seed"]]
+
+    positions = positions.map_batches(
+        arrow_out(add_gpos), batch_format="pandas"
+    )
+
+    # seed classes: length-seed_len equality (the ONE exchange that
+    # moves text)
+    def seed_cls(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cls"] = df.groupby("seed", sort=False)["gpos"].transform("min")
+        return df[["gpos", "doc_id", "widx", "n_words", "cls"]]
+
+    cur = grouped_blocks(
+        positions, ["seed"], seed_cls, num_partitions, batch_format="pandas"
+    ).materialize()
+
+    s = seed_len
+    while s < window:
+        step = s
+
+        def msgs_fn(batch: pa.Table) -> pd.DataFrame:
+            gpos = np.asarray(batch.column("gpos"), dtype=np.int64)
+            widx = np.asarray(batch.column("widx"), dtype=np.int64)
+            nw = np.asarray(batch.column("n_words"), dtype=np.int64)
+            cls = np.asarray(batch.column("cls"), dtype=np.int64)
+            real = widx >= step          # carries cls to gpos - step
+            tail = widx + step >= nw     # own r2 is the sentinel
+            return pd.DataFrame(
+                {"gpos": np.concatenate([gpos[real] - step, gpos[tail]]),
+                 "r2": np.concatenate(
+                     [cls[real], np.full(int(tail.sum()), -1, dtype=np.int64)]
+                 )}
+            )
+
+        msgs = cur.map_batches(arrow_out(msgs_fn), batch_format="pyarrow")
+        joined = hash_join(cur, msgs, key="gpos", num_partitions=num_partitions)
+
+        def recls(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cls"] = df.groupby(["cls", "r2"], sort=False)["gpos"].transform("min")
+            return df[["gpos", "doc_id", "widx", "n_words", "cls"]]
+
+        cur = grouped_blocks(
+            joined, ["cls", "r2"], recls, num_partitions, batch_format="pandas"
+        ).materialize()
+        s *= 2
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        full = df[df["widx"] + window <= df["n_words"]]
+        counts = full.groupby("cls", sort=False)["gpos"].transform("size")
+        dups = full[counts >= 2]
+        out = pd.DataFrame(
+            {"doc_id": dups["doc_id"].to_numpy(dtype=np.int64),
+             "pos": (dups["widx"] + 1).to_numpy(dtype=np.int64)}
+        )
+        return out
+
+    return grouped_blocks(
+        cur, ["cls"], finalize, num_partitions, batch_format="pandas"
+    )

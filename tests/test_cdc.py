@@ -146,3 +146,71 @@ class TestPairEditDistance:
         assert int(r["edit_distance"]) == 1
         expect = 1.0 - 1 / len(base.encode())
         assert r["edit_sim"] == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+class TestDupPositionsExact:
+    @staticmethod
+    def brute(rows, w):
+        import collections
+
+        wins = collections.Counter()
+        per = {}
+        for r in rows:
+            ws = (r["text"] or "").lower().split()
+            for i in range(len(ws) - w + 1):
+                wt = " ".join(ws[i:i + w])
+                wins[wt] += 1
+                per.setdefault(wt, []).append((r["doc_id"], i + 1))
+        exp = set()
+        for wt, c in wins.items():
+            if c >= 2:
+                exp.update(per[wt])
+        return exp
+
+    def test_matches_brute_on_planted(self):
+        texts = [
+            "a b c d e f g h i j k l m n o p q r",
+            "x y a b c d e f g h i j zz",
+            "a b c d e f g h i j k l m n o p q r",  # exact dup of 0
+            "unrelated words only here nothing shared at all",
+            "",          # empty
+            "short doc",  # < window
+        ]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        got = dedup.dup_positions_exact(
+            ray.data.from_items(rows), window=8
+        ).to_pandas()
+        assert set(zip(got["doc_id"], got["pos"])) == self.brute(rows, 8)
+
+    def test_fuzz_small_vocab(self):
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            {"doc_id": i,
+             "text": " ".join(rng.choices("u v w x".split(),
+                                          k=rng.randint(0, 14)))}
+            for i in range(25)
+        ]
+        got = dedup.dup_positions_exact(
+            ray.data.from_items(rows), window=4
+        ).to_pandas()
+        assert set(zip(got["doc_id"], got["pos"])) == self.brute(rows, 4)
+
+    def test_seed_len_variants_agree(self):
+        rows = [
+            {"doc_id": 0, "text": "p q r s t u v w p q r s t u v w"},
+            {"doc_id": 1, "text": "z p q r s t u v w z"},
+        ]
+        ds = ray.data.from_items(rows)
+        a = dedup.dup_positions_exact(ds, window=8, seed_len=1).to_pandas()
+        b = dedup.dup_positions_exact(ds, window=8, seed_len=4).to_pandas()
+        key = lambda df: sorted(zip(df["doc_id"], df["pos"]))
+        assert key(a) == key(b) == sorted(self.brute(rows, 8))
+
+    def test_rejects_non_power_of_two(self):
+        ds = ray.data.from_items([{"doc_id": 0, "text": "a b c"}])
+        with pytest.raises(ValueError):
+            dedup.dup_positions_exact(ds, window=6)
+        with pytest.raises(ValueError):
+            dedup.dup_positions_exact(ds, window=8, seed_len=3)

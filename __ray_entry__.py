@@ -762,6 +762,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return blocklist_tags(read_docs(sf_dir), _BLOCKLIST)
 
+    def streaming_dedup_pairs_q(sf_dir):
+        """Online dedup against a SHARED MUTABLE MinHash index (the one
+        raw-actor op: sharded _BandShard actors hold the growing LSH
+        buckets; map_batches tasks query+insert atomically). Stateful
+        streaming — no SQL oracle by nature; the pair set is pinned in
+        tests against the batch chain's signature-verified candidates
+        and against arrival-order reversal."""
+        from docstrange_ray.ops.streamdedup import StreamingDedupIndex
+
+        idx = StreamingDedupIndex(n_shards=8, threshold=0.8)
+        try:
+            return idx.add_corpus(read_docs(sf_dir)).materialize()
+        finally:
+            idx.shutdown()
+
     def dup_positions_exact_q(sf_dir):
         """Collision-free ExactSubstr positions via Manber-Myers
         prefix-doubling equality classes: word strings cross ONE
@@ -1450,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_tags": blocklist_tags_q,
         "source_zscore": source_zscore_q,
         "dup_positions_exact": dup_positions_exact_q,
+        "streaming_dedup_pairs": streaming_dedup_pairs_q,
         "quality_stats": quality_stats,
         "quality_filter": quality_filter,
         "content_fingerprint": content_fp,

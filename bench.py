@@ -160,6 +160,8 @@ OP_GROUPS: list[list[str]] = [
         "dup_spans",
         "cdc_dup_chunks",
         "pair_edit_distance",
+        "dup_positions_exact",
+        "streaming_dedup_pairs",
     ],
     [
         "pack_offsets",
@@ -184,6 +186,8 @@ OP_GROUPS: list[list[str]] = [
         "user_running_total",
         "global_doc_rank",
         "quality_classifier",
+        "blocklist_tags",
+        "source_zscore",
     ],
 ]
 

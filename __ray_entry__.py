@@ -535,6 +535,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe.bpe_train(docs, n_merges=32)
         return bpe.bpe_encode_counts(docs, merges)
 
+    def wp_pair_stats_q(sf_dir):
+        """First-iteration WordPiece statistics: top-50 character pairs
+        by likelihood-gain score freq(ab)/(freq(a)·freq(b)) — emitted
+        as the five INT columns (the score is the derived ratio).
+        ONE word exchange + bounded pair/symbol finals; the symbol
+        inventory broadcast is alphabet-bounded. SQL-oracled."""
+        from docstrange_ray.ops import wordpiece
+
+        return wordpiece.pair_stats(read_docs(sf_dir), top_k=50)
+
+    def wp_merges_q(sf_dir):
+        """Learned WordPiece merge list (24 merges): per-iteration
+        bounded pair + symbol exchanges, float64 shortlist + EXACT
+        integer-fraction final argmax, (left, right) tie-break. Plan
+        parity and a Fraction-based ground truth pinned in
+        tests/test_wordpiece.py (iterative — not SQL-expressible)."""
+        from docstrange_ray.ops import wordpiece
+
+        return wordpiece.wordpiece_train(read_docs(sf_dir), n_merges=24)
+
+    def wp_token_counts_q(sf_dir):
+        """Per-doc token counts under the learned WordPiece vocab:
+        broadcast piece sets, distinct-word factorize, greedy
+        longest-match encode (BERT semantics, character fallback).
+        Pytest-oracled vs the per-word encoder."""
+        from docstrange_ray.ops import wordpiece
+
+        docs = read_docs(sf_dir)
+        merges = wordpiece.wordpiece_train(docs, n_merges=24)
+        return wordpiece.wordpiece_encode_counts(docs, merges)
+
     def unigram_seed_counts_q(sf_dir):
         """First-iteration unigram-LM (SentencePiece) statistics:
         top-50 seed substrings (length <= 4) of word types weighted by
@@ -1477,6 +1508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": bpe_pair_counts_q,
         "bpe_merges": bpe_merges_q,
         "bpe_token_counts": bpe_token_counts_q,
+        "wp_pair_stats": wp_pair_stats_q,
+        "wp_merges": wp_merges_q,
+        "wp_token_counts": wp_token_counts_q,
         "unigram_seed_counts": unigram_seed_counts_q,
         "unigram_vocab": unigram_vocab_q,
         "unigram_token_counts": unigram_token_counts_q,
@@ -2764,6 +2798,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT left_sym, right_sym, freq FROM pairs
             ORDER BY freq DESC, left_sym, right_sym LIMIT 50
+        """,
+        # wp_pair_stats: the bpe_pair_counts character arithmetic plus
+        # per-character totals; ordered by the SAME float64 division
+        # the Ray side pre-ranks with (ints emitted, score derived).
+        "wp_pair_stats": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '')) AS w
+                FROM documents
+            ), words AS (
+                SELECT w, COUNT(*) AS f FROM toks GROUP BY w
+            ), chars AS (
+                SELECT substr(w, i, 1) AS sym, CAST(SUM(f) AS BIGINT) AS sfreq
+                FROM (SELECT w, f,
+                             unnest(generate_series(1, length(w))) AS i
+                      FROM words)
+                GROUP BY 1
+            ), pairs AS (
+                SELECT substr(w, i, 1) AS left_sym,
+                       substr(w, i + 1, 1) AS right_sym,
+                       CAST(SUM(f) AS BIGINT) AS pair_freq
+                FROM (SELECT w, f,
+                             unnest(generate_series(1, length(w) - 1)) AS i
+                      FROM words WHERE length(w) >= 2)
+                GROUP BY 1, 2
+            )
+            SELECT p.left_sym, p.right_sym, p.pair_freq,
+                   l.sfreq AS left_freq, r.sfreq AS right_freq
+            FROM pairs p
+            JOIN chars l ON l.sym = p.left_sym
+            JOIN chars r ON r.sym = p.right_sym
+            ORDER BY p.pair_freq / (l.sfreq::DOUBLE * r.sfreq) DESC,
+                     p.left_sym, p.right_sym
+            LIMIT 50
         """,
         "cm_estimates": r"""
             WITH toks AS (

@@ -766,6 +766,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    def jsonl_roundtrip_q(sf_dir):
+        """JSONL ingest correctness (the web-corpus interchange format):
+        the documents table is written as gzipped JSONL shards once per
+        sf_dir (md5-keyed /tmp cache), read back via
+        ray.data.read_json, and emitted as-is — the oracle is simply
+        SELECT * FROM documents, so a value-hash match proves the
+        ingest path is lossless end to end (types, escaping, unicode,
+        compression)."""
+        import hashlib as _hl
+        import os as _os
+
+        from docstrange_ray.io import read_jsonl_docs, write_jsonl_docs
+
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/dsray_jsonl_{tag}"
+        # marker OUTSIDE the shard dir: read_json parses every file in
+        # the directory, so an in-dir marker would be read as data
+        done = out_dir + ".done"
+        if not _os.path.exists(done):
+            import shutil as _sh
+
+            _sh.rmtree(out_dir, ignore_errors=True)  # no stale partials
+            write_jsonl_docs(
+                read_parquet_clean(f"{sf_dir}/documents.parquet"),
+                out_dir, compression="gzip",
+            )
+            with open(done, "w") as f:
+                f.write("ok")
+        return read_jsonl_docs(out_dir, compression="gzip")
+
     def source_zscore_q(sf_dir):
         """Per-source z-score standardization of doc length: batch
         (group, n, sum, sumsq) pre-reduce -> constant-size coalesced
@@ -1495,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_edit_distance": pair_edit_distance_q,
         "blocklist_tags": blocklist_tags_q,
         "source_zscore": source_zscore_q,
+        "jsonl_roundtrip": jsonl_roundtrip_q,
         "dup_positions_exact": dup_positions_exact_q,
         "streaming_dedup_pairs": streaming_dedup_pairs_q,
         "quality_stats": quality_stats,
@@ -1871,6 +1902,10 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE wt IN (SELECT wt FROM w GROUP BY wt HAVING COUNT(*) >= 2)
         """,
+        # jsonl_roundtrip: the Ray side writes documents as gzipped
+        # JSONL and reads them back; hash-equality against the source
+        # table proves the ingest path lossless.
+        "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "source_zscore": """
             SELECT doc_id, source, n_chars,
                    ROUND(CASE WHEN STDDEV_POP(n_chars) OVER w > 0

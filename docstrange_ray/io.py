@@ -68,3 +68,41 @@ def write_corpus(ds, path: str):
     if _have_lance():
         return ds.write_lance(path)
     return ds.write_parquet(path)
+
+
+def read_jsonl_docs(path: str, columns: list[str] | None = None,
+                    compression: str | None = None):
+    """Line-delimited JSON ingest — the de-facto web-corpus interchange
+    format (Common Crawl derivatives, Dolma, RedPajama all ship JSONL,
+    usually gzipped). ``compression`` must mirror how the shards were
+    written (Ray's JSON writer does not add a codec extension, so
+    auto-detection cannot engage — verified: gzip shards written via
+    arrow_open_stream_args read back as 0x8b garbage without it).
+    Schema metadata is stripped the same way as the parquet reader so
+    a downstream exchange never sees pandas metadata (round-2 gotcha).
+    ``columns`` prunes AFTER parse — JSON is row-major, so unlike
+    parquet there is no column-skip at the byte level; prefer parquet
+    for anything re-read more than once."""
+    import ray.data
+
+    from docstrange_ray.shuffle import _strip_schema_metadata
+
+    kwargs = {}
+    if compression is not None:
+        kwargs["arrow_open_stream_args"] = {"compression": compression}
+    ds = ray.data.read_json(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return _strip_schema_metadata(ds)
+
+
+def write_jsonl_docs(ds, path: str, compression: str | None = None) -> None:
+    """Write a Dataset as JSONL shards under ``path`` (one file per
+    block — the resumable-output discipline; never one giant file).
+    Pass the same ``compression`` to :func:`read_jsonl_docs`."""
+    import ray.data  # noqa: F401
+
+    if compression is not None:
+        ds.write_json(path, arrow_open_stream_args={"compression": compression})
+    else:
+        ds.write_json(path)

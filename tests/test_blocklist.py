@@ -97,3 +97,35 @@ class TestGroupZscore:
             exp = round(exp + 0.0, 6) if exp >= 0 else -round(-exp, 6)
             assert abs(r["z"] - exp) < 2e-6, (r["doc_id"], r["z"], exp)
         assert (got[got["source"] == "const"]["z"] == 0.0).all()
+
+
+class TestJsonlIngest:
+    def test_gzip_roundtrip_lossless(self, tmp_path):
+        import pandas as pd
+
+        from docstrange_ray.io import read_jsonl_docs, write_jsonl_docs
+
+        rows = [
+            {"doc_id": 0, "text": 'uni "quoted" \\ backslash\ttab', "n": 1},
+            {"doc_id": 1, "text": "café 中文 🎈 newline\nin text", "n": -7},
+            {"doc_id": 2, "text": "", "n": 0},
+        ]
+        ds = ray.data.from_items(rows)
+        out = str(tmp_path / "shards")
+        write_jsonl_docs(ds, out, compression="gzip")
+        back = read_jsonl_docs(out, compression="gzip").to_pandas()
+        back = back.sort_values("doc_id").reset_index(drop=True)
+        orig = pd.DataFrame(rows)
+        pd.testing.assert_frame_equal(orig, back[orig.columns])
+
+    def test_column_prune(self, tmp_path):
+        from docstrange_ray.io import read_jsonl_docs, write_jsonl_docs
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": "t", "extra": i * 2} for i in range(5)]
+        )
+        out = str(tmp_path / "shards")
+        write_jsonl_docs(ds, out)
+        back = read_jsonl_docs(out, columns=["doc_id", "text"]).to_pandas()
+        assert sorted(back.columns) == ["doc_id", "text"]
+        assert len(back) == 5

@@ -766,6 +766,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    def compression_stats_q(sf_dir):
+        """zlib compression-ratio quality signal (Dolma-family
+        repetitiveness detector): shuffle-free scan, fixed level 6.
+        No DEFLATE in DuckDB — pytest-oracled vs direct zlib calls;
+        the repetitive-vs-noise ordering property is pinned."""
+        return textstats.compression_stats(read_docs(sf_dir))
+
     def jsonl_roundtrip_q(sf_dir):
         """JSONL ingest correctness (the web-corpus interchange format):
         the documents table is written as gzipped JSONL shards once per
@@ -1526,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_tags": blocklist_tags_q,
         "source_zscore": source_zscore_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
+        "compression_stats": compression_stats_q,
         "dup_positions_exact": dup_positions_exact_q,
         "streaming_dedup_pairs": streaming_dedup_pairs_q,
         "quality_stats": quality_stats,

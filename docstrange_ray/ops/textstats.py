@@ -1363,3 +1363,39 @@ def source_vocab_overlap(ds, num_partitions: int | None = None):
         ).sort_values(["source_a", "source_b"])
 
     return coalesced_blocks(partials, final, batch_format="pandas")
+
+
+def compression_stats(ds, level: int = 6, num_partitions=None):
+    """Compression-ratio quality signal (the Dolma/Gopher-family
+    repetitiveness detector: highly repetitive or templated text
+    compresses far below natural prose; near-random noise compresses
+    above it). One shuffle-free scan; zlib (RFC 1950, stdlib C speed)
+    at a FIXED level so the value is deterministic for a given zlib
+    build — floats are round6'd. Not SQL-expressible (no DEFLATE in
+    DuckDB): pytest-oracled against direct zlib calls.
+
+    Returns Dataset[(doc_id, raw_bytes, gz_bytes, ratio)] with
+    ratio = gz_bytes / max(raw_bytes, 1) — low = repetitive,
+    high = high-entropy."""
+    import zlib
+
+    from docstrange_ray.numerics import round6
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        gz = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = (t or "").encode("utf-8")
+            raw[i] = len(b)
+            gz[i] = len(zlib.compress(b, level))
+        ratio = round6(gz / np.maximum(raw, 1))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(raw, type=pa.int64()),
+             pa.array(gz, type=pa.int64()),
+             pa.array(ratio, type=pa.float64())],
+            names=["doc_id", "raw_bytes", "gz_bytes", "ratio"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

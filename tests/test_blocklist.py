@@ -129,3 +129,33 @@ class TestJsonlIngest:
         back = read_jsonl_docs(out, columns=["doc_id", "text"]).to_pandas()
         assert sorted(back.columns) == ["doc_id", "text"]
         assert len(back) == 5
+
+
+class TestCompressionStats:
+    def test_matches_zlib_and_orders_repetitiveness(self):
+        import zlib
+
+        from docstrange_ray.ops import textstats
+
+        texts = {
+            0: "spam " * 200,                       # highly repetitive
+            1: "the quick brown fox jumps over the lazy dog and then "
+               "discusses philosophy with a passing badger at length",
+            2: "".join(chr(33 + (i * 7919) % 90) for i in range(500)),  # noisy
+            3: "",
+        }
+        ds = ray.data.from_items(
+            [{"doc_id": k, "text": v} for k, v in texts.items()]
+        )
+        got = textstats.compression_stats(ds).to_pandas().set_index("doc_id")
+        for k, t in texts.items():
+            b = t.encode()
+            assert int(got.loc[k, "raw_bytes"]) == len(b)
+            assert int(got.loc[k, "gz_bytes"]) == len(zlib.compress(b, 6))
+        # the detector property: repetitive text compresses far below
+        # everything else (short prose pays zlib's fixed overhead, so
+        # absolute ratios are length-dependent — only the repetitive
+        # floor is the signal)
+        assert got.loc[0, "ratio"] < 0.1
+        assert got.loc[0, "ratio"] < got.loc[2, "ratio"]
+        assert got.loc[0, "ratio"] < got.loc[1, "ratio"]

@@ -148,6 +148,8 @@ OP_GROUPS: list[list[str]] = [
         "bm25_search",
         "bpe_merges",
         "unigram_vocab",
+        "wp_merges",
+        "jsonl_roundtrip",
     ],
     [
         "exact_dedup",
@@ -188,6 +190,8 @@ OP_GROUPS: list[list[str]] = [
         "quality_classifier",
         "blocklist_tags",
         "source_zscore",
+        "compression_stats",
+        "knn_classify_ivf",
     ],
 ]
 

@@ -766,6 +766,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    def weighted_jaccard_pairs_q(sf_dir):
+        """Exact generalized (weighted/multiset) Jaccard over the
+        MinHash candidate pairs — min/max of word term-frequencies;
+        shares pair_edit_distance's bloom-prefiltered pair_texts tail.
+        SQL-oracled bit-exact (integer ratio, half-away round6)."""
+        return dedup.weighted_jaccard_pairs(read_docs(sf_dir), threshold=0.8)
+
     def compression_stats_q(sf_dir):
         """zlib compression-ratio quality signal (Dolma-family
         repetitiveness detector): shuffle-free scan, fixed level 6.
@@ -1534,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_zscore": source_zscore_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "compression_stats": compression_stats_q,
+        "weighted_jaccard_pairs": weighted_jaccard_pairs_q,
         "dup_positions_exact": dup_positions_exact_q,
         "streaming_dedup_pairs": streaming_dedup_pairs_q,
         "quality_stats": quality_stats,
@@ -2486,6 +2494,62 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ni * 1.0 / (na + nb - ni), 6) AS jaccard
             FROM inter
             WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+        """,
+        # weighted_jaccard_pairs: the same pair CTE, then the exact
+        # multiset Jaccard from per-doc word term-frequencies.
+        "weighted_jaccard_pairs": r"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(ws) - 1,
+                                             CASE WHEN len(ws) > 0 THEN 2 ELSE 1 END)),
+                           i -> CASE WHEN len(ws) >= 3
+                                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     ELSE array_to_string(ws, ' ') END)) AS gs
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ), e AS (
+                SELECT doc_id, UNNEST(gs) AS gram, len(gs) AS n FROM g
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni,
+                       ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+                SELECT pa AS doc_id_a, pb AS doc_id_b FROM inter
+                WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+            ), wc AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT doc_id,
+                             unnest(list_filter(
+                                 regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w
+            ), tot AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM wc GROUP BY doc_id
+            ), num AS (
+                SELECT p.doc_id_a, p.doc_id_b,
+                       CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS num
+                FROM pairs p
+                JOIN wc a ON a.doc_id = p.doc_id_a
+                JOIN wc b ON b.doc_id = p.doc_id_b AND b.w = a.w
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_id_a, p.doc_id_b,
+                   CASE WHEN COALESCE(ta.t, 0) + COALESCE(tb.t, 0)
+                             - COALESCE(n.num, 0) = 0 THEN 1.0
+                        ELSE ROUND(COALESCE(n.num, 0) * 1.0
+                                   / (COALESCE(ta.t, 0) + COALESCE(tb.t, 0)
+                                      - COALESCE(n.num, 0)), 6)
+                   END AS w_jaccard
+            FROM pairs p
+            LEFT JOIN num n ON n.doc_id_a = p.doc_id_a
+                           AND n.doc_id_b = p.doc_id_b
+            LEFT JOIN tot ta ON ta.doc_id = p.doc_id_a
+            LEFT JOIN tot tb ON tb.doc_id = p.doc_id_b
         """,
         # pair_edit_distance: the same exact-Jaccard pair CTE, then
         # byte-level levenshtein over the pair texts (DuckDB's

@@ -2085,6 +2085,49 @@ def _levenshtein(a: str, b: str) -> int:
     return int(prev[m])
 
 
+def pair_texts(ds, pairs, num_partitions=None):
+    """Attach both documents' texts to a (doc_id_a, doc_id_b) pair
+    Dataset: the shared tail of every exact pair-verification op.
+
+    Scale shape: the pair set is materialized once (re-running its
+    exchanges inside both join plans is the round-4 plan-duplication
+    deadlock); the corpus text scan is bloom-prefiltered to docs that
+    actually appear in a pair (the verify tail's OR-reduced bitmap —
+    false positives only cost filter slack, the joins are exact on
+    doc_id); the tiny intermediates are materialized because
+    hash_join's schema probe re-executes lazy upstreams (round-2
+    gotcha); tail exchanges size partitions from the PAIR count, not
+    cluster CPUs. Returns Dataset[(doc_id_a, doc_id_b, text_a,
+    text_b, ...pair columns)]."""
+    import ray
+
+    from docstrange_ray.shuffle import hash_join
+
+    pairs = pairs.map_batches(
+        lambda b: b.select(["doc_id_a", "doc_id_b"]), batch_format="pyarrow"
+    ).materialize()  # bounded: near-dup pair count
+    bloom_ref = ray.put(_candidate_bloom(pairs))
+    docs = ds.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    ).map_batches(
+        _bloom_keep(bloom_ref, "doc_id"), batch_format="pyarrow"
+    ).materialize()
+    if num_partitions is None:
+        num_partitions = max(8, min(64, pairs.count() // 10_000))
+    j1 = hash_join(
+        pairs,
+        _rename(docs, {"doc_id": "doc_id_a", "text": "text_a"}),
+        key="doc_id_a",
+        num_partitions=num_partitions,
+    ).materialize()  # bounded: pair count — j2's schema probe re-runs it otherwise
+    return hash_join(
+        j1,
+        _rename(docs, {"doc_id": "doc_id_b", "text": "text_b"}),
+        key="doc_id_b",
+        num_partitions=num_partitions,
+    )
+
+
 def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
     """Exact character-level verification of the MinHash near-dup
     candidates: Levenshtein distance + normalized similarity
@@ -2100,48 +2143,9 @@ def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
     the O(len*len) kernel runs only on candidate pairs, never corpus-
     pairwise. Returns (doc_id_a, doc_id_b, edit_distance, edit_sim).
     """
-    from docstrange_ray.shuffle import hash_join
-
-    import ray
-
     pairs = near_dup_pairs_ds(ds, threshold=threshold,
                               num_partitions=num_partitions)
-    pairs = pairs.map_batches(
-        lambda b: b.select(["doc_id_a", "doc_id_b"]), batch_format="pyarrow"
-    ).materialize()  # bounded: near-dup pair count
-
-    # Pre-filter the corpus to docs that actually appear in a pair:
-    # without this, BOTH hash_joins exchange every document's text
-    # against a pair set that involves a tiny fraction of the corpus.
-    # The bloom is the same fixed-size OR-reduced bitmap the verify
-    # tail uses (false positives only cost filter slack — the joins
-    # are exact on doc_id).
-    bloom_ref = ray.put(_candidate_bloom(pairs))
-    # materialize the filtered docs (bounded: <= 2x pair count + bloom
-    # slack) — hash_join probes .schema() on both sides, which would
-    # otherwise re-execute the corpus scan per join (round-2 gotcha)
-    docs = ds.map_batches(
-        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
-    ).map_batches(
-        _bloom_keep(bloom_ref, "doc_id"), batch_format="pyarrow"
-    ).materialize()
-    if num_partitions is None:
-        # size the tail exchanges to the DATA (grouped_blocks contract):
-        # the joined rows number ~pair count, so the default
-        # cluster-CPU partition count would be ~all fixed cost
-        num_partitions = max(8, min(64, pairs.count() // 10_000))
-    j1 = hash_join(
-        pairs,
-        _rename(docs, {"doc_id": "doc_id_a", "text": "text_a"}),
-        key="doc_id_a",
-        num_partitions=num_partitions,
-    ).materialize()  # bounded: pair count — j2's schema probe re-runs it otherwise
-    j2 = hash_join(
-        j1,
-        _rename(docs, {"doc_id": "doc_id_b", "text": "text_b"}),
-        key="doc_id_b",
-        num_partitions=num_partitions,
-    )
+    j2 = pair_texts(ds, pairs, num_partitions=num_partitions)
 
     def compute(batch: pa.Table) -> pa.Table:
         aa = batch.column("doc_id_a").to_pylist()
@@ -2323,3 +2327,49 @@ def dup_positions_exact(ds, window: int = 16, num_partitions=None,
     return grouped_blocks(
         cur, ["cls"], finalize, num_partitions, batch_format="pandas"
     )
+
+
+def weighted_jaccard_pairs(ds, threshold: float = 0.8, num_partitions=None):
+    """Exact GENERALIZED (weighted) Jaccard over the near-dup
+    candidate pairs: J_w(A,B) = sum_w min(tfA, tfB) / sum_w max(tfA,
+    tfB) over word term-frequencies — the multiset refinement of the
+    set Jaccard the MinHash chain estimates (a doc that repeats a
+    shared phrase 50x no longer looks identical to one that has it
+    once). Used as a second-stage verifier like
+    :func:`pair_edit_distance`, and shares its :func:`pair_texts`
+    tail (bloom-prefiltered, pair-scale joins).
+
+    Returns (doc_id_a, doc_id_b, w_jaccard) with w_jaccard round6'd
+    (an exact integer ratio — SQL-oracle bit-parity via half-away
+    rounding). Empty-vs-empty pairs emit 1.0 (identical multisets).
+    """
+    pairs = near_dup_pairs_ds(ds, threshold=threshold,
+                              num_partitions=num_partitions)
+    j2 = pair_texts(ds, pairs, num_partitions=num_partitions)
+
+    def compute(batch: pa.Table) -> pa.Table:
+        aa = batch.column("doc_id_a").to_pylist()
+        bb = batch.column("doc_id_b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        out = np.empty(len(aa), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            ca: dict[str, int] = {}
+            for w in (x or "").lower().split():
+                ca[w] = ca.get(w, 0) + 1
+            cb: dict[str, int] = {}
+            for w in (y or "").lower().split():
+                cb[w] = cb.get(w, 0) + 1
+            num = sum(min(c, cb.get(w, 0)) for w, c in ca.items())
+            den = (sum(ca.values()) + sum(cb.values()) - num)
+            out[i] = 1.0 if den == 0 else num / den
+        return pa.Table.from_arrays(
+            [
+                pa.array(aa, type=pa.int64()),
+                pa.array(bb, type=pa.int64()),
+                pa.array(round6(out), type=pa.float64()),
+            ],
+            names=["doc_id_a", "doc_id_b", "w_jaccard"],
+        )
+
+    return j2.map_batches(compute, batch_format="pyarrow")

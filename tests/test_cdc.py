@@ -214,3 +214,27 @@ class TestDupPositionsExact:
             dedup.dup_positions_exact(ds, window=6)
         with pytest.raises(ValueError):
             dedup.dup_positions_exact(ds, window=8, seed_len=3)
+
+
+class TestWeightedJaccard:
+    def test_multiset_semantics(self):
+        # doc1 repeats the shared phrase; set Jaccard would call these
+        # near-identical, weighted Jaccard must not
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            {"doc_id": 0, "text": shared},
+            {"doc_id": 1, "text": (shared + " ") * 4},
+        ]
+        ds = ray.data.from_items(rows)
+        got = dedup.weighted_jaccard_pairs(ds, threshold=0.5).to_pandas()
+        assert len(got) == 1
+        # min-sum = 8 shared words once, max-sum = 8 + 32 - 8 = 32
+        assert got["w_jaccard"].iloc[0] == pytest.approx(8 / 32, abs=1e-6)
+
+    def test_identical_docs_score_one(self):
+        t = "one two three four five six seven eight nine ten"
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "text": t}, {"doc_id": 1, "text": t}]
+        )
+        got = dedup.weighted_jaccard_pairs(ds, threshold=0.5).to_pandas()
+        assert len(got) == 1 and got["w_jaccard"].iloc[0] == 1.0

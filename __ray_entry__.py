@@ -1406,6 +1406,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr-style duplicate spans at 16-word windows
         return dedup.dup_spans(read_docs(sf_dir), window=16)
 
+    def dup_spans_exact_q(sf_dir):
+        """dup_spans' EXACT twin: the same removable-span semantics
+        (keep-first, merged intervals, 16-word windows) computed by
+        collision-free prefix-doubling classes instead of the rolling
+        hash — two independent implementations verified against ONE
+        shared SQL oracle."""
+        return dedup.dup_spans_exact(read_docs(sf_dir), window=16)
+
     def pack_offsets_q(sf_dir):
         # concatenate-and-chunk packing layout: 1000-token windows
         from docstrange_ray.ops.packing import pack_offsets
@@ -1594,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": source_mix_q,
         "pack_offsets": pack_offsets_q,
         "dup_spans": dup_spans_q,
+        "dup_spans_exact": dup_spans_exact_q,
         "kmeans_clusters": kmeans_clusters_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
@@ -3250,6 +3259,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
         "dup_spans": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            vals AS (
+                SELECT doc_id,
+                       list_transform(ws, w ->
+                           ('0x' || substr(md5(w), 1, 16))::UBIGINT::HUGEINT
+                               % 2305843009213693951) AS vs,
+                       len(ws) AS n
+                FROM words
+            ),
+            wins AS (
+                SELECT doc_id, i.i AS pos,
+                       list_reduce(vs[i.i : i.i + 15],
+                                   (a, b) -> (a * 1000003 + b) % 2305843009213693951) AS h
+                FROM vals, LATERAL (SELECT unnest(range(1, n - 14)) AS i) i
+            ),
+            dups AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                    FROM wins
+                ) WHERE rn > 1
+            ),
+            iv AS (SELECT doc_id, pos AS s, pos + 15 AS e FROM dups),
+            flag AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s <= MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                            THEN 0 ELSE 1 END AS new_grp
+                FROM iv
+            ),
+            grp AS (
+                SELECT doc_id, s, e,
+                       SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+                FROM flag
+            )
+            SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+            FROM grp GROUP BY doc_id, g
+        """,
+        # dup_spans_exact: SAME oracle — the prefix-doubling twin must
+        # reproduce the rolling-hash op byte-for-byte
+        "dup_spans_exact": r"""
             WITH words AS (
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -2179,7 +2179,7 @@ def pair_edit_distance(ds, threshold: float = 0.8, num_partitions=None):
 
 
 def dup_positions_exact(ds, window: int = 16, num_partitions=None,
-                        seed_len: int | None = None):
+                        seed_len: int | None = None, emit: str = "all"):
     """COLLISION-FREE exact-substring duplicate positions: every
     1-based word position whose ``window``-word window occurs at least
     twice anywhere in the corpus — :func:`dup_spans` semantics without
@@ -2314,10 +2314,18 @@ def dup_positions_exact(ds, window: int = 16, num_partitions=None,
         ).materialize()
         s *= 2
 
+    if emit not in ("all", "losers"):
+        raise ValueError("emit must be 'all' or 'losers'")
+
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         full = df[df["widx"] + window <= df["n_words"]]
         counts = full.groupby("cls", sort=False)["gpos"].transform("size")
         dups = full[counts >= 2]
+        if emit == "losers":
+            # ExactSubstr keep-first: drop each class's (doc_id, pos)-
+            # minimal occurrence (dup_spans' removability semantics)
+            dups = dups.sort_values(["cls", "doc_id", "widx"])
+            dups = dups[dups.duplicated("cls", keep="first")]
         out = pd.DataFrame(
             {"doc_id": dups["doc_id"].to_numpy(dtype=np.int64),
              "pos": (dups["widx"] + 1).to_numpy(dtype=np.int64)}
@@ -2373,3 +2381,78 @@ def weighted_jaccard_pairs(ds, threshold: float = 0.8, num_partitions=None):
         )
 
     return j2.map_batches(compute, batch_format="pyarrow")
+
+
+def lsh_tuning(threshold: float, num_perm: int = NUM_PERM,
+               fp_weight: float = 0.5) -> tuple[int, int]:
+    """Principled (bands, rows) choice for MinHash LSH at a target
+    Jaccard ``threshold`` (the datasketch optimization, public
+    knowledge): candidate probability at similarity s is
+    ``1 - (1 - s^rows)^bands``; pick the factorization of ``num_perm``
+    minimizing ``fp_weight * ∫_0^t P(s) ds + (1-fp_weight) *
+    ∫_t^1 (1 - P(s)) ds`` (Riemann sum). Returns (bands,
+    rows_per_band) with bands * rows <= num_perm.
+
+    The module defaults (BANDS=16, ROWS_PER_BAND=4) sit near this
+    optimum for t≈0.5; pipelines targeting t=0.8+ should re-band —
+    pinned by tests (tuned rows grow with the threshold).
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    xs = np.linspace(0.0, 1.0, 501)
+    best = None
+    for rows in range(1, num_perm + 1):
+        bands = num_perm // rows
+        if bands < 1:
+            break
+        p = 1.0 - (1.0 - xs**rows) ** bands
+        below = xs < threshold
+        fp = float(np.trapz(p[below], xs[below]))
+        fn = float(np.trapz(1.0 - p[~below], xs[~below]))
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        cand = (err, rows)
+        if best is None or cand < best[:2]:
+            best = (err, rows, bands)
+    return best[2], best[1]
+
+
+def dup_spans_exact(ds, window: int = 16, num_partitions=None,
+                    seed_len: int | None = None):
+    """:func:`dup_spans` semantics (doc_id, span_start, span_end —
+    maximal merged intervals of REMOVABLE duplicated windows, first
+    occurrence kept) computed from the COLLISION-FREE
+    :func:`dup_positions_exact` classes (``emit='losers'``) instead of
+    the rolling hash — byte-identical to dup_spans absent a hash
+    collision (pinned by the cross-oracle test). One extra doc_id
+    exchange merges each document's positions gaps-and-islands style
+    (a break needs a gap > window words)."""
+    from docstrange_ray.shuffle import grouped_blocks
+
+    positions = dup_positions_exact(ds, window=window,
+                                    num_partitions=num_partitions,
+                                    seed_len=seed_len, emit="losers")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_s, out_e = [], [], []
+        for did, g in df.groupby("doc_id", sort=True):
+            ps = np.sort(g["pos"].to_numpy(np.int64))
+            start = prev = int(ps[0])
+            for p in ps[1:]:
+                p = int(p)
+                if p > prev + window:  # gap: intervals neither overlap nor touch
+                    out_d.append(did)
+                    out_s.append(start)
+                    out_e.append(prev + window - 1)
+                    start = p
+                prev = p
+            out_d.append(did)
+            out_s.append(start)
+            out_e.append(prev + window - 1)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_d, dtype=np.int64),
+             "span_start": pd.Series(out_s, dtype=np.int64),
+             "span_end": pd.Series(out_e, dtype=np.int64)}
+        )
+
+    return grouped_blocks(positions, ["doc_id"], merge, num_partitions,
+                          batch_format="pandas")

@@ -238,3 +238,54 @@ class TestWeightedJaccard:
         )
         got = dedup.weighted_jaccard_pairs(ds, threshold=0.5).to_pandas()
         assert len(got) == 1 and got["w_jaccard"].iloc[0] == 1.0
+
+
+class TestLshTuning:
+    def test_default_bands_optimal_at_half(self):
+        assert dedup.lsh_tuning(0.5, 64) == (16, 4)
+
+    def test_rows_grow_with_threshold(self):
+        rows = [dedup.lsh_tuning(t, 64)[1] for t in (0.2, 0.5, 0.8, 0.9)]
+        assert rows == sorted(rows) and rows[0] < rows[-1]
+
+    def test_rejects_bad_threshold(self):
+        with pytest.raises(ValueError):
+            dedup.lsh_tuning(0.0)
+
+
+class TestDupSpansExact:
+    def test_matches_hash_dup_spans(self):
+        """Cross-oracle: the collision-free prefix-doubling spans must
+        equal the rolling-hash dup_spans output (collisions are the
+        only way they could differ, and are ~2^-61 per window)."""
+        texts = [
+            "a b c d e f g h i j k l m n o p q r s t",
+            "x y a b c d e f g h i j k l z z z",
+            "a b c d e f g h i j k l m n o p q r s t",
+            "totally different content with no shared runs at all here",
+        ]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ds = lambda: ray.data.from_items(rows)
+        w = 8
+        exact = dedup.dup_spans_exact(ds(), window=w).to_pandas()
+        hashed = dedup.dup_spans(ds(), window=w).to_pandas()
+        key = lambda df: sorted(
+            zip(df["doc_id"], df["span_start"], df["span_end"]))
+        assert key(exact) == key(hashed)
+        assert len(exact) == 2  # doc2 (full dup) + doc1 (shared run)
+
+    def test_gap_break_and_keep_first(self):
+        # two duplicated runs separated by > window unique words; the
+        # FIRST occurrence (doc 0) is kept — only doc 1 gets spans
+        run1 = "p q r s"
+        run2 = "w x y z"
+        filler = " ".join(f"u{i}" for i in range(6))
+        rows = [
+            {"doc_id": 0, "text": f"{run1} {filler} {run2}"},
+            {"doc_id": 1, "text": f"{run1} other filler words {run2}"},
+        ]
+        got = dedup.dup_spans_exact(
+            ray.data.from_items(rows), window=4).to_pandas()
+        assert (got["doc_id"] == 1).all()  # doc 0 = first occurrence, kept
+        d1 = got[got["doc_id"] == 1]
+        assert len(d1) == 2  # two separate islands, not one merged span

@@ -766,6 +766,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         passages collision-free; production uses ~50-word spans)."""
         return dedup.passage_dedup(read_docs(sf_dir), chunk_words=2)
 
+    def hashed_doc_vectors_q(sf_dir):
+        """Feature-hashing doc vectors (signed hashing trick): exact
+        integer long form (doc_id, dim, val), nonzero entries only —
+        a vocabulary-free shuffle-free text vectorizer. SQL-oracled
+        via the md5 bucket/sign idiom."""
+        from docstrange_ray.ops import semantic
+
+        return semantic.hashed_doc_vectors(read_docs(sf_dir), m=64)
+
+    def text_semantic_dups_q(sf_dir):
+        """Cross-module composition: text -> hashed vectors (dense) ->
+        cosine near-dup pairs via the auto-gated embedding dedup.
+        Exercises the text-to-embedding-space bridge end to end
+        (rows-only: float cosine pipeline; the primitive underneath is
+        the SQL-oracled hashed_doc_vectors)."""
+        from docstrange_ray.ops import semantic
+
+        vecs = semantic.hashed_doc_vectors(
+            read_docs(sf_dir), m=64, dense=True
+        ).map_batches(
+            lambda b: b.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+        return dedup.embedding_dup_pairs(vecs, threshold=0.9)
+
     def weighted_jaccard_pairs_q(sf_dir):
         """Exact generalized (weighted/multiset) Jaccard over the
         MinHash candidate pairs — min/max of word term-frequencies;
@@ -1550,6 +1575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "compression_stats": compression_stats_q,
         "weighted_jaccard_pairs": weighted_jaccard_pairs_q,
+        "hashed_doc_vectors": hashed_doc_vectors_q,
+        "text_semantic_dups": text_semantic_dups_q,
         "dup_positions_exact": dup_positions_exact_q,
         "streaming_dedup_pairs": streaming_dedup_pairs_q,
         "quality_stats": quality_stats,
@@ -2503,6 +2530,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ni * 1.0 / (na + nb - ni), 6) AS jaccard
             FROM inter
             WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+        """,
+        # hashed_doc_vectors: signed hashing trick rebuilt from the md5
+        # bucket (first 8 digest bytes) / sign (next 8 bytes) idiom;
+        # nonzero entries only (cancellation drops a dim).
+        "hashed_doc_vectors": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 64
+                        AS BIGINT) AS dim,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(w), 17, 16))::UBIGINT
+                                      % 2 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val
+            FROM toks
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN ('0x' || substr(md5(w), 17, 16))::UBIGINT
+                                 % 2 = 0 THEN 1 ELSE -1 END) <> 0
         """,
         # weighted_jaccard_pairs: the same pair CTE, then the exact
         # multiset Jaccard from per-doc word term-frequencies.

@@ -255,3 +255,63 @@ def semantic_dedup(
         assigned, ["cluster"], prune, num_partitions=num_partitions,
         batch_format="pandas",
     )
+
+
+def hashed_doc_vectors(ds, m: int = 64, dense: bool = False,
+                       num_partitions=None):
+    """Feature-hashing doc vectors (the hashing trick, Weinberger et
+    al. 2009): ``v[md5(w) % m] += sign(w) * tf(w)`` with the sign
+    drawn from the md5's second half — the unbiased signed variant.
+    Turns raw text into fixed-width vectors with NO vocabulary state
+    (no broadcast, no exchange — a pure shuffle-free scan), so the
+    embedding-space ops (PCA, kNN, cosine dedup) compose onto corpora
+    that ship no embeddings.
+
+    ``dense=False`` returns the exact long form
+    Dataset[(doc_id, dim, val)] — nonzero integer entries only
+    (sign cancellation drops a dim), bit-exact against the SQL md5
+    idiom. ``dense=True`` returns Dataset[(doc_id, embedding:
+    list<float64>)] ready for ops.ann / ops.pca / embedding_dup_pairs.
+    """
+    import hashlib
+
+    def vectors(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        word_lists = [(t or "").lower().split() for t in texts]
+        all_words = [w for ws in word_lists for w in ws]
+        mats = np.zeros((len(texts), m), dtype=np.int64)
+        if all_words:
+            codes, uniq = pd.factorize(np.asarray(all_words, dtype=object))
+            digest = b"".join(hashlib.md5(w.encode("utf-8")).digest()
+                              for w in uniq)
+            raw = np.frombuffer(digest, dtype=">u8").reshape(-1, 2)
+            dims = (raw[:, 0] % np.uint64(m)).astype(np.int64)
+            signs = np.where(raw[:, 1] % np.uint64(2) == 0, 1, -1).astype(np.int64)
+            pos = 0
+            for i, ws in enumerate(word_lists):
+                k = len(ws)
+                c = codes[pos : pos + k]
+                pos += k
+                np.add.at(mats[i], dims[c], signs[c])
+        if dense:
+            return pa.Table.from_arrays(
+                [pa.array(doc_ids, type=pa.int64()),
+                 pa.array([row.astype(np.float64) for row in mats],
+                          type=pa.list_(pa.float64()))],
+                names=["doc_id", "embedding"],
+            )
+        nz_doc, nz_dim, nz_val = [], [], []
+        for i, did in enumerate(doc_ids):
+            nz = np.nonzero(mats[i])[0]
+            nz_doc.extend([did] * len(nz))
+            nz_dim.extend(int(d) for d in nz)
+            nz_val.extend(int(mats[i, d]) for d in nz)
+        return pa.Table.from_arrays(
+            [pa.array(nz_doc, type=pa.int64()),
+             pa.array(nz_dim, type=pa.int64()),
+             pa.array(nz_val, type=pa.int64())],
+            names=["doc_id", "dim", "val"],
+        )
+
+    return ds.map_batches(vectors, batch_format="pyarrow")

@@ -216,3 +216,50 @@ class TestKNNClassify:
         ).to_pandas()
         assert len(small) == 30
         assert len(big) == 30  # ivf path engaged without error
+
+
+class TestHashedDocVectors:
+    def test_matches_loop_reference(self):
+        import hashlib
+
+        from docstrange_ray.ops import semantic
+
+        texts = ["the cat sat on the mat", "cat cat cat", "", "unique words only"]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        M = 16
+        got = semantic.hashed_doc_vectors(
+            ray.data.from_items(rows), m=M
+        ).to_pandas()
+        got_map = {(r.doc_id, r.dim): r.val for r in got.itertuples(index=False)}
+        # independent loop reference
+        exp: dict = {}
+        for i, t in enumerate(texts):
+            for w in t.lower().split():
+                d = hashlib.md5(w.encode()).digest()
+                dim = int.from_bytes(d[:8], "big") % M
+                sign = 1 if int.from_bytes(d[8:16], "big") % 2 == 0 else -1
+                exp[(i, dim)] = exp.get((i, dim), 0) + sign
+        exp = {k: v for k, v in exp.items() if v != 0}
+        assert got_map == exp
+
+    def test_dense_feeds_embedding_ops(self):
+        from docstrange_ray.ops import semantic
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " extra"},  # near-dup
+            {"doc_id": 2, "text": "completely different words entirely here"},
+        ]
+        vecs = semantic.hashed_doc_vectors(
+            ray.data.from_items(rows), m=32, dense=True
+        ).map_batches(
+            lambda b: b.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+        from docstrange_ray.ops import dedup as dd
+
+        pairs = dd.embedding_dup_pairs(vecs, threshold=0.9).to_pandas()
+        found = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (0, 1) in found or (1, 0) in found
+        assert not any(2 in p for p in found)

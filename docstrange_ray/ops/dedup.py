@@ -633,16 +633,18 @@ def _candidate_bloom(cands, m_bits: int = _BLOOM_BITS) -> np.ndarray:
     return _ids_bloom(cands, ["doc_id_a", "doc_id_b"], m_bits)
 
 
-def _bloom_keep(bloom_ref, id_col: str):
+def _bloom_keep(bloom_ref, id_col: str, m_bits: int = _BLOOM_BITS):
     """map_batches fn: keep rows whose ``id_col`` hits the broadcast
-    bloom (false positives pass — downstream joins are exact on id)."""
+    bloom (false positives pass — downstream joins are exact on id).
+    ``m_bits`` MUST match the build side's — a mismatched modulus
+    breaks the no-false-negative contract silently."""
     import ray
 
     def keep(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         bits = ray.get(bloom_ref)
-        pos = _bloom_positions_vec(batch.column(id_col).to_pylist(), _BLOOM_BITS)
+        pos = _bloom_positions_vec(batch.column(id_col).to_pylist(), m_bits)
         hit = (
             (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
         ).all(axis=1)
@@ -1983,11 +1985,15 @@ def cdc_chunk_table(ds, divisor: int = 16, num_partitions=None):
                     continue
                 a = anchors[pos : pos + k]
                 pos += k
-                # chunk of word i = anchors among words[0..i-1]
-                cidx = np.concatenate(([0], np.cumsum(a[:-1])))
+                # chunk boundaries fall AFTER anchor words: one linear
+                # pass (flatnonzero), not a per-chunk membership scan
+                # (O(words x chunks); code-review finding, round 4)
+                ends = np.flatnonzero(a) + 1
+                if not len(ends) or ends[-1] != k:
+                    ends = np.append(ends, k)
                 start = 0
-                for ci in range(int(cidx[-1]) + 1):
-                    end = start + int((cidx == ci).sum())
+                for ci, end in enumerate(ends):
+                    end = int(end)
                     chunk = " ".join(ws[start:end])
                     out_doc.append(did)
                     out_idx.append(ci)
@@ -2097,8 +2103,9 @@ def pair_texts(ds, pairs, num_partitions=None):
     doc_id); the tiny intermediates are materialized because
     hash_join's schema probe re-executes lazy upstreams (round-2
     gotcha); tail exchanges size partitions from the PAIR count, not
-    cluster CPUs. Returns Dataset[(doc_id_a, doc_id_b, text_a,
-    text_b, ...pair columns)]."""
+    cluster CPUs. The pair input is stripped to its id columns —
+    other pair metadata does NOT ride through. Returns
+    Dataset[(doc_id_a, doc_id_b, text_a, text_b)]."""
     import ray
 
     from docstrange_ray.shuffle import hash_join
@@ -2216,6 +2223,8 @@ def dup_positions_exact(ds, window: int = 16, num_partitions=None,
     """
     if window < 2 or window & (window - 1):
         raise ValueError("window must be a power of two >= 2")
+    if emit not in ("all", "losers"):
+        raise ValueError("emit must be 'all' or 'losers'")
     from docstrange_ray.ops.packing import pack_offsets
     from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
 
@@ -2238,11 +2247,24 @@ def dup_positions_exact(ds, window: int = 16, num_partitions=None,
         raise ValueError("seed_len must be a power of two <= window")
 
     def explode(batch: pa.Table) -> pd.DataFrame:
+        # Tokenize with the SAME Arrow kernel pack_offsets counts with
+        # (utf8_trim_whitespace + RE2 \s+, ASCII whitespace): Python
+        # str.split() splits on UNICODE whitespace (U+001C, NBSP, ...),
+        # so mixing the two makes word counts disagree and gpos values
+        # collide across documents — corrupting the equality classes
+        # (code-review finding, round 4).
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(batch.column("text").fill_null(""))
+        word_col = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         out_d, out_w, out_n, out_seed = [], [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        for did, ws, t in zip(
+            batch.column("doc_id").to_pylist(), word_col.to_pylist(),
+            trimmed.to_pylist(),
         ):
-            words = (t or "").lower().split()
+            if t == "":
+                continue  # '' splits to [''] — zero words, like _token_counts
+            words = [w.lower() for w in ws]
             n = len(words)
             for i in range(n):
                 out_d.append(did)
@@ -2313,9 +2335,6 @@ def dup_positions_exact(ds, window: int = 16, num_partitions=None,
             joined, ["cls", "r2"], recls, num_partitions, batch_format="pandas"
         ).materialize()
         s *= 2
-
-    if emit not in ("all", "losers"):
-        raise ValueError("emit must be 'all' or 'losers'")
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         full = df[df["widx"] + window <= df["n_words"]]

@@ -62,6 +62,12 @@ class _BandShard:
 
     def __init__(self, bucket_cap=None):
         self.buckets: dict[int, list[tuple[int, bytes]]] = {}
+        # cached min-doc entry per bucket: once bucket_cap engages,
+        # each hot-bucket insert compares against ONLY this entry —
+        # rescanning the growing bucket per insert would be O(len)
+        # each, quadratic overall (the exact blowup the cap exists to
+        # prevent; code-review finding, round 4)
+        self._min: dict[int, tuple[int, bytes]] = {}
         self.bucket_cap = bucket_cap
         self.n_entries = 0
 
@@ -77,7 +83,7 @@ class _BandShard:
             bucket = self.buckets.setdefault(key, [])
             cand = bucket
             if self.bucket_cap is not None and len(bucket) >= self.bucket_cap:
-                cand = [min(bucket, key=lambda e: e[0])]
+                cand = [self._min[key]] if key in self._min else []
             new_sig = np.frombuffer(sig, dtype=np.uint64)
             for odid, osig in cand:
                 if odid == did:
@@ -87,6 +93,9 @@ class _BandShard:
                 )
                 out.append((did, odid, agree))
             bucket.append((did, sig))
+            cur = self._min.get(key)
+            if cur is None or did < cur[0]:
+                self._min[key] = (did, sig)
             self.n_entries += 1
         return out
 

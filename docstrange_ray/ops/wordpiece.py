@@ -333,26 +333,24 @@ def wordpiece_vocab(merges: pd.DataFrame) -> tuple[set, set]:
 def wordpiece_encode(word: str, init: set, cont: set,
                      max_len: int = 64) -> list[str]:
     """Greedy longest-match-first (BERT WordPieceTokenizer semantics):
-    single characters always match (character fallback); a word whose
-    remainder cannot match at all becomes one [UNK]."""
+    single characters always match (character fallback, so a word with
+    known characters never fails mid-way), and — as in BERT's
+    ``max_input_chars_per_word`` rule — a word LONGER than ``max_len``
+    characters becomes one [UNK] outright."""
+    n = len(word)
+    if n == 0 or n > max_len:
+        return [_UNK]
     out = []
-    i, n = 0, len(word)
+    i = 0
     while i < n:
         table = init if i == 0 else cont
-        end = min(n, i + max_len)
-        j = end
-        piece = None
-        while j > i:
-            cand = word[i:j]
-            if len(cand) == 1 or cand in table:
-                piece = cand
-                break
+        j = n
+        while j > i + 1 and word[i:j] not in table:
             j -= 1
-        if piece is None:
-            return [_UNK]
-        out.append(piece if i == 0 else "##" + piece)
+        # j == i+1 -> the single-character fallback (always matches)
+        out.append(word[i:j] if i == 0 else "##" + word[i:j])
         i = j
-    return out if out else [_UNK]
+    return out
 
 
 def wordpiece_encode_counts(ds, merges: pd.DataFrame, num_partitions=None):

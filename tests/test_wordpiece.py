@@ -132,3 +132,10 @@ class TestPairStats:
         # scores non-increasing
         s = got["pair_freq"] / (got["left_freq"] * got["right_freq"])
         assert (np.diff(s.to_numpy()) <= 1e-15).all()
+
+
+class TestEncodeUnkRule:
+    def test_overlong_word_becomes_unk(self):
+        # BERT's max_input_chars_per_word rule
+        assert wp.wordpiece_encode("x" * 65, set(), set()) == ["[UNK]"]
+        assert wp.wordpiece_encode("x" * 64, set(), set()) != ["[UNK]"]

@@ -126,3 +126,13 @@ class ExtractConfig:
 
 
 DEFAULT = ExtractConfig()
+
+# Ray Data block-size target applied by shuffle.ensure_hash_shuffle().
+# One block = one map task; Ray's 128 MiB default let a single
+# heavy-doc-dense block straggle 13x behind its siblings (the 1M-doc
+# headline ran 2.8x slower than linear until this was bounded —
+# BASELINE.md §4c). 32 MiB keeps the straggler tail ~4x shorter while
+# per-task fixed cost stays negligible (>100 rows/task at this
+# corpus's row sizes). At 100 TB the same constant bounds per-task
+# heap for span-heavy rows; revisit only with a measured A/B.
+TARGET_BLOCK_BYTES = 32 * 1024 * 1024

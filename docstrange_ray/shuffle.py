@@ -46,6 +46,17 @@ def ensure_hash_shuffle() -> None:
     # own several partitions.
     ctx.max_hash_shuffle_aggregators = max(4, ncpu // 4)
     ctx.default_hash_shuffle_parallelism = ncpu
+    # Task granularity: Ray's 128 MiB default block target makes ONE
+    # block = one map task; with this corpus's heavy-doc skew a single
+    # 113 MiB block cost 66 s while its siblings took 5 s — a 13x
+    # straggler tail that throttled the 1M-doc headline to 4.3k docs/s.
+    # 32 MiB blocks restored per-doc cost flat across corpus size
+    # (233 s -> 82 s at 1M docs, measured; BASELINE.md §4c). Smaller
+    # blocks also bound per-task heap for span-heavy rows. Engine
+    # constant, set once per session alongside the shuffle knobs.
+    from docstrange_ray.config import TARGET_BLOCK_BYTES
+
+    ctx.target_max_block_size = TARGET_BLOCK_BYTES
 
 
 def _strip_schema_metadata(ds):

@@ -88,6 +88,14 @@ def extract_pipeline(
     elided entirely. Sampling can only cost straggler balance, never
     correctness — inline extraction handles any document.
     """
+    # engine session config (idempotent): hash-shuffle sizing AND the
+    # 32 MiB task-granularity bound — the inline plan's straggler tail
+    # is set by the worst block, so the block-size cap matters even on
+    # the shuffle-free path (BASELINE.md §4c block-granularity finding)
+    from docstrange_ray.shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
     if skew_threshold_units == "auto":
         skew_threshold_units = resolve_auto_plan(ds, cfg)
 

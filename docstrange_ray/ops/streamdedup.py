@@ -56,7 +56,7 @@ from docstrange_ray.ops.dedup import (
 )
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class _BandShard:
     """One shard of the mutable LSH index: band_key -> [(doc_id, sig)]."""
 
@@ -106,8 +106,17 @@ class _BandShard:
 class StreamingDedupIndex:
     """Sharded online MinHash-LSH dedup index (see module docstring)."""
 
-    def __init__(self, n_shards: int = 8, threshold: float = 0.8,
+    def __init__(self, n_shards: int | None = None, threshold: float = 0.8,
                  bucket_cap=None):
+        import ray as _ray
+
+        if n_shards is None:
+            # size shards to the cluster, and never reserve more than
+            # half its CPUs (0.25 each) — shard actors that crowd out
+            # the map tasks querying them deadlock a small cluster
+            ncpu = int(_ray.cluster_resources().get("CPU", 8)) if \
+                _ray.is_initialized() else 8
+            n_shards = max(2, min(16, ncpu))
         self.n_shards = n_shards
         self.threshold = threshold
         self.shards = [

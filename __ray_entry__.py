@@ -956,6 +956,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return jaccard_join(read_docs(sf_dir), threshold=0.5)
 
+    def containment_pairs(sf_dir):
+        """EXACT 3-gram max-containment self-join at t=0.6 via the
+        asymmetric prefix filter (smaller doc probes its prefix against
+        the larger doc's full gram set) — catches subset/quote
+        duplication whose Jaccard is diluted by the size gap."""
+        from docstrange_ray.ops.dedup import containment_join
+
+        return containment_join(read_docs(sf_dir), threshold=0.6)
+
     def minhash_near_dups(sf_dir):
         pairs = dedup.near_dup_pairs(read_docs(sf_dir), threshold=0.8)
         return pa.Table.from_pylist(
@@ -1616,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": winnow_pairs_q,
         "minhash_near_dups": minhash_near_dups,
         "jaccard_join_pairs": jaccard_join_pairs,
+        "containment_pairs": containment_pairs,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
@@ -2211,6 +2221,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id
             FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
             WHERE m <> node
+        """,
+        "containment_pairs": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), g AS (
+                -- mirrors _shingle_arrays: docs shorter than the gram
+                -- width contribute ONE whole-text shingle
+                SELECT DISTINCT doc_id,
+                       ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+                FROM l, UNNEST(range(len(ws) - 2)) AS t(i)
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS gram
+                FROM l WHERE len(ws) BETWEEN 1 AND 2
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   ROUND(CAST(c AS DOUBLE) / LEAST(ta.n, tb.n), 6) AS containment
+            FROM inter
+            JOIN tot ta ON ta.doc_id = inter.doc_id_a
+            JOIN tot tb ON tb.doc_id = inter.doc_id_b
+            WHERE CAST(c AS DOUBLE) / LEAST(ta.n, tb.n) >= 0.6
         """,
         "jaccard_join_pairs": r"""
             WITH l AS (

@@ -704,14 +704,21 @@ def _verified_pairs(
     ngram: int,
     num_partitions=None,
     prefilter: bool = True,
+    measure: str = "jaccard",
 ):
     """The shared exact-verification tail (exchanges 2 + 3 of the
     near_dup_pairs_ds plan): candidate (doc_id_a, doc_id_b) pairs ->
     bloom-prefiltered repartition join attaching each member doc's
-    n-gram set -> pair-keyed exchange computing exact Jaccard and
-    keeping >= threshold. Pair-keyed collapse dedups multi-source
-    candidates for free. Used by both the MinHash-LSH path and the
-    exact prefix-filter join (jaccard_join)."""
+    n-gram set -> pair-keyed exchange computing the exact similarity
+    and keeping >= threshold. Pair-keyed collapse dedups multi-source
+    candidates for free. Used by the MinHash-LSH path and both exact
+    prefix-filter joins (jaccard_join, containment_join).
+
+    ``measure``: ``"jaccard"`` = |A∩B|/|A∪B| (set resemblance) or
+    ``"containment"`` = |A∩B|/min(|A|,|B|) (max-containment — Broder's
+    asymmetric containment symmetrized on the smaller set, the quantity
+    that catches quote/subset duplication Jaccard dilutes away). The
+    output similarity column is named after the measure."""
     from docstrange_ray.shuffle import grouped_blocks
 
     import numpy as np
@@ -842,22 +849,24 @@ def _verified_pairs(
         out_a, out_b, out_j = [], [], []
         for (aa, bb), (sa, sb) in sorted(pairs.items(), key=lambda kv: str(kv[0])):
             x, y = set(sa or []), set(sb or [])
-            union = len(x | y)
-            jac = (len(x & y) / union) if union else 0.0
-            if jac >= threshold:
+            inter = len(x & y)
+            denom = min(len(x), len(y)) if measure == "containment" else len(x | y)
+            sim = (inter / denom) if denom else 0.0
+            if sim >= threshold:
                 out_a.append(aa)
                 out_b.append(bb)
-                # half-away emit: an exact jaccard is a quotient of ints
-                # and CAN land on a 6dp midpoint (65/128), where builtin
-                # round()'s banker's rounding diverges from DuckDB ROUND
-                out_j.append(float(round6(jac)))
+                # half-away emit: an exact similarity is a quotient of
+                # ints and CAN land on a 6dp midpoint (65/128), where
+                # builtin round()'s banker's rounding diverges from
+                # DuckDB ROUND
+                out_j.append(float(round6(sim)))
         return pa.Table.from_arrays(
             [
                 pa.array(out_a, type=id_t),
                 pa.array(out_b, type=id_t),
                 pa.array(out_j, type=pa.float64()),
             ],
-            names=["doc_id_a", "doc_id_b", "jaccard"],
+            names=["doc_id_a", "doc_id_b", measure],
         )
 
     return grouped_blocks(attached, ["a", "b"], verify_block, num_partitions)
@@ -1781,6 +1790,127 @@ def jaccard_join(
         batch_format="pandas",
     )
     return _verified_pairs(cands, ds, threshold, ngram, num_partitions)
+
+
+def containment_join(
+    ds,
+    threshold: float = 0.6,
+    ngram: int = 3,
+    num_partitions=None,
+    demote_heavy_grams: int = 1024,
+):
+    """EXACT n-gram max-containment self-join: every pair with
+    ``|A∩B| / min(|A|, |B|) >= threshold`` plus its exact containment
+    value — the subset/quote detector Jaccard structurally misses (a
+    short doc fully quoted inside a long one has containment 1.0 but
+    Jaccard ~ |A|/|B|, arbitrarily small).
+
+    Asymmetric prefix filter (the set-similarity-join family —
+    Bayardo et al. WWW'07; distributed shape per Vernica, Carey &
+    Li SIGMOD'10): under any FIXED global token order, if
+    ``C(A,B) >= t`` with ``|A| <= |B|`` then A's prefix of length
+    ``|A| - ceil(t*|A|) + 1`` must intersect B's FULL set (else
+    ``|A∩B| <= ceil(t*|A|) - 1 < t*|A|``). So each doc emits ALL its
+    grams once, with the first ``plen`` (in the global hash order,
+    stop-grams demoted to the tail as in :func:`jaccard_join`) flagged
+    as PROBE rows; per gram group a probe row pairs with every row
+    strictly after it in ``(n, doc_id)`` order — the smaller doc is
+    always the probe, so the lemma applies to the pair's min side.
+    Unlike Jaccard there is NO length filter: a 1-gram doc can be
+    contained in a 10^6-gram doc.
+
+    Plan: shuffle-free gram explode (one row per (doc, distinct gram))
+    -> ONE gram-keyed exchange emitting probe x later candidates ->
+    the shared `_verified_pairs` tail (bloom prefilter + repartition
+    join + pair-keyed exact verify with ``measure='containment'``).
+
+    Demotion keeps hot grams out of PREFIXES (probe flags), so a
+    universal gram carries index rows but generates no pairs — the
+    posting list is linear dead weight, never quadratic. Exactness is
+    unaffected (the order stays globally consistent; a doc small
+    enough that a demoted gram re-enters its prefix still probes it).
+
+    Returns Dataset[(doc_id_a, doc_id_b, containment)], pairs
+    canonicalized ``doc_id_a < doc_id_b``. Exact: every qualifying
+    pair present, values exact (6dp half-away emit)."""
+    import math
+
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    heavy_ref = (
+        ray.put(_heavy_gram_hashes(ds, ngram, demote_heavy_grams))
+        if demote_heavy_grams
+        else None
+    )
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        arrs = _shingle_arrays(texts, ngram)  # sorted unique uint64 per doc
+        heavy = ray.get(heavy_ref) if heavy_ref is not None else None
+        out_g, out_d, out_n, out_p = [], [], [], []
+        for did, arr in zip(ids, arrs):
+            n = len(arr)
+            if not n:
+                continue
+            if heavy is not None and len(heavy):
+                a64 = arr.astype(np.int64)
+                hv = np.isin(a64, heavy)
+                arr = np.concatenate([arr[~hv], arr[hv]])
+            plen = n - math.ceil(threshold * n) + 1
+            out_g.extend(np.int64(g) for g in arr)
+            out_d.extend([did] * n)
+            out_n.extend([n] * n)
+            out_p.extend([True] * plen + [False] * (n - plen))
+        return pd.DataFrame(
+            {
+                "gram": np.array(out_g, dtype=np.int64),
+                "doc_id": out_d,
+                "n": np.array(out_n, dtype=np.int64),
+                "probe": np.array(out_p, dtype=bool),
+            }
+        )
+
+    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("gram", sort=False):
+            if len(grp) < 2:
+                continue
+            n_probe = int(grp["probe"].sum())
+            if n_probe and n_probe * len(grp) > 4096 * 64:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "containment_join: hot gram with %d probes x %d rows "
+                    "candidates; consider raising demote_heavy_grams",
+                    n_probe,
+                    len(grp),
+                )
+            rows = sorted(
+                zip(grp["n"].tolist(), grp["doc_id"].tolist(), grp["probe"].tolist())
+            )
+            for i, (np_, dp, pr) in enumerate(rows):
+                if not pr:
+                    continue
+                for nx, dx, _ in rows[i + 1 :]:
+                    if dx == dp:
+                        continue
+                    out_a.append(min(dp, dx))
+                    out_b.append(max(dp, dx))
+        return pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b}).drop_duplicates()
+
+    cands = grouped_blocks(
+        ds.map_batches(arrow_out(explode), batch_format="pyarrow", batch_size=65536),
+        ["gram"],
+        gram_pairs,
+        num_partitions,
+        batch_format="pandas",
+    )
+    return _verified_pairs(
+        cands, ds, threshold, ngram, num_partitions, measure="containment"
+    )
 
 
 # --- Winnowing fingerprints (MOSS) -------------------------------------------

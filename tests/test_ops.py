@@ -616,6 +616,115 @@ class TestJaccardJoin:
         check()
 
 
+class TestContainmentJoin:
+    """Exact asymmetric prefix-filter containment self-join
+    (ops/dedup.containment_join) — must equal brute-force
+    |A∩B|/min(|A|,|B|) at any threshold."""
+
+    @staticmethod
+    def _brute(docs, t, ngram=3):
+        from docstrange_ray.ops.dedup import _shingles
+
+        sets = {d["doc_id"]: _shingles(d["text"], ngram) for d in docs}
+        out = []
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                m = min(len(sets[a]), len(sets[b]))
+                c = len(sets[a] & sets[b]) / m if m else 0.0
+                if c >= t:
+                    out.append((a, b, round(c, 6)))
+        return sorted(out)
+
+    def test_quote_inside_long_doc(self):
+        """The case Jaccard structurally misses: a short doc fully
+        quoted inside a much longer one has containment 1.0 but
+        Jaccard ~ |A|/|B|."""
+        from docstrange_ray.ops.dedup import containment_join, jaccard_join
+
+        quote = "the five boxing wizards jump quickly tonight"
+        long_doc = (
+            "intro paragraph with many framing words before the quote "
+            + quote
+            + " followed by a very long unrelated analysis section "
+            + " ".join(f"filler{i} token{i} pad{i}" for i in range(30))
+        )
+        docs = [
+            {"doc_id": 1, "text": quote},
+            {"doc_id": 2, "text": long_doc},
+            {"doc_id": 3, "text": "entirely unrelated third document content here"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(2)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+            for r in containment_join(ds, threshold=0.9).take_all()
+        }
+        assert got == {(1, 2): 1.0}
+        # jaccard at the same threshold misses it
+        jgot = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in jaccard_join(ds, threshold=0.9).take_all()
+        }
+        assert (1, 2) not in jgot
+
+    @pytest.mark.parametrize("t", [0.3, 0.6, 0.9])
+    def test_equals_brute_force(self, t):
+        from docstrange_ray.ops.dedup import containment_join
+
+        docs = TestJaccardJoin._docs()
+        got = sorted(
+            (r["doc_id_a"], r["doc_id_b"], r["containment"])
+            for r in containment_join(
+                ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(3),
+                threshold=t,
+            ).take_all()
+        )
+        assert got == self._brute(docs, t)
+
+    def test_hot_gram_pair_still_found_with_demotion(self):
+        """A tiny doc whose ONLY gram is a universal hot phrase: the
+        demoted gram re-enters the 1-gram doc's prefix (plen >= 1), so
+        exactness survives demotion."""
+        from docstrange_ray.ops.dedup import containment_join
+
+        docs = [
+            {"doc_id": i, "text": f"p1 p2 p3 a{i} b{i} c{i}"} for i in range(20)
+        ] + [{"doc_id": 900, "text": "p1 p2 p3"}]  # 1 gram, universal
+        ds = ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(3)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in containment_join(ds, threshold=1.0).take_all()
+        }
+        # doc 900 is fully contained in every other doc
+        assert got == {(i, 900) for i in range(20)}
+
+    def test_property_random_vs_brute(self):
+        from hypothesis import given, settings, strategies as st
+
+        from docstrange_ray.ops.dedup import containment_join
+
+        word = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+        doc = st.lists(word, min_size=0, max_size=20).map(" ".join)
+
+        @settings(max_examples=6, deadline=None)
+        @given(
+            texts=st.lists(doc, min_size=1, max_size=10),
+            t=st.sampled_from([0.5, 0.8]),
+        )
+        def check(texts, t):
+            docs = [{"doc_id": i, "text": x} for i, x in enumerate(texts)]
+            got = sorted(
+                (r["doc_id_a"], r["doc_id_b"], r["containment"])
+                for r in containment_join(
+                    ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(2),
+                    threshold=t,
+                ).take_all()
+            )
+            assert got == self._brute(docs, t)
+
+        check()
+
+
 class TestDupClusters:
     def test_union_find_transitive(self):
         from docstrange_ray.ops.dedup import dup_clusters

@@ -956,6 +956,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return jaccard_join(read_docs(sf_dir), threshold=0.5)
 
+    def pagerank_purchases(sf_dir):
+        """Fixed-point integer PageRank (5 iterations, d=0.85, dangling
+        mass redistributed) over the distinct customer->supplier
+        purchase graph. Integer floor arithmetic makes the distributed
+        plan, the broadcast plan and the DuckDB oracle BIT-identical —
+        float PageRank cannot be oracle-checked this way."""
+        from docstrange_ray.ops.graph import purchase_pagerank
+
+        return purchase_pagerank(sf_dir, iterations=5)
+
     def containment_pairs(sf_dir):
         """EXACT 3-gram max-containment self-join at t=0.6 via the
         asymmetric prefix filter (smaller doc probes its prefix against
@@ -1626,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": minhash_near_dups,
         "jaccard_join_pairs": jaccard_join_pairs,
         "containment_pairs": containment_pairs,
+        "pagerank_purchases": pagerank_purchases,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
@@ -1766,10 +1777,54 @@ def _kmeans_cte(k: int, n_iters: int) -> str:
     return "WITH " + ",\n".join(parts)
 
 
+def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB mirror of ops.graph.pagerank over the
+    purchase graph: one CTE per iteration, integer floor arithmetic
+    throughout (DuckDB `//`), so the comparison is bit-exact."""
+    head = f"""
+        WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        r0 AS (
+            SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes
+        )"""
+    its = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        its.append(
+            f""", r{i} AS (
+            SELECT n.node,
+                   15 * {scale} // (100 * (SELECT n FROM nn))
+                   + 85 * (COALESCE(s.insum, 0)
+                           + (SELECT COALESCE(SUM(p.r), 0) FROM {p} p
+                              LEFT JOIN deg d ON d.src = p.node
+                              WHERE d.d IS NULL) // (SELECT n FROM nn)
+                     ) // 100 AS r
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.r // d.d) AS insum
+                FROM e JOIN {p} p ON p.node = e.src
+                       JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f'\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r{iters}'
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from docstrange_ray import relational
 
     return {
+        "pagerank_purchases": _pagerank_oracle(),
         "token_count": r"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0

@@ -966,6 +966,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return purchase_pagerank(sf_dir, iterations=5)
 
+    def copurchase_triangles(sf_dir):
+        """Per-node triangle counts + local clustering coefficient over
+        the part co-purchase PATH graph (consecutive sorted parts per
+        order — edge count linear in lineitem). Degree-oriented wedge
+        counting (Suri & Vassilvitskii 2011): orientation bounds every
+        out-degree at O(sqrt(2m)), so no hot node can blow the wedge
+        explode; ONE (x,y)-keyed probe exchange closes the wedges."""
+        from docstrange_ray.ops.graph import copurchase_path_edges, triangle_stats
+
+        return triangle_stats(copurchase_path_edges(sf_dir))
+
+    def copurchase_reach(sf_dir):
+        """BFS minimum hop levels (<= 3) over the symmetrized co-purchase
+        path graph from the 3 lowest-keyed nodes — the Pregel frontier
+        shape; per hop ONE src-keyed probe exchange + one state merge,
+        driver state = the frontier COUNT scalar."""
+        from docstrange_ray.ops.graph import bfs_levels, copurchase_path_edges
+
+        edges = copurchase_path_edges(sf_dir).materialize()
+
+        def sym(batch):
+            return pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [
+                            batch.column("src").cast(pa.int64()).combine_chunks(),
+                            batch.column("dst").cast(pa.int64()).combine_chunks(),
+                        ]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [
+                            batch.column("dst").cast(pa.int64()).combine_chunks(),
+                            batch.column("src").cast(pa.int64()).combine_chunks(),
+                        ]
+                    ),
+                }
+            )
+
+        sym_edges = edges.map_batches(sym, batch_format="pyarrow")
+        # seed set: the 3 lowest node ids — per-block bounded min-3
+        # candidates, then one coalesced final (n_blocks x 3 scalars)
+        from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+        def local_min3(batch):
+            import numpy as np
+            import pandas as pd
+
+            vals = np.unique(
+                batch.column("src").to_numpy(zero_copy_only=False)
+            )[:3]
+            return pd.DataFrame({"node": vals})
+
+        def final_min3(df):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame({"node": np.unique(df["node"].to_numpy())[:3]})
+
+        seeds = [
+            int(r["node"])
+            for r in coalesced_blocks(
+                sym_edges.map_batches(arrow_out(local_min3), batch_format="pyarrow"),
+                final_min3,
+            ).take_all()
+        ]
+        return bfs_levels(sym_edges, seeds, max_hops=3)
+
     def containment_pairs(sf_dir):
         """EXACT 3-gram max-containment self-join at t=0.6 via the
         asymmetric prefix filter (smaller doc probes its prefix against
@@ -1637,6 +1704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_pairs": jaccard_join_pairs,
         "containment_pairs": containment_pairs,
         "pagerank_purchases": pagerank_purchases,
+        "copurchase_triangles": copurchase_triangles,
+        "copurchase_reach": copurchase_reach,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
@@ -1825,6 +1894,70 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank_purchases": _pagerank_oracle(),
+        "copurchase_triangles": r"""
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), s AS (
+                SELECT ok, p,
+                       ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+                FROM op
+            ), e0 AS (
+                SELECT s1.p AS x, s2.p AS y
+                FROM s s1 JOIN s s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+            ), ue AS (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x <> y
+            ), deg AS (
+                SELECT node, COUNT(*) AS deg
+                FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+                GROUP BY node
+            ), tr AS (
+                -- each triangle {v1 < v2 < v3} enumerated exactly once
+                SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+                FROM ue e1
+                JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), tcnt AS (
+                SELECT node, COUNT(*) AS t
+                FROM (
+                    SELECT v1 AS node FROM tr
+                    UNION ALL SELECT v2 FROM tr
+                    UNION ALL SELECT v3 FROM tr
+                )
+                GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   COALESCE(t.t, 0) AS triangles,
+                   CASE WHEN d.deg >= 2 THEN ROUND(
+                       2.0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1)), 6)
+                   ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+        """,
+        "copurchase_reach": r"""
+            WITH RECURSIVE op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), s AS (
+                SELECT ok, p,
+                       ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+                FROM op
+            ), e0 AS (
+                SELECT s1.p AS x, s2.p AS y
+                FROM s s1 JOIN s s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+            ), e AS (
+                SELECT x AS src, y AS dst FROM e0
+                UNION
+                SELECT y AS src, x AS dst FROM e0
+            ), seeds AS (
+                SELECT DISTINCT src AS node FROM e ORDER BY src LIMIT 3
+            ), bfs AS (
+                SELECT node, 0 AS lvl FROM seeds
+                UNION
+                SELECT e.dst AS node, b.lvl + 1 AS lvl
+                FROM bfs b JOIN e ON e.src = b.node
+                WHERE b.lvl < 3
+            )
+            SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
+        """,
         "token_count": r"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0

@@ -192,6 +192,8 @@ OP_GROUPS: list[list[str]] = [
         "source_zscore",
         "compression_stats",
         "knn_classify_ivf",
+        "copurchase_triangles",
+        "copurchase_reach",
     ],
 ]
 

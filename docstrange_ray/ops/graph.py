@@ -446,3 +446,634 @@ def purchase_pagerank(sf_dir: str, iterations: int = 5, plan: str = "auto"):
 
     edges = joined.map_batches(to_edges, batch_format="pyarrow")
     return pagerank(edges, iterations=iterations, plan=plan)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented wedge check) + BFS levels
+# ---------------------------------------------------------------------------
+
+
+def undirected_edges(edges, num_partitions=None):
+    """Normalize a directed edge Dataset to DISTINCT undirected edges
+    ``(a < b)``, self-loops dropped. Pre-reduced: per-block normalize +
+    drop_duplicates before ONE hash exchange."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return grouped_blocks(
+        edges.map_batches(arrow_out(local), batch_format="pyarrow"),
+        ["a", "b"],
+        final,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+
+def degree_table(uedges, num_partitions=None):
+    """Dataset[(node, deg)] over DISTINCT undirected edges (a, b): each
+    edge contributes 1 to both endpoints. One pre-reduced exchange."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        both = np.concatenate([a, b])
+        out = pd.DataFrame({"node": both}).groupby("node", as_index=False).size()
+        out.columns = ["node", "deg"]
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["deg"].sum()
+
+    return grouped_blocks(
+        uedges.map_batches(arrow_out(local), batch_format="pyarrow"),
+        ["node"],
+        final,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+
+def _oriented_edges_broadcast(uedges, deg_rows, num_partitions=None):
+    """Gated plan: the degree map is ray.put-broadcast; orientation is a
+    shuffle-free scan. Emits (u, v, dv) with (deg, node) order u < v."""
+    import ray
+
+    deg_ref = ray.put({int(r["node"]): int(r["deg"]) for r in deg_rows})
+
+    def orient(batch: pa.Table) -> pa.Table:
+        dm = ray.get(deg_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = np.fromiter((dm[int(x)] for x in a), dtype=np.int64, count=len(a))
+        db = np.fromiter((dm[int(x)] for x in b), dtype=np.int64, count=len(b))
+        # orient from lower (deg, node) to higher: every node's
+        # OUT-degree is then <= O(sqrt(2m)), which bounds the wedge
+        # explode below (the Chiba-Nishizeki / MR node-iterator bound)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "dv": pa.array(dv, pa.int64()),
+            }
+        )
+
+    return uedges.map_batches(orient, batch_format="pyarrow")
+
+
+def _oriented_edges_join(uedges, deg, num_partitions=None):
+    """Scale plan: attach both endpoint degrees with two co-partition
+    hash_joins (degree table is corpus-scale node state — never on the
+    driver), then orient in a scan."""
+    from docstrange_ray.shuffle import hash_join
+
+    def as_a(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "da"])
+
+    def as_b(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["node", "db"])
+
+    e1 = hash_join(
+        uedges.map_batches(
+            lambda t: t.rename_columns(["node", "b"]), batch_format="pyarrow"
+        ),
+        deg.map_batches(as_a, batch_format="pyarrow"),
+        key="node",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.select(["node", "b", "da"]).rename_columns(["a", "node", "da"]),
+        batch_format="pyarrow",
+    )
+    e2 = hash_join(
+        e1,
+        deg.map_batches(as_b, batch_format="pyarrow"),
+        key="node",
+        num_partitions=num_partitions,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["node"].to_numpy(dtype=np.int64)
+        da = df["da"].to_numpy(dtype=np.int64)
+        db = df["db"].to_numpy(dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "dv": pa.array(dv, pa.int64()),
+            }
+        )
+
+    return e2.map_batches(orient, batch_format="pyarrow")
+
+
+def triangle_stats(
+    edges,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Per-node triangle counts + local clustering coefficient over an
+    (arbitrarily directed, possibly duplicated) edge Dataset.
+
+    Algorithm (MR node-iterator with degree orientation — Suri &
+    Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
+    Reducer"): orient each undirected edge from lower (deg, node) to
+    higher, so every triangle has exactly ONE wedge at its lowest
+    vertex and per-node out-degree is bounded by O(sqrt(2m)) — the hot
+    node that makes naive wedge counting quadratic cannot exist after
+    orientation. Wedges (pairs of out-neighbors) are then matched
+    against the oriented edge set with ONE (x, y)-keyed exchange.
+
+    Exchanges: distinct(1) + degrees(1) + orientation(0 broadcast / 2
+    join) + wedge-group(1) + wedge-probe(1) + node-sum(1) + final
+    degree attach(0 broadcast / 1 join). ``plan='auto'`` broadcasts the
+    degree map below ``broadcast_node_limit`` nodes (the tf-idf
+    measure-then-choose idiom), else co-partition joins.
+
+    Returns Dataset[(node, deg, triangles, clustering)] for every node
+    with deg >= 1; clustering = round6(2*T / (deg*(deg-1))) (0.0 for
+    deg < 2). Deterministic (integer counts; one float division at
+    emit, rounded half-away like every oracle-facing emit site).
+    """
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    ue = undirected_edges(edges, num_partitions).materialize()
+    deg = degree_table(ue, num_partitions).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                    "triangles": pa.array([], pa.int64()),
+                    "clustering": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    if plan == "broadcast":
+        deg_rows = deg.take_all()  # bounded by the gate
+        oriented = _oriented_edges_broadcast(ue, deg_rows, num_partitions)
+    else:
+        deg_rows = None
+        oriented = _oriented_edges_join(ue, deg, num_partitions)
+    oriented = oriented.materialize()  # consumed twice (wedges + probe)
+
+    def wedges(block: pa.Table) -> pd.DataFrame:
+        # all out-neighbor pairs per u, pair ordered by (deg, node) so
+        # the closing edge (if any) appears EXACTLY as (x, y) in the
+        # oriented set; np.triu_indices keeps the pair gen vectorized
+        df = block.to_pandas().sort_values(["u", "dv", "v"])
+        outs = []
+        for u, sub in df.groupby("u", sort=False):
+            vs = sub["v"].to_numpy(dtype=np.int64)
+            k = len(vs)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            outs.append(
+                pd.DataFrame({"x": vs[i], "y": vs[j], "center": np.int64(u)})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "x": np.array([], dtype=np.int64),
+                    "y": np.array([], dtype=np.int64),
+                    "center": np.array([], dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = grouped_blocks(
+        oriented, ["u"], wedges, num_partitions, batch_format="pyarrow"
+    )
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "x": batch.column("x").cast(pa.int64()),
+                "y": batch.column("y").cast(pa.int64()),
+                "center": batch.column("center").cast(pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "x": batch.column("u").cast(pa.int64()),
+                "y": batch.column("v").cast(pa.int64()),
+                "center": pa.nulls(n, pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    tagged = wedge_ds.map_batches(wedge_rows, batch_format="pyarrow").union(
+        oriented.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    def probe(block: pa.Table) -> pd.DataFrame:
+        # Arrow-side split before pandas (the tagged-union int64 rule)
+        import pyarrow.compute as pc
+
+        kind = block.column("kind")
+        ed = block.filter(pc.equal(kind, pa.scalar(1, pa.int8())))
+        wd = block.filter(pc.equal(kind, pa.scalar(0, pa.int8())))
+        if wd.num_rows == 0 or ed.num_rows == 0:
+            return pd.DataFrame(
+                {"node": np.array([], dtype=np.int64), "t": np.array([], dtype=np.int64)}
+            )
+        # composite key: node ids fit in int64 but pairing needs care —
+        # use a structured join via pandas merge on (x, y)
+        edf = pd.DataFrame(
+            {
+                "x": ed.column("x").to_numpy(zero_copy_only=False),
+                "y": ed.column("y").to_numpy(zero_copy_only=False),
+            }
+        )
+        wdf = pd.DataFrame(
+            {
+                "x": wd.column("x").to_numpy(zero_copy_only=False),
+                "y": wd.column("y").to_numpy(zero_copy_only=False),
+                "center": wd.column("center").to_numpy(zero_copy_only=False),
+            }
+        )
+        hit = wdf.merge(edf, on=["x", "y"], how="inner")
+        if not len(hit):
+            return pd.DataFrame(
+                {"node": np.array([], dtype=np.int64), "t": np.array([], dtype=np.int64)}
+            )
+        # each matched wedge = one triangle; all three corners count it
+        nodes = np.concatenate(
+            [
+                hit["center"].to_numpy(dtype=np.int64),
+                hit["x"].to_numpy(dtype=np.int64),
+                hit["y"].to_numpy(dtype=np.int64),
+            ]
+        )
+        out = pd.DataFrame({"node": nodes}).groupby("node", as_index=False).size()
+        out.columns = ["node", "t"]
+        return out
+
+    partial_t = grouped_blocks(
+        tagged, ["x", "y"], probe, num_partitions, batch_format="pyarrow"
+    )
+
+    def sum_t(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["t"].sum()
+
+    tri = grouped_blocks(
+        partial_t, ["node"], sum_t, num_partitions, batch_format="pandas"
+    )
+
+    if plan == "broadcast":
+        deg_ref = ray.put({int(r["node"]): int(r["deg"]) for r in deg_rows})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            dm = ray.get(deg_ref)
+            nodes = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+            tmap = dict(zip(nodes.tolist(), t.tolist()))
+            all_nodes = np.array(sorted(dm), dtype=np.int64)
+            degs = np.fromiter((dm[int(v)] for v in all_nodes), dtype=np.int64)
+            tri_c = np.fromiter(
+                (tmap.get(int(v), 0) for v in all_nodes), dtype=np.int64
+            )
+            return _emit_tri(all_nodes, degs, tri_c)
+
+        # the triangle table is <= n_nodes rows (bounded by the gate):
+        # coalesce once and emit every node, 0-triangle nodes included
+        from docstrange_ray.shuffle import coalesced_blocks
+
+        return coalesced_blocks(tri, attach, batch_format="pyarrow")
+
+    joined = hash_join(
+        deg, tri, key="node", how="left", num_partitions=num_partitions
+    )
+
+    def emit(df: pd.DataFrame) -> pa.Table:
+        nodes = df["node"].to_numpy(dtype=np.int64)
+        degs = df["deg"].to_numpy(dtype=np.int64)
+        # left join: missing t is NaN (bounded columns, never ids)
+        t = df["t"].fillna(0).to_numpy(dtype=np.int64)
+        return _emit_tri(nodes, degs, t)
+
+    return joined.map_batches(arrow_out(emit), batch_format="pandas")
+
+
+def _emit_tri(nodes: np.ndarray, degs: np.ndarray, tri: np.ndarray) -> pa.Table:
+    from docstrange_ray.numerics import round6
+
+    denom = degs.astype(np.float64) * (degs.astype(np.float64) - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cl = np.where(denom > 0, 2.0 * tri.astype(np.float64) / denom, 0.0)
+    cl = round6(cl)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "deg": pa.array(degs, pa.int64()),
+            "triangles": pa.array(tri, pa.int64()),
+            "clustering": pa.array(cl, pa.float64()),
+        }
+    )
+
+
+def bfs_levels(
+    edges,
+    seeds: list[int],
+    max_hops: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Minimum hop distance from a seed set along DIRECTED edges, capped
+    at ``max_hops`` (symmetrize the edge table first for undirected
+    reach). Returns Dataset[(node, level)] for every reached node.
+
+    Frontier iteration (the Pregel shape): at hop h the frontier is the
+    set of nodes first reached at h-1; one co-partition probe per hop
+    discovers the next frontier; a node's level is written once and
+    never revisited, so output is deterministic and plan-independent
+    (levels are ints; min-hop semantics need no tie-breaking).
+
+    ``plan='auto'``: below ``broadcast_node_limit`` reached nodes the
+    visited set is ray.put-broadcast and each hop is ONE pre-reduced
+    exchange (bounded take_all of the newly-reached ids). Above it the
+    state lives as a Dataset co-partitioned with the edges: per hop,
+    frontier x edges via ONE tagged-union exchange keyed by src, then a
+    state merge keyed by node; the only driver value per hop is the
+    frontier COUNT (the loop-termination scalar). Skew note: a hot
+    src's out-edges land in one block; the probe emits each dst once
+    per block (pre-reduced distinct) so frontier fan-out, not raw edge
+    multiplicity, bounds the exchange.
+    """
+    import ray
+
+    from docstrange_ray.shuffle import (
+        _strip_schema_metadata,
+        arrow_out,
+        grouped_blocks,
+    )
+
+    seeds = sorted({int(s) for s in seeds})
+    if not seeds:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "level": pa.array([], pa.int64())}
+            )
+        )
+    edges = _strip_schema_metadata(edges).materialize()  # consumed every hop
+
+    if plan == "auto":
+        plan = "broadcast"  # switches to 'join' mid-run if the gate breaks
+
+    if plan == "broadcast":
+        levels: dict[int, int] = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for hop in range(1, max_hops + 1):
+            if not frontier or len(levels) > broadcast_node_limit:
+                break
+            f_ref = ray.put(frontier)
+
+            def probe(batch: pa.Table, _ref=f_ref) -> pd.DataFrame:
+                fr = ray.get(_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                mask = np.fromiter(
+                    (int(s) in fr for s in src), dtype=bool, count=len(src)
+                )
+                return pd.DataFrame({"node": np.unique(dst[mask])})
+
+            def distinct(df: pd.DataFrame) -> pd.DataFrame:
+                return df.drop_duplicates()
+
+            reached = grouped_blocks(
+                edges.map_batches(arrow_out(probe), batch_format="pyarrow"),
+                ["node"],
+                distinct,
+                num_partitions,
+                batch_format="pandas",
+            ).take_all()  # bounded by the gate (distinct reached nodes)
+            frontier = {
+                int(r["node"]) for r in reached if int(r["node"]) not in levels
+            }
+            for v in frontier:
+                levels[v] = hop
+        nodes = np.array(sorted(levels), dtype=np.int64)
+        lv = np.fromiter((levels[int(v)] for v in nodes), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array(nodes, pa.int64()), "level": pa.array(lv, pa.int64())}
+            )
+        )
+
+    # ---- join (scale) plan: state never leaves the cluster ----
+    state = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "level": pa.array(np.zeros(len(seeds), dtype=np.int64)),
+            }
+        )
+    ).materialize()
+    frontier_ds = state
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("src").cast(pa.int64()),
+                "dst": batch.column("dst").cast(pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    for hop in range(1, max_hops + 1):
+        if frontier_ds.count() == 0:
+            break
+
+        def front_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "dst": pa.nulls(n, pa.int64()),
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
+
+        def probe(block: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            kind = block.column("kind")
+            fr = block.filter(pc.equal(kind, pa.scalar(1, pa.int8())))
+            ed = block.filter(pc.equal(kind, pa.scalar(0, pa.int8())))
+            if fr.num_rows == 0 or ed.num_rows == 0:
+                return pd.DataFrame({"node": np.array([], dtype=np.int64)})
+            fset = set(
+                fr.column("node").to_numpy(zero_copy_only=False).tolist()
+            )
+            src = ed.column("node").to_numpy(zero_copy_only=False)
+            dst = ed.column("dst").to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                (int(s) in fset for s in src), dtype=bool, count=len(src)
+            )
+            return pd.DataFrame({"node": np.unique(dst[mask].astype(np.int64))})
+
+        cand = grouped_blocks(
+            edge_tagged.union(
+                frontier_ds.map_batches(front_rows, batch_format="pyarrow")
+            ),
+            ["node"],
+            probe,
+            num_partitions,
+            batch_format="pyarrow",
+        )
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "level": pa.nulls(n, pa.int64()),
+                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
+
+        def state_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "level": batch.column("level").cast(pa.int64()),
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
+
+        def merge(block: pa.Table, _hop=hop) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            kind = block.column("kind")
+            st = block.filter(pc.equal(kind, pa.scalar(1, pa.int8())))
+            cd = block.filter(pc.equal(kind, pa.scalar(0, pa.int8())))
+            known = set(st.column("node").to_numpy(zero_copy_only=False).tolist())
+            new = [
+                int(v)
+                for v in set(
+                    cd.column("node").to_numpy(zero_copy_only=False).tolist()
+                )
+                if int(v) not in known
+            ]
+            out = pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [
+                            st.column("node")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                            np.array(new, dtype=np.int64),
+                        ]
+                    ),
+                    "level": np.concatenate(
+                        [
+                            st.column("level")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                            np.full(len(new), _hop, dtype=np.int64),
+                        ]
+                    ),
+                }
+            )
+            out["is_new"] = (out["level"] == _hop).astype(np.int8)
+            return out
+
+        merged = grouped_blocks(
+            cand.map_batches(cand_rows, batch_format="pyarrow").union(
+                state.map_batches(state_rows, batch_format="pyarrow")
+            ),
+            ["node"],
+            merge,
+            num_partitions,
+            batch_format="pyarrow",
+        ).materialize()  # flat lineage per hop
+
+        state = merged.map_batches(
+            lambda b: b.select(["node", "level"]), batch_format="pyarrow"
+        ).materialize()
+        def only_new(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(
+                pc.equal(b.column("is_new"), pa.scalar(1, pa.int8()))
+            ).select(["node", "level"])
+
+        frontier_ds = merged.map_batches(
+            only_new, batch_format="pyarrow"
+        ).materialize()
+
+    return state.map_batches(
+        lambda b: b.select(["node", "level"]), batch_format="pyarrow"
+    )
+
+
+def copurchase_path_edges(sf_dir: str, num_partitions=None):
+    """Part co-purchase PATH graph: per order, the distinct parts sorted
+    by key are chained consecutively (p1-p2, p2-p3, ...) — edge count
+    stays LINEAR in lineitem rows, unlike the per-order clique explode
+    (quadratic in order size), so the graph build survives wide orders.
+    One order-key exchange. Returns Dataset[(src, dst)] (directed
+    low-key -> high-key; symmetrize for undirected reach)."""
+    from docstrange_ray.io import read_parquet_clean
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        return batch.to_pandas().drop_duplicates()
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["l_orderkey", "l_partkey"])
+        ok = df["l_orderkey"].to_numpy()
+        p = df["l_partkey"].to_numpy(dtype=np.int64)
+        same = ok[1:] == ok[:-1]
+        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
+
+    return grouped_blocks(
+        li.map_batches(arrow_out(local), batch_format="pyarrow"),
+        ["l_orderkey"],
+        chain,
+        num_partitions,
+        batch_format="pandas",
+    )

@@ -111,3 +111,151 @@ class TestPagerank:
             ).take_all()
         }
         assert got == _reference(edges, iterations=2)
+
+
+def _tri_reference(edges):
+    """Independent set/dict triangle counter: per-node triangle counts,
+    degrees and clustering over the distinct undirected simple graph."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    tri = {v: t // 3 for v, t in tri.items()}  # each tri seen via 3 edges
+    out = {}
+    for v in adj:
+        d = len(adj[v])
+        cl = 0.0 if d < 2 else 2.0 * tri[v] / (d * (d - 1))
+        out[v] = (d, tri[v], round(cl, 6))
+    return out
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    lvl = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in lvl:
+                    nxt.add(v)
+        for v in nxt:
+            lvl[v] = h
+        frontier = nxt
+    return lvl
+
+
+class TestTriangles:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.graph import triangle_stats
+
+        edges = _random_edges(11, n_nodes=25, n_edges=120)
+        ref = _tri_reference(edges)
+        got = {
+            r["node"]: (r["deg"], r["triangles"], r["clustering"])
+            for r in triangle_stats(_edge_ds(edges), plan=plan).take_all()
+        }
+        assert got == ref
+
+    def test_plans_bit_identical(self):
+        from docstrange_ray.ops.graph import triangle_stats
+
+        edges = _random_edges(23, n_nodes=40, n_edges=200)
+        a = sorted(
+            map(tuple, (
+                (r["node"], r["deg"], r["triangles"], r["clustering"])
+                for r in triangle_stats(_edge_ds(edges), plan="broadcast").take_all()
+            ))
+        )
+        b = sorted(
+            map(tuple, (
+                (r["node"], r["deg"], r["triangles"], r["clustering"])
+                for r in triangle_stats(_edge_ds(edges), plan="join").take_all()
+            ))
+        )
+        assert a == b
+
+    def test_hot_node_star_has_no_triangles(self):
+        # a star (hot hub) has zero triangles; after degree orientation
+        # the hub (highest degree) has OUT-degree 0, so the wedge
+        # explode never enumerates the hub's C(n,2) neighbor pairs
+        from docstrange_ray.ops.graph import triangle_stats
+
+        edges = [(0, i) for i in range(1, 60)]
+        res = {r["node"]: r["triangles"] for r in
+               triangle_stats(_edge_ds(edges)).take_all()}
+        assert all(t == 0 for t in res.values())
+        # plus one closing edge -> exactly one triangle, on all 3 nodes
+        res2 = {r["node"]: r["triangles"] for r in
+                triangle_stats(_edge_ds(edges + [(1, 2)])).take_all()}
+        assert res2[0] == 1 and res2[1] == 1 and res2[2] == 1
+        assert sum(res2.values()) == 3
+
+    def test_duplicate_and_reversed_edges_collapse(self):
+        from docstrange_ray.ops.graph import triangle_stats
+
+        tri = [(1, 2), (2, 3), (3, 1)]
+        noisy = tri + [(b, a) for a, b in tri] + tri + [(1, 1)]
+        res = {r["node"]: (r["deg"], r["triangles"]) for r in
+               triangle_stats(_edge_ds(noisy)).take_all()}
+        assert res == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+class TestBfsLevels:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.graph import bfs_levels
+
+        edges = _random_edges(7, n_nodes=30, n_edges=90)
+        seeds = [0, 1]
+        ref = _bfs_reference(edges, seeds, 4)
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(_edge_ds(edges), seeds, max_hops=4, plan=plan).take_all()
+        }
+        assert got == ref
+
+    def test_directed_chain_levels(self):
+        from docstrange_ray.ops.graph import bfs_levels
+
+        chain = [(i, i + 1) for i in range(6)]
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(_edge_ds(chain), [0], max_hops=3).take_all()
+        }
+        # cap respected: nodes past 3 hops are NOT reached
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_min_level_wins_on_multiple_paths(self):
+        from docstrange_ray.ops.graph import bfs_levels
+
+        edges = [(0, 1), (1, 2), (0, 2)]  # 2 reachable at hop 1 and 2
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(_edge_ds(edges), [0], max_hops=4).take_all()
+        }
+        assert got == {0: 0, 1: 1, 2: 1}
+
+    def test_plans_bit_identical(self):
+        from docstrange_ray.ops.graph import bfs_levels
+
+        edges = _random_edges(31, n_nodes=35, n_edges=100)
+        a = sorted(
+            (r["node"], r["level"])
+            for r in bfs_levels(_edge_ds(edges), [3], max_hops=4, plan="broadcast").take_all()
+        )
+        b = sorted(
+            (r["node"], r["level"])
+            for r in bfs_levels(_edge_ds(edges), [3], max_hops=4, plan="join").take_all()
+        )
+        assert a == b

@@ -1078,6 +1078,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup.keep_best_drop_list_ds(docs, score_col="n_chars", threshold=0.8)
 
+    def mojibake_repair(sf_dir):
+        """ftfy-style encoding repair over a deterministically CORRUPTED
+        corpus: docs with doc_id % 7 == 0 get 'e' -> 'é' (accent
+        injection), then the classic mojibake mis-decode (UTF-8 bytes
+        read as cp1252, 'é' -> 'Ã©') — all inside the Ray plan. The
+        oracle rebuilds the expected CLEAN text arithmetically, so the
+        acceptance-gated repair must actually INVERT the corruption on
+        the corrupted subset while leaving the untouched docs
+        byte-identical. Shuffle-free scan; ASCII fast path."""
+        from docstrange_ray.ops.textfix import fix_mojibake
+
+        def corrupt(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = [
+                t.replace("e", "\u00e9").encode("utf-8").decode("cp1252")
+                if i % 7 == 0
+                else t
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "text": pa.array(out, pa.string()),
+                }
+            )
+
+        corrupted = read_docs(sf_dir).map_batches(corrupt, batch_format="pyarrow")
+        return fix_mojibake(corrupted)
+
+    def nfc_normalized(sf_dir):
+        """NFC unicode normalization over deterministically DECOMPOSED
+        text: docs with doc_id % 5 == 0 get 'e' -> 'e' + U+0301
+        (combining acute), which NFC must recompose to the single
+        codepoint 'é'. Oracle rebuilds the composed form via replace().
+        Shuffle-free scan; ASCII is NFC-invariant (fast path)."""
+        from docstrange_ray.ops.textfix import normalize_nfc
+
+        def decompose(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = [
+                t.replace("e", "e\u0301") if i % 5 == 0 else t
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "text": pa.array(out, pa.string()),
+                }
+            )
+
+        decomposed = read_docs(sf_dir).map_batches(decompose, batch_format="pyarrow")
+        return normalize_nfc(decomposed)
+
     def c4_clean(sf_dir):
         """C4's line-level cleaning rules (Raffel et al. 2020 §2.2)
         over a deterministically LINED corpus: the flat word-stream
@@ -1710,6 +1765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
         "c4_clean": c4_clean,
+        "mojibake_repair": mojibake_repair,
+        "nfc_normalized": nfc_normalized,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
         "simhash_drops": simhash_drops,
@@ -2956,6 +3013,25 @@ def oracle_sql() -> dict[str, str]:
         # C4's line rules (terminal punct, >=3 words, no javascript)
         # and page rules (curly brace / lorem ipsum / >=5 kept lines)
         # applied in SQL — verifies ops.curate.c4_clean bit-for-bit
+        "mojibake_repair": r"""
+            -- expected CLEAN text: the repair must invert the in-plan
+            -- cp1252 mis-decode on the corrupted subset (doc_id % 7 = 0,
+            -- 'e' -> e-acute) and leave every other doc byte-identical
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN replace(text, 'e', chr(233))
+                        ELSE text END AS text
+            FROM documents
+        """,
+        "nfc_normalized": r"""
+            -- NFC must recompose the injected 'e' + U+0301 into the
+            -- single precomposed codepoint U+00E9
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN replace(text, 'e', chr(233))
+                        ELSE text END AS text
+            FROM documents
+        """,
         "c4_clean": r"""
             WITH ws AS (
                 SELECT doc_id,

@@ -1078,6 +1078,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup.keep_best_drop_list_ds(docs, score_col="n_chars", threshold=0.8)
 
+    def _messy_urls(sf_dir, collide: bool = False):
+        """Deterministic messy-URL fixture over documents (the in-plan
+        corruption idiom): mixed-case scheme/host, explicit default
+        port ~1/3, shuffled query params ~1/2, fragment ~1/4. With
+        ``collide`` the whole URL derives from doc_id % 101 so distinct
+        docs share canonical URLs (the URL-dedup case)."""
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            urls = []
+            for i in ids:
+                m = i % 101 if collide else i
+                k = m % 37
+                host = "".join(
+                    c.upper() if (i + j) % 3 == 0 else c
+                    for j, c in enumerate(f"site{k}.example.com")
+                )
+                scheme = "HtTpS" if i % 2 == 0 else "https"
+                port = ":443" if i % 3 == 0 else ""
+                a, b = m % 10, m % 7
+                params = f"a={a}&b={b}" if i % 2 == 0 else f"b={b}&a={a}"
+                frag = f"#s{i % 5}" if i % 4 == 0 else ""
+                path = f"/page/{m % 61}" if collide else f"/p/{i}"
+                urls.append(f"{scheme}://{host}{port}{path}?{params}{frag}")
+            return batch.append_column("url", pa.array(urls, pa.string()))
+
+        return read_docs(sf_dir).map_batches(attach, batch_format="pyarrow")
+
+    def url_canonical(sf_dir):
+        """RFC-3986-style URL canonicalization (RefinedWeb's URL-prep
+        step): drop fragment, lowercase scheme+host, strip default
+        port, sort query params, root empty paths. The oracle rebuilds
+        the expected canonical string arithmetically, so the
+        canonicalizer must invert every injected mess. Shuffle-free."""
+        from docstrange_ray.ops.urls import canonicalize_urls
+
+        ds = canonicalize_urls(_messy_urls(sf_dir), col="url")
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "url"]), batch_format="pyarrow"
+        )
+
+    def url_dedup_first(sf_dir):
+        """URL-level exact dedup, lowest doc_id wins (RefinedWeb stage
+        1): canonicalize in-scan, per-batch first-wins pre-reduce, ONE
+        canonical-url exchange."""
+        from docstrange_ray.ops.urls import url_dedup_keep_first
+
+        ds = _messy_urls(sf_dir, collide=True).map_batches(
+            lambda b: b.select(["doc_id", "url"]), batch_format="pyarrow"
+        )
+        return url_dedup_keep_first(ds)
+
+    def url_host_stats(sf_dir):
+        """Per-host corpus readout (host-level curation): doc count +
+        total chars per canonical host; pre-reduced host exchange."""
+        from docstrange_ray.ops.urls import host_stats
+
+        return host_stats(_messy_urls(sf_dir))
+
+    def host_capped(sf_dir):
+        """Per-host document cap (RefinedWeb per-host limit), cap=3 by
+        lowest doc_id. Hot-host safe: each batch pre-reduces to its own
+        top-3 per host, so no host ships more than n_batches x 3 rows."""
+        from docstrange_ray.ops.urls import canonicalize_urls, host_cap
+
+        ds = canonicalize_urls(
+            _messy_urls(sf_dir).map_batches(
+                lambda b: b.select(["doc_id", "url"]), batch_format="pyarrow"
+            ),
+            col="url",
+        )
+        return host_cap(ds, cap=3)
+
     def mojibake_repair(sf_dir):
         """ftfy-style encoding repair over a deterministically CORRUPTED
         corpus: docs with doc_id % 7 == 0 get 'e' -> 'é' (accent
@@ -1767,6 +1840,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": c4_clean,
         "mojibake_repair": mojibake_repair,
         "nfc_normalized": nfc_normalized,
+        "url_canonical": url_canonical,
+        "url_dedup_first": url_dedup_first,
+        "url_host_stats": url_host_stats,
+        "host_capped": host_capped,
         "simhash_sigs": simhash_sigs,
         "simhash_pairs": simhash_pairs,
         "simhash_drops": simhash_drops,
@@ -3013,6 +3090,51 @@ def oracle_sql() -> dict[str, str]:
         # C4's line rules (terminal punct, >=3 words, no javascript)
         # and page rules (curly brace / lorem ipsum / >=5 kept lines)
         # applied in SQL — verifies ops.curate.c4_clean bit-for-bit
+        "url_canonical": r"""
+            -- expected canonical URL rebuilt arithmetically: the
+            -- canonicalizer must strip the injected case/port/fragment
+            -- mess and sort the shuffled query params
+            SELECT doc_id,
+                   'https://site' || (doc_id % 37) || '.example.com/p/'
+                   || doc_id || '?a=' || (doc_id % 10)
+                   || '&b=' || (doc_id % 7) AS url
+            FROM documents
+        """,
+        "url_dedup_first": r"""
+            WITH u AS (
+                SELECT doc_id, doc_id % 101 AS m FROM documents
+            ), w AS (
+                SELECT m, MIN(doc_id) AS doc_id FROM u GROUP BY m
+            )
+            SELECT
+                'https://site' || (m % 37) || '.example.com/page/'
+                || (m % 61) || '?a=' || (m % 10)
+                || '&b=' || (m % 7) AS url,
+                doc_id
+            FROM w
+        """,
+        "url_host_stats": r"""
+            SELECT 'site' || (doc_id % 37) || '.example.com' AS host,
+                   COUNT(*) AS n_docs,
+                   SUM(length(text)) AS n_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        "host_capped": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 37) || '.example.com' AS host,
+                       'https://site' || (doc_id % 37) || '.example.com/p/'
+                       || doc_id || '?a=' || (doc_id % 10)
+                       || '&b=' || (doc_id % 7) AS url
+                FROM documents
+            ), r AS (
+                SELECT doc_id, url,
+                       ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+                FROM u
+            )
+            SELECT doc_id, url FROM r WHERE rn <= 3
+        """,
         "mojibake_repair": r"""
             -- expected CLEAN text: the repair must invert the in-plan
             -- cp1252 mis-decode on the corrupted subset (doc_id % 7 = 0,

@@ -1033,6 +1033,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return bfs_levels(sym_edges, seeds, max_hops=3)
 
+    def copurchase_core(sf_dir):
+        """Maximal 3-core of the co-purchase path graph (the standard
+        graph-curation prune: nodes with in-core degree >= 3 after
+        iterative peeling to the unique fixpoint). Rows-only by nature:
+        the peel round count is data-dependent and DuckDB's recursive
+        CTEs cannot aggregate over the recursive relation; correctness
+        is pinned by the independent peeling reference + plan-parity
+        tests in tests/test_graph.py."""
+        from docstrange_ray.ops.graph import copurchase_path_edges, k_core
+
+        return k_core(copurchase_path_edges(sf_dir), k=3)
+
     def containment_pairs(sf_dir):
         """EXACT 3-gram max-containment self-join at t=0.6 via the
         asymmetric prefix filter (smaller doc probes its prefix against
@@ -1834,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_purchases": pagerank_purchases,
         "copurchase_triangles": copurchase_triangles,
         "copurchase_reach": copurchase_reach,
+        "copurchase_core": copurchase_core,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,

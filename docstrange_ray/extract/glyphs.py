@@ -10,9 +10,12 @@ fixed bitmap font (the approach of 1970s-era OCR-B readers — public
 domain math, no model artifact). It genuinely reads pixels: rendering
 text with :func:`docstrange_ray.synth_files.render_text_image` and
 extracting it round-trips through actual ink. Its contract is narrow
-and documented: native-scale 5x7 glyphs, uppercase+digits+punctuation;
-anything unmatched falls back to the geometry-only placeholder text, so
-scanned real-world pages degrade exactly to the round-3 behavior.
+and documented: native-scale 5x7 glyphs, uppercase + LOWERCASE +
+digits + basic punctuation; anything unmatched falls back to the
+geometry-only placeholder text, so scanned real-world pages degrade
+exactly to the round-3 behavior. Ink-crop shape gating does most of
+the case disambiguation for free (x-height lowercase crops shorter
+than caps); the same-shape pairs are pinned >= 3 px apart by test.
 
 Glyph patterns are the ubiquitous public-domain HD44780-style 5x7
 forms, hand-entered.
@@ -63,6 +66,38 @@ _RAW: dict[str, tuple[str, ...]] = {
     "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
     "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
     "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
+    # Lowercase (HD44780-style forms, descenders folded into 7 rows;
+    # deviations from the classic set exist only where template
+    # unambiguity demanded them: 'c' takes the open form so d(c,o)=3,
+    # 'l' is the plain bar so it cannot sit 1px from 'I'). Every glyph's
+    # column-profile union is contiguous (read_line cuts cells on
+    # column runs, so an internally split profile would shear a glyph).
+    "a": (".....", ".....", ".###.", "....#", ".####", "#...#", ".####"),
+    "b": ("#....", "#....", "#.##.", "##..#", "#...#", "#...#", "####."),
+    "c": (".....", ".....", ".###.", "#....", "#....", "#....", ".###."),
+    "d": ("....#", "....#", ".##.#", "#..##", "#...#", "#...#", ".####"),
+    "e": (".....", ".....", ".###.", "#...#", "#####", "#....", ".###."),
+    "f": ("..##.", ".#..#", ".#...", "###..", ".#...", ".#...", ".#..."),
+    "g": (".....", ".####", "#...#", "#...#", ".####", "....#", ".###."),
+    "h": ("#....", "#....", "#.##.", "##..#", "#...#", "#...#", "#...#"),
+    "i": ("..#..", ".....", ".##..", "..#..", "..#..", "..#..", ".###."),
+    "j": ("...#.", ".....", "..##.", "...#.", "...#.", "#..#.", ".##.."),
+    "k": ("#....", "#....", "#..#.", "#.#..", "##...", "#.#..", "#..#."),
+    "l": ("..#..", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "m": (".....", ".....", "##.#.", "#.#.#", "#.#.#", "#.#.#", "#.#.#"),
+    "n": (".....", ".....", "#.##.", "##..#", "#...#", "#...#", "#...#"),
+    "o": (".....", ".....", ".###.", "#...#", "#...#", "#...#", ".###."),
+    "p": (".....", "####.", "#...#", "#...#", "####.", "#....", "#...."),
+    "q": (".....", ".####", "#...#", "#...#", ".####", "....#", "....#"),
+    "r": (".....", ".....", "#.##.", "##..#", "#....", "#....", "#...."),
+    "s": (".....", ".....", ".####", "#....", ".###.", "....#", "####."),
+    "t": (".#...", ".#...", "###..", ".#...", ".#...", ".#..#", "..##."),
+    "u": (".....", ".....", "#...#", "#...#", "#...#", "#..##", ".##.#"),
+    "v": (".....", ".....", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "w": (".....", ".....", "#...#", "#...#", "#.#.#", "#.#.#", ".#.#."),
+    "x": (".....", ".....", "#...#", ".#.#.", "..#..", ".#.#.", "#...#"),
+    "y": (".....", "#...#", "#...#", "#...#", ".####", "....#", ".###."),
+    "z": (".....", ".....", "#####", "...#.", "..#..", ".#...", "#####"),
     ".": (".....", ".....", ".....", ".....", ".....", ".##..", ".##.."),
     ",": (".....", ".....", ".....", ".....", ".##..", "..#..", ".#..."),
     "-": (".....", ".....", ".....", ".###.", ".....", ".....", "....."),
@@ -115,10 +150,12 @@ def read_line(band: np.ndarray, space_gap: int = 6) -> str | None:
     """Recognize one text-line band (bool ink mask, full line height).
 
     Cells are cut on the column profile (runs of inked columns); a gap
-    of >= ``space_gap`` empty columns reads as a word space. Bounds:
-    adjacent glyphs' ink-to-ink gap is at most 4 px (narrowest ink
-    inset is start col 1 / end col 2, e.g. ','→'-'), while a skipped
-    space cell yields at least 7 px — so 6 separates them with margin.
+    of >= ``space_gap`` empty columns reads as a word space. Bounds
+    (re-derived for the mixed-case charset): adjacent glyphs' ink-to-ink
+    gap is at most 5 px (prev ink ends col 2 for ','/'.' and next
+    starts col 2 for 'l', e.g. ',l'), while a skipped space cell yields
+    at least 7 px (next ink starts col 0 at worst, 'j') — so 6 is the
+    unique integer separating them.
     Returns the recognized string, or None when ANY
     cell fails to match — callers fall back to geometry-only output, so
     a page this font can't read degrades cleanly."""

@@ -1077,3 +1077,183 @@ def copurchase_path_edges(sf_dir: str, num_partitions=None):
         num_partitions,
         batch_format="pandas",
     )
+
+
+def k_core(
+    edges,
+    k: int,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+    max_rounds: int = 100,
+):
+    """Maximal k-core: the largest subgraph in which every node has
+    degree >= ``k`` (over the DISTINCT undirected simple graph). The
+    standard graph-curation filter (spam/host pruning): peel all
+    nodes below degree k, recompute, repeat to the FIXPOINT — which is
+    unique regardless of peel order, so the op is deterministic and
+    plan-independent. Rounds are data-dependent (worst case a path
+    peels 2 nodes/round, power-law web graphs converge in O(log n)
+    rounds — Montresor et al. 2013); ``max_rounds`` is a safety bound
+    and raises if the fixpoint was not reached (never silently wrong).
+
+    Returns Dataset[(node, deg)] — core members with their in-core
+    degree.
+
+    Plans: below ``broadcast_node_limit`` CURRENT nodes the peel runs
+    on the driver over the (node, deg) table with the edge list
+    re-filtered by a broadcast survivor set per round (ONE pre-reduced
+    degree exchange per round). Above it, survivors stay a Dataset:
+    each round re-derives degrees with one exchange and drops edges
+    with two co-partition membership joins (src, then dst) — node
+    state never on the driver, loop scalar = peel count.
+    """
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    ue = undirected_edges(edges, num_partitions).materialize()
+    deg = degree_table(ue, num_partitions).materialize()
+    n_nodes = deg.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    if plan == "broadcast":
+        # bounded by the gate: the degree table (node-scale, never
+        # edge-scale) comes to the driver ONCE; rounds re-filter the
+        # edge Dataset against a broadcast survivor set
+        degs = {int(r["node"]): int(r["deg"]) for r in deg.take_all()}
+        survivors = set(degs)
+        for _ in range(max_rounds):
+            peel = {v for v in survivors if degs[v] < k}
+            if not peel:
+                break
+            survivors -= peel
+            if not survivors:
+                break
+            surv_ref = ray.put(survivors)
+
+            def local_deg(batch: pa.Table, _ref=surv_ref) -> pd.DataFrame:
+                sv = ray.get(_ref)
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                keep = np.fromiter(
+                    (int(x) in sv and int(y) in sv for x, y in zip(a, b)),
+                    dtype=bool,
+                    count=len(a),
+                )
+                both = np.concatenate([a[keep], b[keep]])
+                out = (
+                    pd.DataFrame({"node": both})
+                    .groupby("node", as_index=False)
+                    .size()
+                )
+                out.columns = ["node", "deg"]
+                return out
+
+            def final(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("node", as_index=False)["deg"].sum()
+
+            degs = {
+                int(r["node"]): int(r["deg"])
+                for r in grouped_blocks(
+                    ue.map_batches(arrow_out(local_deg), batch_format="pyarrow"),
+                    ["node"],
+                    final,
+                    num_partitions,
+                    batch_format="pandas",
+                ).take_all()
+            }
+            # survivors that lost ALL edges have no degree row left
+            for v in survivors - set(degs):
+                degs[v] = 0
+        else:
+            raise RuntimeError(f"k_core: no fixpoint within {max_rounds} rounds")
+        members = sorted(v for v in survivors if degs.get(v, 0) >= k)
+        if not members:
+            return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(members, pa.int64()),
+                    "deg": pa.array(
+                        [degs[v] for v in members], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    # ---- join (scale) plan ----
+    from docstrange_ray.shuffle import hash_join
+
+    cur = ue
+    cur_deg = deg
+    for _ in range(max_rounds):
+        peel_n = cur_deg.map_batches(
+            lambda b: pa.table(
+                {
+                    "p": pa.array(
+                        [
+                            int(
+                                (
+                                    b.column("deg")
+                                    .to_numpy(zero_copy_only=False)
+                                    < k
+                                ).sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("p")
+        if not peel_n:
+            break
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.greater_equal(batch.column("deg"), pa.scalar(k, pa.int64()))
+            ).select(["node"])
+
+        keep = cur_deg.map_batches(keep_rows, batch_format="pyarrow").materialize()
+        if keep.count() == 0:
+            return ray.data.from_arrow(empty)
+        # drop edges with a peeled endpoint: two co-partition SEMI joins
+        e_a = hash_join(
+            cur.map_batches(
+                lambda t: t.rename_columns(["node", "b"]), batch_format="pyarrow"
+            ),
+            keep,
+            key="node",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.rename_columns(["a", "node"]), batch_format="pyarrow"
+        )
+        cur = (
+            hash_join(e_a, keep, key="node", num_partitions=num_partitions)
+            .map_batches(
+                lambda t: t.select(["a", "node"]).rename_columns(["a", "b"]),
+                batch_format="pyarrow",
+            )
+            .materialize()  # flat lineage per round
+        )
+        cur_deg = degree_table(cur, num_partitions).materialize()
+    else:
+        raise RuntimeError(f"k_core: no fixpoint within {max_rounds} rounds")
+
+    def only_core(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("deg"), pa.scalar(k, pa.int64()))
+        )
+
+    return cur_deg.map_batches(only_core, batch_format="pyarrow")

@@ -608,20 +608,27 @@ def make_wav(duration_ms: int, sample_rate: int = 8000, channels: int = 1) -> by
 
 
 def render_text_image(
-    lines: list[str], margin: int = 4, line_gap: int = 5, ink: int = 20, bg: int = 250
+    lines: list[str],
+    margin: int = 4,
+    line_gap: int = 5,
+    ink: int = 20,
+    bg: int = 250,
+    preserve_case: bool = False,
 ):
     """Render text lines into a grayscale page image with the 5x7
     bitmap font (extract/glyphs) — the fixture generator for the
     pixels-backend OCR round trip: glyphs advance 6px (1px gap), a
     space skips one cell, lines are 7px tall with ``line_gap`` rows
     between. Returns numpy (h, w) uint8. Unsupported characters raise
-    KeyError — fixtures use the font's charset (uppercase, digits,
-    basic punctuation)."""
+    KeyError. By default text is uppercased (the pre-lowercase fixture
+    contract); pass ``preserve_case=True`` to render the font's full
+    mixed-case charset."""
     import numpy as np
 
     from docstrange_ray.extract.glyphs import ADVANCE, GLYPH_H, GLYPH_W, glyph_bitmap
 
-    lines = [ln.upper() for ln in lines]
+    if not preserve_case:
+        lines = [ln.upper() for ln in lines]
     w = 2 * margin + max((len(ln) * ADVANCE - 1 for ln in lines), default=1)
     h = 2 * margin + len(lines) * GLYPH_H + max(0, len(lines) - 1) * line_gap
     img = np.full((h, w), bg, dtype=np.uint8)
@@ -635,9 +642,9 @@ def render_text_image(
     return img
 
 
-def make_text_png(lines: list[str]) -> bytes:
+def make_text_png(lines: list[str], preserve_case: bool = False) -> bytes:
     """PNG-encoded :func:`render_text_image` page."""
-    return make_png_gray(render_text_image(lines))
+    return make_png_gray(render_text_image(lines, preserve_case=preserve_case))
 
 
 def render_table_image(

@@ -259,3 +259,71 @@ class TestBfsLevels:
             for r in bfs_levels(_edge_ds(edges), [3], max_hops=4, plan="join").take_all()
         )
         assert a == b
+
+
+def _kcore_reference(edges, k):
+    """Independent set/dict peeling loop."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+class TestKCore:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.graph import k_core
+
+        edges = _random_edges(17, n_nodes=30, n_edges=120)
+        ref = _kcore_reference(edges, 3)
+        got = {
+            r["node"]: r["deg"]
+            for r in k_core(_edge_ds(edges), 3, plan=plan).take_all()
+        }
+        assert got == ref
+
+    def test_plans_bit_identical(self):
+        from docstrange_ray.ops.graph import k_core
+
+        edges = _random_edges(29, n_nodes=40, n_edges=160)
+        a = sorted(
+            (r["node"], r["deg"])
+            for r in k_core(_edge_ds(edges), 4, plan="broadcast").take_all()
+        )
+        b = sorted(
+            (r["node"], r["deg"])
+            for r in k_core(_edge_ds(edges), 4, plan="join").take_all()
+        )
+        assert a == b
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_clique_with_pendant_tail(self, plan):
+        from docstrange_ray.ops.graph import k_core
+
+        # K5 plus a path hanging off it: the 4-core is exactly the K5 —
+        # the path peels away over MULTIPLE rounds (each round exposes
+        # the next tail node), exercising the fixpoint loop
+        clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        tail = [(4, 10), (10, 11), (11, 12)]
+        got = {
+            r["node"]: r["deg"]
+            for r in k_core(_edge_ds(clique + tail), 4, plan=plan).take_all()
+        }
+        assert got == {v: 4 for v in range(5)}
+
+    def test_star_has_empty_2core(self):
+        from docstrange_ray.ops.graph import k_core
+
+        star = [(0, i) for i in range(1, 20)]
+        assert k_core(_edge_ds(star), 2).take_all() == []

@@ -574,12 +574,36 @@ class TestPixelsBackend:
                     # > 2*max_dist(=1): nearest-match can't confuse glyphs
                     assert int(np.count_nonzero(ta != tb)) > 2, (ca, cb)
         line = "".join(chars)
-        img = render_text_image([line], margin=2)
+        img = render_text_image([line], margin=2, preserve_case=True)
         band = img < 128
         ys = np.nonzero(band.any(axis=1))[0]
         xs = np.nonzero(band.any(axis=0))[0]
         got = glyphs.read_line(band[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1])
         assert got == line
+
+    def test_mixed_case_words_round_trip(self):
+        # word spacing bounds hold for the lowercase charset too: the
+        # widest intra-word ink gap (',l' = 5px) stays below space_gap
+        # and the narrowest space (glyph then ' j' = 7px) stays above
+        import numpy as np
+
+        from docstrange_ray.extract import glyphs
+        from docstrange_ray.synth_files import render_text_image
+
+        for line in [
+            "Mixed Case Works",
+            "the quick brown fox jumps over a lazy dog",
+            "x,l tight. j jump",
+            "CamelCase iLlIj",
+        ]:
+            img = render_text_image([line], margin=3, preserve_case=True)
+            band = img < 128
+            ys = np.nonzero(band.any(axis=1))[0]
+            xs = np.nonzero(band.any(axis=0))[0]
+            got = glyphs.read_line(
+                band[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+            )
+            assert got == line, (line, got)
 
     def test_glyph_recognizer_reads_real_text_end_to_end(self, ray_session, tmp_path):
         """S12 with actual recognition: render text with the bitmap
@@ -601,6 +625,37 @@ class TestPixelsBackend:
         assert len(rows) == 1
         joined = " ".join(s["text"] for s in rows[0]["spans"])
         assert "HELLO WORLD 42" in joined and "RAY DATA ENGINE" in joined
+        inputs = read_files(str(p), cfg).take_all()
+        oracle = extract_corpus(
+            [{k: r[k] for k in ("doc_id", "spans")} for r in inputs], cfg
+        )
+        assert [dict(s) for s in rows[0]["spans"]] == oracle[0]["spans"]
+
+    def test_mixed_case_text_end_to_end(self, ray_session, tmp_path):
+        """S12 with the lowercase charset: mixed-case rendered text
+        survives decode + segment + template-match through the full
+        pipeline (no digits/pipes — M8's confusable rewrite is lossy
+        only for those), span-equal to the sequential oracle."""
+        from dataclasses import replace
+
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.extract.core import extract_corpus
+        from docstrange_ray.sources import extract_files, read_files
+        from docstrange_ray.synth_files import make_text_png
+
+        p = tmp_path / "mixed_page.png"
+        p.write_bytes(
+            make_text_png(
+                ["Hello World engine", "Ray Data reads pixels"],
+                preserve_case=True,
+            )
+        )
+        cfg = replace(DEFAULT, page_backend="pixels")
+        rows = extract_files(str(p), cfg).take_all()
+        assert len(rows) == 1
+        joined = " ".join(s["text"] for s in rows[0]["spans"])
+        assert "Hello World engine" in joined
+        assert "Ray Data reads pixels" in joined
         inputs = read_files(str(p), cfg).take_all()
         oracle = extract_corpus(
             [{k: r[k] for k in ("doc_id", "spans")} for r in inputs], cfg

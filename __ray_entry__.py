@@ -1268,6 +1268,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _c4(lined)
 
+    def _boiler_lined(sf_dir):
+        """Deterministically LINED corpus with planted boilerplate for
+        the RefinedWeb line-strip family: content = 7-word lines
+        (j = 0..), plus 'subscribe to our newsletter' (j = 1000000) on
+        docs with md5(doc_id)[0] in 0-9a-b (~75% -> df well above
+        min_df=100 at the 500-doc test scales) and 'all rights
+        reserved' (j = 1000001) on md5[0] in 0-1 (~12.5% -> df ~62,
+        below the threshold: planted NON-boilerplate discriminator)."""
+        import hashlib as _hl
+
+        _HOT = set("0123456789ab")
+
+        def line_structure(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = []
+            for doc_id, text in zip(ids, texts):
+                ws = text.split()
+                lines = [
+                    " ".join(ws[7 * j : 7 * j + 7])
+                    for j in range((len(ws) + 6) // 7)
+                ]
+                h0 = _hl.md5(str(doc_id).encode()).hexdigest()[0]
+                if h0 in _HOT:
+                    lines.append("subscribe to our newsletter")
+                if h0 in ("0", "1"):
+                    lines.append("all rights reserved")
+                out.append("\n".join(lines))
+            return pa.Table.from_arrays(
+                [batch.column("doc_id").cast(pa.int64()), pa.array(out, pa.string())],
+                names=["doc_id", "text"],
+            )
+
+        return read_docs(sf_dir).map_batches(line_structure, batch_format="pyarrow")
+
+    def boilerplate_lines(sf_dir):
+        """Corpus-wide line document frequencies >= 100 over the planted
+        fixture (ops.curate.line_df_table): per-batch pre-reduced
+        distinct-(doc, line) partials, ONE line exchange. The planted
+        navigation line must surface; the rarer footer must not."""
+        from docstrange_ray.ops.curate import line_df_table
+
+        return line_df_table(_boiler_lined(sf_dir), min_df=100)
+
+    def boilerplate_stripped(sf_dir):
+        """RefinedWeb boilerplate line strip (ops.curate.
+        strip_boilerplate_lines, auto plan -> broadcast at this scale:
+        the hot-line table is bounded by (doc,line) pairs / min_df):
+        every line with corpus df >= 100 removed, survivors re-joined
+        in order, docs keeping zero lines dropped."""
+        from docstrange_ray.ops.curate import strip_boilerplate_lines
+
+        return strip_boilerplate_lines(_boiler_lined(sf_dir), min_df=100)
+
     def quality_filter(sf_dir):
         import pyarrow.compute as pc
 
@@ -1851,6 +1905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
         "c4_clean": c4_clean,
+        "boilerplate_lines": boilerplate_lines,
+        "boilerplate_stripped": boilerplate_stripped,
         "mojibake_repair": mojibake_repair,
         "nfc_normalized": nfc_normalized,
         "url_canonical": url_canonical,
@@ -3219,6 +3275,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.bad = 0
             GROUP BY k.doc_id
             HAVING COUNT(*) >= 5
+        """,
+        # RefinedWeb line-level boilerplate: the oracle rebuilds the
+        # planted lined fixture (7-word content lines + md5-gated
+        # navigation/footer lines) and recomputes line document
+        # frequency with COUNT(DISTINCT doc_id) — mirroring the op's
+        # per-doc line dedup before the count
+        "boilerplate_lines": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), dec AS (
+                SELECT doc_id, j,
+                       array_to_string(w[(7*j+1):(7*j+7)], ' ') AS line
+                FROM (SELECT doc_id, w,
+                             UNNEST(range(CAST(ceil(len(w) / 7.0) AS BIGINT))) AS j
+                      FROM ws)
+                UNION ALL
+                SELECT doc_id, 1000000 AS j, 'subscribe to our newsletter' AS line
+                FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                UNION ALL
+                SELECT doc_id, 1000001 AS j, 'all rights reserved' AS line
+                FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+            )
+            SELECT line, COUNT(DISTINCT doc_id) AS df
+            FROM dec GROUP BY line
+            HAVING COUNT(DISTINCT doc_id) >= 100
+        """,
+        "boilerplate_stripped": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), dec AS (
+                SELECT doc_id, j,
+                       array_to_string(w[(7*j+1):(7*j+7)], ' ') AS line
+                FROM (SELECT doc_id, w,
+                             UNNEST(range(CAST(ceil(len(w) / 7.0) AS BIGINT))) AS j
+                      FROM ws)
+                UNION ALL
+                SELECT doc_id, 1000000 AS j, 'subscribe to our newsletter' AS line
+                FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                UNION ALL
+                SELECT doc_id, 1000001 AS j, 'all rights reserved' AS line
+                FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+            ), hot AS (
+                SELECT line FROM dec GROUP BY line
+                HAVING COUNT(DISTINCT doc_id) >= 100
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n_total FROM dec GROUP BY doc_id
+            ), kept AS (
+                SELECT doc_id, j, line FROM dec
+                WHERE line NOT IN (SELECT line FROM hot)
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.j) AS clean_text,
+                   ANY_VALUE(t.n_total) - COUNT(*) AS n_removed
+            FROM kept k JOIN tot t USING (doc_id)
+            GROUP BY k.doc_id
         """,
         # the full distributed dedup chain oracled: exact all-pairs
         # hamming (valid: blocking complete for <=3, no star cap at this

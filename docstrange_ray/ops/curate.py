@@ -317,3 +317,125 @@ def c4_clean(ds, min_kept_lines: int = 5, min_words: int = 3):
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def _doc_lines(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, j, line) rows for every ``\\n``-separated segment of
+    every document in the batch, ``j`` = 0-based line position. Line
+    identity is the EXACT raw segment (no strip/casefold) — the same
+    contract DuckDB's string_split gives the oracle. An empty text
+    yields one empty line (Python and DuckDB split agree)."""
+    df = batch.select(["doc_id", "text"]).to_pandas()
+    s = df.set_index("doc_id")["text"].str.split("\n").explode()
+    out = pd.DataFrame({"doc_id": s.index.to_numpy(), "line": s.to_numpy()})
+    out["j"] = out.groupby("doc_id", sort=False).cumcount().astype("int64")
+    return out
+
+
+def line_df_table(ds, min_df: int = 2, num_partitions: int | None = None):
+    """Corpus-wide line document frequency — the measurement half of
+    RefinedWeb/Dolma line-level boilerplate removal (Penedo et al. 2023
+    §3.3 strip navigation/cookie/footer lines that recur across many
+    pages; Dolma's paragraph-frequency filter is the same shape one
+    granularity up). Returns Dataset[(line, df)] for lines whose
+    document frequency (COUNT DISTINCT doc) >= ``min_df``.
+
+    Scale shape: each batch PRE-REDUCES to one (line, partial_df) row
+    per distinct line — per-doc duplicates collapse batch-locally
+    (each doc is one input row, so doc-distinctness is exact locally) —
+    then ONE line-keyed exchange sums partials. A line pasted on every
+    page of the corpus ships n_batches rows, never n_docs. The output
+    is bounded: sum(df) over emitted lines <= total (doc, line) pairs,
+    so |output| <= pairs / min_df."""
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        out = _doc_lines(batch).drop_duplicates(["doc_id", "line"])
+        part = out.groupby("line", as_index=False, sort=False).size()
+        part.columns = ["line", "df"]
+        return part
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("line", as_index=False, sort=False)["df"].sum()
+        return tot[tot["df"] >= min_df]
+
+    return grouped_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow"),
+        ["line"],
+        final,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+
+def strip_boilerplate_lines(
+    ds,
+    min_df: int = 100,
+    plan: str = "auto",
+    broadcast_line_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+):
+    """Remove every line whose corpus document frequency >= ``min_df``
+    (the RefinedWeb boilerplate strip: cookie banners, nav bars,
+    share-button rows recur verbatim across pages; genuine prose does
+    not). Surviving lines are re-joined with ``\\n`` in original order;
+    documents keeping zero lines emit no row (same contract as
+    :func:`docstrange_ray.ops.dedup.passage_dedup`). Returns
+    Dataset[(doc_id, clean_text, n_removed)].
+
+    Plans (measure-then-choose, the tf-idf idiom): the hot-line table
+    from :func:`line_df_table` is materialized and counted — its row
+    count is bounded by pairs/min_df, but a pathological corpus of
+    hot MEGABYTE lines could still be byte-heavy, hence the gate.
+    Below ``broadcast_line_limit`` rows the hot set broadcasts once
+    (``ray.put``) and the strip is a shuffle-free scan. Above it, an
+    anti-join plan: lines explode once, ONE line-keyed co-partition
+    left join against the hot table keeps only unmatched lines, ONE
+    doc_id exchange reassembles — corpus text crosses both exchanges
+    (the honest price; decision-only metadata cannot rebuild the doc).
+    """
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    hot = line_df_table(ds, min_df, num_partitions).materialize()
+    if plan == "auto":
+        plan = "broadcast" if hot.count() <= broadcast_line_limit else "join"
+
+    if plan == "broadcast":
+        hot_ref = ray.put({r["line"] for r in hot.take_all()})
+
+        def strip(batch: pa.Table, _ref=hot_ref) -> pd.DataFrame:
+            hot_set = ray.get(_ref)
+            lines = _doc_lines(batch)
+            lines["keep"] = ~lines["line"].isin(hot_set)
+            agg = lines.groupby("doc_id", sort=False).agg(
+                n_total=("keep", "size"), n_kept=("keep", "sum")
+            )
+            kept = lines[lines["keep"]]
+            text = kept.groupby("doc_id", sort=False)["line"].agg("\n".join)
+            out = agg[agg["n_kept"] > 0].join(text.rename("clean_text"))
+            out = out.reset_index()
+            out["n_removed"] = (out["n_total"] - out["n_kept"]).astype("int64")
+            return out[["doc_id", "clean_text", "n_removed"]]
+
+        return ds.map_batches(arrow_out(strip), batch_format="pyarrow")
+
+    # ---- join (scale) plan ----
+    exploded = ds.map_batches(arrow_out(_doc_lines), batch_format="pyarrow")
+    joined = hash_join(exploded, hot, key="line", how="left", num_partitions=num_partitions)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "j"], kind="mergesort")
+        df["keep"] = df["df"].isna()
+        agg = df.groupby("doc_id", sort=False).agg(
+            n_total=("keep", "size"), n_kept=("keep", "sum")
+        )
+        text = df[df["keep"]].groupby("doc_id", sort=False)["line"].agg("\n".join)
+        out = agg[agg["n_kept"] > 0].join(text.rename("clean_text")).reset_index()
+        out["n_removed"] = (out["n_total"] - out["n_kept"]).astype("int64")
+        return out[["doc_id", "clean_text", "n_removed"]]
+
+    return grouped_blocks(
+        joined, ["doc_id"], reassemble, num_partitions, batch_format="pandas"
+    )

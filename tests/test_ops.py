@@ -3996,3 +3996,114 @@ class TestWinnowing:
         # raising max_df past the corpus size restores the pairs
         got2 = winnow_pairs(ds, k=self.K, window=self.W, min_shared=1, max_df=10).take_all()
         assert len(got2) == 15  # C(6,2) — all docs share the boilerplate run
+
+
+class TestBoilerplateLines:
+    """RefinedWeb line-level boilerplate removal (ops/curate.py:
+    line_df_table + strip_boilerplate_lines) — pinned against an
+    independent Counter/dict reference, plan parity, and the
+    passage_dedup-style drop-empty-doc contract."""
+
+    @staticmethod
+    def _fixture():
+        docs = []
+        for i in range(40):
+            lines = [f"unique content line {i} alpha", f"more prose {i * 7} beta"]
+            if i % 2 == 0:
+                lines.insert(1, "subscribe to our newsletter")
+            if i % 8 == 0:
+                lines.append("all rights reserved")
+            docs.append((i, "\n".join(lines)))
+        docs.append((40, "subscribe to our newsletter"))  # all-boilerplate doc
+        docs.append((41, ""))  # empty text = one empty line
+        return docs
+
+    @classmethod
+    def _ds(cls):
+        docs = cls._fixture()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs],
+                }
+            )
+        )
+
+    @staticmethod
+    def _reference(docs, min_df):
+        from collections import Counter
+
+        df = Counter()
+        for _, t in docs:
+            for ln in set(t.split("\n")):
+                df[ln] += 1
+        hot = {ln for ln, c in df.items() if c >= min_df}
+        out = {}
+        for did, t in docs:
+            kept = [ln for ln in t.split("\n") if ln not in hot]
+            if kept:
+                out[did] = ("\n".join(kept), len(t.split("\n")) - len(kept))
+        return {ln: df[ln] for ln in hot}, out
+
+    def test_line_df_matches_reference(self):
+        from docstrange_ray.ops.curate import line_df_table
+
+        hot_ref, _ = self._reference(self._fixture(), 5)
+        got = {
+            r["line"]: r["df"] for r in line_df_table(self._ds(), min_df=5).take_all()
+        }
+        assert got == hot_ref
+        # per-doc duplicate lines count once: a doc repeating a hot
+        # line does not inflate df (doc 40 contributes exactly 1)
+        assert got["subscribe to our newsletter"] == 21
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_strip_matches_reference(self, plan):
+        from docstrange_ray.ops.curate import strip_boilerplate_lines
+
+        _, ref = self._reference(self._fixture(), 5)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in strip_boilerplate_lines(self._ds(), min_df=5, plan=plan).take_all()
+        }
+        assert got == ref
+        assert 40 not in got  # all-boilerplate doc emits no row
+        # line ORDER inside surviving docs is preserved
+        assert got[0][0] == "unique content line 0 alpha\nmore prose 0 beta"
+
+    def test_plans_bit_identical(self):
+        from docstrange_ray.ops.curate import strip_boilerplate_lines
+
+        a = sorted(
+            (r["doc_id"], r["clean_text"], r["n_removed"])
+            for r in strip_boilerplate_lines(
+                self._ds(), min_df=5, plan="broadcast"
+            ).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["clean_text"], r["n_removed"])
+            for r in strip_boilerplate_lines(
+                self._ds(), min_df=5, plan="join"
+            ).take_all()
+        )
+        assert a == b
+
+    def test_per_doc_repeat_below_threshold_survives(self):
+        from docstrange_ray.ops.curate import strip_boilerplate_lines
+
+        # a line repeated many times inside ONE doc has df=1: never hot
+        docs = [(0, "\n".join(["same line here"] * 30)), (1, "other text entirely")]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["n_removed"]
+            for r in strip_boilerplate_lines(ds, min_df=5).take_all()
+        }
+        assert got == {0: 0, 1: 0}

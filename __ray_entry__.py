@@ -835,6 +835,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f.write("ok")
         return read_jsonl_docs(out_dir, compression="gzip")
 
+    def token_shard_roundtrip(sf_dir):
+        """Indexed-binary training-data sink end-to-end (io.
+        write_token_shards / read_token_shards — the Megatron-style
+        .bin/.idx handoff): documents are tokenized with the md5-parity
+        word hash (id = md5-prefix % 50000, the repo's SQL-mirrorable
+        tokenizer idiom), written as 8 shard file pairs (ONE shard
+        exchange, per-shard atomic writes), read BACK from the bytes on
+        disk, and reduced to (doc_id, n_tokens, tok_sum). The oracle
+        recomputes both from the word stream — a match proves the
+        binary layout round-trips losslessly."""
+        import hashlib as _hl
+        import os as _os
+        import shutil as _sh
+
+        import numpy as _np
+
+        from docstrange_ray.io import read_token_shards, write_token_shards
+
+        def tokenize(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            toks = [
+                [
+                    int(_hl.md5(w.encode()).hexdigest()[:16], 16) % 50000
+                    for w in t.split()
+                ]
+                for t in texts
+            ]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "tokens": pa.array(toks, pa.list_(pa.int64())),
+                }
+            )
+
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/dsray_tokshards_{tag}"
+        _sh.rmtree(out_dir, ignore_errors=True)  # deterministic rebuild
+        write_token_shards(
+            read_docs(sf_dir).map_batches(tokenize, batch_format="pyarrow"),
+            out_dir,
+            n_shards=8,
+        ).materialize()  # consume the sink: files exist after this
+
+        def stats(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            toks = batch.column("tokens").to_pylist()
+            return pa.table(
+                {
+                    "doc_id": ids.cast(pa.int64()),
+                    "n_tokens": pa.array(
+                        [len(t) for t in toks], pa.int64()
+                    ),
+                    "tok_sum": pa.array(
+                        [int(_np.sum(t, dtype=_np.int64)) if t else 0 for t in toks],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return read_token_shards(out_dir).map_batches(stats, batch_format="pyarrow")
+
     def source_zscore_q(sf_dir):
         """Per-source z-score standardization of doc length: batch
         (group, n, sum, sumsq) pre-reduce -> constant-size coalesced
@@ -1853,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_tags": blocklist_tags_q,
         "source_zscore": source_zscore_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
+        "token_shard_roundtrip": token_shard_roundtrip,
         "compression_stats": compression_stats_q,
         "weighted_jaccard_pairs": weighted_jaccard_pairs_q,
         "hashed_doc_vectors": hashed_doc_vectors_q,
@@ -2359,6 +2422,27 @@ def oracle_sql() -> dict[str, str]:
         # JSONL and reads them back; hash-equality against the source
         # table proves the ingest path lossless.
         "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        # token_shard_roundtrip: the stats are recomputed from the WORD
+        # stream with the same md5-prefix token ids the Ray side wrote
+        # into the .bin files — a match proves the binary sink + reader
+        # are lossless (docs with zero words still emit a row)
+        "token_shard_roundtrip": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(('0x' || substr(md5(w), 1, 16))::UBIGINT % 50000)
+                            AS BIGINT) AS tok_sum
+                FROM ws GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.tok_sum, 0) AS tok_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "source_zscore": """
             SELECT doc_id, source, n_chars,
                    ROUND(CASE WHEN STDDEV_POP(n_chars) OVER w > 0

@@ -106,3 +106,180 @@ def write_jsonl_docs(ds, path: str, compression: str | None = None) -> None:
         ds.write_json(path, arrow_open_stream_args={"compression": compression})
     else:
         ds.write_json(path)
+
+
+# ---- tokenized indexed-binary export (the training-data handoff) ----
+#
+# The Megatron-LM indexed-dataset shape (public format: NVIDIA
+# Megatron-LM indexed_dataset.py — a flat .bin token stream plus an
+# .idx sidecar of per-document extents), re-implemented from scratch:
+# the sink an LLM-pretraining consumer actually reads, closing the
+# pipeline end (extract -> curate -> tokenize -> THIS). The reference
+# has no training-data sink at all (its sinks are markdown/JSON/CSV,
+# SURVEY §2.1 S17); this is part of the LLM-ops extension family.
+
+_TOKBIN_MAGIC = b"DSRAYIDX"
+_TOKBIN_VERSION = 1
+
+
+def _write_token_shard(
+    out_dir: str, shard_id: int, doc_ids, token_lists
+) -> dict:
+    """Write one shard ATOMICALLY (tmp + rename, the manifest-sink
+    discipline): ``shard-{id:05d}.bin`` = uint32 little-endian token
+    stream in doc order; ``.idx`` = magic/version header + int64
+    doc_ids, token counts and byte pointers. Returns summary dict."""
+    import os
+    import struct
+
+    import numpy as np
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    lists = []
+    for i in order:
+        a = np.asarray(token_lists[i], dtype=np.int64)
+        if len(a) and (a.min() < 0 or a.max() >= 2**32):
+            raise ValueError("token id out of uint32 range")
+        lists.append(a.astype(np.uint32))
+    lengths = np.array([len(a) for a in lists], dtype=np.int64)
+    pointers = np.zeros(len(lists), dtype=np.int64)
+    if len(lists):
+        np.cumsum(lengths[:-1] * 4, out=pointers[1:])
+    bin_path = os.path.join(out_dir, f"shard-{shard_id:05d}.bin")
+    idx_path = os.path.join(out_dir, f"shard-{shard_id:05d}.idx")
+    tmp = bin_path + ".tmp"
+    with open(tmp, "wb") as f:
+        for a in lists:
+            f.write(a.astype("<u4").tobytes())
+    os.replace(tmp, bin_path)
+    tmp = idx_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_TOKBIN_MAGIC)
+        f.write(struct.pack("<QBQ", _TOKBIN_VERSION, 4, len(ids)))
+        f.write(ids.astype("<i8").tobytes())
+        f.write(lengths.astype("<i8").tobytes())
+        f.write(pointers.astype("<i8").tobytes())
+    os.replace(tmp, idx_path)
+    return {
+        "shard_id": shard_id,
+        "n_docs": int(len(ids)),
+        "n_tokens": int(lengths.sum()),
+    }
+
+
+def write_token_shards(
+    ds,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+):
+    """Distributed indexed-binary token sink. Shard = ``doc_id %
+    n_shards`` (deterministic and parallelism-independent, the
+    manifest-sink partitioning rule), ONE shard-keyed exchange
+    co-locates each shard's docs, each shard file pair is written by
+    its own task (atomic tmp+rename; a killed job leaves only complete
+    shards, a re-run overwrites in place) — tokens NEVER visit the
+    driver. Within a shard docs are doc_id-ordered, so output bytes
+    are independent of arrival order. Size ``n_shards`` to the data
+    (tokens x 4 bytes / target shard size), never to the cluster.
+    Returns Dataset[(shard_id, n_docs, n_tokens)] — one row per
+    written shard."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from docstrange_ray.shuffle import grouped_blocks
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column(id_col).cast(pa.int64()), dtype=np.int64)
+        # np.mod = floored modulo: non-negative for negative ids too
+        shard = np.mod(ids, n_shards).astype(np.int64)
+        return batch.append_column("shard_id", pa.array(shard, pa.int64()))
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, g in df.groupby("shard_id", sort=True):
+            rows.append(
+                _write_token_shard(
+                    out_dir, int(s), g[id_col].to_numpy(), list(g[tokens_col])
+                )
+            )
+        return pd.DataFrame(rows, columns=["shard_id", "n_docs", "n_tokens"]).astype(
+            {"shard_id": "int64", "n_docs": "int64", "n_tokens": "int64"}
+        )
+
+    return grouped_blocks(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["shard_id"],
+        write_block,
+        n_shards,
+        batch_format="pandas",
+    )
+
+
+def read_token_shards(out_dir: str):
+    """Read an indexed-binary token directory back as
+    Dataset[(doc_id, tokens: list<int64>)] — one read task per shard
+    (parallel, streaming; the .idx header is validated)."""
+    import glob as _glob
+    import os
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    idx_paths = sorted(_glob.glob(os.path.join(out_dir, "shard-*.idx")))
+    if not idx_paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tokens": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        )
+
+    def load(batch: pa.Table) -> pa.Table:
+        ids_all, toks_all = [], []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                magic = f.read(8)
+                if magic != _TOKBIN_MAGIC:
+                    raise ValueError(f"bad token-shard magic in {p}")
+                version, dtype_code, n = struct.unpack("<QBQ", f.read(17))
+                if version != _TOKBIN_VERSION or dtype_code != 4:
+                    raise ValueError(f"unsupported token-shard layout in {p}")
+                ids = np.frombuffer(f.read(8 * n), dtype="<i8")
+                lengths = np.frombuffer(f.read(8 * n), dtype="<i8")
+                pointers = np.frombuffer(f.read(8 * n), dtype="<i8")
+            data = np.fromfile(p[:-4] + ".bin", dtype="<u4")
+            for i in range(n):
+                start = pointers[i] // 4
+                toks_all.append(
+                    data[start : start + lengths[i]].astype(np.int64)
+                )
+            ids_all.append(ids)
+        flat_ids = (
+            np.concatenate(ids_all) if ids_all else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(flat_ids, pa.int64()),
+                "tokens": pa.array(
+                    [t.tolist() for t in toks_all], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    return ray.data.from_items(
+        [{"path": p} for p in idx_paths]
+    ).map_batches(load, batch_format="pyarrow", batch_size=1)

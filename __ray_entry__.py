@@ -1632,6 +1632,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_ref", "mime", "width", "height", "channels", "sample_rate", "duration_ms"]
         )
 
+    def _image_fixture(sf_dir):
+        """Deterministic 32x32 grayscale PNG corpus for the perceptual
+        image-dedup family: pixel(y, x) = (cy*y + cx*x + y*x + b) % 256
+        with id-dependent gradient coefficients cy = 7 + 13b % 97,
+        cx = 5 + 29b % 89 (coprime periods keep distinct base images
+        far apart in dHash space out to the 2000-image cap); every
+        10th image is a PLANTED near-dup of its predecessor — same base
+        pixels with the top-left dHash cell brightened by
+        LEAST(p+100, 255), which flips at most one comparison bit. The
+        oracle rebuilds the pixels arithmetically; the Ray side ENCODES
+        them into real PNGs so the query exercises the from-scratch
+        codec end to end."""
+        import ray
+
+        def build(batch: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            from docstrange_ray.synth_files import make_png_gray
+
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                b = i - 1 if i % 10 == 9 else i
+                y, x = _np.mgrid[0:32, 0:32]
+                p = ((7 + (b * 13) % 97) * y + (5 + (b * 29) % 89) * x + y * x + b) % 256
+                if i % 10 == 9:
+                    m = (y < 4) & (x < 4)
+                    p = _np.where(m, _np.minimum(p + 100, 255), p)
+                payloads.append(make_png_gray(p.astype(_np.uint8)))
+            return pa.table(
+                {
+                    "img_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        return ray.data.range(_corpus_size(sf_dir)).map_batches(
+            build, batch_format="pyarrow"
+        )
+
+    def image_dhash(sf_dir):
+        """Perceptual difference-hash per image (ops/imagedup.py):
+        REAL PNG decode (from-scratch codec) -> integral-image cell
+        sums -> 56-bit comparison hash, shuffle-free scan. The oracle
+        recomputes the hash from the arithmetic pixel definition — a
+        match proves decode + dHash are bit-exact."""
+        from docstrange_ray.ops.imagedup import image_dhash_table
+
+        return image_dhash_table(_image_fixture(sf_dir), id_col="img_id").select_columns(
+            ["img_id", "dhash"]
+        )
+
+    def image_near_dups(sf_dir):
+        """Image near-dup pairs by dHash Hamming distance <= 3 via the
+        SimHash 4x16-bit segment blocking (complete by pigeonhole, ONE
+        segment exchange — no quadratic scan). Finds every planted
+        brightened-cell near-dup; the oracle enumerates all pairs."""
+        from docstrange_ray.ops.imagedup import image_near_dup_pairs
+
+        return image_near_dup_pairs(_image_fixture(sf_dir), max_hamming=3, id_col="img_id")
+
     def audio_features(sf_dir):
         """REAL audio decode: PCM16 WAV payloads (exact-integer square
         waves + silence, stdlib writers) -> genuine RMS /
@@ -1992,6 +2053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": lsh_ann_topk,
         "media_features": media_features,
         "media_metadata": media_metadata,
+        "image_dhash": image_dhash,
+        "image_near_dups": image_near_dups,
         "media_join": media_join,
         "curated_docs": curated_docs,
         "curated_full": curated_full,
@@ -2442,6 +2505,77 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_tokens, 0) AS n_tokens,
                    COALESCE(a.tok_sum, 0) AS tok_sum
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # image_dhash / image_near_dups: the pixels are an arithmetic
+        # function of (img_id, y, x) (see _image_fixture), so the oracle
+        # rebuilds them, takes 4x4 cell sums (equal areas: the sum
+        # comparison equals the op's cross-multiplied mean comparison)
+        # and reassembles the 56-bit hash — verifying the REAL PNG
+        # decode + integral-image dHash bit-for-bit
+        "image_dhash": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            ), ids AS (
+                SELECT i AS img_id,
+                       CASE WHEN i % 10 = 9 THEN i - 1 ELSE i END AS b
+                FROM (SELECT UNNEST(range((SELECT n FROM nn))) AS i)
+            ), px AS (
+                SELECT img_id, y, x,
+                       CASE WHEN img_id % 10 = 9 AND y < 4 AND x < 4
+                            THEN LEAST(bp + 100, 255) ELSE bp END AS p
+                FROM (
+                    SELECT img_id, y, x,
+                           ((7 + (b*13) % 97) * y + (5 + (b*29) % 89) * x
+                            + y*x + b) % 256 AS bp
+                    FROM ids, range(32) ty(y), range(32) tx(x)
+                )
+            ), cells AS (
+                SELECT img_id, y // 4 AS r, x // 4 AS c, SUM(p) AS s
+                FROM px GROUP BY img_id, y // 4, x // 4
+            )
+            SELECT a.img_id,
+                   CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END
+                            * (1::BIGINT << (a.r * 7 + a.c))) AS BIGINT) AS dhash
+            FROM cells a JOIN cells b
+              ON a.img_id = b.img_id AND a.r = b.r AND b.c = a.c + 1
+            WHERE a.c < 7
+            GROUP BY a.img_id
+        """,
+        "image_near_dups": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            ), ids AS (
+                SELECT i AS img_id,
+                       CASE WHEN i % 10 = 9 THEN i - 1 ELSE i END AS b
+                FROM (SELECT UNNEST(range((SELECT n FROM nn))) AS i)
+            ), px AS (
+                SELECT img_id, y, x,
+                       CASE WHEN img_id % 10 = 9 AND y < 4 AND x < 4
+                            THEN LEAST(bp + 100, 255) ELSE bp END AS p
+                FROM (
+                    SELECT img_id, y, x,
+                           ((7 + (b*13) % 97) * y + (5 + (b*29) % 89) * x
+                            + y*x + b) % 256 AS bp
+                    FROM ids, range(32) ty(y), range(32) tx(x)
+                )
+            ), cells AS (
+                SELECT img_id, y // 4 AS r, x // 4 AS c, SUM(p) AS s
+                FROM px GROUP BY img_id, y // 4, x // 4
+            ), h AS (
+                SELECT a.img_id,
+                       CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END
+                                * (1::BIGINT << (a.r * 7 + a.c))) AS BIGINT) AS dhash
+                FROM cells a JOIN cells b
+                  ON a.img_id = b.img_id AND a.r = b.r AND b.c = a.c + 1
+                WHERE a.c < 7
+                GROUP BY a.img_id
+            )
+            SELECT a.img_id AS doc_id_a, b.img_id AS doc_id_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+            FROM h a JOIN h b ON a.img_id < b.img_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         """,
         "source_zscore": """
             SELECT doc_id, source, n_chars,

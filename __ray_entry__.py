@@ -1490,6 +1490,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_quantiles(docs, group_key="source", value_key="n_chars")
 
+    def price_quantile_select(sf_dir):
+        """EXACT global quantiles of a CONTINUOUS column (order total
+        price) via distributed radix selection (rankstats.select_quantiles)
+        — zero shuffles: an order-preserving int64 keying scan, then
+        <= 6 counting scans narrowing 4096-bucket histograms on the
+        driver. The plan group_quantiles cedes for unbounded-cardinality
+        domains; rank contract = quantile_disc (ceil(q*n), 1-indexed)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import select_quantiles
+
+        orders = read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+        )
+        return select_quantiles(
+            orders, "o_totalprice", quantiles=((1, 4), (1, 2), (9, 10), (99, 100))
+        )
+
     def ivf_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -2063,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample,
         "source_topk": source_topk,
         "length_quantiles": length_quantiles,
+        "price_quantile_select": price_quantile_select,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2382,6 +2400,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents
             GROUP BY source
+        """,
+        "price_quantile_select": """
+            SELECT lab AS label, (SELECT COUNT(*) FROM orders) AS n, v AS value
+            FROM (VALUES
+                ('p25', (SELECT quantile_disc(o_totalprice, 0.25) FROM orders)),
+                ('p50', (SELECT quantile_disc(o_totalprice, 0.50) FROM orders)),
+                ('p90', (SELECT quantile_disc(o_totalprice, 0.90) FROM orders)),
+                ('p99', (SELECT quantile_disc(o_totalprice, 0.99) FROM orders))
+            ) AS t(lab, v)
         """,
         "curated_docs": r"""
             WITH scored AS (

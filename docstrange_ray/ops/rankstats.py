@@ -266,3 +266,171 @@ def group_zscore(ds, group_col: str = "source", value_col: str = "n_chars",
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed radix selection: exact GLOBAL quantiles for unbounded domains
+# ---------------------------------------------------------------------------
+
+_INT64_MIN = -(1 << 63)
+
+
+def order_keys(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 key for a numeric array: integer dtypes map
+    identically; float64 maps via the IEEE-754 bit trick (positive floats
+    keep their bit pattern; negative floats take ``~bits + INT64_MIN``,
+    which reverses their descending bit order and places them below every
+    positive) so int64 key order == float total order. NaNs are NOT
+    representable in a total order with quantile semantics — filter them
+    upstream (``select_quantiles`` does)."""
+    if np.issubdtype(vals.dtype, np.integer):
+        return vals.astype(np.int64, copy=False)
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.int64)
+    out = bits.copy()
+    neg = bits < 0
+    # (~bits) is in [0, 2^63-1] for negative bits; + INT64_MIN stays in range
+    out[neg] = ~bits[neg] + np.int64(_INT64_MIN)
+    return out
+
+
+def key_to_value(key: int, float_domain: bool) -> float | int:
+    """Inverse of :func:`order_keys` for one resolved key."""
+    if not float_domain:
+        return int(key)
+    bits = key if key >= 0 else ~(key + (1 << 63))
+    return float(np.array([bits], dtype=np.int64).view(np.float64)[0])
+
+
+def select_quantiles(
+    ds,
+    value_col: str,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+    float_domain: bool = True,
+    n_buckets: int = 4096,
+    num_partitions: int | None = None,
+):
+    """EXACT global quantiles over an UNBOUNDED-cardinality numeric column
+    by distributed radix selection — the plan :func:`group_quantiles`'s
+    docstring cedes: its histogram exchange carries every distinct value,
+    which degrades to shipping the data on continuous domains (prices,
+    scores, durations). This op never shuffles AT ALL:
+
+      1. one projection scan maps the column to order-preserving int64
+         keys (:func:`order_keys`) and materializes that single column
+         (8 bytes/row in the object store — the only state kept);
+      2. per round, one counting scan histograms every still-unresolved
+         quantile's [lo, hi] range into ``n_buckets`` equal-width key
+         buckets (per-batch bincount partials, nonzero entries only,
+         combined via ``adaptive_final``);
+      3. the driver walks each histogram's cumulative counts to the
+         bucket containing rank ``max(1, ceil(q*n))`` (integer
+         arithmetic — DuckDB ``quantile_disc`` parity, same contract as
+         ``group_quantiles``), narrows [lo, hi] to it, and rebases the
+         rank; a width-1 bucket IS the answer (the invariant
+         ``1 <= rank <= count(lo..hi)`` guarantees the resolved key
+         exists in the data).
+
+    Driver state is O(active_quantiles x n_buckets) counts per round and
+    the round count is ceil(64 / log2(n_buckets)) <= 6 — independent of
+    corpus size, so the plan holds unchanged at 100 TB (the keyed column
+    spills to the object store; every scan streams). Nulls/NaNs are
+    dropped before keying (SQL aggregate semantics).
+
+    Returns a pandas DataFrame [(label, n, value)] — O(#quantiles) rows,
+    legitimately driver-sized. ``float_domain`` selects the key
+    transform and the emitted value dtype; it must match the column.
+    """
+    import pyarrow.compute as pc
+
+    from docstrange_ray.shuffle import adaptive_final
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        col = col.filter(
+            pc.and_kleene(pc.is_valid(col), pc.invert(pc.is_nan(col)))
+            if pa.types.is_floating(col.type)
+            else pc.is_valid(col)
+        )
+        vals = np.asarray(col.to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(order_keys(vals), pa.int64())})
+
+    keyed = ds.map_batches(project, batch_format="pyarrow").materialize()
+    n = keyed.count()
+    labels = [_q_label(qn, qd) for qn, qd in quantiles]
+    if n == 0:
+        return pd.DataFrame(columns=["label", "n", "value"])
+    from ray.data.aggregate import Max, Min
+
+    bounds = keyed.aggregate(Min("k"), Max("k"))
+    searches = {
+        i: {
+            "lo": int(bounds["min(k)"]),
+            "hi": int(bounds["max(k)"]),
+            "rank": max(1, -(-qn * n // qd)),  # ceil(qn*n/qd), 1-indexed
+        }
+        for i, (qn, qd) in enumerate(quantiles)
+    }
+
+    while True:
+        active = {
+            i: (s["lo"], s["hi"], -(-(s["hi"] - s["lo"] + 1) // n_buckets))
+            for i, s in searches.items()
+            if s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        spec = sorted(active.items())  # closure-captured, O(#quantiles)
+
+        def count_scan(batch: pa.Table, _spec=spec) -> pd.DataFrame:
+            k = np.asarray(batch.column("k").to_numpy(zero_copy_only=False))
+            sids, buckets, cnts = [], [], []
+            for sid, (lo, hi, w) in _spec:
+                inr = k[(k >= lo) & (k <= hi)]
+                if not len(inr):
+                    continue
+                # wrapping int64 subtraction viewed as uint64 = the exact
+                # unsigned difference even when keys span both int64 signs
+                # (float domains use nearly the full key range)
+                diff = (inr - np.int64(lo)).view(np.uint64)
+                bc = np.bincount((diff // np.uint64(w)).astype(np.int64))
+                nz = np.flatnonzero(bc)
+                sids.extend([sid] * len(nz))
+                buckets.extend(nz.tolist())
+                cnts.extend(bc[nz].tolist())
+            return pd.DataFrame(
+                {
+                    "sid": pd.Series(sids, dtype="int32"),
+                    "bucket": pd.Series(buckets, dtype="int64"),
+                    "cnt": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+        partials = keyed.map_batches(
+            arrow_out(count_scan), batch_format="pyarrow"
+        )
+        merged = adaptive_final(
+            partials,
+            lambda df: df.groupby(["sid", "bucket"], as_index=False)["cnt"].sum(),
+            keys=["sid", "bucket"],
+            num_partitions=num_partitions,
+        ).to_pandas()
+        for sid, (lo, hi, w) in spec:
+            sub = merged[merged["sid"] == sid].sort_values("bucket")
+            cum = sub["cnt"].to_numpy().cumsum()
+            s = searches[sid]
+            t = int((cum >= s["rank"]).argmax())
+            bucket_id = int(sub["bucket"].to_numpy()[t])
+            s["rank"] -= int(cum[t - 1]) if t else 0
+            s["lo"] = lo + bucket_id * w
+            s["hi"] = min(hi, s["lo"] + w - 1)
+
+    return pd.DataFrame(
+        {
+            "label": labels,
+            "n": np.int64(n),
+            "value": [
+                key_to_value(searches[i]["lo"], float_domain)
+                for i in range(len(quantiles))
+            ],
+        }
+    )

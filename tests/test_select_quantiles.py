@@ -1,0 +1,106 @@
+"""Radix-selection global quantiles (rankstats.select_quantiles):
+order-key transform properties, exactness vs a sorted-array reference
+at the quantile_disc rank contract, float/int/negative/NaN domains."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from docstrange_ray.ops.rankstats import (
+    key_to_value,
+    order_keys,
+    select_quantiles,
+)
+
+QS = ((1, 4), (1, 2), (9, 10), (99, 100))
+
+
+def _disc_reference(vals, quantiles):
+    s = np.sort(np.asarray(vals))
+    n = len(s)
+    return [s[max(1, -(-qn * n // qd)) - 1] for qn, qd in quantiles]
+
+
+class TestOrderKeys:
+    def test_float_total_order_preserved(self):
+        rng = np.random.default_rng(0)
+        vals = np.concatenate(
+            [
+                rng.normal(0, 1e6, 500),
+                rng.normal(0, 1e-6, 500),
+                [0.0, -0.0, 1e308, -1e308, 5e-324, -5e-324],
+            ]
+        )
+        keys = order_keys(vals)
+        # keys are a total-order REFINEMENT of float order (-0.0 < 0.0),
+        # so sorting by key must yield non-decreasing values
+        assert (np.diff(vals[np.argsort(keys)]) >= 0).all()
+
+    def test_roundtrip(self):
+        for v in [0.0, -1.5, 3.25, 1e308, -5e-324, 42.0]:
+            k = int(order_keys(np.array([v]))[0])
+            assert key_to_value(k, float_domain=True) == v
+        for v in [-(2**62), -1, 0, 7, 2**62]:
+            k = int(order_keys(np.array([v], dtype=np.int64))[0])
+            assert key_to_value(k, float_domain=False) == v
+
+    def test_int_identity(self):
+        vals = np.array([-5, 0, 3, 2**40], dtype=np.int64)
+        assert (order_keys(vals) == vals).all()
+
+
+class TestSelectQuantiles:
+    def test_float_exact_vs_reference(self, ray_session):
+        rng = np.random.default_rng(7)
+        vals = np.concatenate(
+            [rng.normal(100, 50, 3000), rng.normal(-1e4, 3, 200)]
+        )  # both signs: exercises the full-range uint64 bucket math
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+        got = select_quantiles(ds, "v", QS)
+        exp = _disc_reference(vals, QS)
+        assert list(got["value"]) == exp
+        assert (got["n"] == len(vals)).all()
+        assert list(got["label"]) == ["p25", "p50", "p90", "p99"]
+
+    def test_int_domain(self, ray_session):
+        vals = np.random.default_rng(3).integers(-1000, 1000, 2500)
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.int64())})
+        ).repartition(6)
+        got = select_quantiles(ds, "v", QS, float_domain=False)
+        assert list(got["value"]) == [int(x) for x in _disc_reference(vals, QS)]
+
+    def test_nulls_and_nans_dropped(self, ray_session):
+        vals = [1.0, 2.0, 3.0, 4.0, float("nan"), None] * 50
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+        got = select_quantiles(ds, "v", ((1, 2),))
+        kept = np.array([1.0, 2.0, 3.0, 4.0] * 50)
+        assert (got["n"] == 200).all()
+        assert list(got["value"]) == _disc_reference(kept, ((1, 2),))
+
+    def test_heavy_ties(self, ray_session):
+        # one value holding 90% of the rows: selection narrows to it
+        vals = np.concatenate([np.full(900, 5.0), np.arange(100, dtype=float)])
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(4)
+        got = select_quantiles(ds, "v", QS)
+        assert list(got["value"]) == _disc_reference(vals, QS)
+
+    def test_duckdb_quantile_disc_parity(self, ray_session):
+        import duckdb
+
+        vals = np.random.default_rng(11).normal(0, 1, 1777)
+        ds = ray.data.from_arrow(pa.table({"v": vals}))
+        got = dict(zip(select_quantiles(ds, "v", QS)["label"],
+                       select_quantiles(ds, "v", QS)["value"]))
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals}))
+        for (qn, qd), lab in zip(QS, ["p25", "p50", "p90", "p99"]):
+            exp = con.execute(
+                f"SELECT quantile_disc(v, {qn}/{qd}) FROM t"
+            ).fetchone()[0]
+            assert got[lab] == exp, lab
+
+    def test_empty(self, ray_session):
+        ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+        assert len(select_quantiles(ds, "v", QS)) == 0

@@ -1507,6 +1507,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             orders, "o_totalprice", quantiles=((1, 4), (1, 2), (9, 10), (99, 100))
         )
 
+    def source_interleave(sf_dir):
+        """Deterministic training-mix interleave (stride scheduling,
+        sampling.interleave_by_source): source weights 1 + idx%4 over the
+        alphabetically-ranked sources, within-source order = md5 shuffle,
+        global position CLOSED-FORM from per-source totals — one uniform
+        md5-bucket exchange, no global sort. Oracle rebuilds the cleared
+        integer virtual-time keys (L = lcm(1..4) = 12) and ranks them."""
+        import pyarrow.parquet as _pq
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.sampling import interleave_by_source
+
+        srcs = sorted(
+            set(
+                _pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["source"]
+                )
+                .column("source")
+                .to_pylist()
+            )
+        )
+        weights = {s: 1 + i % 4 for i, s in enumerate(srcs)}
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        return interleave_by_source(docs, weights)
+
     def ivf_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -2081,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_topk": source_topk,
         "length_quantiles": length_quantiles,
         "price_quantile_select": price_quantile_select,
+        "source_interleave": source_interleave,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2409,6 +2437,30 @@ def oracle_sql() -> dict[str, str]:
                 ('p90', (SELECT quantile_disc(o_totalprice, 0.90) FROM orders)),
                 ('p99', (SELECT quantile_disc(o_totalprice, 0.99) FROM orders))
             ) AS t(lab, v)
+        """,
+        # source_interleave: stride scheduling with integer virtual-time
+        # keys k = r * (12 / w), w = 1 + (alpha-rank % 4); within-source
+        # rank r = md5 order; global pos = rank over (k, source)
+        "source_interleave": """
+            WITH src AS (
+                SELECT source,
+                       ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx
+                FROM (SELECT DISTINCT source FROM documents)
+            ), ranked AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS r
+                FROM documents
+            ), keyed AS (
+                SELECT k.doc_id, k.source,
+                       k.r * (12 // (1 + s.idx % 4)) AS vt
+                FROM ranked k JOIN src s USING (source)
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY vt, source) AS pos,
+                   doc_id, source
+            FROM keyed
         """,
         "curated_docs": r"""
             WITH scored AS (

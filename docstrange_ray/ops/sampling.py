@@ -328,3 +328,146 @@ def mixture_weights(ds, targets: dict[str, float], value_col: str = "n_chars"):
         ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
         final,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source interleaving (training-mix scheduling)
+# ---------------------------------------------------------------------------
+
+
+def interleave_by_source(
+    ds,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_partitions: int | None = None,
+):
+    """Deterministic global TRAINING ORDER that interleaves sources at
+    integer rates — the scheduling half of the data-mixing story
+    (``mixture_weights`` decides how much of each source; this decides
+    WHERE each document lands in the epoch). Stride scheduling: the
+    r-th document of source ``s`` (1-indexed, ordered by
+    ``md5(str(id))`` then id — the house deterministic shuffle) runs at
+    virtual time ``r / weights[s]``; the global order sorts by virtual
+    time with ties broken by source name. All arithmetic is INTEGER:
+    virtual times are cleared to ``k = r * (L // w_s)`` with
+    ``L = lcm(weights)``, so the order (and the SQL oracle) is exact —
+    no float comparisons anywhere.
+
+    The plan needs NO global sort:
+
+      1. one projection scan keys every row with its md5-52-bit value
+         and range-bucket (md5 is uniform, so buckets are balanced
+         regardless of source skew — a 90%-hot source cannot create a
+         hot bucket); the projection is materialized once;
+      2. one counting scan reduces to (source, bucket, count) partials
+         (bounded: sources x buckets) — the driver prefix-sums them
+         into per-(source, bucket) rank offsets and per-source totals;
+      3. ONE bucket exchange co-locates each bucket; blocks sort their
+         complete (source, bucket) groups by (md5, id) and emit
+         ``r = offset + local position``;
+      4. the global position is CLOSED-FORM from the totals — for a
+         document with cleared key ``k``, every other source ``s'``
+         contributes ``min(n_s', (k-1) // m_s')`` earlier documents
+         (plus its tie when ``m_s' | k`` and the tied source sorts
+         first), so ``pos`` is pure per-row arithmetic over the
+         broadcast totals. No second exchange, no rank shuffle.
+
+    Returns Dataset[(pos, id_col, source_col)] where pos is the
+    1-based permutation index of the interleaved epoch. Every source
+    present in the data must have a weight (raises otherwise).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from docstrange_ray.shuffle import adaptive_final, arrow_out, grouped_blocks
+
+    if not weights or any(w < 1 or w != int(w) for w in weights.values()):
+        raise ValueError("weights must be positive integers per source")
+    big_l = math.lcm(*weights.values())
+    mult = {s: big_l // int(w) for s, w in weights.items()}  # key = r * mult[s]
+    src_order = {s: i for i, s in enumerate(sorted(weights))}
+
+    n_buckets = num_partitions or 64
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h52 = [
+            int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:13], 16)
+            for i in ids
+        ]
+        bucket = [(h * n_buckets) >> 52 for h in h52]
+        return pa.table(
+            {
+                "id": batch.column(id_col),
+                "source": batch.column(source_col),
+                "h": pa.array(h52, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    counts = adaptive_final(
+        keyed.map_batches(
+            arrow_out(
+                lambda df: df.groupby(["source", "bucket"], as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"})
+            ),
+            batch_format="pandas",
+        ),
+        lambda df: df.groupby(["source", "bucket"], as_index=False)["cnt"].sum(),
+        keys=["source", "bucket"],
+        num_partitions=num_partitions,
+    ).to_pandas()
+
+    unseen = set(counts["source"]) - set(weights)
+    if unseen:
+        raise ValueError(f"sources without a weight: {sorted(unseen)}")
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for s, sub in counts.sort_values(["source", "bucket"]).groupby("source"):
+        run = 0
+        for b, c in zip(sub["bucket"], sub["cnt"]):
+            offsets[(s, int(b))] = run
+            run += int(c)
+        totals[s] = run
+    # closed-form position: per-source (mult, total, order) vectors in
+    # the tie-break source order — broadcast via closure (O(sources))
+    others = sorted(totals)
+    o_mult = np.array([mult[s] for s in others], dtype=np.int64)
+    o_tot = np.array([totals[s] for s in others], dtype=np.int64)
+    o_ord = np.array([src_order[s] for s in others], dtype=np.int64)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "bucket", "h", "id"], kind="mergesort")
+        local = df.groupby(["source", "bucket"]).cumcount().to_numpy(np.int64)
+        off = np.array(
+            [offsets[(s, int(b))] for s, b in zip(df["source"], df["bucket"])],
+            dtype=np.int64,
+        )
+        r = off + local + 1
+        m = np.array([mult[s] for s in df["source"]], dtype=np.int64)
+        ordv = np.array([src_order[s] for s in df["source"]], dtype=np.int64)
+        k = r * m
+        pos = r.copy()
+        for j in range(len(others)):
+            not_self = ordv != o_ord[j]
+            lt = np.minimum(o_tot[j], (k - 1) // o_mult[j])
+            eq = ((k % o_mult[j] == 0) & (k // o_mult[j] <= o_tot[j])
+                  & (o_ord[j] < ordv)).astype(np.int64)
+            pos += np.where(not_self, np.maximum(lt, 0) + eq, 0)
+        return pd.DataFrame(
+            {
+                "pos": pos,
+                id_col: df["id"].to_numpy(),
+                source_col: df["source"].to_numpy(),
+            }
+        )
+
+    return grouped_blocks(
+        keyed, ["bucket"], emit, num_partitions, batch_format="pandas"
+    )

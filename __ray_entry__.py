@@ -1534,6 +1534,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return interleave_by_source(docs, weights)
 
+    def user_event_pivot(sf_dir):
+        """Relational PIVOT (relational.pivot_agg): per-user wide counts
+        + exact int64-cent sums per event type — per-batch wide partial
+        reduce, ONE user exchange of pre-reduced rows. Oracle =
+        conditional FILTER aggregation with the same fixed column set."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.relational import pivot_agg
+
+        ev = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        )
+        return pivot_agg(
+            ev,
+            "user_id",
+            "event_type",
+            "value",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+
     def ivf_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -2109,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "price_quantile_select": price_quantile_select,
         "source_interleave": source_interleave,
+        "user_event_pivot": user_event_pivot,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2461,6 +2482,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY vt, source) AS pos,
                    doc_id, source
             FROM keyed
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click')    AS cnt_click,
+                   COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT))
+                            FILTER (event_type = 'click'), 0)    AS sum_click_cents,
+                   COUNT(*) FILTER (event_type = 'error')    AS cnt_error,
+                   COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT))
+                            FILTER (event_type = 'error'), 0)    AS sum_error_cents,
+                   COUNT(*) FILTER (event_type = 'purchase') AS cnt_purchase,
+                   COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT))
+                            FILTER (event_type = 'purchase'), 0) AS sum_purchase_cents,
+                   COUNT(*) FILTER (event_type = 'signup')   AS cnt_signup,
+                   COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT))
+                            FILTER (event_type = 'signup'), 0)   AS sum_signup_cents,
+                   COUNT(*) FILTER (event_type = 'view')     AS cnt_view,
+                   COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT))
+                            FILTER (event_type = 'view'), 0)     AS sum_view_cents
+            FROM events
+            WHERE event_type IN ('click','error','purchase','signup','view')
+            GROUP BY user_id
         """,
         "curated_docs": r"""
             WITH scored AS (

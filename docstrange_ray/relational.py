@@ -2158,3 +2158,56 @@ WHERE EXISTS (
     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
 """
+
+
+def pivot_agg(
+    ds,
+    index_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str],
+    num_partitions: int | None = None,
+):
+    """Relational PIVOT: one output row per ``index_col`` value with a
+    count column and an exact integer-cent sum column per pivot value
+    (``cnt_<v>``, ``sum_<v>_cents``) — the wide-format feature matrix a
+    per-user / per-entity model consumes. ``pivot_values`` is the
+    EXPLICIT bounded column list: a pivot's output schema must be fixed
+    up front (SQL ``PIVOT ... IN (...)`` semantics); rows whose pivot
+    value is outside the list are ignored, absent combinations emit 0.
+
+    Scale shape: every batch pre-reduces to the wide (index x fixed
+    columns) partial, so the ONE index-key exchange carries at most
+    ``n_batches`` rows per index value, never the raw events — a
+    billion-event user ships as per-batch partial rows. Sums ride
+    int64 cents (the house float-sum discipline: order-independent,
+    oracle-exact). Returns Dataset[(index_col, cnt_*, sum_*_cents...)].
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    order = list(pivot_values)
+    cnt_cols = [f"cnt_{v}" for v in order]
+    sum_cols = [f"sum_{v}_cents" for v in order]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([index_col, pivot_col, value_col]).to_pandas()
+        df = df[df[pivot_col].isin(order)]
+        df["value_c"] = _cents(df[value_col])
+        g = df.groupby([index_col, pivot_col])["value_c"].agg(["size", "sum"])
+        wide_n = g["size"].unstack(fill_value=0).reindex(columns=order, fill_value=0)
+        wide_s = g["sum"].unstack(fill_value=0).reindex(columns=order, fill_value=0)
+        out = pd.DataFrame(index=wide_n.index)
+        for v, c, s in zip(order, cnt_cols, sum_cols):
+            out[c] = wide_n[v].astype(np.int64)
+            out[s] = wide_s[v].astype(np.int64)
+        return out.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(index_col, as_index=False)[cnt_cols + sum_cols].sum()
+
+    partials = ds.map_batches(
+        arrow_out(partial), batch_format="pyarrow", batch_size=65536
+    )
+    return grouped_blocks(
+        partials, [index_col], final, num_partitions, batch_format="pandas"
+    )

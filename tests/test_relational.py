@@ -488,3 +488,43 @@ class TestEventsFunnel:
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
         )
+
+
+class TestPivotAgg:
+    def test_pivot_matches_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.relational import pivot_agg
+
+        rng = np.random.default_rng(5)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, n),
+                "event_type": rng.choice(["a", "b", "c", "zz"], n),
+                "value": np.round(rng.uniform(0, 50, n), 2),
+            }
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+        got = (
+            pivot_agg(ds, "user_id", "event_type", "value", ["a", "b", "c"])
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        kept = df[df["event_type"].isin(["a", "b", "c"])].copy()
+        kept["c_"] = np.round(kept["value"] * 100).astype(np.int64)
+        exp = pd.DataFrame(index=sorted(kept["user_id"].unique()))
+        for v in ["a", "b", "c"]:
+            sub = kept[kept["event_type"] == v].groupby("user_id")["c_"]
+            exp[f"cnt_{v}"] = sub.size().reindex(exp.index, fill_value=0)
+            exp[f"sum_{v}_cents"] = sub.sum().reindex(exp.index, fill_value=0)
+        exp = exp.astype(np.int64).rename_axis("user_id").reset_index()
+        pd.testing.assert_frame_equal(
+            got[exp.columns].astype(exp.dtypes.to_dict()), exp
+        )
+        # 'zz' rows ignored, absent combos are 0 not NaN
+        assert got.isna().sum().sum() == 0

@@ -1554,6 +1554,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["click", "error", "purchase", "signup", "view"],
         )
 
+    def embedding_quantized(sf_dir):
+        """Symmetric per-vector int8 scalar quantization (ops/quant.py),
+        exploded to long form (vec_id, dim, code, scale) for the oracle.
+        Midpoints are reachable (dyadic ratios), so codes use the
+        half-away ROUND discipline; the oracle mirrors the EXACT IEEE
+        op order round(x / (maxabs/127)) — not x*127/maxabs, which can
+        differ in the last ulp."""
+        from docstrange_ray.ops.quant import quantize_embeddings
+
+        def explode(batch: pa.Table) -> pa.Table:
+            ids, dims, codes, scales = [], [], [], []
+            for vid, cs, sc in zip(
+                batch.column("vec_id").to_pylist(),
+                batch.column("codes").to_pylist(),
+                batch.column("scale").to_pylist(),
+            ):
+                ids.extend([vid] * len(cs))
+                dims.extend(range(1, len(cs) + 1))
+                codes.extend(cs)
+                scales.extend([sc] * len(cs))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "dim": pa.array(dims, pa.int64()),
+                    "code": pa.array([int(c) for c in codes], pa.int64()),
+                    "scale": pa.array(scales, pa.float64()),
+                }
+            )
+
+        return quantize_embeddings(read_emb(sf_dir)).map_batches(
+            explode, batch_format="pyarrow"
+        )
+
     def ivf_ann_topk(sf_dir):
         first = read_emb(sf_dir).filter(expr="vec_id < 8").take_all()
         first.sort(key=lambda r: r["vec_id"])
@@ -2130,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_select": price_quantile_select,
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
+        "embedding_quantized": embedding_quantized,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2503,6 +2537,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click','error','purchase','signup','view')
             GROUP BY user_id
+        """,
+        # embedding_quantized: scale = maxabs/127 FIRST, then round(x/scale)
+        # — the same two IEEE ops in the same order as quantize_batch
+        "embedding_quantized": """
+            WITH m AS (
+                SELECT vec_id,
+                       list_aggregate(
+                           list_transform(embedding::DOUBLE[], x -> ABS(x)),
+                           'max') / 127 AS scale
+                FROM embeddings
+            ), e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding::DOUBLE[]) AS x
+                FROM embeddings
+            )
+            SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+                   CASE WHEN m.scale = 0 THEN 0
+                        ELSE CAST(ROUND(e.x / m.scale) AS BIGINT) END AS code,
+                   m.scale AS scale
+            FROM e JOIN m USING (vec_id)
         """,
         "curated_docs": r"""
             WITH scored AS (

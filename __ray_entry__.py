@@ -1107,6 +1107,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return k_core(copurchase_path_edges(sf_dir), k=3)
 
+    def copurchase_components(sf_dir):
+        """Connected components of the co-purchase path graph via
+        alternating large-star/small-star (graph.connected_components,
+        Kiveris et al. 2014): O(log^2 n) one-exchange rounds regardless
+        of component diameter — the path-shaped graph is exactly the
+        adversarial case for plain min-label propagation. Oracle =
+        recursive-CTE min-reachable-label."""
+        from docstrange_ray.ops.graph import (
+            connected_components,
+            copurchase_path_edges,
+        )
+
+        return connected_components(copurchase_path_edges(sf_dir))
+
     def containment_pairs(sf_dir):
         """EXACT 3-gram max-containment self-join at t=0.6 via the
         asymmetric prefix filter (smaller doc probes its prefix against
@@ -2122,6 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": copurchase_triangles,
         "copurchase_reach": copurchase_reach,
         "copurchase_core": copurchase_core,
+        "copurchase_components": copurchase_components,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
@@ -2387,6 +2402,28 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.lvl < 3
             )
             SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
+        """,
+        "copurchase_components": r"""
+            WITH RECURSIVE op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), s AS (
+                SELECT ok, p,
+                       ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+                FROM op
+            ), e0 AS (
+                SELECT s1.p AS x, s2.p AS y
+                FROM s s1 JOIN s s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+            ), e AS (
+                SELECT x AS src, y AS dst FROM e0 WHERE x <> y
+                UNION
+                SELECT y AS src, x AS dst FROM e0 WHERE x <> y
+            ), reach AS (
+                SELECT src AS node, src AS lab FROM e
+                UNION
+                SELECT e.src AS node, r.lab
+                FROM reach r JOIN e ON e.dst = r.node
+            )
+            SELECT node, MIN(lab) AS component FROM reach GROUP BY node
         """,
         "token_count": r"""
             SELECT doc_id,

@@ -1257,3 +1257,146 @@ def k_core(
         )
 
     return cur_deg.map_batches(only_core, batch_format="pyarrow")
+
+
+def connected_components(edges, max_rounds: int = 50, num_partitions=None):
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — converges in O(log^2 n) rounds regardless of component
+    DIAMETER, unlike plain min-label propagation (ops/dedup.
+    dup_clusters_ds), which needs O(diameter) rounds and crawls on the
+    path-shaped graphs ``copurchase_path_edges`` produces. Each round
+    is ONE node-key exchange:
+
+      * large-star: every node u (full symmetrized neighborhood) hooks
+        each LARGER neighbor directly to ``m = min(N(u) + [u])`` —
+        flattens tall chains toward local minima;
+      * small-star: every node u (only its smaller-or-equal neighbors)
+        re-hooks them AND ITSELF to the minimum — collapses the
+        resulting shrubs into stars.
+
+    Edges are always re-emitted oriented (big, small), self-loops
+    dropped, per-group deduped; at the fixpoint the edge set IS the
+    star forest (leaf -> component-min), whose per-round output is a
+    stable multiset, detected by an order-independent md5-sum
+    signature (the dup_clusters_ds convergence idiom — no driver
+    materialization of anything but one scalar per round).
+
+    Returns Dataset[(node, component)] for every node incident to an
+    edge; ``component`` = the component's min node id. Isolated nodes
+    never appear (they have no edges) — union them in at the caller if
+    the node universe matters. Raises if ``max_rounds`` is hit
+    (components are then possibly unmerged — honesty over silence).
+    """
+    import hashlib
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def canon(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        a = df.iloc[:, 0].to_numpy(np.int64)
+        b = df.iloc[:, 1].to_numpy(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame(
+            {"big": np.maximum(a, b), "small": np.minimum(a, b)}
+        ).drop_duplicates()
+
+    cur = edges.map_batches(arrow_out(canon), batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        import ray as _ray
+
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def _sig(ds) -> int:
+        def sig_batch(batch: pa.Table) -> pa.Table:
+            total = 0
+            for x, y in zip(
+                batch.column("big").to_pylist(), batch.column("small").to_pylist()
+            ):
+                h = hashlib.md5(f"{x}\x00{y}".encode()).digest()[:8]
+                total = (total + int.from_bytes(h, "big")) & ((1 << 63) - 1)
+            return pa.Table.from_arrays(
+                [pa.array([total], pa.int64())], names=["sig"]
+            )
+
+        parts = ds.map_batches(sig_batch, batch_format="pyarrow").take_all()
+        return sum(r["sig"] for r in parts) & ((1 << 63) - 1)
+
+    def large_star(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        if not len(df):
+            return pd.DataFrame({"big": pd.Series(dtype="int64"),
+                                 "small": pd.Series(dtype="int64")})
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        m = np.minimum(df.groupby("u")["v"].transform("min").to_numpy(np.int64), u)
+        sel = v > u
+        return pd.DataFrame({"big": v[sel], "small": m[sel]}).drop_duplicates()
+
+    def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        if not len(df):
+            return pd.DataFrame({"big": pd.Series(dtype="int64"),
+                                 "small": pd.Series(dtype="int64")})
+        big = df["big"].to_numpy(np.int64)
+        small = df["small"].to_numpy(np.int64)
+        m = df.groupby("big")["small"].transform("min").to_numpy(np.int64)
+        sel = small != m  # rehook non-min smaller neighbors to the min
+        firsts = ~df["big"].duplicated().to_numpy()  # one self-attach per u
+        return pd.DataFrame(
+            {
+                "big": np.concatenate([small[sel], big[firsts]]),
+                "small": np.concatenate([m[sel], m[firsts]]),
+            }
+        ).drop_duplicates()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        big = batch.column("big").combine_chunks()
+        small = batch.column("small").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([big, small]), pa.concat_arrays([small, big])],
+            names=["u", "v"],
+        )
+
+    prev = None
+    for _ in range(max_rounds):
+        sym = cur.map_batches(symmetrize, batch_format="pyarrow")
+        after_large = grouped_blocks(
+            sym, ["u"], large_star, num_partitions, batch_format="pandas"
+        )
+        cur = grouped_blocks(
+            after_large, ["big"], small_star, num_partitions, batch_format="pandas"
+        ).materialize()
+        sig = _sig(cur)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+    def labels(batch: pa.Table) -> pa.Table:
+        big = batch.column("big")
+        small = batch.column("small")
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([big.combine_chunks(), small.combine_chunks()]),
+                pa.concat_arrays([small.combine_chunks(), small.combine_chunks()]),
+            ],
+            names=["node", "component"],
+        )
+
+    return grouped_blocks(
+        cur.map_batches(labels, batch_format="pyarrow"),
+        ["node"],
+        lambda df: df.groupby("node", as_index=False)["component"].min(),
+        num_partitions,
+        batch_format="pandas",
+    )

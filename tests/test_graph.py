@@ -327,3 +327,65 @@ class TestKCore:
 
         star = [(0, i) for i in range(1, 20)]
         assert k_core(_edge_ds(star), 2).take_all() == []
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _uf_reference(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        return {x: find(x) for x in parent}
+
+    @staticmethod
+    def _run(edges):
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.ops.graph import connected_components
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        ).repartition(5)
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(ds).take_all()
+        }
+
+    def test_long_path_graph(self, ray_session):
+        # diameter 400: plain min-label propagation would need ~400
+        # rounds; large-star/small-star collapses it in O(log^2 n)
+        edges = [(i, i + 1) for i in range(400)]
+        got = self._run(edges)
+        assert got == {i: 0 for i in range(401)}
+
+    def test_random_graph_vs_union_find(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        edges = [tuple(map(int, e)) for e in rng.integers(0, 300, (250, 2))]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert self._run(edges) == self._uf_reference(edges)
+
+    def test_two_components_and_dups(self, ray_session):
+        edges = [(1, 2), (2, 3), (2, 3), (3, 1), (10, 11), (11, 10)]
+        assert self._run(edges) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_star_already_converged(self, ray_session):
+        edges = [(0, i) for i in range(1, 50)]
+        assert self._run(edges) == {i: 0 for i in range(50)}

@@ -376,6 +376,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return global_row_number(docs, "n_chars", descending=True, tiebreak="doc_id")
 
+    def ensemble_rank(sf_dir):
+        """Reciprocal-rank fusion (ops/fusion.py, Cormack et al. 2009)
+        of three exact full-corpus rankings — length (DESC), whitespace
+        token count (DESC), md5 order (the deterministic-shuffle rank).
+        Terms are added in fixed list order (left-associated float64),
+        so the fused doubles are bit-identical to the SQL expression
+        1/(60+r0) + 1/(60+r1) + 1/(60+r2)."""
+        import hashlib as _hl
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops import textstats
+        from docstrange_ray.ops.fusion import rrf_fuse
+        from docstrange_ray.shuffle import global_row_number
+
+        docs = read_docs(sf_dir)
+
+        def sel(ds):
+            return ds.select_columns(["doc_id", "rank"])
+
+        r0 = sel(
+            global_row_number(
+                read_parquet_clean(
+                    f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+                ),
+                "n_chars",
+                descending=True,
+                tiebreak="doc_id",
+            )
+        )
+        toks = docs.map_batches(textstats.token_stats, batch_format="pyarrow")
+        r1 = sel(
+            global_row_number(
+                toks.select_columns(["doc_id", "n_ws_tokens"]),
+                "n_ws_tokens",
+                descending=True,
+                tiebreak="doc_id",
+            )
+        )
+
+        def md5key(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            h = [
+                int(_hl.md5(str(i).encode()).hexdigest()[:13], 16) for i in ids
+            ]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "h": pa.array(h, pa.int64()),
+                }
+            )
+
+        r2 = sel(
+            global_row_number(
+                docs.select_columns(["doc_id"]).map_batches(
+                    md5key, batch_format="pyarrow"
+                ),
+                "h",
+                descending=False,
+                tiebreak="doc_id",
+            )
+        )
+        return rrf_fuse([r0, r1, r2])
+
     def bm25_search(sf_dir):
         """Okapi BM25 top-20 lexical retrieval for a fixed 3-term query:
         one bounded stats pass (docs/words/df partials), then a
@@ -2179,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
         "embedding_quantized": embedding_quantized,
+        "ensemble_rank": ensemble_rank,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2433,6 +2497,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        # ensemble_rank: three exact window ranks fused by RRF with
+        # left-associated adds — 1/(60+r) is one IEEE division on both
+        # engines, so the doubles hash-match bit for bit
+        "ensemble_rank": r"""
+            WITH r0 AS (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                    ORDER BY n_chars DESC, doc_id) AS r
+                FROM documents
+            ), r1 AS (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END DESC, doc_id) AS r
+                FROM documents
+            ), r2 AS (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+                    doc_id) AS r
+                FROM documents
+            )
+            SELECT doc_id,
+                   1.0 / (60 + r0.r) + 1.0 / (60 + r1.r) + 1.0 / (60 + r2.r)
+                       AS rrf
+            FROM r0 JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
         """,
         "quality_stats": r"""
             SELECT doc_id,

@@ -439,6 +439,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rrf_fuse([r0, r1, r2])
 
+    def zorder_layout_keys(sf_dir):
+        """Z-order clustering keys (ops/zorder.py): interleave the bits
+        of (n_chars, ws-token count) into one int64 Morton key — the
+        write-layout op behind OPTIMIZE ZORDER BY; sorting output by
+        zkey makes per-file min-max stats selective on BOTH columns.
+        Both dims come from one row, so it is ONE shuffle-free scan
+        (token_stats kernel inline); oracle = SUM over bit positions."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops import textstats
+        from docstrange_ray.ops.zorder import zorder_keys
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+
+        def dims(batch: pa.Table) -> pa.Table:
+            toks = textstats.token_stats(batch)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_chars": batch.column("n_chars"),
+                    "n_ws_tokens": toks.column("n_ws_tokens"),
+                }
+            )
+
+        return zorder_keys(
+            docs.map_batches(dims, batch_format="pyarrow"),
+            ["n_chars", "n_ws_tokens"],
+            bits=21,
+        )
+
     def bm25_search(sf_dir):
         """Okapi BM25 top-20 lexical retrieval for a fixed 3-term query:
         one bounded stats pass (docs/words/df partials), then a
@@ -2243,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": user_event_pivot,
         "embedding_quantized": embedding_quantized,
         "ensemble_rank": ensemble_rank,
+        "zorder_layout_keys": zorder_layout_keys,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2522,6 +2554,24 @@ def oracle_sql() -> dict[str, str]:
                    1.0 / (60 + r0.r) + 1.0 / (60 + r1.r) + 1.0 / (60 + r2.r)
                        AS rrf
             FROM r0 JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+        """,
+        # zorder_layout_keys: Morton interleave rebuilt as a SUM over
+        # bit positions — dim j's bit i lands at position i*2 + j
+        "zorder_layout_keys": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       LEAST(GREATEST(n_chars, 0), (1::BIGINT << 21) - 1) AS a,
+                       LEAST(GREATEST(
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                           END, 0), (1::BIGINT << 21) - 1) AS b
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(SUM((((a >> i) & 1) << (i * 2))
+                          + (((b >> i) & 1) << (i * 2 + 1))) AS BIGINT) AS zkey
+            FROM t, UNNEST(range(21)) AS u(i)
+            GROUP BY doc_id
         """,
         "quality_stats": r"""
             SELECT doc_id,

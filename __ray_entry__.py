@@ -470,6 +470,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bits=21,
         )
 
+    def orders_profile(sf_dir):
+        """One-scan table profile (ops/profile.py): per-column row/null
+        counts and min/max — strings by code-point length, timestamps
+        by epoch microseconds, everything else as float64. Bounded
+        per-batch partials, coalesced final, zero shuffles."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.profile import profile_table
+
+        return profile_table(read_parquet_clean(f"{sf_dir}/orders.parquet"))
+
     def bm25_search(sf_dir):
         """Okapi BM25 top-20 lexical retrieval for a fixed 3-term query:
         one bounded stats pass (docs/words/df partials), then a
@@ -2275,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantized": embedding_quantized,
         "ensemble_rank": ensemble_rank,
         "zorder_layout_keys": zorder_layout_keys,
+        "orders_profile": orders_profile,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2572,6 +2583,33 @@ def oracle_sql() -> dict[str, str]:
                           + (((b >> i) & 1) << (i * 2 + 1))) AS BIGINT) AS zkey
             FROM t, UNNEST(range(21)) AS u(i)
             GROUP BY doc_id
+        """,
+        # orders_profile: strings by length(), timestamps by epoch_us
+        "orders_profile": """
+            SELECT 'o_custkey' AS column, COUNT(*) AS n,
+                   COUNT(*) - COUNT(o_custkey) AS n_null,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS vmin,
+                   CAST(MAX(o_custkey) AS DOUBLE) AS vmax FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+                   CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE),
+                   CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+                   CAST(MIN(o_orderkey) AS DOUBLE),
+                   CAST(MAX(o_orderkey) AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   COUNT(*) - COUNT(o_orderpriority),
+                   CAST(MIN(length(o_orderpriority)) AS DOUBLE),
+                   CAST(MAX(length(o_orderpriority)) AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+                   CAST(MIN(length(o_orderstatus)) AS DOUBLE),
+                   CAST(MAX(length(o_orderstatus)) AS DOUBLE) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+                   MIN(o_totalprice), MAX(o_totalprice) FROM orders
         """,
         "quality_stats": r"""
             SELECT doc_id,

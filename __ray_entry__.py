@@ -470,6 +470,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bits=21,
         )
 
+    def frequent_part_triples(sf_dir):
+        """Distributed A-Priori 3-itemset mining (ops/itemsets.py) over
+        order baskets: one basket co-location exchange reused by every
+        level, then level-wise counting passes with broadcast candidate
+        prunes (a triple is counted only when all three member pairs
+        are frequent). Oracle = the brute all-triples self-join — a
+        different algorithm agreeing on the exact support table."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.itemsets import frequent_triples
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        return frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
+
     def orders_profile(sf_dir):
         """One-scan table profile (ops/profile.py): per-column row/null
         counts and min/max — strings by code-point length, timestamps
@@ -2286,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ensemble_rank": ensemble_rank,
         "zorder_layout_keys": zorder_layout_keys,
         "orders_profile": orders_profile,
+        "frequent_part_triples": frequent_part_triples,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2610,6 +2626,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
                    MIN(o_totalprice), MAX(o_totalprice) FROM orders
+        """,
+        "frequent_part_triples": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            )
+            SELECT b1.p AS p1, b2.p AS p2, b3.p AS p3,
+                   COUNT(*) AS support
+            FROM b b1
+            JOIN b b2 ON b1.ok = b2.ok AND b2.p > b1.p
+            JOIN b b3 ON b1.ok = b3.ok AND b3.p > b2.p
+            GROUP BY b1.p, b2.p, b3.p
+            HAVING COUNT(*) >= 2
         """,
         "quality_stats": r"""
             SELECT doc_id,

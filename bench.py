@@ -150,6 +150,7 @@ OP_GROUPS: list[list[str]] = [
         "unigram_vocab",
         "wp_merges",
         "jsonl_roundtrip",
+        "source_interleave",
     ],
     [
         "exact_dedup",
@@ -164,6 +165,7 @@ OP_GROUPS: list[list[str]] = [
         "pair_edit_distance",
         "dup_positions_exact",
         "streaming_dedup_pairs",
+        "image_near_dups",
     ],
     [
         "pack_offsets",
@@ -178,6 +180,7 @@ OP_GROUPS: list[list[str]] = [
         "embedding_decontam",
         "knn_classify",
         "pca_project",
+        "price_quantile_select",
     ],
     [
         "q1_pricing",
@@ -194,6 +197,8 @@ OP_GROUPS: list[list[str]] = [
         "knn_classify_ivf",
         "copurchase_triangles",
         "copurchase_reach",
+        "copurchase_components",
+        "frequent_part_triples",
     ],
 ]
 

@@ -470,6 +470,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bits=21,
         )
 
+    def price_winsorized(sf_dir):
+        """Winsorization at exact global quantiles (rankstats.winsorize):
+        clip o_totalprice to [p01, p99] found by scan-only radix
+        selection — the robust-stats pretreatment, zero shuffles."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import winsorize
+
+        orders = read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        return winsorize(orders, "o_totalprice", lower=(1, 100), upper=(99, 100))
+
     def frequent_part_triples(sf_dir):
         """Distributed A-Priori 3-itemset mining (ops/itemsets.py) over
         order baskets: one basket co-location exchange reused by every
@@ -2302,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_keys": zorder_layout_keys,
         "orders_profile": orders_profile,
         "frequent_part_triples": frequent_part_triples,
+        "price_winsorized": price_winsorized,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2638,6 +2651,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN b b3 ON b1.ok = b3.ok AND b3.p > b2.p
             GROUP BY b1.p, b2.p, b3.p
             HAVING COUNT(*) >= 2
+        """,
+        "price_winsorized": """
+            SELECT o_orderkey, o_totalprice,
+                   LEAST(GREATEST(o_totalprice,
+                       (SELECT quantile_disc(o_totalprice, 0.01) FROM orders)),
+                       (SELECT quantile_disc(o_totalprice, 0.99) FROM orders))
+                       AS o_totalprice_w
+            FROM orders
         """,
         "quality_stats": r"""
             SELECT doc_id,

@@ -434,3 +434,44 @@ def select_quantiles(
             ],
         }
     )
+
+
+def winsorize(
+    ds,
+    value_col: str,
+    lower=(1, 100),
+    upper=(99, 100),
+    float_domain: bool = True,
+    num_partitions: int | None = None,
+):
+    """Winsorize a numeric column at exact global quantiles: values are
+    clipped to [q_lower, q_upper] computed by :func:`select_quantiles`
+    (scan-only radix selection — no shuffle), then one clip scan emits
+    the bounded column. The standard robust-stats pretreatment before
+    means/regressions on heavy-tailed data (prices, durations); SQL
+    equivalent: LEAST(GREATEST(x, q_lo), q_hi).
+
+    Returns Dataset[input columns + <value_col>_w] (clipped copy; the
+    raw column is preserved for auditability)."""
+    import pyarrow.compute as pc
+
+    q = select_quantiles(
+        ds,
+        value_col,
+        quantiles=(lower, upper),
+        float_domain=float_domain,
+        num_partitions=num_partitions,
+    )
+    lo, hi = float(q["value"].iloc[0]), float(q["value"].iloc[1])
+    if not float_domain:
+        lo, hi = int(lo), int(hi)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(col, pa.scalar(lo, col.type)),
+            pa.scalar(hi, col.type),
+        )
+        return batch.append_column(f"{value_col}_w", clipped)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -104,3 +104,35 @@ class TestSelectQuantiles:
     def test_empty(self, ray_session):
         ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
         assert len(select_quantiles(ds, "v", QS)) == 0
+
+
+class TestWinsorize:
+    def test_clip_matches_reference(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from docstrange_ray.ops.rankstats import winsorize
+
+        vals = np.random.default_rng(13).normal(0, 100, 1500)
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(6)
+        got = (
+            winsorize(ds, "v", lower=(5, 100), upper=(95, 100))
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals}))
+        exp = (
+            con.execute(
+                """SELECT v, LEAST(GREATEST(v,
+                       (SELECT quantile_disc(v, 0.05) FROM t)),
+                       (SELECT quantile_disc(v, 0.95) FROM t)) AS v_w
+                   FROM t ORDER BY v"""
+            )
+            .fetchdf()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["v", "v_w"]], exp)
+        assert got["v_w"].min() > got["v"].min()
+        assert got["v_w"].max() < got["v"].max()

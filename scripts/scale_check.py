@@ -84,7 +84,7 @@ def synth_baskets(n: int):
 def timed(name, n, fn):
     t0 = time.time()
     out = fn()
-    cnt = out.count() if hasattr(out, "count") else len(out)
+    cnt = out.count() if hasattr(out, "schema") else len(out)  # Dataset vs DataFrame
     el = time.time() - t0
     print(f"{name} n={n}: {el:.1f}s rows_out={cnt} us/row={1e6*el/n:.2f}",
           flush=True)

@@ -4762,20 +4762,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT UNNEST(range((SELECT n FROM nn))) AS i
             )
             SELECT 'media://real/' || i AS media_ref,
-                   CASE i % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-                              WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg'
+                   CASE i % 8 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                              WHEN 2 THEN 'audio/wav'
+                              WHEN 5 THEN 'image/bmp'
+                              WHEN 6 THEN 'image/tiff'
+                              WHEN 7 THEN 'image/webp'
+                              ELSE 'image/jpeg'
                    END AS mime,
-                   CASE i % 5 WHEN 0 THEN 16 + (i % 5) * 8
+                   CASE i % 8 WHEN 0 THEN 16 + (i % 5) * 8
                               WHEN 1 THEN 8 + (i % 4) * 4
                               WHEN 2 THEN -1
+                              WHEN 5 THEN 12 + (i % 4) * 4
+                              WHEN 6 THEN 14 + (i % 3) * 6
+                              WHEN 7 THEN 20 + (i % 5) * 10
                               ELSE 32 + (i % 3) * 16 END AS width,
-                   CASE i % 5 WHEN 0 THEN 16 + (i % 3) * 8
+                   CASE i % 8 WHEN 0 THEN 16 + (i % 3) * 8
                               WHEN 1 THEN 8 + (i % 2) * 4
                               WHEN 2 THEN -1
+                              WHEN 5 THEN 10 + (i % 3) * 4
+                              WHEN 6 THEN 9 + (i % 4) * 3
+                              WHEN 7 THEN 15 + (i % 2) * 5
                               ELSE 24 + (i % 2) * 8 END AS height,
-                   CASE i % 5 WHEN 2 THEN 1 ELSE -1 END AS channels,
-                   CASE i % 5 WHEN 2 THEN 8000 ELSE -1 END AS sample_rate,
-                   CASE i % 5 WHEN 2 THEN 50 + (i % 5) * 25 ELSE -1 END
+                   CASE i % 8 WHEN 2 THEN 1 ELSE -1 END AS channels,
+                   CASE i % 8 WHEN 2 THEN 8000 ELSE -1 END AS sample_rate,
+                   CASE i % 8 WHEN 2 THEN 50 + (i % 5) * 25 ELSE -1 END
                        AS duration_ms
             FROM idx
         """,

@@ -98,6 +98,42 @@ def sniff_media(data: bytes) -> dict:
                 return out
             i += 2 + seg_len
         return out
+    # TIFF: II*\0 (LE) / MM\0* (BE); walk IFD0 for tags 256/257
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        out["mime"] = "image/tiff"
+        end = "<" if data[:2] == b"II" else ">"
+        try:
+            (ifd_off,) = struct.unpack(end + "I", data[4:8])
+            (n_entries,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+            for e in range(n_entries):
+                o = ifd_off + 2 + e * 12
+                tag, typ = struct.unpack(end + "HH", data[o : o + 4])
+                if tag in (256, 257):
+                    if typ == 3:  # SHORT: value in the first 2 bytes
+                        (val,) = struct.unpack(end + "H", data[o + 8 : o + 10])
+                    elif typ == 4:  # LONG
+                        (val,) = struct.unpack(end + "I", data[o + 8 : o + 12])
+                    else:
+                        continue
+                    out["width" if tag == 256 else "height"] = val
+        except struct.error:
+            pass
+        return out
+    # WebP: RIFF/WEBP with VP8X (canvas), VP8 (lossy) or VP8L (lossless)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        out["mime"] = "image/webp"
+        four = data[12:16]
+        if four == b"VP8X" and len(data) >= 30:
+            out["width"] = 1 + int.from_bytes(data[24:27], "little")
+            out["height"] = 1 + int.from_bytes(data[27:30], "little")
+        elif four == b"VP8 " and len(data) >= 30 and data[23:26] == b"\x9d\x01\x2a":
+            out["width"] = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+            out["height"] = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+        elif four == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            out["width"] = 1 + (bits & 0x3FFF)
+            out["height"] = 1 + ((bits >> 14) & 0x3FFF)
+        return out
     # WAV: RIFF/WAVE with an fmt chunk
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         out["mime"] = "audio/wav"
@@ -781,3 +817,110 @@ def decode_wav(data: bytes):
         payload, dtype="<i2", count=frames * channels
     ).reshape(frames, channels)
     return samples, sample_rate
+
+
+@_normalize_parse_errors
+def decode_bmp_gray(data: bytes):
+    """REAL BMP decode -> grayscale ``numpy (h, w) uint8``: uncompressed
+    BITMAPINFOHEADER payloads, 24-bit BGR and 8-bit grayscale-palette,
+    bottom-up (positive height) and top-down (negative) row orders,
+    4-byte row padding. Color converts via the same luma weights as
+    ``decode_png`` so mixed-format corpora hash consistently."""
+    import struct as _struct
+
+    import numpy as np
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    (pix_off,) = _struct.unpack("<I", data[10:14])
+    hdr_size, width, height = _struct.unpack("<Iii", data[14:26])
+    planes, bpp, compression = _struct.unpack("<HHI", data[26:34])
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    nch = bpp // 8
+    stride = (width * nch + 3) // 4 * 4
+    need = pix_off + stride * height
+    if len(data) < need:
+        raise ValueError("truncated BMP data")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=pix_off
+    ).reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # assume the standard grayscale palette (index == intensity);
+        # exotic palettes would need the color table at offset 54
+        return rows[:, :width].copy()
+    px = rows[:, : width * 3].reshape(height, width, 3)  # B, G, R order
+    luma = 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
+    return np.round(luma).astype(np.uint8)
+
+
+@_normalize_parse_errors
+def decode_tiff_gray(data: bytes):
+    """REAL TIFF decode -> grayscale ``numpy (h, w) uint8``: baseline
+    uncompressed 8-bit grayscale (PhotometricInterpretation 1,
+    Compression 1), single or multi strip, both endiannesses — the
+    layout ``synth_files.make_tiff_gray`` writes and the common
+    scanner-output shape. Anything fancier raises (honest gate)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    end = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = _struct.unpack(end + "I", data[4:8])
+    (n_entries,) = _struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        o = ifd_off + 2 + e * 12
+        tag, typ, cnt = _struct.unpack(end + "HHI", data[o : o + 8])
+        if typ == 3:
+            if cnt == 1:
+                vals = [_struct.unpack(end + "H", data[o + 8 : o + 10])[0]]
+            else:
+                (voff,) = _struct.unpack(end + "I", data[o + 8 : o + 12])
+                vals = [
+                    _struct.unpack(end + "H", data[voff + 2 * j : voff + 2 * j + 2])[0]
+                    for j in range(cnt)
+                ]
+        elif typ == 4:
+            if cnt == 1:
+                vals = [_struct.unpack(end + "I", data[o + 8 : o + 12])[0]]
+            else:
+                (voff,) = _struct.unpack(end + "I", data[o + 8 : o + 12])
+                vals = [
+                    _struct.unpack(end + "I", data[voff + 4 * j : voff + 4 * j + 4])[0]
+                    for j in range(cnt)
+                ]
+        else:
+            continue
+        tags[tag] = vals
+    width = tags.get(256, [0])[0]
+    height = tags.get(257, [0])[0]
+    bits = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not (width and height and offsets and counts):
+        raise ValueError("TIFF missing required baseline tags")
+    if bits != 8 or comp != 1 or spp != 1:
+        raise ValueError(f"unsupported TIFF (bits={bits}, comp={comp}, spp={spp})")
+    buf = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if len(data) < off + cnt:
+            raise ValueError("truncated TIFF strip")
+        buf += data[off : off + cnt]
+    if len(buf) < width * height:
+        raise ValueError("TIFF strips shorter than image")
+    return (
+        np.frombuffer(bytes(buf), dtype=np.uint8, count=width * height)
+        .reshape(height, width)
+        .copy()
+    )

@@ -114,6 +114,20 @@ class ImageDecodeActor:
                 return decode_gif_frames(payload, max_frames=1)[0]  # REAL pixels
             except ValueError:
                 pass
+        if self.backend == "auto" and payload[:2] == b"BM":
+            from docstrange_ray.ops.media_meta import decode_bmp_gray
+
+            try:
+                return decode_bmp_gray(payload)  # REAL pixels
+            except ValueError:
+                pass  # RLE/16-bit/palette exotica: deterministic fake
+        if self.backend == "auto" and payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from docstrange_ray.ops.media_meta import decode_tiff_gray
+
+            try:
+                return decode_tiff_gray(payload)  # REAL pixels
+            except ValueError:
+                pass  # compressed/multi-sample TIFF: deterministic fake
         return self._decode_fake(payload, max(1, w), max(1, h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

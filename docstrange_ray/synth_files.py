@@ -906,17 +906,18 @@ FIXTURE_VERSION = 4
 
 
 def real_media_table(n: int = 60):
-    """Deterministic media table of REAL bytes — valid PNGs/GIFs/WAVs
-    plus fully decodable baseline JPEGs (and one header-only JPEG per
-    cycle to exercise the metadata-without-scan path) — for the
-    real-metadata and real-decode paths (`ops/media_meta`). Columns
+    """Deterministic media table of REAL bytes — valid PNGs/GIFs/WAVs/
+    BMPs/TIFFs (both endiannesses)/WebP-VP8X containers plus fully
+    decodable baseline JPEGs (and one header-only JPEG per cycle to
+    exercise the metadata-without-scan path) — for the real-metadata
+    and real-decode paths (`ops/media_meta`). Columns
     (media_ref, payload)."""
     import numpy as np
     import pyarrow as pa
 
     refs, payloads = [], []
     for i in range(n):
-        kind = i % 5
+        kind = i % 8
         if kind == 0:
             data = make_png(16 + (i % 5) * 8, 16 + (i % 3) * 8, shade=(i * 37) % 256)
         elif kind == 1:
@@ -929,8 +930,18 @@ def real_media_table(n: int = 60):
                 np.add.outer(np.arange(h) * (2 + i % 3), np.arange(w)) + i * 11
             ) % 256
             data = make_jpeg(img.astype(np.uint8))
-        else:
+        elif kind == 4:
             data = make_jpeg_header(32 + (i % 3) * 16, 24 + (i % 2) * 8)
+        elif kind == 5:
+            w, h = 12 + (i % 4) * 4, 10 + (i % 3) * 4
+            img = (np.add.outer(np.arange(h) * 5, np.arange(w) * 3) + i) % 256
+            data = make_bmp_gray(img.astype(np.uint8))
+        elif kind == 6:
+            w, h = 14 + (i % 3) * 6, 9 + (i % 4) * 3
+            img = (np.add.outer(np.arange(h) * 7, np.arange(w) * 2) + i) % 256
+            data = make_tiff_gray(img.astype(np.uint8), big_endian=(i % 16 == 6))
+        else:
+            data = make_webp_vp8x(20 + (i % 5) * 10, 15 + (i % 2) * 5)
         refs.append(f"media://real/{i}")
         payloads.append(data)
     return pa.Table.from_arrays(
@@ -1176,3 +1187,82 @@ def make_wav_tone(
         w.setframerate(sample_rate)
         w.writeframes(bytes(frames))
     return buf.getvalue()
+
+
+def make_bmp_gray(pixels) -> bytes:
+    """24-bit uncompressed BMP from a grayscale (h, w) uint8 array
+    (equal B=G=R channels, bottom-up rows, 4-byte padding) — the
+    pixel-level sibling of ``make_bmp`` for decode round-trips."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(px, 3, axis=1)  # B = G = R = gray
+    pixel_data = rows[::-1].tobytes()  # bottom-up
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(pixel_data), 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+        )
+        + pixel_data
+    )
+
+
+def make_tiff_gray(pixels, big_endian: bool = False) -> bytes:
+    """Baseline uncompressed 8-bit grayscale TIFF (single strip,
+    PhotometricInterpretation=1) from a (h, w) uint8 array — the layout
+    ``ops.media_meta.decode_tiff_gray`` reads back."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    end = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    entries = [
+        (256, 4, 1, w),            # ImageWidth
+        (257, 4, 1, h),            # ImageLength
+        (258, 3, 1, 8),            # BitsPerSample
+        (259, 3, 1, 1),            # Compression: none
+        (262, 3, 1, 1),            # Photometric: BlackIsZero
+        (273, 4, 1, data_off),     # StripOffsets
+        (277, 3, 1, 1),            # SamplesPerPixel
+        (278, 4, 1, h),            # RowsPerStrip
+        (279, 4, 1, w * h),        # StripByteCounts
+    ]
+    out = bytearray(magic + struct.pack(end + "I", ifd_off))
+    out += struct.pack(end + "H", n_entries)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(end + "HHI", tag, typ, cnt)
+        if typ == 3:  # SHORT is left-justified in the 4-byte value field
+            out += struct.pack(end + "H", val) + b"\x00\x00"
+        else:
+            out += struct.pack(end + "I", val)
+    out += struct.pack(end + "I", 0)  # next-IFD terminator
+    out += px.tobytes()
+    return bytes(out)
+
+
+def make_webp_vp8x(width: int, height: int) -> bytes:
+    """Minimal VALID WebP container with a VP8X chunk carrying the
+    canvas size. The inner image chunk is a placeholder (sniff-only —
+    a real VP8 bitstream encoder is out of scope; the HEADER path is
+    what ``sniff_media`` reads, and this is a structurally valid
+    extended-format file)."""
+    import struct
+
+    vp8x = b"\x00\x00\x00\x00"  # flags + reserved
+    vp8x += (width - 1).to_bytes(3, "little") + (height - 1).to_bytes(3, "little")
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    riff_len = 4 + len(chunks)
+    return b"RIFF" + struct.pack("<I", riff_len) + b"WEBP" + chunks

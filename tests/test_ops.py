@@ -884,7 +884,15 @@ class TestMediaMetadata:
         out = media_metadata(ray.data.from_arrow(real_media_table(40))).take_all()
         assert len(out) == 40
         mimes = {r["mime"] for r in out}
-        assert mimes == {"image/png", "image/gif", "audio/wav", "image/jpeg"}
+        assert mimes == {
+            "image/png",
+            "image/gif",
+            "audio/wav",
+            "image/jpeg",
+            "image/bmp",
+            "image/tiff",
+            "image/webp",
+        }
         for r in out:
             if r["mime"].startswith("image"):
                 assert r["width"] > 0 and r["height"] > 0
@@ -973,14 +981,14 @@ class TestPngDecode:
             r["media_ref"]: r
             for r in mm.decode_features(ds, concurrency=(1, 2), backend="auto").take_all()
         }
-        # PNG entries (i % 5 == 0) decode for REAL: constant-shade image
+        # PNG entries (i % 8 == 0) decode for REAL: constant-shade image
         # -> mean_intensity equals the shade exactly
-        for i in range(0, 20, 5):
+        for i in range(0, 20, 8):
             shade = (i * 37) % 256
             assert out[f"media://real/{i}"]["mean_intensity"] == float(shade)
-        # JPEG entries (i % 5 == 3) decode for REAL too: the gradient
+        # JPEG entries (i % 8 == 3) decode for REAL too: the gradient
         # payload's mean intensity lands within DCT rounding of truth
-        for i in range(3, 20, 5):
+        for i in range(3, 20, 8):
             w, h = 32 + (i % 3) * 16, 24 + (i % 2) * 8
             img = (
                 np.add.outer(np.arange(h) * (2 + i % 3), np.arange(w)) + i * 11
@@ -4107,3 +4115,124 @@ class TestBoilerplateLines:
             for r in strip_boilerplate_lines(ds, min_df=5).take_all()
         }
         assert got == {0: 0, 1: 0}
+
+
+class TestBmpTiffWebp:
+    """Session-14 format parity: BMP/TIFF real decode round-trips,
+    TIFF/WebP header sniffing (both endiannesses, all VP8 flavors)."""
+
+    def test_bmp_gray_roundtrip(self):
+        from docstrange_ray.ops.media_meta import decode_bmp_gray
+        from docstrange_ray.synth_files import make_bmp_gray
+
+        px = (np.add.outer(np.arange(13) * 5, np.arange(17) * 3) % 256).astype(
+            np.uint8
+        )  # odd width: exercises 4-byte row padding
+        assert (decode_bmp_gray(make_bmp_gray(px)) == px).all()
+
+    def test_bmp_legacy_writer_decodes(self):
+        from docstrange_ray.ops.media_meta import decode_bmp_gray
+        from docstrange_ray.synth_files import make_bmp
+
+        img = decode_bmp_gray(make_bmp(10, 6, shade=77))
+        assert img.shape == (6, 10) and (img == 77).all()
+
+    def test_bmp_malformed_raises_valueerror(self):
+        import pytest
+
+        from docstrange_ray.ops.media_meta import decode_bmp_gray
+
+        from docstrange_ray.synth_files import make_bmp_gray
+
+        good = make_bmp_gray(np.zeros((8, 8), dtype=np.uint8))
+        for bad in [b"BMxx", good[:30], good[:60]]:
+            with pytest.raises(ValueError):
+                decode_bmp_gray(bad)
+
+    def test_tiff_gray_roundtrip_both_endian(self):
+        from docstrange_ray.ops.media_meta import decode_tiff_gray, sniff_media
+        from docstrange_ray.synth_files import make_tiff_gray
+
+        px = (np.add.outer(np.arange(9) * 7, np.arange(14) * 2) % 256).astype(
+            np.uint8
+        )
+        for be in (False, True):
+            data = make_tiff_gray(px, big_endian=be)
+            assert (decode_tiff_gray(data) == px).all(), be
+            meta = sniff_media(data)
+            assert (meta["mime"], meta["width"], meta["height"]) == (
+                "image/tiff", 14, 9,
+            ), be
+
+    def test_webp_sniff_vp8x(self):
+        from docstrange_ray.ops.media_meta import sniff_media
+        from docstrange_ray.synth_files import make_webp_vp8x
+
+        meta = sniff_media(make_webp_vp8x(300, 200))
+        assert (meta["mime"], meta["width"], meta["height"]) == (
+            "image/webp", 300, 200,
+        )
+
+    def test_webp_sniff_vp8_lossy_and_lossless(self):
+        import struct
+
+        from docstrange_ray.ops.media_meta import sniff_media
+
+        # hand-built VP8 (lossy) chunk header: frame tag + start code + dims
+        payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+        vp8 = b"VP8 " + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
+        meta = sniff_media(data)
+        assert (meta["mime"], meta["width"], meta["height"]) == (
+            "image/webp", 640, 480,
+        )
+        # VP8L (lossless): signature 0x2F then packed 14-bit dims-1
+        bits = (127 - 1) | ((63 - 1) << 14)
+        payload = bytes([0x2F]) + struct.pack("<I", bits)
+        vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+        meta = sniff_media(data)
+        assert (meta["mime"], meta["width"], meta["height"]) == (
+            "image/webp", 127, 63,
+        )
+
+    def test_tiff_malformed_raises_valueerror(self):
+        import pytest
+
+        from docstrange_ray.ops.media_meta import decode_tiff_gray
+        from docstrange_ray.synth_files import make_tiff_gray
+
+        good = make_tiff_gray(np.zeros((4, 4), dtype=np.uint8))
+        for bad in [b"II*\x00", good[:20], good[: len(good) - 5]]:
+            with pytest.raises(ValueError):
+                decode_tiff_gray(bad)
+
+
+class TestAutoBackendBmpTiff:
+    @pytest.mark.usefixtures("ray_session")
+    def test_bmp_and_tiff_decode_real(self):
+        import ray.data
+
+        from docstrange_ray.ops import multimodal as mm
+        from docstrange_ray.synth_files import make_bmp_gray, make_tiff_gray
+
+        px = (np.add.outer(np.arange(12) * 3, np.arange(16) * 5) % 256).astype(
+            np.uint8
+        )
+        tbl = pa.table(
+            {
+                "media_ref": pa.array(["m://bmp", "m://tiff"]),
+                "payload": pa.array(
+                    [make_bmp_gray(px), make_tiff_gray(px)], pa.binary()
+                ),
+            }
+        )
+        out = {
+            r["media_ref"]: r
+            for r in mm.decode_features(
+                ray.data.from_arrow(tbl), concurrency=(1, 2), backend="auto"
+            ).take_all()
+        }
+        exp = float(np.round(px.mean(), 6))
+        for ref in ("m://bmp", "m://tiff"):
+            assert abs(out[ref]["mean_intensity"] - exp) < 1e-9, ref

@@ -80,17 +80,20 @@ def image_dhash_table(
     rows: int = 8,
     cols: int = 8,
 ):
-    """(id, dhash, ok) per image — shuffle-free scan. Decode failures
-    (non-PNG, truncated, unsupported layout) take the sentinel path
-    instead of killing the task (the round-4 error-normalization
-    contract: decode_png raises ValueError for every parse failure)."""
-    from docstrange_ray.ops.media_meta import decode_png
+    """(id, dhash, ok) per image — shuffle-free scan over the
+    magic-dispatch decoder (PNG/JPEG/GIF/BMP/TIFF), so a re-encoded
+    copy of the same pixels hashes identically ACROSS CONTAINERS —
+    cross-format near-dup detection, the case byte-level dedup can
+    never see. Decode failures (unknown container, truncated,
+    unsupported layout) take the sentinel path instead of killing the
+    task (the round-4 error-normalization contract)."""
+    from docstrange_ray.ops.media_meta import decode_image_gray
 
     def batch_hash(batch: pa.Table) -> pa.Table:
         hashes, oks = [], []
         for payload in batch.column(payload_col).to_pylist():
             try:
-                img = decode_png(payload)
+                img = decode_image_gray(payload)
                 hashes.append(dhash_gray(np.asarray(img), rows, cols))
                 oks.append(True)
             except ValueError:

@@ -924,3 +924,24 @@ def decode_tiff_gray(data: bytes):
         .reshape(height, width)
         .copy()
     )
+
+
+@_normalize_parse_errors
+def decode_image_gray(data: bytes):
+    """Magic-dispatch REAL image decode -> grayscale (h, w) uint8:
+    PNG / baseline JPEG / GIF (first frame) / BMP / baseline TIFF.
+    One entry point so format-agnostic consumers (perceptual dedup,
+    feature extraction) treat a re-encoded copy of the same pixels
+    identically regardless of container. Raises ValueError for
+    non-image or unsupported payloads (the normalization contract)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames(data, max_frames=1)[0]
+    if data[:2] == b"BM":
+        return decode_bmp_gray(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_gray(data)
+    raise ValueError("unrecognized image container")

@@ -117,3 +117,31 @@ class TestImageDedup:
         # every planted brightened-cell copy is found
         planted = {(i - 1, i) for i in range(9, 80, 10)}
         assert planted <= {(a, b) for a, b, _ in got}
+
+
+class TestCrossFormat:
+    def test_same_pixels_hash_identically_across_containers(self, ray_session):
+        """The dedup case byte-level hashing can never see: one image
+        stored as PNG, BMP and TIFF (lossless containers) produces ONE
+        dhash and pairs at hamming 0."""
+        from docstrange_ray.synth_files import make_bmp_gray, make_tiff_gray
+
+        px = _fixture_pixels(3)
+        ds = ray.data.from_items(
+            [
+                {"img_id": 0, "payload": make_png_gray(px)},
+                {"img_id": 1, "payload": make_bmp_gray(px)},
+                {"img_id": 2, "payload": make_tiff_gray(px)},
+                {"img_id": 3, "payload": make_png_gray(_fixture_pixels(40))},
+            ]
+        )
+        hs = {
+            r["img_id"]: r["dhash"]
+            for r in image_dhash_table(ds, id_col="img_id").take_all()
+        }
+        assert hs[0] == hs[1] == hs[2] != hs[3]
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in image_near_dup_pairs(ds, max_hamming=0, id_col="img_id").take_all()
+        }
+        assert pairs == {(0, 1), (0, 2), (1, 2)}

@@ -497,6 +497,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
 
+    def cooccurrence_pairs(sf_dir):
+        """Windowed word co-occurrence top-200 (textstats.
+        cooccurrence_topk): the word2vec/GloVe prep stage — vectorized
+        shifted-array pair stream, per-batch distinct-pair pre-reduce,
+        ONE pair exchange, coalesced top-k final."""
+        return textstats.cooccurrence_topk(read_docs(sf_dir), window=5, k=200)
+
     def orders_profile(sf_dir):
         """One-scan table profile (ops/profile.py): per-column row/null
         counts and min/max — strings by code-point length, timestamps
@@ -2315,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": orders_profile,
         "frequent_part_triples": frequent_part_triples,
         "price_winsorized": price_winsorized,
+        "cooccurrence_pairs": cooccurrence_pairs,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2659,6 +2667,25 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT quantile_disc(o_totalprice, 0.99) FROM orders))
                        AS o_totalprice_w
             FROM orders
+        """,
+        "cooccurrence_pairs": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS i
+                FROM docs
+            )
+            SELECT LEAST(p1.w, p2.w) AS w1, GREATEST(p1.w, p2.w) AS w2,
+                   COUNT(*)::BIGINT AS n
+            FROM pos p1 JOIN pos p2
+              ON p1.doc_id = p2.doc_id AND p2.i > p1.i AND p2.i <= p1.i + 5
+            GROUP BY 1, 2
+            ORDER BY n DESC, w1, w2
+            LIMIT 200
         """,
         "quality_stats": r"""
             SELECT doc_id,

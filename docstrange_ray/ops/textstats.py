@@ -1399,3 +1399,83 @@ def compression_stats(ds, level: int = 6, num_partitions=None):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def cooccurrence_topk(
+    ds, window: int = 5, k: int = 200, num_partitions: int | None = None
+):
+    """Corpus-wide windowed word CO-OCCURRENCE counts, top-k — the
+    word2vec/GloVe preprocessing stage, and at 100 TB the single
+    heaviest text shuffle there is (every token emits up to ``window``
+    pairs). The plan is the ``top_ngrams`` partial-reduce shape:
+
+      * per batch, the pair stream is built VECTORIZED — one flat word
+        array with doc-boundary masks, shifted against itself for each
+        distance d in [1, window] (no Python loop over positions), and
+        value-counted locally so each batch ships one row per DISTINCT
+        pair, never one per occurrence;
+      * pairs are UNORDERED: (a, b) canonicalized lexicographically
+        (numpy elementwise min/max on the string arrays), matching the
+        symmetric co-occurrence matrix both embedding recipes use;
+      * ONE pair-key exchange sums partials; global top-k closes with
+        block-local candidates + a coalesced final (ties break on
+        (w1, w2) ascending — deterministic at any parallelism).
+
+    Returns Dataset[(w1, w2, n)] with w1 <= w2.
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        words_per_doc = [(t or "").lower().split() for t in texts]
+        flat = [w for ws in words_per_doc for w in ws]
+        if not flat:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype=object),
+                    "w2": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        words = np.asarray(flat, dtype=object)
+        doc_ids = np.repeat(
+            np.arange(len(words_per_doc)), [len(ws) for ws in words_per_doc]
+        )
+        a_parts, b_parts = [], []
+        for d in range(1, window + 1):
+            if d >= len(words):
+                break
+            same = doc_ids[:-d] == doc_ids[d:]
+            x, y = words[:-d][same], words[d:][same]
+            a_parts.append(np.minimum(x, y))
+            b_parts.append(np.maximum(x, y))
+        if not a_parts:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype=object),
+                    "w2": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = pd.DataFrame(
+            {"w1": np.concatenate(a_parts), "w2": np.concatenate(b_parts)}
+        )
+        out = df.groupby(["w1", "w2"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = grouped_blocks(
+        ds.map_batches(arrow_out(partial), batch_format="pyarrow", batch_size=65536),
+        ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False)["n"].sum(),
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True]
+        ).head(k)
+
+    return coalesced_blocks(
+        counts.map_batches(arrow_out(local_topk), batch_format="pandas"), local_topk
+    )

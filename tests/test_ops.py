@@ -4236,3 +4236,50 @@ class TestAutoBackendBmpTiff:
         exp = float(np.round(px.mean(), 6))
         for ref in ("m://bmp", "m://tiff"):
             assert abs(out[ref]["mean_intensity"] - exp) < 1e-9, ref
+
+
+class TestCooccurrence:
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_brute(self):
+        import itertools as it
+
+        import ray.data
+
+        from docstrange_ray.ops.textstats import cooccurrence_topk
+
+        texts = [
+            "a b c a b",
+            "b b b",
+            "x y z x y z x",
+            "solo",
+            "",
+        ] * 8
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(4)
+        from collections import Counter
+
+        brute = Counter()
+        for t in texts:
+            ws = t.lower().split()
+            for i, j in it.combinations(range(len(ws)), 2):
+                if j - i <= 3:
+                    brute[tuple(sorted((ws[i], ws[j])))] += 1
+        got = {
+            (r["w1"], r["w2"]): r["n"]
+            for r in cooccurrence_topk(ds, window=3, k=1000).take_all()
+        }
+        assert got == dict(brute)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_topk_deterministic_ties(self):
+        import ray.data
+
+        from docstrange_ray.ops.textstats import cooccurrence_topk
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "p q r s t u"}])
+        rows = cooccurrence_topk(ds, window=1, k=3).take_all()
+        # all pairs have n=1: tie-break is (w1, w2) ascending
+        assert [(r["w1"], r["w2"]) for r in rows] == [
+            ("p", "q"), ("q", "r"), ("r", "s"),
+        ]

@@ -383,8 +383,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         Terms are added in fixed list order (left-associated float64),
         so the fused doubles are bit-identical to the SQL expression
         1/(60+r0) + 1/(60+r1) + 1/(60+r2)."""
-        import hashlib as _hl
-
         from docstrange_ray.io import read_parquet_clean
         from docstrange_ray.ops import textstats
         from docstrange_ray.ops.fusion import rrf_fuse
@@ -416,14 +414,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         def md5key(batch: pa.Table) -> pa.Table:
+            from docstrange_ray.numerics import md5_key52
+
             ids = batch.column("doc_id").to_pylist()
-            h = [
-                int(_hl.md5(str(i).encode()).hexdigest()[:13], 16) for i in ids
-            ]
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
-                    "h": pa.array(h, pa.int64()),
+                    "h": pa.array([md5_key52(i) for i in ids], pa.int64()),
                 }
             )
 
@@ -2792,10 +2789,15 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx
                 FROM (SELECT DISTINCT source FROM documents)
             ), ranked AS (
+                -- 52-bit md5 prefix + doc_id: the EXACT key the op
+                -- ranks by (numerics.md5_key52) — ordering by the full
+                -- md5 hex would diverge on a 13-hex-prefix collision
                 SELECT doc_id, source,
                        ROW_NUMBER() OVER (
                            PARTITION BY source
-                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                    1, 13))::BIGINT,
+                                    doc_id
                        ) AS r
                 FROM documents
             ), keyed AS (

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["round6", "round_half_away"]
+__all__ = ["round6", "round_half_away", "md5_key52"]
 
 
 def round_half_away(x, ndigits: int = 6):
@@ -31,3 +31,16 @@ def round_half_away(x, ndigits: int = 6):
 
 # Signature-compatible drop-in for the common ``np.round(arr, 6)`` emit.
 round6 = round_half_away
+
+
+def md5_key52(s) -> int:
+    """The house deterministic-shuffle key: first 13 hex chars (52 bits)
+    of md5(str(s)) as a non-negative int64. SQL mirror (pin this
+    EXACTLY in every oracle that ranks by it):
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 13))::BIGINT``.
+    One shared definition so the cross-engine parity contract cannot
+    drift between call sites (13 vs 16 chars silently breaks only one
+    query's oracle)."""
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode("utf-8")).hexdigest()[:13], 16)

@@ -1174,7 +1174,10 @@ def simhash_near_pairs(ds, max_hamming: int = 3, num_partitions: int | None = No
 
 
 def simhash_pairs_from_sigs(
-    sigs, max_hamming: int = 3, num_partitions: int | None = None
+    sigs,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+    bucket_cap: int | None = MAX_BUCKET_PAIRWISE,
 ):
     """Near-dup pairs from a (doc_id, simhash) Dataset, found with
     4-segment blocking: any pair within Hamming distance 3 shares at
@@ -1182,7 +1185,15 @@ def simhash_pairs_from_sigs(
     shuffle on the segment key replaces the quadratic scan; collision
     buckets are found vectorized per block. Exposed separately so
     composed pipelines that already carry signatures (ops.curate)
-    skip the signature pass."""
+    skip the signature pass.
+
+    ``bucket_cap`` bounds the per-bucket pairwise scan: buckets larger
+    than the cap emit STAR pairs only (sufficient for drop-list
+    clustering, NOT for exact pair enumeration — the pigeonhole
+    completeness claim is conditional on the cap not binding). Pass
+    ``bucket_cap=None`` for unconditionally exact pairs; a bucket of b
+    identical signatures then emits all b*(b-1)/2 pairs, which is the
+    true answer's own size."""
     from docstrange_ray.shuffle import grouped_blocks
 
     def explode_segments(batch: pa.Table) -> pa.Table:
@@ -1214,7 +1225,7 @@ def simhash_pairs_from_sigs(
             for _, g in sub.groupby("seg_key", sort=False):
                 g = g.sort_values("doc_id").drop_duplicates("doc_id")
                 recs = list(zip(g["doc_id"], g["simhash"]))
-                if len(recs) > MAX_BUCKET_PAIRWISE:
+                if bucket_cap is not None and len(recs) > bucket_cap:
                     # hot-bucket star cap (see bucket_pairs_block)
                     pair_iter = (((0, j)) for j in range(1, len(recs)))
                 else:

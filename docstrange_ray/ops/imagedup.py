@@ -137,4 +137,10 @@ def image_near_dup_pairs(
         ),
         batch_format="pyarrow",
     )
-    return simhash_pairs_from_sigs(sigs, max_hamming, num_partitions)
+    # bucket_cap=None: the pigeonhole completeness claim must be
+    # UNCONDITIONAL here (65+ copies of one image is the primary dedup
+    # target, and a bucket of b equal hashes legitimately yields
+    # b*(b-1)/2 pairs — the answer's own size, not an explosion)
+    return simhash_pairs_from_sigs(
+        sigs, max_hamming, num_partitions, bucket_cap=None
+    )

@@ -41,19 +41,25 @@ def _col_minmax(col: pa.ChunkedArray):
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         col = pc.utf8_length(col)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        col = pc.binary_length(col)
     elif pa.types.is_timestamp(t):
+        col = pc.cast(col, pa.int64())  # epoch in the column's unit
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        col = pc.cast(col, pa.int32())  # storage type (days / time units)
+    elif pa.types.is_date64(t) or pa.types.is_time64(t):
         col = pc.cast(col, pa.int64())
     elif pa.types.is_boolean(t):
         col = pc.cast(col, pa.int64())
     if n == n_null:
         return n, n_null, None, None
-    mm = pc.min_max(col)
-    return (
-        n,
-        n_null,
-        float(mm["min"].as_py()),
-        float(mm["max"].as_py()),
-    )
+    try:
+        mm = pc.min_max(col)
+        return n, n_null, float(mm["min"].as_py()), float(mm["max"].as_py())
+    except (pa.ArrowNotImplementedError, TypeError):
+        # nested / otherwise unorderable types: counts only (the
+        # docstring's 'everything else' promise must not kill the scan)
+        return n, n_null, None, None
 
 
 def profile_table(ds, columns: list[str] | None = None):

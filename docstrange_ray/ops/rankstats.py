@@ -462,6 +462,13 @@ def winsorize(
         float_domain=float_domain,
         num_partitions=num_partitions,
     )
+    if len(q) < 2:  # empty / all-null column: nothing to clip against
+        def copy_col(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                f"{value_col}_w", batch.column(value_col)
+            )
+
+        return ds.map_batches(copy_col, batch_format="pyarrow")
     lo, hi = float(q["value"].iloc[0]), float(q["value"].iloc[1])
     if not float_domain:
         lo, hi = int(lo), int(hi)

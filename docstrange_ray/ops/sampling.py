@@ -386,18 +386,18 @@ def interleave_by_source(
 
     if not weights or any(w < 1 or w != int(w) for w in weights.values()):
         raise ValueError("weights must be positive integers per source")
-    big_l = math.lcm(*weights.values())
-    mult = {s: big_l // int(w) for s, w in weights.items()}  # key = r * mult[s]
+    int_weights = {s: int(w) for s, w in weights.items()}  # 2.0 ok; lcm needs int
+    big_l = math.lcm(*int_weights.values())
+    mult = {s: big_l // w for s, w in int_weights.items()}  # key = r * mult[s]
     src_order = {s: i for i, s in enumerate(sorted(weights))}
 
     n_buckets = num_partitions or 64
 
     def project(batch: pa.Table) -> pa.Table:
+        from docstrange_ray.numerics import md5_key52
+
         ids = batch.column(id_col).to_pylist()
-        h52 = [
-            int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:13], 16)
-            for i in ids
-        ]
+        h52 = [md5_key52(i) for i in ids]
         bucket = [(h * n_buckets) >> 52 for h in h52]
         return pa.table(
             {
@@ -424,6 +424,8 @@ def interleave_by_source(
         num_partitions=num_partitions,
     ).to_pandas()
 
+    if "source" not in counts.columns:  # empty dataset loses its schema
+        counts = pd.DataFrame({"source": [], "bucket": [], "cnt": []})
     unseen = set(counts["source"]) - set(weights)
     if unseen:
         raise ValueError(f"sources without a weight: {sorted(unseen)}")

@@ -2192,7 +2192,10 @@ def pivot_agg(
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.select([index_col, pivot_col, value_col]).to_pandas()
         df = df[df[pivot_col].isin(order)]
-        df["value_c"] = _cents(df[value_col])
+        # SQL SUM skips NULLs while COUNT(*) still counts the row:
+        # a null value contributes 0 cents (np.round(NaN).astype(int64)
+        # would emit INT64_MIN garbage)
+        df["value_c"] = _cents(df[value_col].fillna(0.0))
         g = df.groupby([index_col, pivot_col])["value_c"].agg(["size", "sum"])
         wide_n = g["size"].unstack(fill_value=0).reindex(columns=order, fill_value=0)
         wide_s = g["sum"].unstack(fill_value=0).reindex(columns=order, fill_value=0)

@@ -145,3 +145,22 @@ class TestCrossFormat:
             for r in image_near_dup_pairs(ds, max_hamming=0, id_col="img_id").take_all()
         }
         assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+class TestHotBucketExactness:
+    def test_65_plus_copies_emit_all_pairs(self, ray_session):
+        """Review finding: the inherited MAX_BUCKET_PAIRWISE=64 star cap
+        silently broke pigeonhole completeness for 65+ copies of one
+        image — exactly the primary dedup target. bucket_cap=None makes
+        the pair set the full clique."""
+        px = _fixture_pixels(1)
+        n = 70
+        ds = ray.data.from_items(
+            [{"img_id": i, "payload": make_png_gray(px)} for i in range(n)]
+        )
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in image_near_dup_pairs(ds, max_hamming=0, id_col="img_id").take_all()
+        }
+        assert len(pairs) == n * (n - 1) // 2  # full clique, not a star
+        assert (1, 2) in pairs  # the pair a star cap would lose

@@ -14,14 +14,22 @@ from docstrange_ray.ops.sampling import interleave_by_source
 
 def _brute_order(rows, weights):
     """Independent reference: materialize every (key, source, r) and
-    sort — the semantics the distributed op must reproduce."""
+    sort — the semantics the distributed op must reproduce. The
+    within-source key is the 52-bit md5 PREFIX (then id) — the op's
+    documented contract; full-hex ordering would diverge on a
+    13-hex-char prefix collision."""
     big_l = math.lcm(*weights.values())
     per_src = {}
     for doc_id, src in rows:
         per_src.setdefault(src, []).append(doc_id)
     entries = []
     for src, ids in per_src.items():
-        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        ids.sort(
+            key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16),
+                i,
+            )
+        )
         m = big_l // weights[src]
         for r, doc_id in enumerate(ids, 1):
             entries.append((r * m, src, r, doc_id))
@@ -73,3 +81,27 @@ class TestInterleave:
     def test_bad_weight_raises(self, ray_session):
         with pytest.raises(ValueError, match="positive"):
             _run([(1, "a")], {"a": 0})
+
+
+class TestReviewFixes:
+    def test_float_integer_weights_accepted(self, ray_session):
+        rows = [(i, "a" if i % 2 else "b") for i in range(40)]
+        got_f = _run(rows, {"a": 2.0, "b": 1})
+        got_i = _run(rows, {"a": 2, "b": 1})
+        assert got_f == got_i
+
+    def test_empty_dataset(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.ops.sampling import interleave_by_source
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        )
+        assert interleave_by_source(ds, {"a": 1}).take_all() == []

@@ -45,3 +45,24 @@ class TestProfile:
         tbl = pa.table({"a": [1, 2], "b": [3, 4]})
         got = profile_table(ray.data.from_arrow(tbl), columns=["b"]).to_pandas()
         assert list(got["column"]) == ["b"]
+
+    def test_unorderable_and_date_columns(self, ray_session):
+        import datetime
+
+        tbl = pa.table(
+            {
+                "d": pa.array(
+                    [datetime.date(2024, 1, 2), datetime.date(2023, 5, 1)],
+                    pa.date32(),
+                ),
+                "b": pa.array([b"xy", b"abcd"], pa.binary()),
+                "l": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+            }
+        )
+        got = profile_table(ray.data.from_arrow(tbl)).to_pandas().set_index("column")
+        assert got.loc["d", "vmin"] == float(
+            (datetime.date(2023, 5, 1) - datetime.date(1970, 1, 1)).days
+        )
+        assert got.loc["b", "vmin"] == 2.0 and got.loc["b", "vmax"] == 4.0
+        # nested types: counts only, no task crash
+        assert got.loc["l", "n"] == 2 and np.isnan(got.loc["l", "vmin"])

@@ -528,3 +528,27 @@ class TestPivotAgg:
         )
         # 'zz' rows ignored, absent combos are 0 not NaN
         assert got.isna().sum().sum() == 0
+
+    def test_pivot_null_values_sum_as_zero(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.relational import pivot_agg
+
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "event_type": pa.array(["a", "a", "a"]),
+                "value": pa.array([1.5, None, None], pa.float64()),
+            }
+        )
+        got = (
+            pivot_agg(ray.data.from_arrow(tbl), "user_id", "event_type", "value", ["a"])
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        # SQL semantics: COUNT(*) counts null-value rows, SUM skips them
+        assert list(got["cnt_a"]) == [2, 1]
+        assert list(got["sum_a_cents"]) == [150, 0]

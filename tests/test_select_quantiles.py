@@ -136,3 +136,12 @@ class TestWinsorize:
         pd.testing.assert_frame_equal(got[["v", "v_w"]], exp)
         assert got["v_w"].min() > got["v"].min()
         assert got["v_w"].max() < got["v"].max()
+
+    def test_winsorize_all_null_passthrough(self, ray_session):
+        from docstrange_ray.ops.rankstats import winsorize
+
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array([None, None], pa.float64())})
+        )
+        out = winsorize(ds, "v").take_all()
+        assert [r["v_w"] for r in out] == [None, None]

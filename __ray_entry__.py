@@ -501,6 +501,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ONE pair exchange, coalesced top-k final."""
         return textstats.cooccurrence_topk(read_docs(sf_dir), window=5, k=200)
 
+    def label_centroid_sims(sf_dir):
+        """Domain-similarity matrix (semantic.label_centroid_sims):
+        pairwise cosine between per-label embedding centroids. Values
+        quantized to 2^20 integer units BEFORE any reduction (order-
+        independent integer sums; bigint/HUGEINT dot products), then
+        one exactly-mirrored float conversion chain — bit-exact vs
+        SQL."""
+        from docstrange_ray.ops.semantic import label_centroid_sims as _lcs
+
+        return _lcs(read_emb(sf_dir))
+
     def orders_profile(sf_dir):
         """One-scan table profile (ops/profile.py): per-column row/null
         counts and min/max — strings by code-point length, timestamps
@@ -2320,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_triples": frequent_part_triples,
         "price_winsorized": price_winsorized,
         "cooccurrence_pairs": cooccurrence_pairs,
+        "label_centroid_sims": label_centroid_sims,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2683,6 +2695,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY n DESC, w1, w2
             LIMIT 200
+        """,
+        # label_centroid_sims: quantize -> integer sums (HUGEINT dots:
+        # a label's sum vector grows with rows; int64 products overflow)
+        # -> the same float conversion chain as the op
+        "label_centroid_sims": """
+            WITH e AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       CAST(ROUND(unnest(embedding::DOUBLE[]) * 1048576)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ), s AS (
+                SELECT label, dim, CAST(SUM(q) AS HUGEINT) AS s
+                FROM e GROUP BY 1, 2
+            ), d AS (
+                SELECT a.label AS la, b.label AS lb,
+                       SUM(a.s * b.s) AS dot
+                FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+                GROUP BY 1, 2
+            ), nn AS (
+                SELECT label, SUM(s * s) AS n2 FROM s GROUP BY label
+            )
+            SELECT CAST(d.la AS BIGINT) AS label_a,
+                   CAST(d.lb AS BIGINT) AS label_b,
+                   ROUND(CAST(d.dot AS DOUBLE) /
+                         (sqrt(CAST(na.n2 AS DOUBLE))
+                          * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+            FROM d JOIN nn na ON na.label = d.la
+                   JOIN nn nb ON nb.label = d.lb
         """,
         "quality_stats": r"""
             SELECT doc_id,

@@ -315,3 +315,77 @@ def hashed_doc_vectors(ds, m: int = 64, dense: bool = False,
         )
 
     return ds.map_batches(vectors, batch_format="pyarrow")
+
+
+def label_centroid_sims(emb_ds, scale_bits: int = 20, num_partitions=None):
+    """Pairwise cosine similarity between per-label embedding CENTROIDS
+    — the domain-similarity matrix behind mixture design ("how close is
+    source A's embedding mass to source B's"). Exactness: float sums
+    are reduction-order-dependent, so values are quantized to integer
+    units (``round_half_away(x * 2^scale_bits)`` — DuckDB ROUND parity)
+    FIRST and all reductions are integer sums (order-independent).
+    Cosine is computed from the integer SUM vectors directly (cosine is
+    scale-invariant, so sums == centroids), with Python bigints for the
+    dot products (a label's sum grows with its row count; int64 would
+    overflow near ~10^8 rows/label — the SQL oracle uses HUGEINT for
+    the same reason), then ONE exactly-mirrored float conversion chain:
+    float(dot) / (sqrt(float(na)) * sqrt(float(nb))), rounded to 6.
+
+    Scale shape: per-batch per-(label, dim) integer partial sums (long
+    form, bounded labels x dims) -> adaptive_final -> the driver holds
+    only the (labels x dims) sum table and emits the (labels choose 2)
+    similarity rows. Returns pandas DataFrame
+    [(label_a, label_b, cos)] with label_a < label_b.
+    """
+    import math
+
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.shuffle import adaptive_final, arrow_out
+
+    scale = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from docstrange_ray.numerics import round_half_away
+
+        labels = np.asarray(batch.column("label").to_pylist())
+        mat = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in batch.column("embedding").to_pylist()
+            ]
+        )
+        q = round_half_away(mat * scale, 0).astype(np.int64)
+        out = []
+        for lab in np.unique(labels):
+            s = q[labels == lab].sum(axis=0)
+            for dim, v in enumerate(s, 1):
+                out.append((int(lab), dim, int(v)))
+        return pd.DataFrame(out, columns=["label", "dim", "s"]).astype(
+            {"label": "int64", "dim": "int64", "s": "int64"}
+        )
+
+    sums = adaptive_final(
+        emb_ds.map_batches(arrow_out(partial), batch_format="pyarrow"),
+        lambda df: df.groupby(["label", "dim"], as_index=False)["s"].sum(),
+        keys=["label", "dim"],
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if "label" not in sums.columns:  # empty dataset loses its schema
+        return pd.DataFrame({"label_a": [], "label_b": [], "cos": []})
+    vecs = {
+        int(lab): [int(x) for x in sub.sort_values("dim")["s"]]
+        for lab, sub in sums.groupby("label")
+    }
+    labs = sorted(vecs)
+    rows = []
+    for i, a in enumerate(labs):
+        na = sum(x * x for x in vecs[a])  # Python bigint: no overflow
+        for b in labs[i + 1 :]:
+            nb = sum(x * x for x in vecs[b])
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            if na == 0 or nb == 0:
+                cos = 0.0
+            else:
+                cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+            rows.append((a, b, float(round6(cos))))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cos"])

@@ -4283,3 +4283,45 @@ class TestCooccurrence:
         assert [(r["w1"], r["w2"]) for r in rows] == [
             ("p", "q"), ("q", "r"), ("r", "s"),
         ]
+
+
+class TestLabelCentroidSims:
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_whole_matrix_reference(self):
+        import math
+
+        import ray.data
+
+        from docstrange_ray.numerics import round6, round_half_away
+        from docstrange_ray.ops.semantic import label_centroid_sims
+
+        rng = np.random.default_rng(8)
+        mat = rng.normal(0, 0.3, (90, 16))
+        labels = rng.integers(0, 4, 90)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array(labels, pa.int32()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(5)
+        got = {
+            (r.label_a, r.label_b): r.cos
+            for r in label_centroid_sims(ds).itertuples()
+        }
+        # independent reference: quantize float32-widened values, sum, cosine
+        q = round_half_away(mat.astype(np.float32).astype(np.float64) * (1 << 20), 0)
+        for a in range(4):
+            for b in range(a + 1, 4):
+                va = [int(x) for x in q[labels == a].sum(axis=0)]
+                vb = [int(x) for x in q[labels == b].sum(axis=0)]
+                dot = sum(x * y for x, y in zip(va, vb))
+                na = sum(x * x for x in va)
+                nb = sum(x * x for x in vb)
+                exp = float(
+                    round6(float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb))))
+                )
+                assert got[(a, b)] == exp, (a, b)

@@ -501,6 +501,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ONE pair exchange, coalesced top-k final."""
         return textstats.cooccurrence_topk(read_docs(sf_dir), window=5, k=200)
 
+    def bootstrap_price_means(sf_dir):
+        """Poisson-bootstrap replicate means of order price (ops/
+        bootstrap.py, Chamandy et al. 2012): per-(row, replicate)
+        Poisson(1) weights from the md5-key idiom with FIXED integer
+        CDF thresholds, int-cent weighted sums in ONE streaming pass,
+        bounded (replicates x 3) partials — distributed confidence
+        intervals with zero resampling shuffles."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.bootstrap import bootstrap_replicate_means
+
+        orders = read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        return bootstrap_replicate_means(
+            orders, "o_orderkey", "o_totalprice", replicates=16
+        )
+
     def label_centroid_sims(sf_dir):
         """Domain-similarity matrix (semantic.label_centroid_sims):
         pairwise cosine between per-label embedding centroids. Values
@@ -2332,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_winsorized": price_winsorized,
         "cooccurrence_pairs": cooccurrence_pairs,
         "label_centroid_sims": label_centroid_sims,
+        "bootstrap_price_means": bootstrap_price_means,
         "length_outliers": length_outliers,
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
@@ -2489,9 +2507,30 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from docstrange_ray import relational
+    from docstrange_ray.ops.bootstrap import poisson_sql_weight_expr
 
     return {
         "pagerank_purchases": _pagerank_oracle(),
+        # bootstrap_price_means: the Poisson(1) inverse-CDF thresholds
+        # are inlined from the SAME module constants the op uses
+        "bootstrap_price_means": f"""
+            WITH reps AS (
+                SELECT UNNEST(range(16)) AS rep
+            ), u AS (
+                SELECT r.rep,
+                       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS c,
+                       ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                                           || ':' || CAST(r.rep AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM orders o, reps r
+            ), w AS (
+                SELECT rep, c, {poisson_sql_weight_expr('h')} AS w FROM u
+            )
+            SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+                   ROUND(CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS BIGINT), 6)
+                       AS mean_cents
+            FROM w GROUP BY rep
+        """,
         "copurchase_triangles": r"""
             WITH op AS (
                 SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

@@ -226,6 +226,16 @@ def run_ops_group(sf_dir: str, num_cpus: int, group_idx: int) -> dict:
     ensure_hash_shuffle()
     import __ray_entry__ as entrymod
 
+    # UNTIMED session warmup: spawn the worker pool and spin up the
+    # hash-shuffle aggregator actors so the group's FIRST op is charged
+    # for its own work, not the session spin-up (~7-20 s observed — it
+    # made exact_dedup read 26.7 s in a clean window where its warm
+    # cost is 3.8 s)
+    warm = ray.data.range(4096).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).repartition(8, keys=["id"])
+    warm.count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in OP_GROUPS[group_idx]:

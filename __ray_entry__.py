@@ -4898,6 +4898,42 @@ def oracle_sql() -> dict[str, str]:
                        AS duration_ms
             FROM idx
         """,
+        # media_frames: the Ray side decodes REAL animated-GIF bytes
+        # (from-scratch LZW + palette + interlace + disposal); the
+        # fixture frames are arithmetic (synth_gif_frames: pixel =
+        # (y*3 + x*7 + phase*5) % 256, phase = (md5-digest-byte[fi%16]
+        # + 17*fi) % 251), so the oracle rebuilds the sampled frame
+        # means exactly — integer pixel sums are exact in any order,
+        # one mirrored division + ROUND 6
+        "media_frames": r"""
+            WITH m AS (
+                SELECT i,
+                       2 + (i % 7) AS n,
+                       16 + (i % 4) * 8 AS w,
+                       12 + (i % 3) * 6 AS h,
+                       md5('gif:' || i) AS hx
+                FROM (SELECT UNNEST(range(200)) AS i)
+            ), f AS (
+                SELECT m.i, m.n, m.w, m.h, m.hx,
+                       (t.j * m.n) // LEAST(4, m.n) AS fi
+                FROM m, UNNEST(range(LEAST(4, m.n))) AS t(j)
+            ), ph AS (
+                SELECT i, w, h, fi,
+                       ((('0x' || substr(hx, 2 * (fi % 16) + 1, 2))::BIGINT
+                         + 17 * fi) % 251) AS phase
+                FROM f
+            ), s AS (
+                SELECT i, fi, w, h,
+                       SUM((y * 3 + x * 7 + phase * 5) % 256) AS sp
+                FROM ph, UNNEST(range(ph.h)) AS ty(y),
+                         UNNEST(range(ph.w)) AS tx(x)
+                GROUP BY i, fi, w, h
+            )
+            SELECT 'media://vid/' || i AS media_ref,
+                   CAST(fi AS BIGINT) AS frame_index,
+                   ROUND(CAST(sp AS DOUBLE) / (w * h), 6) AS frame_mean
+            FROM s
+        """,
         # audio_features: the Ray side decodes REAL WAV bytes; the
         # generator writes exact-integer square waves (+ silence), so
         # the oracle regenerates sample SIGNS arithmetically and

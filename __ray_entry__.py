@@ -1684,6 +1684,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             orders, "o_totalprice", quantiles=((1, 4), (1, 2), (9, 10), (99, 100))
         )
 
+    def returnflag_price_quantiles(sf_dir):
+        """EXACT per-GROUP quantiles of a CONTINUOUS column (extended
+        price by return flag) via per-group radix selection
+        (rankstats.group_select_quantiles) — the remaining quadrant of
+        the quantile matrix (group_quantiles handles discrete domains;
+        select_quantiles handles the global case). No per-key shuffle:
+        <= 6 counting scans whose exchange is bounded by
+        n_groups x n_quantiles x 4096 counts at any corpus size; a hot
+        group costs the same as a cold one. Rank contract =
+        quantile_disc (ceil(q*n), 1-indexed, integer arithmetic)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import group_select_quantiles
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice"],
+        )
+        return group_select_quantiles(
+            li,
+            "l_returnflag",
+            "l_extendedprice",
+            quantiles=((1, 4), (1, 2), (9, 10), (99, 100)),
+        )
+
     def source_interleave(sf_dir):
         """Deterministic training-mix interleave (stride scheduling,
         sampling.interleave_by_source): source weights 1 + idx%4 over the
@@ -2339,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_topk": source_topk,
         "length_quantiles": length_quantiles,
         "price_quantile_select": price_quantile_select,
+        "returnflag_price_quantiles": returnflag_price_quantiles,
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
         "embedding_quantized": embedding_quantized,
@@ -2858,6 +2883,20 @@ def oracle_sql() -> dict[str, str]:
                 ('p50', (SELECT quantile_disc(o_totalprice, 0.50) FROM orders)),
                 ('p90', (SELECT quantile_disc(o_totalprice, 0.90) FROM orders)),
                 ('p99', (SELECT quantile_disc(o_totalprice, 0.99) FROM orders))
+            ) AS t(lab, v)
+        """,
+        "returnflag_price_quantiles": """
+            SELECT l_returnflag, lab AS label, n, v AS value
+            FROM (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       quantile_disc(l_extendedprice, 0.25) AS p25,
+                       quantile_disc(l_extendedprice, 0.50) AS p50,
+                       quantile_disc(l_extendedprice, 0.90) AS p90,
+                       quantile_disc(l_extendedprice, 0.99) AS p99
+                FROM lineitem GROUP BY l_returnflag
+            ) q, LATERAL (VALUES
+                ('p25', q.p25), ('p50', q.p50),
+                ('p90', q.p90), ('p99', q.p99)
             ) AS t(lab, v)
         """,
         # source_interleave: stride scheduling with integer virtual-time

@@ -482,3 +482,175 @@ def winsorize(
         return batch.append_column(f"{value_col}_w", clipped)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def group_select_quantiles(
+    ds,
+    group_key: str,
+    value_col: str,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+    float_domain: bool = True,
+    n_buckets: int = 4096,
+    num_partitions: int | None = None,
+):
+    """EXACT per-GROUP quantiles over an unbounded-cardinality numeric
+    column — the per-group twin of :func:`select_quantiles`, filling the
+    remaining quadrant of the quantile matrix:
+
+    ======================  =======================  =====================
+    value domain            global                   per group
+    ======================  =======================  =====================
+    discrete (bounded)      group_quantiles(1 grp)   group_quantiles
+    continuous (unbounded)  select_quantiles         THIS OP
+    ======================  =======================  =====================
+
+    Plan (radix selection, simultaneously for every (group, quantile)
+    target): one projection scan keys the column order-preservingly
+    (:func:`order_keys`) into a materialized (group, key) table; one
+    bounded aggregate gets per-group (n, min, max); then <= 6 counting
+    scans histogram every still-active target's [lo, hi] bracket into
+    ``n_buckets`` equal-width key buckets and the driver narrows each
+    bracket to the bucket containing rank ceil(q*n) (DuckDB
+    ``quantile_disc`` parity, same integer-arithmetic contract as
+    ``group_quantiles``). NO per-key shuffle ever happens — the exchange
+    per round is the nonzero (group, quantile, bucket) counts, bounded
+    by ``n_groups x n_quantiles x n_buckets`` regardless of corpus size,
+    and a hot group costs exactly what a cold one does (counting is
+    scan-local). Intended for BOUNDED group domains (sources, languages,
+    flags — the curation case); driver state is
+    O(n_groups x n_quantiles) brackets. Null groups and null/NaN values
+    are dropped (SQL aggregate semantics).
+
+    Returns a pandas DataFrame [(group_key, label, n, value)] —
+    O(n_groups x n_quantiles) rows, legitimately driver-sized.
+    """
+    import pyarrow.compute as pc
+
+    from docstrange_ray.shuffle import adaptive_final, arrow_out
+
+    labels = [_q_label(qn, qd) for qn, qd in quantiles]
+
+    def project(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([group_key, value_col])
+        col = tbl.column(value_col)
+        ok = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            ok = pc.and_kleene(ok, pc.invert(pc.is_nan(col)))
+        ok = pc.and_kleene(ok, pc.is_valid(tbl.column(group_key)))
+        tbl = tbl.filter(ok)
+        vals = np.asarray(tbl.column(value_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "g": tbl.column(group_key),
+                "k": pa.array(order_keys(vals), pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def bounds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("g", as_index=False)["k"].agg(["size", "min", "max"])
+        return agg.rename(columns={"size": "n", "min": "mn", "max": "mx"})
+
+    def bounds_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("g", as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+
+    bounds = adaptive_final(
+        keyed.map_batches(arrow_out(bounds_partial), batch_format="pandas"),
+        bounds_final,
+        keys=["g"],
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if not len(bounds):
+        return pd.DataFrame(columns=[group_key, "label", "n", "value"])
+
+    # searches[(group, qi)] = bracket + residual rank within it
+    searches: dict = {}
+    for _, row in bounds.iterrows():
+        for qi, (qn, qd) in enumerate(quantiles):
+            searches[(row["g"], qi)] = {
+                "lo": int(row["mn"]),
+                "hi": int(row["mx"]),
+                "rank": max(1, -(-qn * int(row["n"]) // qd)),
+                "n": int(row["n"]),
+            }
+
+    while True:
+        active = [
+            (g, qi, s["lo"], s["hi"], -(-(s["hi"] - s["lo"] + 1) // n_buckets))
+            for (g, qi), s in searches.items()
+            if s["lo"] < s["hi"]
+        ]
+        if not active:
+            break
+        spec = sorted(active, key=lambda t: (str(t[0]), t[1]))
+
+        def count_scan(batch: pa.Table, _spec=spec) -> pd.DataFrame:
+            gv = batch.column("g").to_pandas().to_numpy()
+            k = np.asarray(batch.column("k").to_numpy(zero_copy_only=False))
+            # one mask per distinct group in the spec, reused across its
+            # quantile targets (n_groups masks per batch, not n_targets)
+            gmasks: dict = {}
+            gs, qis, buckets, cnts = [], [], [], []
+            for g, qi, lo, hi, w in _spec:
+                m = gmasks.get(g)
+                if m is None:
+                    m = gmasks[g] = gv == g
+                inr = k[m & (k >= lo) & (k <= hi)]
+                if not len(inr):
+                    continue
+                # wrapping int64 subtraction viewed as uint64 (see
+                # select_quantiles — float keys span both int64 signs)
+                diff = (inr - np.int64(lo)).view(np.uint64)
+                bc = np.bincount((diff // np.uint64(w)).astype(np.int64))
+                nz = np.flatnonzero(bc)
+                gs.extend([g] * len(nz))
+                qis.extend([qi] * len(nz))
+                buckets.extend(nz.tolist())
+                cnts.extend(bc[nz].tolist())
+            return pd.DataFrame(
+                {
+                    "g": gs,
+                    "qi": pd.Series(qis, dtype="int32"),
+                    "bucket": pd.Series(buckets, dtype="int64"),
+                    "cnt": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+        partials = keyed.map_batches(arrow_out(count_scan), batch_format="pyarrow")
+        merged = adaptive_final(
+            partials,
+            lambda df: df.groupby(["g", "qi", "bucket"], as_index=False)["cnt"].sum(),
+            keys=["g", "qi", "bucket"],
+            num_partitions=num_partitions,
+        ).to_pandas()
+        for g, qi, lo, hi, w in spec:
+            sub = merged[(merged["g"] == g) & (merged["qi"] == qi)].sort_values(
+                "bucket"
+            )
+            cum = sub["cnt"].to_numpy().cumsum()
+            s = searches[(g, qi)]
+            t = int((cum >= s["rank"]).argmax())
+            bucket_id = int(sub["bucket"].to_numpy()[t])
+            s["rank"] -= int(cum[t - 1]) if t else 0
+            s["lo"] = lo + bucket_id * w
+            s["hi"] = min(hi, s["lo"] + w - 1)
+
+    out_g, out_lab, out_n, out_v = [], [], [], []
+    for _, row in bounds.sort_values("g").iterrows():
+        for qi, lab in enumerate(labels):
+            s = searches[(row["g"], qi)]
+            out_g.append(row["g"])
+            out_lab.append(lab)
+            out_n.append(s["n"])
+            out_v.append(key_to_value(s["lo"], float_domain))
+    return pd.DataFrame(
+        {
+            group_key: out_g,
+            "label": out_lab,
+            "n": pd.Series(out_n, dtype="int64"),
+            "value": out_v,
+        }
+    )

@@ -145,3 +145,63 @@ class TestWinsorize:
         )
         out = winsorize(ds, "v").take_all()
         assert [r["v_w"] for r in out] == [None, None]
+
+
+class TestGroupSelectQuantiles:
+    def test_duckdb_group_parity(self, ray_session):
+        import duckdb
+
+        from docstrange_ray.ops.rankstats import group_select_quantiles
+
+        rng = np.random.default_rng(17)
+        n = 3000
+        g = rng.choice(["a", "b", "c", "hot"], n, p=[0.05, 0.1, 0.05, 0.8])
+        v = np.where(g == "hot", rng.normal(-50, 5, n), rng.normal(10, 3, n))
+        ds = ray.data.from_arrow(pa.table({"src": g, "v": v})).repartition(8)
+        got = group_select_quantiles(
+            ds, "src", "v", quantiles=((1, 2), (9, 10))
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"src": g, "v": v}))
+        exp = con.execute(
+            """SELECT src, quantile_disc(v, 0.5) AS p50,
+                      quantile_disc(v, 0.9) AS p90, COUNT(*) AS n
+               FROM t GROUP BY src ORDER BY src"""
+        ).fetchdf()
+        for _, row in exp.iterrows():
+            sub = got[got["src"] == row["src"]]
+            by = dict(zip(sub["label"], sub["value"]))
+            assert by["p50"] == row["p50"], row["src"]
+            assert by["p90"] == row["p90"], row["src"]
+            assert (sub["n"] == row["n"]).all()
+
+    def test_negative_and_single_row_groups(self, ray_session):
+        from docstrange_ray.ops.rankstats import group_select_quantiles
+
+        df = pd.DataFrame(
+            {
+                "src": ["x"] * 100 + ["one"],
+                "v": list(np.linspace(-1e6, 1e6, 100)) + [42.5],
+            }
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        got = group_select_quantiles(ds, "src", "v", quantiles=((1, 2),))
+        by = {(r["src"], r["label"]): r["value"] for _, r in got.iterrows()}
+        assert by[("one", "p50")] == 42.5
+        assert by[("x", "p50")] == np.sort(df[df.src == "x"]["v"].to_numpy())[49]
+
+    def test_null_group_and_value_dropped(self, ray_session):
+        from docstrange_ray.ops.rankstats import group_select_quantiles
+
+        tbl = pa.table(
+            {
+                "src": pa.array(["a", "a", None, "a"], pa.string()),
+                "v": pa.array([1.0, None, 2.0, 3.0], pa.float64()),
+            }
+        )
+        got = group_select_quantiles(
+            ray.data.from_arrow(tbl), "src", "v", quantiles=((1, 2),)
+        )
+        assert list(got["src"]) == ["a"]
+        assert (got["n"] == 2).all()
+        assert list(got["value"]) == [1.0]

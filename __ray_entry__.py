@@ -1284,6 +1284,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return connected_components(copurchase_path_edges(sf_dir))
 
+    def part_link_predictions(sf_dir):
+        """Common-neighbor + Adamic-Adar link prediction over the
+        co-purchase path graph (graph.link_predictions, Adamic & Adar
+        2003): every NON-edge part pair sharing >= 2 wedge centers,
+        scored by the exact int64 micro-weight sum
+        floor(1e6/ln(deg(center)) + 0.5) — integers are quantized
+        BEFORE reduction so the distributed sum is order-independent
+        and bit-equal to SQL (Python math.log == DuckDB LN, pinned).
+        Two pre-reduced exchanges; the existing-edge anti-join rides
+        the pair exchange for free (tagged-union kind column)."""
+        from docstrange_ray.ops.graph import (
+            copurchase_path_edges,
+            link_predictions,
+            undirected_edges,
+        )
+
+        return link_predictions(
+            undirected_edges(copurchase_path_edges(sf_dir)), min_cn=2
+        )
+
     def containment_pairs(sf_dir):
         """EXACT 3-gram max-containment self-join at t=0.6 via the
         asymmetric prefix filter (smaller doc probes its prefix against
@@ -2324,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_reach": copurchase_reach,
         "copurchase_core": copurchase_core,
         "copurchase_components": copurchase_components,
+        "part_link_predictions": part_link_predictions,
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
@@ -2641,6 +2662,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach r JOIN e ON e.dst = r.node
             )
             SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+        """,
+        "part_link_predictions": r"""
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), s AS (
+                SELECT ok, p,
+                       ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+                FROM op
+            ), e0 AS (
+                SELECT s1.p AS x, s2.p AS y
+                FROM s s1 JOIN s s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+                WHERE s1.p <> s2.p
+            ), e AS (
+                SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM e0
+                GROUP BY 1, 2
+            ), adj AS (
+                SELECT a AS ctr, b AS nbr FROM e
+                UNION ALL
+                SELECT b AS ctr, a AS nbr FROM e
+            ), deg AS (
+                SELECT ctr, COUNT(*) AS d FROM adj GROUP BY ctr
+            ), wedge AS (
+                SELECT a1.nbr AS a, a2.nbr AS b,
+                       CAST(FLOOR(1000000.0 / LN(CAST(deg.d AS DOUBLE)) + 0.5)
+                            AS BIGINT) AS w
+                FROM adj a1
+                JOIN adj a2 ON a1.ctr = a2.ctr AND a1.nbr < a2.nbr
+                JOIN deg ON deg.ctr = a1.ctr
+                WHERE deg.d >= 2
+            )
+            SELECT a, b, COUNT(*) AS cn, SUM(w) AS aa_micro
+            FROM wedge
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.a = wedge.a AND e.b = wedge.b
+            )
+            GROUP BY a, b
+            HAVING COUNT(*) >= 2
         """,
         "token_count": r"""
             SELECT doc_id,

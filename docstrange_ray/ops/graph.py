@@ -1400,3 +1400,129 @@ def connected_components(edges, max_rounds: int = 50, num_partitions=None):
         num_partitions,
         batch_format="pandas",
     )
+
+
+def link_predictions(
+    uedges,
+    min_cn: int = 1,
+    max_center_degree: int | None = None,
+    scale: int = 1_000_000,
+    num_partitions=None,
+):
+    """Link prediction over DISTINCT undirected edges ``(a < b)``:
+    common-neighbor counts + Adamic-Adar scores (Adamic & Adar 2003,
+    "Friends and neighbors on the Web") for every NON-edge pair sharing
+    at least ``min_cn`` neighbors.
+
+    Why integer micro-weights: Adamic-Adar sums 1/ln(deg(center)) over
+    shared centers — float sums are reduction-order-dependent, so each
+    wedge's weight is quantized ONCE to ``floor(scale/ln(deg) + 0.5)``
+    (int64) and only integers are summed (the label_centroid_sims
+    discipline: quantize BEFORE reduction). Python ``math.log`` and
+    DuckDB ``LN`` are bit-identical libm doubles (pinned for deg up to
+    2*10^5 by tests), so SQL oracles reproduce scores exactly.
+
+    Distributed shape — exactly TWO pre-reduced exchanges:
+
+      1. adjacency: each edge contributes both (ctr, nbr) directions;
+         ONE center-key exchange groups neighbors. deg(ctr) = group size
+         (edges are distinct — no degree table or join needed). Each
+         center emits its triu neighbor pairs (u < w) carrying
+         (cn=1, aa=weight(deg)), pre-summed per block before leaving.
+      2. pair merge: candidate wedge partials UNION edge rows tagged
+         ``kind=1``; ONE (a, b) exchange sums partials and drops any
+         pair that co-locates with an edge row (the anti-join is free —
+         no third exchange).
+
+    Hot-hub contract: a center of degree d emits d(d-1)/2 wedge pairs —
+    genuinely the answer's size (every pair sharing that hub IS a
+    prediction), but a web-scale hub can dominate a block. With
+    ``max_center_degree`` set, centers above it are demoted
+    DETERMINISTICALLY on exact degree (the MOSS max-df discipline;
+    principled here because a demoted hub's per-pair evidence is at most
+    1/ln(cap) — the weakest signal in the graph). Default None = exact;
+    demotion must be mirrored in any oracle.
+
+    Returns Dataset[(a, b, cn, aa_micro)] — aa_micro = the exact int64
+    Adamic-Adar sum in 1/``scale`` units.
+    """
+    import math
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    uedges = uedges.materialize()  # consumed by both exchanges
+
+    def adj_local(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "ctr": np.concatenate([a, b]),
+                "nbr": np.concatenate([b, a]),
+            }
+        )
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in df.groupby("ctr", sort=False):
+            nb = np.sort(sub["nbr"].to_numpy(dtype=np.int64))
+            d = len(nb)
+            if d < 2 or (max_center_degree is not None and d > max_center_degree):
+                continue
+            w = int(math.floor(scale / math.log(d) + 0.5))
+            iu, ju = np.triu_indices(d, 1)
+            outs.append(
+                pd.DataFrame(
+                    {"a": nb[iu], "b": nb[ju], "cn": np.int64(1),
+                     "aa_micro": np.int64(w)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "cn": pd.Series(dtype="int64"),
+                    "aa_micro": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="int8"),
+                }
+            )
+        out = (
+            pd.concat(outs, ignore_index=True)
+            .groupby(["a", "b"], as_index=False)[["cn", "aa_micro"]]
+            .sum()
+        )
+        out["kind"] = np.int8(0)
+        return out
+
+    candidates = grouped_blocks(
+        uedges.map_batches(arrow_out(adj_local), batch_format="pyarrow"),
+        ["ctr"],
+        wedge_pairs,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def tag_edges(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["a", "b"]).to_pandas()
+        df["cn"] = np.int64(0)
+        df["aa_micro"] = np.int64(0)
+        df["kind"] = np.int8(1)
+        return df
+
+    tagged = uedges.map_batches(arrow_out(tag_edges), batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["a", "b"], as_index=False).agg(
+            cn=("cn", "sum"), aa_micro=("aa_micro", "sum"), edge=("kind", "max")
+        )
+        agg = agg[(agg["edge"] == 0) & (agg["cn"] >= min_cn)]
+        return agg[["a", "b", "cn", "aa_micro"]]
+
+    return grouped_blocks(
+        candidates.union(tagged),
+        ["a", "b"],
+        merge,
+        num_partitions,
+        batch_format="pandas",
+    )

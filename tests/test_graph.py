@@ -389,3 +389,80 @@ class TestConnectedComponents:
     def test_star_already_converged(self, ray_session):
         edges = [(0, i) for i in range(1, 50)]
         assert self._run(edges) == {i: 0 for i in range(50)}
+
+
+class TestLinkPredictions:
+    @staticmethod
+    def _reference(uedges, min_cn=1, cap=None, scale=10**6):
+        """Independent dict/loop Adamic-Adar (no shared code)."""
+        import math
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in uedges:
+            adj[a].add(b)
+            adj[b].add(a)
+        cn = defaultdict(int)
+        aa = defaultdict(int)
+        for ctr, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2 or (cap is not None and d > cap):
+                continue
+            w = math.floor(scale / math.log(d) + 0.5)
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    cn[(ns[i], ns[j])] += 1
+                    aa[(ns[i], ns[j])] += w
+        eset = {tuple(sorted(e)) for e in uedges}
+        return {
+            p: (cn[p], aa[p])
+            for p in cn
+            if p not in eset and cn[p] >= min_cn
+        }
+
+    @staticmethod
+    def _run(uedges, parts=3, **kw):
+        from docstrange_ray.ops.graph import link_predictions
+
+        tbl = pa.table(
+            {
+                "a": pa.array([a for a, _ in uedges], pa.int64()),
+                "b": pa.array([b for _, b in uedges], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        rows = link_predictions(ds, **kw).take_all()
+        return {(r["a"], r["b"]): (r["cn"], r["aa_micro"]) for r in rows}
+
+    def test_equals_reference_random(self):
+        rng = np.random.default_rng(5)
+        uedges = sorted(
+            {
+                (int(min(a, b)), int(max(a, b)))
+                for a, b in rng.integers(0, 40, (300, 2))
+                if a != b
+            }
+        )
+        assert self._run(uedges) == self._reference(uedges)
+
+    def test_min_cn_filters(self):
+        uedges = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5)]
+        got = self._run(uedges, min_cn=2)
+        exp = self._reference(uedges, min_cn=2)
+        assert got == exp
+        assert all(v[0] >= 2 for v in got.values())
+
+    def test_existing_edges_excluded(self):
+        # triangle: every pair shares a neighbor but all pairs ARE edges
+        assert self._run([(1, 2), (2, 3), (1, 3)]) == {}
+
+    def test_hub_demotion_deterministic(self):
+        # star hub of degree 6 + one small wedge; cap=5 demotes the hub
+        uedges = [(0, i) for i in range(1, 7)] + [(10, 11), (11, 12)]
+        capped = self._run(uedges, max_center_degree=5)
+        assert capped == self._reference(uedges, cap=5)
+        assert (10, 12) in capped
+        assert all(a != 0 and b != 0 or (a, b) == (10, 12) for a, b in capped)
+        full = self._run(uedges)
+        assert len(full) > len(capped)

@@ -1728,6 +1728,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             quantiles=((1, 4), (1, 2), (9, 10), (99, 100)),
         )
 
+    def returnflag_price_corr(sf_dir):
+        """EXACT per-group Pearson correlation (quantity vs price cents
+        by return flag) from ONE integer sufficient-statistics scan
+        (rankstats.group_corr): per-block (n, Σx, Σy, Σxy, Σx², Σy²)
+        bignum partials cross the exchange as decimal strings — nothing
+        float is ever reduced, so the result is BIT-equal to the SQL
+        mirror (HUGEINT sums -> CAST DOUBLE -> SQRT chain -> ROUND 6)
+        by construction."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import group_corr
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        return group_corr(
+            li,
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            y_to_int=lambda a: np.round(
+                np.asarray(a, np.float64) * 100
+            ).astype(np.int64),
+        )
+
     def source_interleave(sf_dir):
         """Deterministic training-mix interleave (stride scheduling,
         sampling.interleave_by_source): source weights 1 + idx%4 over the
@@ -2385,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "price_quantile_select": price_quantile_select,
         "returnflag_price_quantiles": returnflag_price_quantiles,
+        "returnflag_price_corr": returnflag_price_corr,
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
         "embedding_quantized": embedding_quantized,
@@ -2956,6 +2982,26 @@ def oracle_sql() -> dict[str, str]:
                 ('p25', q.p25), ('p50', q.p50),
                 ('p90', q.p90), ('p99', q.p99)
             ) AS t(lab, v)
+        """,
+        "returnflag_price_corr": """
+            WITH s AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS sy,
+                       SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                           * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS sxy,
+                       SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                           * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)
+                           * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                         (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                          SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+            FROM s
+            WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         """,
         # source_interleave: stride scheduling with integer virtual-time
         # keys k = r * (12 / w), w = 1 + (alpha-rank % 4); within-source

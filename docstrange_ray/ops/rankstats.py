@@ -654,3 +654,129 @@ def group_select_quantiles(
             "value": out_v,
         }
     )
+
+
+def group_corr(
+    ds,
+    group_key: str,
+    x_col: str,
+    y_col: str,
+    x_to_int=None,
+    y_to_int=None,
+    num_partitions: int | None = None,
+):
+    """EXACT per-group Pearson correlation from ONE sufficient-statistics
+    scan: each block reduces to a single row of integer moment sums per
+    group — (n, Σx, Σy, Σxy, Σx², Σy²) — so the exchange carries
+    ``n_blocks x n_groups`` rows at any corpus size and nothing float
+    crosses it (the fixed-point-PageRank discipline: integer sums are
+    reduction-order-independent, so the distributed result is BIT-equal
+    to the SQL oracle's by construction).
+
+    Exactness machinery: inputs are mapped to exact int64 units first
+    (``x_to_int`` / ``y_to_int``, default round-to-int — use a cents
+    transform for currency). Squared sums overflow int64 at corpus
+    scale, so per-block dots are accumulated CHUNKED (4096-row int64
+    dots, each bounded well under 2^63, combined in Python bignums) and
+    the sums cross the exchange as DECIMAL STRINGS; the driver-side
+    final re-parses and combines them exactly. The only floats ever
+    produced are the final mirrored chain
+    ``float(nΣxy-ΣxΣy) / (sqrt(float(nΣx²-Σx²)) * sqrt(float(nΣy²-Σy²)))``
+    — IEEE round-to-nearest conversions and exact sqrt, reproducible in
+    SQL as the same CAST/SQRT expression — rounded half-away to 6dp.
+
+    Degenerate groups (n < 2 or zero variance in either column) are
+    dropped (SQL ``corr`` would yield NULL).
+
+    Returns a pandas DataFrame [(group_key, n, corr)] — O(n_groups)
+    rows, legitimately driver-sized.
+    """
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if x_to_int is None:
+        x_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+    if y_to_int is None:
+        y_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+
+    def _exact_sums(x: np.ndarray, y: np.ndarray):
+        # chunk length sized so every int64 chunk dot is PROVABLY under
+        # 2^62: chunk * max_abs_product bounds the accumulator. Values
+        # whose single product already reaches 2^62 (|v| ~ 2^31) fall
+        # back to Python bignums for the whole block — exactness first.
+        mx = int(np.abs(x).max(initial=0))
+        my = int(np.abs(y).max(initial=0))
+        maxprod = max(mx * mx, my * my, mx * my, 1)
+        if maxprod >= 1 << 62:
+            xi = [int(v) for v in x]
+            yi = [int(v) for v in y]
+            return (
+                sum(xi),
+                sum(yi),
+                sum(a * b for a, b in zip(xi, yi)),
+                sum(a * a for a in xi),
+                sum(b * b for b in yi),
+            )
+        chunk = max(1, min(65536, (1 << 62) // maxprod))
+        sx = sy = sxy = sxx = syy = 0
+        for i in range(0, len(x), chunk):
+            cx, cy = x[i : i + chunk], y[i : i + chunk]
+            sx += int(cx.sum())
+            sy += int(cy.sum())
+            sxy += int(np.dot(cx, cy))
+            sxx += int(np.dot(cx, cx))
+            syy += int(np.dot(cy, cy))
+        return sx, sy, sxy, sxx, syy
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([group_key, x_col, y_col]).to_pandas()
+        df = df.dropna()
+        rows = []
+        for gval, sub in df.groupby(group_key, sort=False):
+            x = x_to_int(sub[x_col].to_numpy())
+            y = y_to_int(sub[y_col].to_numpy())
+            sx, sy, sxy, sxx, syy = _exact_sums(x, y)
+            rows.append(
+                {
+                    group_key: gval,
+                    "n": np.int64(len(x)),
+                    "sx": str(sx),
+                    "sy": str(sy),
+                    "sxy": str(sxy),
+                    "sxx": str(sxx),
+                    "syy": str(syy),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[group_key, "n", "sx", "sy", "sxy", "sxx", "syy"],
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        out = []
+        for gval, sub in df.groupby(group_key, sort=True):
+            n = int(sub["n"].sum())
+            sx = sum(int(v) for v in sub["sx"])
+            sy = sum(int(v) for v in sub["sy"])
+            sxy = sum(int(v) for v in sub["sxy"])
+            sxx = sum(int(v) for v in sub["sxx"])
+            syy = sum(int(v) for v in sub["syy"])
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            if n < 2 or denx <= 0 or deny <= 0:
+                continue
+            corr = float(n * sxy - sx * sy) / (
+                math.sqrt(float(denx)) * math.sqrt(float(deny))
+            )
+            out.append(
+                {group_key: gval, "n": np.int64(n), "corr": float(round6(corr))}
+            )
+        return pd.DataFrame(out, columns=[group_key, "n", "corr"])
+
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow")
+    out = coalesced_blocks(partials, final).to_pandas()
+    if out.empty:  # empty materialized Datasets lose their schema
+        return pd.DataFrame(columns=[group_key, "n", "corr"])
+    return out

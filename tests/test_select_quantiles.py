@@ -205,3 +205,75 @@ class TestGroupSelectQuantiles:
         assert list(got["src"]) == ["a"]
         assert (got["n"] == 2).all()
         assert list(got["value"]) == [1.0]
+
+
+class TestGroupCorr:
+    def test_duckdb_mirror_bit_exact_and_corr_close(self, ray_session):
+        import duckdb
+
+        from docstrange_ray.ops.rankstats import group_corr
+
+        rng = np.random.default_rng(23)
+        n = 4000
+        g = rng.choice(["p", "q", "r"], n)
+        x = rng.integers(1, 51, n).astype(np.float64)
+        y = (x * 250.0 + rng.normal(0, 300, n)).round(2)  # correlated dollars
+        ds = ray.data.from_arrow(pa.table({"g": g, "x": x, "y": y})).repartition(7)
+        got = group_corr(
+            ds, "g", "x", "y",
+            y_to_int=lambda a: np.round(np.asarray(a, np.float64) * 100).astype(np.int64),
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"g": g, "x": x, "y": y}))
+        exp = con.execute(
+            """WITH s AS (
+                 SELECT g, COUNT(*) AS n,
+                        SUM(CAST(ROUND(x) AS HUGEINT)) AS sx,
+                        SUM(CAST(ROUND(y*100) AS HUGEINT)) AS sy,
+                        SUM(CAST(ROUND(x) AS HUGEINT)*CAST(ROUND(y*100) AS HUGEINT)) AS sxy,
+                        SUM(CAST(ROUND(x) AS HUGEINT)*CAST(ROUND(x) AS HUGEINT)) AS sxx,
+                        SUM(CAST(ROUND(y*100) AS HUGEINT)*CAST(ROUND(y*100) AS HUGEINT)) AS syy
+                 FROM t GROUP BY g)
+               SELECT g, n, ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                       SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+               FROM s ORDER BY g"""
+        ).fetchdf()
+        got = got.sort_values("g").reset_index(drop=True)
+        assert list(got["g"]) == list(exp["g"])
+        assert (got["n"].to_numpy() == exp["n"].to_numpy().astype(np.int64)).all()
+        assert list(got["corr"]) == list(exp["corr"])  # BIT-equal
+        # sanity vs DuckDB's own corr() on the integer units
+        native = con.execute(
+            "SELECT g, corr(ROUND(x), ROUND(y*100)) FROM t GROUP BY g ORDER BY g"
+        ).fetchdf()
+        assert np.allclose(got["corr"], native.iloc[:, 1], atol=1e-5)
+
+    def test_degenerate_groups_dropped(self, ray_session):
+        from docstrange_ray.ops.rankstats import group_corr
+
+        df = pd.DataFrame(
+            {
+                "g": ["const", "const", "single", "ok", "ok", "ok"],
+                "x": [1.0, 2.0, 1.0, 1.0, 2.0, 3.0],
+                "y": [5.0, 5.0, 1.0, 1.0, 2.0, 3.0],  # const: zero y-variance
+            }
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+        got = group_corr(ds, "g", "x", "y")
+        assert list(got["g"]) == ["ok"]
+        assert list(got["corr"]) == [1.0]
+
+    def test_bignum_sums_exact(self, ray_session):
+        # values sized so per-block int64 naive squared sums WOULD overflow
+        from docstrange_ray.ops.rankstats import group_corr
+
+        n = 20000
+        x = np.full(n, 3_000_000_000.0)  # x^2 = 9e18 per row ~ int64 max
+        x[: n // 2] = 2_999_999_999.0
+        y = x + 1
+        ds = ray.data.from_arrow(
+            pa.table({"g": ["a"] * n, "x": x, "y": y})
+        ).repartition(3)
+        got = group_corr(ds, "g", "x", "y")
+        assert list(got["corr"]) == [1.0]

@@ -1753,6 +1753,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64),
         )
 
+    def lang_source_chi2(sf_dir):
+        """Chi-square test of independence between document language and
+        source (ops/stats_tests.chi2_independence) — the pre-retraining
+        audit question "is labeling independent of provenance?". ONE
+        pre-reduced contingency exchange (lang x source cell counts,
+        bounded); every cell term is quantized to an exact micro-unit
+        integer BEFORE summation so the statistic is bit-equal to the
+        SQL mirror (floor-division HUGEINT arithmetic on both sides)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.stats_tests import chi2_independence
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+        )
+        return chi2_independence(docs, "lang", "source")
+
+    def source_length_ks(sf_dir):
+        """Two-sample Kolmogorov-Smirnov distance between the document-
+        length distributions of src0 and src1 (ops/stats_tests.
+        ks_two_sample) — the distribution-drift detector. ONE value-
+        histogram exchange; D's argmax runs in exact cross-multiplied
+        integers (|cum_a*n_b - cum_b*n_a|), so d_num is bit-equal to
+        SQL's window-cumsum rebuild; only the reported ``d`` is a
+        (mirrored, 6dp) float."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.stats_tests import ks_two_sample
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return ks_two_sample(docs, "n_chars", "source", "src0", "src1")
+
     def source_interleave(sf_dir):
         """Deterministic training-mix interleave (stride scheduling,
         sampling.interleave_by_source): source weights 1 + idx%4 over the
@@ -2411,6 +2443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_select": price_quantile_select,
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
+        "lang_source_chi2": lang_source_chi2,
+        "source_length_ks": source_length_ks,
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
         "embedding_quantized": embedding_quantized,
@@ -3002,6 +3036,49 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        "lang_source_chi2": """
+            WITH ct AS (
+                SELECT lang AS a, source AS b, COUNT(*) AS cnt
+                FROM documents GROUP BY 1, 2
+            ), ra AS (SELECT a, SUM(cnt) AS rt FROM ct GROUP BY a),
+            cb AS (SELECT b, SUM(cnt) AS ctot FROM ct GROUP BY b),
+            tot AS (SELECT SUM(cnt) AS n FROM ct),
+            cells AS (
+                SELECT ra.rt, cb.ctot, COALESCE(ct.cnt, 0) AS o, tot.n
+                FROM ra CROSS JOIN cb CROSS JOIN tot
+                LEFT JOIN ct ON ct.a = ra.a AND ct.b = cb.b
+            )
+            SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+                   CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS "rows",
+                   CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS cols,
+                   CAST(((SELECT COUNT(*) FROM ra) - 1)
+                        * ((SELECT COUNT(*) FROM cb) - 1) AS BIGINT) AS dof,
+                   CAST(SUM(
+                       (1000000 * CAST(o*n - rt*ctot AS HUGEINT)
+                                * CAST(o*n - rt*ctot AS HUGEINT))
+                       // (CAST(n AS HUGEINT) * rt * ctot)
+                   ) AS BIGINT) AS chi2_micro
+            FROM cells
+        """,
+        "source_length_ks": """
+            WITH h AS (
+                SELECT n_chars AS v,
+                       SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+                FROM documents WHERE source IN ('src0', 'src1') GROUP BY v
+            ), c AS (
+                SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+                       SUM(cb) OVER (ORDER BY v) AS cum_b,
+                       (SELECT SUM(ca) FROM h) AS na,
+                       (SELECT SUM(cb) FROM h) AS nb
+                FROM h
+            )
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(MAX(ABS(cum_a*nb - cum_b*na)) AS BIGINT) AS d_num,
+                   ROUND(CAST(MAX(ABS(cum_a*nb - cum_b*na)) AS DOUBLE)
+                         / CAST(na*nb AS DOUBLE), 6) AS d
+            FROM c GROUP BY na, nb
         """,
         # source_interleave: stride scheduling with integer virtual-time
         # keys k = r * (12 / w), w = 1 + (alpha-rank % 4); within-source

@@ -1,0 +1,156 @@
+"""Distributed chi-square / KS tests (ops/stats_tests.py): independent
+pure-Python references + DuckDB-mirror bit-parity + degenerate shapes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from docstrange_ray.ops.stats_tests import (
+    CHI2_SCALE,
+    chi2_independence,
+    ks_two_sample,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _chi2_reference(pairs):
+    """Independent dict/loop implementation."""
+    from collections import Counter
+
+    cnt = Counter(pairs)
+    ra, cb = Counter(), Counter()
+    for (a, b), c in cnt.items():
+        ra[a] += c
+        cb[b] += c
+    n = sum(cnt.values())
+    s = 0
+    for a, rt in ra.items():
+        for b, ct in cb.items():
+            o = cnt.get((a, b), 0)
+            num = o * n - rt * ct
+            s += (CHI2_SCALE * num * num) // (n * rt * ct)
+    return n, len(ra), len(cb), s
+
+
+def _ks_reference(va, vb):
+    """Independent ECDF max-gap implementation (float, for sanity)."""
+    allv = sorted(set(va) | set(vb))
+    na, nb = len(va), len(vb)
+    best = 0.0
+    for v in allv:
+        fa = sum(1 for x in va if x <= v) / na
+        fb = sum(1 for x in vb if x <= v) / nb
+        best = max(best, abs(fa - fb))
+    return best
+
+
+class TestChi2:
+    def test_equals_reference_random(self):
+        rng = np.random.default_rng(3)
+        a = rng.choice(["x", "y", "z"], 2000)
+        b = rng.choice(["u", "v"], 2000)
+        ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(6)
+        got = chi2_independence(ds, "a", "b")
+        n, r, c, s = _chi2_reference(list(zip(a, b)))
+        assert int(got["n"].iloc[0]) == n
+        assert int(got["dof"].iloc[0]) == (r - 1) * (c - 1)
+        assert int(got["chi2_micro"].iloc[0]) == s
+
+    def test_zero_observed_cell_counted(self):
+        # (x, v) never occurs — its expected-count term must still count
+        df = pd.DataFrame(
+            {"a": ["x"] * 10 + ["y"] * 10, "b": ["u"] * 10 + ["v"] * 10}
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+        got = chi2_independence(ds, "a", "b")
+        n, r, c, s = _chi2_reference(list(zip(df["a"], df["b"])))
+        assert int(got["chi2_micro"].iloc[0]) == s
+        # perfectly dependent 2x2: chi2 = n
+        assert s == CHI2_SCALE * 20
+
+    def test_independent_columns_near_zero(self):
+        a = ["x", "y"] * 500
+        b = ["u"] * 500 + ["v"] * 500
+        ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(4)
+        got = chi2_independence(ds, "a", "b")
+        assert int(got["chi2_micro"].iloc[0]) <= CHI2_SCALE  # chi2 <= 1
+
+
+class TestKS:
+    def test_equals_reference_random(self):
+        rng = np.random.default_rng(9)
+        va = rng.integers(0, 60, 800)
+        vb = rng.integers(10, 90, 500)
+        df = pd.DataFrame(
+            {
+                "v": np.concatenate([va, vb]),
+                "g": ["a"] * len(va) + ["b"] * len(vb),
+            }
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        got = ks_two_sample(ds, "v", "g", "a", "b")
+        assert int(got["n_a"].iloc[0]) == len(va)
+        assert int(got["n_b"].iloc[0]) == len(vb)
+        exact = int(got["d_num"].iloc[0]) / (len(va) * len(vb))
+        assert abs(exact - _ks_reference(list(va), list(vb))) < 1e-12
+        assert abs(got["d"].iloc[0] - exact) < 1e-6
+
+    def test_identical_distributions_zero(self):
+        v = list(range(50)) * 2
+        g = ["a"] * 50 + ["b"] * 50
+        ds = ray.data.from_arrow(pa.table({"v": v, "g": g}))
+        got = ks_two_sample(ds, "v", "g", "a", "b")
+        assert int(got["d_num"].iloc[0]) == 0
+
+    def test_disjoint_supports_d_one(self):
+        df = pd.DataFrame(
+            {"v": list(range(100)) + list(range(200, 300)),
+             "g": ["a"] * 100 + ["b"] * 100}
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        got = ks_two_sample(ds, "v", "g", "a", "b")
+        assert got["d"].iloc[0] == 1.0
+
+    def test_missing_group_empty(self):
+        ds = ray.data.from_arrow(pa.table({"v": [1, 2], "g": ["a", "a"]}))
+        got = ks_two_sample(ds, "v", "g", "a", "b")
+        assert len(got) == 0
+
+    def test_duckdb_mirror_bit_exact(self):
+        import duckdb
+
+        rng = np.random.default_rng(21)
+        va = rng.integers(0, 40, 600)
+        vb = rng.integers(5, 55, 400)
+        df = pd.DataFrame(
+            {"v": np.concatenate([va, vb]),
+             "g": ["a"] * len(va) + ["b"] * len(vb)}
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        got = ks_two_sample(ds, "v", "g", "a", "b")
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """WITH h AS (
+                 SELECT v, SUM(CASE WHEN g='a' THEN 1 ELSE 0 END) AS ca,
+                        SUM(CASE WHEN g='b' THEN 1 ELSE 0 END) AS cb
+                 FROM t GROUP BY v
+               ), c AS (
+                 SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+                        SUM(cb) OVER (ORDER BY v) AS cum_b,
+                        (SELECT SUM(ca) FROM h) AS na,
+                        (SELECT SUM(cb) FROM h) AS nb
+                 FROM h
+               )
+               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                      CAST(MAX(ABS(cum_a*nb - cum_b*na)) AS BIGINT) AS d_num,
+                      ROUND(CAST(MAX(ABS(cum_a*nb - cum_b*na)) AS DOUBLE)
+                            / CAST(na*nb AS DOUBLE), 6) AS d
+               FROM c GROUP BY na, nb"""
+        ).fetchdf()
+        assert int(got["d_num"].iloc[0]) == int(exp["d_num"].iloc[0])
+        assert got["d"].iloc[0] == exp["d"].iloc[0]

@@ -1753,6 +1753,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64),
         )
 
+    def rake_keywords_q(sf_dir):
+        """Corpus-wide top-50 RAKE keywords (ops/keywords.rake_keywords,
+        Rose et al. 2010): punctuation/stopword-delimited candidate
+        phrases, word score = floor(1e6*deg/freq) quantized BEFORE the
+        phrase-score sum (order-independent ints — bit-equal to the SQL
+        rebuild), measure-then-choose broadcast-vs-join scoring over the
+        Heaps-bounded word table, block-local top-k then ONE coalesced
+        global top-k."""
+        from docstrange_ray.ops.keywords import rake_keywords
+
+        return rake_keywords(read_docs(sf_dir), k=50)
+
     def lang_source_chi2(sf_dir):
         """Chi-square test of independence between document language and
         source (ops/stats_tests.chi2_independence) — the pre-retraining
@@ -2443,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_select": price_quantile_select,
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
+        "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "source_interleave": source_interleave,
@@ -2614,6 +2627,9 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
 def oracle_sql() -> dict[str, str]:
     from docstrange_ray import relational
     from docstrange_ray.ops.bootstrap import poisson_sql_weight_expr
+    from docstrange_ray.ops.keywords import STOPWORDS as _RAKE_STOP
+
+    _rake_stop_vals = ", ".join(f"('{w}')" for w in _RAKE_STOP)
 
     return {
         "pagerank_purchases": _pagerank_oracle(),
@@ -3036,6 +3052,70 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        # rake_keywords: the full RAKE contract rebuilt in SQL — frag
+        # split, stopword grouping (cumulative-anchor idiom), word
+        # freq/deg from occurrence-weighted distinct phrases, integer
+        # floor-division word scores summed per phrase token
+        "rake_keywords": rf"""
+            WITH stop(sw) AS (VALUES {_rake_stop_vals}),
+            docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text), '[^a-z0-9\s]+')
+                           AS frags
+                FROM documents
+            ), fr AS (
+                SELECT doc_id, f,
+                       list_filter(regexp_split_to_array(frags[f], '\s+'),
+                                   x -> x <> '') AS ws
+                FROM docs, UNNEST(range(1, len(frags) + 1)) AS t(f)
+            ), w AS (
+                SELECT doc_id, f, i, ws[i] AS w,
+                       CASE WHEN ws[i] IN (SELECT sw FROM stop)
+                            THEN 1 ELSE 0 END AS is_stop
+                FROM fr, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            ), g AS (
+                SELECT doc_id, f, i, w, is_stop,
+                       COALESCE(SUM(is_stop) OVER (
+                           PARTITION BY doc_id, f ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS grp
+                FROM w
+            ), occ_raw AS (
+                SELECT doc_id, f, grp,
+                       string_agg(w, ' ' ORDER BY i) AS phrase,
+                       COUNT(*) AS nw
+                FROM g WHERE is_stop = 0 GROUP BY doc_id, f, grp
+            ), ptab AS (
+                SELECT phrase, CAST(nw AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS occ
+                FROM occ_raw GROUP BY phrase, nw
+            ), wstat AS (
+                SELECT tok.w AS word, SUM(p.occ) AS freq,
+                       SUM(p.occ * p.n_words) AS deg
+                FROM ptab p,
+                     UNNEST(regexp_split_to_array(p.phrase, ' ')) AS tok(w)
+                GROUP BY tok.w
+            ), wscore AS (
+                SELECT word,
+                       (1000000 * CAST(deg AS BIGINT)) // CAST(freq AS BIGINT)
+                           AS ws
+                FROM wstat
+            ), psc AS (
+                SELECT p.phrase, p.n_words, p.occ,
+                       CAST(SUM(s.ws) AS BIGINT) AS score_micro
+                FROM ptab p,
+                     UNNEST(regexp_split_to_array(p.phrase, ' ')) AS tok(w)
+                JOIN wscore s ON s.word = tok.w
+                GROUP BY p.phrase, p.n_words, p.occ
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_micro DESC, occ DESC, phrase
+                   ) AS BIGINT) AS rank,
+                   phrase, n_words, occ AS occurrences, score_micro
+            FROM psc
+            ORDER BY score_micro DESC, occ DESC, phrase
+            LIMIT 50
         """,
         "lang_source_chi2": """
             WITH ct AS (

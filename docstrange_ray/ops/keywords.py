@@ -1,0 +1,248 @@
+"""RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+"Automatic keyword extraction from individual documents") — corpus-wide
+candidate-phrase scoring, the unsupervised keyword signal a curation
+pipeline uses for topic auditing and index building.
+
+Contract (pinned so SQL oracles can rebuild it exactly):
+
+  1. fragments = ``lower(text)`` split on ``[^a-z0-9\\s]+``
+     (punctuation bounds candidate phrases);
+  2. within a fragment, whitespace words; a STOPWORD breaks the
+     fragment into phrase groups (the CDC cumulative-anchor idiom:
+     group id = running stopword count) and is itself discarded;
+  3. each non-empty group is one candidate phrase OCCURRENCE (tokens
+     joined by one space);
+  4. word stats over all occurrences: ``freq(w)`` += 1 and
+     ``deg(w)`` += phrase_len per token occurrence (degree counts
+     self-co-occurrence, the paper's Fig. 1 semantics);
+  5. word score is quantized ONCE to ``(1e6 * deg(w)) // freq(w)``
+     (integer floor — quantize-before-reduce, so phrase-score sums are
+     order-independent and bit-equal to SQL);
+  6. phrase score = sum of member TOKEN scores (multiplicity counts);
+     ranking = (score_micro DESC, occurrences DESC, phrase ASC) — a
+     total order, so top-k is deterministic.
+
+Distributed shape: one extraction scan -> ONE phrase exchange
+(pre-reduced occurrence counts) -> word stats derived from the
+DISTINCT-phrase table weighted by occurrence count (vocabulary-scale,
+Heaps-bounded: ONE word exchange) -> scoring either BROADCASTS the
+word-score map (at/below ``broadcast_word_limit``, measured not
+assumed) or co-partition-JOINS the exploded (phrase, word) projection
+against it (unbounded-vocabulary path) -> block-local top-k candidates
+-> ONE coalesced global top-k. Both plans rank by identical integers
+(byte-identical outputs, pinned by tests).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE = 1_000_000
+
+# Fixed stopword list — part of the op contract (embedded verbatim in
+# SQL oracles); the classic closed-class English core.
+STOPWORDS = (
+    "a an and are as at be but by for from has have he her his if in is it "
+    "its not of on or she that the their them they this to was were which "
+    "will with you your"
+).split()
+_STOPSET = frozenset(STOPWORDS)
+
+_FRAG_RE = re.compile(r"[^a-z0-9\s]+")
+
+
+def phrase_occurrences(text: str) -> list[str]:
+    """Candidate phrase occurrences of one document (module contract
+    steps 1-3). Pure function — shared by the distributed plan and
+    tests' independent references only via the CONTRACT, not code."""
+    out = []
+    for frag in _FRAG_RE.split((text or "").lower()):
+        cur: list[str] = []
+        for w in frag.split():
+            if w in _STOPSET:
+                if cur:
+                    out.append(" ".join(cur))
+                    cur = []
+            else:
+                cur.append(w)
+        if cur:
+            out.append(" ".join(cur))
+    return out
+
+
+def extract_phrases(ds, text_col: str = "text"):
+    """Dataset[(phrase, n_words)] — one row per candidate occurrence."""
+    def scan(batch: pa.Table) -> pa.Table:
+        phrases: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            phrases.extend(phrase_occurrences(t))
+        nw = np.fromiter(
+            (p.count(" ") + 1 for p in phrases), dtype=np.int64, count=len(phrases)
+        )
+        return pa.table(
+            {"phrase": pa.array(phrases, pa.string()), "n_words": pa.array(nw)}
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def rake_keywords(
+    ds,
+    k: int = 50,
+    text_col: str = "text",
+    plan: str = "auto",
+    broadcast_word_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+):
+    """Corpus-wide top-``k`` RAKE keywords. Returns a pandas DataFrame
+    [(rank, phrase, n_words, occurrences, score_micro)] — O(k) rows.
+    See module docstring for the exact contract and the two scoring
+    plans; ``plan='auto'`` measures the materialized word table and
+    takes broadcast at/below ``broadcast_word_limit`` words."""
+    import ray
+
+    from docstrange_ray.shuffle import (
+        arrow_out,
+        coalesced_blocks,
+        grouped_blocks,
+        hash_join,
+    )
+
+    # phrase exchange: occurrence counts pre-reduced per block
+    def ph_local(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.groupby(["phrase", "n_words"], as_index=False).size().rename(
+            columns={"size": "occ"}
+        )
+
+    def ph_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["phrase", "n_words"], as_index=False)["occ"].sum()
+
+    ptab = grouped_blocks(
+        extract_phrases(ds, text_col).map_batches(
+            arrow_out(ph_local), batch_format="pyarrow"
+        ),
+        ["phrase"],
+        ph_final,
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    _EMPTY = pd.DataFrame(
+        columns=["rank", "phrase", "n_words", "occurrences", "score_micro"]
+    )
+    if ptab.count() == 0:  # all-stopword corpus: no candidates at all
+        return _EMPTY
+
+    # word stats from the DISTINCT-phrase table weighted by occurrences
+    def w_local(df: pd.DataFrame) -> pd.DataFrame:
+        words, freqs, degs = [], [], []
+        for phrase, nw, occ in zip(df["phrase"], df["n_words"], df["occ"]):
+            for w in phrase.split(" "):
+                words.append(w)
+                freqs.append(occ)
+                degs.append(occ * nw)
+        out = pd.DataFrame({"word": words, "freq": freqs, "deg": degs})
+        return out.groupby("word", as_index=False)[["freq", "deg"]].sum()
+
+    from docstrange_ray.shuffle import adaptive_final
+
+    wtab = adaptive_final(
+        ptab.map_batches(
+            arrow_out(lambda b: w_local(b.to_pandas())), batch_format="pyarrow"
+        ),
+        lambda df: df.groupby("word", as_index=False)[["freq", "deg"]].sum(),
+        keys=["word"],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    n_words_total = wtab.count()
+    if plan == "auto":
+        plan = "broadcast" if n_words_total <= broadcast_word_limit else "join"
+
+    if plan == "broadcast":
+        wdf = wtab.to_pandas()
+        scores = {
+            w: (SCALE * int(d)) // int(f)
+            for w, f, d in zip(wdf["word"], wdf["freq"], wdf["deg"])
+        }
+        ref = ray.put(scores)
+
+        def score_block(batch: pa.Table) -> pd.DataFrame:
+            sc = ray.get(ref)
+            df = batch.to_pandas()
+            df["score_micro"] = np.fromiter(
+                (
+                    sum(sc[w] for w in p.split(" "))
+                    for p in df["phrase"]
+                ),
+                dtype=np.int64,
+                count=len(df),
+            )
+            return _local_topk(df, k)
+
+        cands = ptab.map_batches(arrow_out(score_block), batch_format="pyarrow")
+    elif plan == "join":
+        def explode(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            ps, ws = [], []
+            for p in df["phrase"]:
+                for w in p.split(" "):
+                    ps.append(p)
+                    ws.append(w)
+            return pd.DataFrame({"phrase": ps, "word": ws})
+
+        def wscore(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["wscore"] = (SCALE * df["deg"].astype(np.int64)) // df[
+                "freq"
+            ].astype(np.int64)
+            return df[["word", "wscore"]]
+
+        exploded = ptab.map_batches(arrow_out(explode), batch_format="pyarrow")
+        wscores = wtab.map_batches(arrow_out(wscore), batch_format="pyarrow")
+        joined = hash_join(
+            exploded, wscores, key="word", num_partitions=num_partitions
+        )
+
+        def sum_per_phrase(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("phrase", as_index=False)["wscore"].sum().rename(
+                columns={"wscore": "score_micro"}
+            )
+
+        psc = grouped_blocks(
+            joined, ["phrase"], sum_per_phrase, num_partitions,
+            batch_format="pandas",
+        )
+        merged = hash_join(ptab, psc, key="phrase", num_partitions=num_partitions)
+        cands = merged.map_batches(
+            arrow_out(lambda b: _local_topk(b.to_pandas(), k)),
+            batch_format="pyarrow",
+        )
+    else:
+        raise ValueError(f"unknown plan {plan!r}")
+
+    out = coalesced_blocks(cands, lambda df: _local_topk(df, k)).to_pandas()
+    if out.empty:
+        return _EMPTY
+    out = out.reset_index(drop=True).rename(columns={"occ": "occurrences"})
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
+def _local_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(
+        ["score_micro", "occ", "phrase"], ascending=[False, False, True]
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "phrase": df["phrase"].to_numpy(),
+            "n_words": df["n_words"].to_numpy().astype(np.int64),
+            "occ": df["occ"].to_numpy().astype(np.int64),
+            "score_micro": df["score_micro"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1,0 +1,117 @@
+"""RAKE keyword extraction (ops/keywords.py): independent reference,
+plan parity, contract edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from docstrange_ray.ops.keywords import (
+    SCALE,
+    STOPWORDS,
+    phrase_occurrences,
+    rake_keywords,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _reference(texts, k):
+    """Independent Counter/loop RAKE (module contract, no shared code
+    beyond the stopword list, which IS the contract)."""
+    import re
+    from collections import Counter, defaultdict
+
+    stop = set(STOPWORDS)
+    occ = Counter()
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for t in texts:
+        for frag in re.split(r"[^a-z0-9\s]+", (t or "").lower()):
+            cur = []
+            for w in frag.split():
+                if w in stop:
+                    if cur:
+                        occ[" ".join(cur)] += 1
+                        cur = []
+                else:
+                    cur.append(w)
+            if cur:
+                occ[" ".join(cur)] += 1
+    for p, c in occ.items():
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] += c
+            deg[w] += c * len(ws)
+    wscore = {w: (SCALE * deg[w]) // freq[w] for w in freq}
+    rows = [
+        (p, len(p.split(" ")), c, sum(wscore[w] for w in p.split(" ")))
+        for p, c in occ.items()
+    ]
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0]))
+    return rows[:k]
+
+
+def _ds(texts, parts=4):
+    return ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(parts)
+
+
+class TestPhraseOccurrences:
+    def test_stopword_and_punct_breaks(self):
+        assert phrase_occurrences("the red apple, fell ON green grass") == [
+            "red apple",
+            "fell",
+            "green grass",
+        ]
+
+    def test_all_stopwords_empty(self):
+        assert phrase_occurrences("the and of a") == []
+        assert phrase_occurrences("") == []
+        assert phrase_occurrences(None) == []
+
+
+class TestRake:
+    TEXTS = [
+        "the quick brown fox jumps over a lazy dog",
+        "quick brown foxes! lazy dog; quick dog runs",
+        "deep learning of deep networks, and deep learning rates",
+        "the deep learning",
+        "",
+    ] * 3
+
+    def test_equals_reference(self):
+        got = rake_keywords(_ds(self.TEXTS), k=10)
+        exp = _reference(self.TEXTS, 10)
+        tup = list(
+            zip(got["phrase"], got["n_words"], got["occurrences"],
+                got["score_micro"])
+        )
+        assert tup == exp
+        assert list(got["rank"]) == list(range(1, len(exp) + 1))
+
+    def test_plan_parity_byte_identical(self):
+        a = rake_keywords(_ds(self.TEXTS), k=10, plan="broadcast")
+        b = rake_keywords(_ds(self.TEXTS), k=10, plan="join")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_auto_gate_picks_join_above_limit(self):
+        got = rake_keywords(
+            _ds(self.TEXTS), k=5, plan="auto", broadcast_word_limit=2
+        )
+        exp = _reference(self.TEXTS, 5)
+        assert list(got["phrase"]) == [r[0] for r in exp]
+
+    def test_degree_beats_frequency(self):
+        # "word" appears alone often; "long phrase word" gives "word"
+        # high degree: the multiword phrase must outrank the singleton
+        texts = ["solo"] * 10 + ["alpha beta solo"] * 2
+        got = rake_keywords(_ds(texts, 2), k=2)
+        assert got["phrase"].iloc[0] == "alpha beta solo"
+
+    def test_empty_corpus(self):
+        got = rake_keywords(_ds(["the a of", ""]), k=5)
+        assert len(got) == 0

@@ -1753,6 +1753,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64),
         )
 
+    def price_qty_frontier(sf_dir):
+        """Pareto frontier of lineitem (min extended price, max
+        quantity) via the distributed skyline (rankstats.pareto_front,
+        Börzsönyi et al. 2001): per-block skyline pre-reduce is LOSSLESS
+        (a locally dominated point is globally dominated), so only
+        ~ln(block) survivors per block reach the ONE coalesced final.
+        Exact int64 objective units (cents / rounded qty) — SQL
+        NOT-EXISTS dominance oracle agrees bit-for-bit."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import pareto_front
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_quantity"],
+        )
+        out = pareto_front(
+            li,
+            "l_extendedprice",
+            "l_quantity",
+            x_to_int=lambda a: np.round(
+                np.asarray(a, np.float64) * 100
+            ).astype(np.int64),
+            minimize=(True, False),
+        )
+        return out.rename(columns={"x": "price_cents", "y": "qty"})
+
     def rake_keywords_q(sf_dir):
         """Corpus-wide top-50 RAKE keywords (ops/keywords.rake_keywords,
         Rose et al. 2010): punctuation/stopword-delimited candidate
@@ -2455,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_select": price_quantile_select,
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
+        "price_qty_frontier": price_qty_frontier,
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
@@ -3052,6 +3079,22 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        "price_qty_frontier": """
+            WITH pts AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT p.price_cents, p.qty, CAST(p.cnt AS BIGINT) AS cnt
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.price_cents <= p.price_cents AND q.qty >= p.qty
+                  AND (q.price_cents < p.price_cents OR q.qty > p.qty)
+            )
         """,
         # rake_keywords: the full RAKE contract rebuilt in SQL — frag
         # split, stopword grouping (cumulative-anchor idiom), word

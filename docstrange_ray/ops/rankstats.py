@@ -780,3 +780,87 @@ def group_corr(
     if out.empty:  # empty materialized Datasets lose their schema
         return pd.DataFrame(columns=[group_key, "n", "corr"])
     return out
+
+
+def pareto_front(
+    ds,
+    x_col: str,
+    y_col: str,
+    x_to_int=None,
+    y_to_int=None,
+    minimize=(True, True),
+    num_partitions: int | None = None,
+):
+    """2-D Pareto frontier (skyline): the DISTINCT (x, y) points not
+    dominated by any other point (p dominates q iff p <= q in both
+    objectives after direction normalization and p < q in at least
+    one), plus the row count at each surviving point.
+
+    Why this distributes well: the skyline operator admits a PERFECT
+    local pre-reduce — a point dominated inside one block is dominated
+    by a point that also reaches the final, so per-block skyline
+    filtering is lossless (Börzsönyi, Kossmann & Stocker 2001, "The
+    Skyline Operator"). For independently-distributed objectives the
+    expected survivor count is O(ln n) per block, so the ONE coalesced
+    final sees ~n_blocks x ln(block) candidate points regardless of
+    corpus size; a pathological fully-anti-correlated input degrades
+    toward shipping the distinct frontier itself, which is the answer's
+    own size. Counts merge additively across blocks because a globally
+    surviving point survives in EVERY block it appears in.
+
+    All comparisons run on exact int64 objective units (``x_to_int`` /
+    ``y_to_int``, default round-to-int) — no float order anywhere, so
+    SQL NOT EXISTS oracles agree bit-for-bit. ``minimize=(bool, bool)``
+    sets each objective's direction via sign flip. Nulls dropped.
+
+    Returns a pandas DataFrame [(x, y, cnt)] sorted by x — frontier-
+    sized, legitimately driver-sized for real objective domains.
+    """
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if x_to_int is None:
+        x_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+    if y_to_int is None:
+        y_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+    sx = 1 if minimize[0] else -1
+    sy = 1 if minimize[1] else -1
+
+    def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized minimize-both skyline over distinct points."""
+        df = df.sort_values(["x", "y"]).reset_index(drop=True)
+        first_of_x = ~df["x"].duplicated()
+        cand = df[first_of_x].reset_index(drop=True)
+        # survive iff y strictly below every smaller-x point's min y
+        prev_min = np.minimum.accumulate(cand["y"].to_numpy())
+        keep = np.ones(len(cand), dtype=bool)
+        keep[1:] = cand["y"].to_numpy()[1:] < prev_min[:-1]
+        return cand[keep]
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([x_col, y_col]).to_pandas().dropna()
+        pts = pd.DataFrame(
+            {
+                "x": sx * x_to_int(df[x_col].to_numpy()),
+                "y": sy * y_to_int(df[y_col].to_numpy()),
+            }
+        )
+        g = pts.groupby(["x", "y"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        sky = _skyline(g[["x", "y"]])
+        return sky.merge(g, on=["x", "y"], how="left")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["x", "y"], as_index=False)["cnt"].sum()
+        sky = _skyline(g[["x", "y"]])
+        out = sky.merge(g, on=["x", "y"], how="left")
+        out["x"] = sx * out["x"]
+        out["y"] = sy * out["y"]
+        return out.sort_values("x").reset_index(drop=True)
+
+    out = coalesced_blocks(
+        ds.map_batches(arrow_out(local), batch_format="pyarrow"), final
+    ).to_pandas()
+    if out.empty:  # empty materialized Datasets lose their schema
+        return pd.DataFrame(columns=["x", "y", "cnt"])
+    return out

@@ -277,3 +277,62 @@ class TestGroupCorr:
         ).repartition(3)
         got = group_corr(ds, "g", "x", "y")
         assert list(got["corr"]) == [1.0]
+
+
+class TestParetoFront:
+    @staticmethod
+    def _reference(pts, minimize=(True, True)):
+        """Independent O(m^2) dominance check."""
+        from collections import Counter
+
+        sx = 1 if minimize[0] else -1
+        sy = 1 if minimize[1] else -1
+        norm = [(sx * x, sy * y) for x, y in pts]
+        cnt = Counter(norm)
+        keys = list(cnt)
+        out = {}
+        for p in keys:
+            dominated = any(
+                q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+                for q in keys
+            )
+            if not dominated:
+                out[(sx * p[0], sy * p[1])] = cnt[p]
+        return out
+
+    @staticmethod
+    def _run(pts, parts=4, **kw):
+        from docstrange_ray.ops.rankstats import pareto_front
+
+        tbl = pa.table(
+            {
+                "x": pa.array([float(x) for x, _ in pts], pa.float64()),
+                "y": pa.array([float(y) for _, y in pts], pa.float64()),
+            }
+        )
+        got = pareto_front(
+            ray.data.from_arrow(tbl).repartition(parts), "x", "y", **kw
+        )
+        return {(int(r["x"]), int(r["y"])): int(r["cnt"]) for _, r in got.iterrows()}
+
+    def test_equals_reference_random(self):
+        rng = np.random.default_rng(31)
+        pts = [tuple(map(int, p)) for p in rng.integers(0, 50, (1200, 2))]
+        assert self._run(pts) == self._reference(pts)
+
+    def test_maximize_direction(self):
+        rng = np.random.default_rng(32)
+        pts = [tuple(map(int, p)) for p in rng.integers(0, 30, (600, 2))]
+        mm = (True, False)
+        assert self._run(pts, minimize=mm) == self._reference(pts, mm)
+
+    def test_duplicates_counted_and_equal_points_kept(self):
+        pts = [(1, 5), (1, 5), (2, 4), (3, 3), (2, 6), (4, 4)]
+        got = self._run(pts, parts=2)
+        assert got == {(1, 5): 2, (2, 4): 1, (3, 3): 1}
+
+    def test_anticorrelated_full_frontier(self):
+        # y = C - x: nothing dominates anything — all points survive
+        pts = [(i, 100 - i) for i in range(50)]
+        got = self._run(pts, parts=5)
+        assert len(got) == 50

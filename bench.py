@@ -151,6 +151,7 @@ OP_GROUPS: list[list[str]] = [
         "wp_merges",
         "jsonl_roundtrip",
         "source_interleave",
+        "rake_keywords",
     ],
     [
         "exact_dedup",
@@ -181,6 +182,7 @@ OP_GROUPS: list[list[str]] = [
         "knn_classify",
         "pca_project",
         "price_quantile_select",
+        "returnflag_price_quantiles",
     ],
     [
         "q1_pricing",
@@ -199,6 +201,9 @@ OP_GROUPS: list[list[str]] = [
         "copurchase_reach",
         "copurchase_components",
         "frequent_part_triples",
+        "part_link_predictions",
+        "lang_source_chi2",
+        "price_qty_frontier",
     ],
 ]
 

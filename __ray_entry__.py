@@ -1753,6 +1753,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64),
         )
 
+    def source_mode_length(sf_dir):
+        """Per-source MODE document length (rankstats.group_mode):
+        pre-reduced (source, n_chars, cnt) histogram exchange, winner =
+        (cnt DESC, value ASC) — a deterministic total order mirrored by
+        the oracle's ROW_NUMBER."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import group_mode
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return group_mode(docs, "source", "n_chars")
+
+    def source_lang_entropy(sf_dir):
+        """Per-source Shannon entropy of the language distribution
+        (rankstats.group_entropy) — the composition-diversity audit.
+        Each value's (c/n)*ln(n/c) term is quantized to a micro-int
+        BEFORE summation; Python libm and DuckDB LN are bit-identical
+        (grid-pinned), so entropy_micro is bit-equal to SQL."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import group_entropy
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+        return group_entropy(docs, "source", "lang")
+
     def price_qty_frontier(sf_dir):
         """Pareto frontier of lineitem (min extended price, max
         quantity) via the distributed skyline (rankstats.pareto_front,
@@ -2482,6 +2509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
         "price_qty_frontier": price_qty_frontier,
+        "source_mode_length": source_mode_length,
+        "source_lang_entropy": source_lang_entropy,
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
@@ -3079,6 +3108,35 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        "source_mode_length": """
+            WITH c AS (
+                SELECT source, n_chars, COUNT(*) AS cnt
+                FROM documents GROUP BY source, n_chars
+            ), r AS (
+                SELECT source, n_chars, cnt,
+                       SUM(cnt) OVER (PARTITION BY source) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, n_chars) AS rn
+                FROM c
+            )
+            SELECT source, n_chars AS mode, CAST(cnt AS BIGINT) AS mode_cnt,
+                   CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
+        """,
+        "source_lang_entropy": """
+            WITH c AS (
+                SELECT source, lang, COUNT(*) AS cnt
+                FROM documents GROUP BY source, lang
+            ), n AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY source)
+            SELECT c.source, CAST(MAX(n.n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(SUM(FLOOR(1000000.0
+                        * (CAST(c.cnt AS DOUBLE) / n.n)
+                        * LN(CAST(n.n AS DOUBLE) / c.cnt) + 0.5))
+                        AS BIGINT) AS entropy_micro
+            FROM c JOIN n ON n.source = c.source
+            GROUP BY c.source
         """,
         "price_qty_frontier": """
             WITH pts AS (

@@ -336,3 +336,90 @@ class TestParetoFront:
         pts = [(i, 100 - i) for i in range(50)]
         got = self._run(pts, parts=5)
         assert len(got) == 50
+
+
+class TestGroupModeEntropy:
+    def test_mode_vs_duckdb(self, ray_session):
+        import duckdb
+
+        from docstrange_ray.ops.rankstats import group_mode
+
+        rng = np.random.default_rng(41)
+        g = rng.choice(["a", "b", "c"], 2000)
+        v = rng.integers(0, 8, 2000)
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+        got = (
+            group_mode(ds, "g", "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"g": g, "v": v}))
+        exp = con.execute(
+            """WITH c AS (SELECT g, v, COUNT(*) AS cnt FROM t GROUP BY g, v),
+               r AS (SELECT g, v, cnt,
+                            SUM(cnt) OVER (PARTITION BY g) AS n,
+                            ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY cnt DESC, v) AS rn FROM c)
+               SELECT g, v AS mode, CAST(cnt AS BIGINT) AS mode_cnt,
+                      CAST(n AS BIGINT) AS n
+               FROM r WHERE rn = 1 ORDER BY g"""
+        ).fetchdf()
+        assert list(got["mode"]) == list(exp["mode"])
+        assert list(got["mode_cnt"]) == list(exp["mode_cnt"])
+        assert list(got["n"]) == list(exp["n"])
+
+    def test_mode_tie_breaks_value_ascending(self, ray_session):
+        from docstrange_ray.ops.rankstats import group_mode
+
+        ds = ray.data.from_arrow(
+            pa.table({"g": ["x"] * 4, "v": [7, 7, 3, 3]})
+        ).repartition(2)
+        got = group_mode(ds, "g", "v").take_all()
+        assert got[0]["mode"] == 3 and got[0]["mode_cnt"] == 2
+
+    def test_entropy_reference_and_bounds(self, ray_session):
+        import math
+
+        from docstrange_ray.ops.rankstats import group_entropy
+
+        # uniform over 4 values -> ln(4); constant -> 0
+        g = ["u"] * 400 + ["k"] * 100
+        v = [i % 4 for i in range(400)] + [9] * 100
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(5)
+        got = {
+            r["g"]: r for r in group_entropy(ds, "g", "v").take_all()
+        }
+        assert got["k"]["entropy_micro"] == 0
+        assert got["u"]["n_values"] == 4
+        exp = 4 * math.floor(1e6 * 0.25 * math.log(4.0) + 0.5)
+        assert got["u"]["entropy_micro"] == exp
+
+    def test_entropy_vs_duckdb_mirror(self, ray_session):
+        import duckdb
+
+        from docstrange_ray.ops.rankstats import group_entropy
+
+        rng = np.random.default_rng(43)
+        g = rng.choice(["p", "q"], 1500)
+        v = rng.choice(list("abcdefg"), 1500, p=[0.4, 0.3, 0.1, 0.1, 0.05, 0.03, 0.02])
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(4)
+        got = (
+            group_entropy(ds, "g", "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"g": g, "v": v}))
+        exp = con.execute(
+            """WITH c AS (SELECT g, v, COUNT(*) AS cnt FROM t GROUP BY g, v),
+               n AS (SELECT g, SUM(cnt) AS n FROM c GROUP BY g)
+               SELECT c.g, CAST(SUM(FLOOR(1000000.0
+                          * (CAST(c.cnt AS DOUBLE) / n.n)
+                          * LN(CAST(n.n AS DOUBLE) / c.cnt) + 0.5))
+                      AS BIGINT) AS entropy_micro
+               FROM c JOIN n ON n.g = c.g GROUP BY c.g ORDER BY c.g"""
+        ).fetchdf()
+        assert list(got["entropy_micro"]) == list(exp["entropy_micro"])

@@ -1753,6 +1753,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).astype(np.int64),
         )
 
+    def isotonic_calibration(sf_dir):
+        """Isotonic (PAV) calibration curve mapping document length to
+        the empirical P(doc mentions 'data') — the post-hoc probability
+        calibration step for any monotone quality score
+        (ops/classifier.isotonic_calibrate). ONE pre-reduced histogram
+        exchange; PAV pooling runs in exact cross-multiplied integer
+        rationals on the bounded bin table. Rows-only by nature
+        (iterative pooling is not SQL-expressible); pinned by an
+        independent exact-Fraction minimax reference in
+        tests/test_classifier.py."""
+        import pyarrow.compute as pc
+
+        from docstrange_ray.ops.classifier import isotonic_calibrate
+
+        def feat(batch):
+            txt = batch.column("text")
+            lab = pc.cast(
+                pc.match_substring(txt, "data"), pa.int64()
+            )
+            ln = pc.cast(batch.column("n_chars"), pa.float64())
+            return pa.table({"score": pc.divide(ln, 4000.0), "label": lab})
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["text", "n_chars"]
+        ).map_batches(feat, batch_format="pyarrow")
+        return isotonic_calibrate(docs, "score", "label")
+
     def source_mode_length(sf_dir):
         """Per-source MODE document length (rankstats.group_mode):
         pre-reduced (source, n_chars, cnt) histogram exchange, winner =
@@ -2509,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
         "price_qty_frontier": price_qty_frontier,
+        "isotonic_calibration": isotonic_calibration,
         "source_mode_length": source_mode_length,
         "source_lang_entropy": source_lang_entropy,
         "rake_keywords": rake_keywords_q,

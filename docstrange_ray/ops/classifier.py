@@ -442,3 +442,92 @@ def nb_classify(ds, label_col: str = "lang", text_col: str = "text"):
     """Train-and-score over the same corpus (the oracled query shape)."""
     model = nb_train(ds, label_col=label_col, text_col=text_col)
     return nb_predict(ds, model, text_col=text_col)
+
+
+def isotonic_calibrate(
+    ds,
+    score_col: str,
+    label_col: str,
+    score_to_int=None,
+    num_partitions: int | None = None,
+):
+    """Isotonic-regression probability calibration (pool-adjacent-
+    violators; Barlow et al. 1972, the sklearn ``IsotonicRegression``
+    shape): learn the monotone non-decreasing step function mapping a
+    classifier score to an empirical positive rate — the standard
+    post-hoc calibration for ops/classifier.py's logistic scores.
+
+    Distributed shape: ONE pre-reduced histogram exchange — per-block
+    (score_bin, n, pos) partials, so a billion rows ship their distinct
+    -bin histogram (``score_to_int`` quantizes continuous scores to
+    int64 bins, default 4dp micro-units; the group_quantiles
+    cardinality contract). PAV then runs on the driver over the bounded
+    bin table in EXACT INTEGER RATIONALS: pool rates are compared by
+    cross-multiplication (pos_i * n_j vs pos_j * n_i), so pooling
+    decisions have no float boundary and the segment set is
+    deterministic at any cluster size. O(bins) stack algorithm.
+
+    Not SQL-expressible (iterative pooling; the minimax closed form
+    needs rational MIN/MAX that SQL can only approximate in doubles) —
+    correctness is pinned by an independent O(B^2) minimax-formula
+    reference in tests, the same oracle strategy as bpe_merges.
+
+    Returns a pandas DataFrame of calibration segments
+    [(bin_lo, bin_hi, n, pos, rate_micro)] with ``rate_micro`` =
+    ``(1e6 * pos) // n`` (exact int) non-decreasing in score.
+    """
+    from docstrange_ray.shuffle import adaptive_final, arrow_out
+
+    if score_to_int is None:
+        score_to_int = lambda a: np.round(
+            np.asarray(a, np.float64) * 10_000
+        ).astype(np.int64)
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([score_col, label_col]).to_pandas().dropna()
+        out = pd.DataFrame(
+            {
+                "bin": score_to_int(df[score_col].to_numpy()),
+                "pos": df[label_col].to_numpy().astype(np.int64),
+            }
+        )
+        g = out.groupby("bin", as_index=False).agg(
+            n=("pos", "size"), pos=("pos", "sum")
+        )
+        return g
+
+    hist = (
+        adaptive_final(
+            ds.map_batches(arrow_out(local), batch_format="pyarrow"),
+            lambda df: df.groupby("bin", as_index=False)[["n", "pos"]].sum(),
+            keys=["bin"],
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+    )
+    if hist.empty:
+        return pd.DataFrame(columns=["bin_lo", "bin_hi", "n", "pos", "rate_micro"])
+    hist = hist.sort_values("bin").reset_index(drop=True)
+
+    # PAV: stack of pools (lo, hi, n, pos); merge while the new pool's
+    # rate is NOT above the previous pool's (<=, so equal-rate pools
+    # merge — one canonical segment set). Cross-multiplied comparisons:
+    # pos_new * n_prev <= pos_prev * n_new  <=>  rate_new <= rate_prev.
+    pools: list[list[int]] = []
+    for b, n, p in zip(hist["bin"], hist["n"], hist["pos"]):
+        cur = [int(b), int(b), int(n), int(p)]
+        while pools and cur[3] * pools[-1][2] <= pools[-1][3] * cur[2]:
+            prev = pools.pop()
+            cur = [prev[0], cur[1], prev[2] + cur[2], prev[3] + cur[3]]
+        pools.append(cur)
+    return pd.DataFrame(
+        {
+            "bin_lo": pd.Series([p[0] for p in pools], dtype="int64"),
+            "bin_hi": pd.Series([p[1] for p in pools], dtype="int64"),
+            "n": pd.Series([p[2] for p in pools], dtype="int64"),
+            "pos": pd.Series([p[3] for p in pools], dtype="int64"),
+            "rate_micro": pd.Series(
+                [(1_000_000 * p[3]) // p[2] for p in pools], dtype="int64"
+            ),
+        }
+    )

@@ -157,3 +157,99 @@ class TestClassifier:
         assert np.isfinite(coefs["coef_raw"]).all()
         ev = classifier.confusion(ds)
         assert ev.loc[0, "tp"] + ev.loc[0, "fn"] == 8
+
+
+class TestIsotonicCalibrate:
+    @staticmethod
+    def _run(scores, labels, parts=4):
+        import pyarrow as pa
+
+        import ray
+
+        from docstrange_ray.ops.classifier import isotonic_calibrate
+
+        tbl = pa.table(
+            {
+                "score": pa.array([float(s) for s in scores], pa.float64()),
+                "label": pa.array([int(l) for l in labels], pa.int64()),
+            }
+        )
+        return isotonic_calibrate(
+            ray.data.from_arrow(tbl).repartition(parts), "score", "label"
+        )
+
+    @staticmethod
+    def _minimax_reference(scores, labels):
+        """Independent minimax closed form: fit(i) = max_{j<=i}
+        min_{k>=i} avg(pos[j..k]) over exact Fractions — structurally
+        unrelated to the PAV stack."""
+        from collections import defaultdict
+        from fractions import Fraction
+
+        agg = defaultdict(lambda: [0, 0])
+        for s, l in zip(scores, labels):
+            b = int(round(s * 10_000))
+            agg[b][0] += 1
+            agg[b][1] += int(l)
+        bins = sorted(agg)
+        n = [agg[b][0] for b in bins]
+        p = [agg[b][1] for b in bins]
+        m = len(bins)
+        fits = []
+        for i in range(m):
+            best = None
+            for j in range(i + 1):
+                worst = None
+                for k in range(i, m):
+                    a = Fraction(sum(p[j : k + 1]), sum(n[j : k + 1]))
+                    worst = a if worst is None else min(worst, a)
+                best = worst if best is None else max(best, worst)
+            fits.append((bins[i], best))
+        return fits
+
+    def test_fit_equals_minimax_reference(self, ray_session):
+        import numpy as np
+        from fractions import Fraction
+
+        rng = np.random.default_rng(47)
+        scores = rng.integers(0, 20, 500) / 20.0
+        labels = (rng.random(500) < scores * 0.8 + 0.1).astype(int)
+        seg = self._run(scores, labels)
+        # expand segments to per-bin fits as exact rationals
+        fit_by_bin = {}
+        for _, r in seg.iterrows():
+            for b in range(int(r["bin_lo"]), int(r["bin_hi"]) + 1):
+                fit_by_bin[b] = Fraction(int(r["pos"]), int(r["n"]))
+        for b, exp in self._minimax_reference(scores, labels):
+            assert fit_by_bin[b] == exp, b
+
+    def test_monotone_and_partition(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(48)
+        scores = rng.random(800).round(3)
+        labels = rng.integers(0, 2, 800)
+        seg = self._run(scores, labels)
+        rates = [
+            (int(r["pos"]), int(r["n"])) for _, r in seg.iterrows()
+        ]
+        for (p1, n1), (p2, n2) in zip(rates, rates[1:]):
+            assert p1 * n2 < p2 * n1  # strictly increasing pool rates
+        assert int(seg["n"].sum()) == 800
+        assert int(seg["pos"].sum()) == labels.sum()
+        assert (seg["rate_micro"].diff().dropna() >= 0).all()
+
+    def test_already_monotone_identity(self, ray_session):
+        # pure 0s below 0.5, pure 1s above: two segments
+        scores = [0.1] * 50 + [0.9] * 50
+        labels = [0] * 50 + [1] * 50
+        seg = self._run(scores, labels, parts=2)
+        assert len(seg) == 2
+        assert list(seg["rate_micro"]) == [0, 1_000_000]
+
+    def test_reversed_labels_pool_to_one_segment(self, ray_session):
+        scores = [0.1] * 50 + [0.9] * 50
+        labels = [1] * 50 + [0] * 50
+        seg = self._run(scores, labels, parts=3)
+        assert len(seg) == 1
+        assert int(seg["rate_micro"].iloc[0]) == 500_000

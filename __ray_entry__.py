@@ -1743,14 +1743,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_quantity", "l_extendedprice"],
         )
+        from docstrange_ray.numerics import to_int_units
+
         return group_corr(
             li,
             "l_returnflag",
             "l_quantity",
             "l_extendedprice",
-            y_to_int=lambda a: np.round(
-                np.asarray(a, np.float64) * 100
-            ).astype(np.int64),
+            y_to_int=to_int_units(100),
         )
 
     def isotonic_calibration(sf_dir):
@@ -1822,13 +1822,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/lineitem.parquet",
             columns=["l_extendedprice", "l_quantity"],
         )
+        from docstrange_ray.numerics import to_int_units
+
         out = pareto_front(
             li,
             "l_extendedprice",
             "l_quantity",
-            x_to_int=lambda a: np.round(
-                np.asarray(a, np.float64) * 100
-            ).astype(np.int64),
+            x_to_int=to_int_units(100),
             minimize=(True, False),
         )
         return out.rename(columns={"x": "price_cents", "y": "qty"})

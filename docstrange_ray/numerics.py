@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["round6", "round_half_away", "md5_key52"]
+__all__ = ["round6", "round_half_away", "md5_key52", "to_int_units"]
 
 
 def round_half_away(x, ndigits: int = 6):
@@ -44,3 +44,19 @@ def md5_key52(s) -> int:
     import hashlib
 
     return int(hashlib.md5(str(s).encode("utf-8")).hexdigest()[:13], 16)
+
+
+def to_int_units(scale: int = 1):
+    """Factory for the house float->int64-unit transform used by ops
+    that reduce in exact integers (group_corr, pareto_front,
+    isotonic_calibrate, ...): ``round_half_away(x * scale, 0)`` cast to
+    int64 — HALF-AWAY-FROM-ZERO, so the transform is the exact mirror
+    of SQL ``CAST(ROUND(x * scale) AS BIGINT)`` even on .5 ties (np.round
+    is banker's-rounded and silently diverges there). One definition so
+    the rounding contract cannot drift between call sites."""
+    def f(a):
+        return round_half_away(np.asarray(a, np.float64) * scale, 0).astype(
+            np.int64
+        )
+
+    return f

@@ -476,12 +476,11 @@ def isotonic_calibrate(
     [(bin_lo, bin_hi, n, pos, rate_micro)] with ``rate_micro`` =
     ``(1e6 * pos) // n`` (exact int) non-decreasing in score.
     """
+    from docstrange_ray.numerics import to_int_units
     from docstrange_ray.shuffle import adaptive_final, arrow_out
 
     if score_to_int is None:
-        score_to_int = lambda a: np.round(
-            np.asarray(a, np.float64) * 10_000
-        ).astype(np.int64)
+        score_to_int = to_int_units(10_000)  # half-away on .5 ties
 
     def local(batch: pa.Table) -> pd.DataFrame:
         df = batch.select([score_col, label_col]).to_pandas().dropna()

@@ -52,7 +52,11 @@ STOPWORDS = (
 ).split()
 _STOPSET = frozenset(STOPWORDS)
 
-_FRAG_RE = re.compile(r"[^a-z0-9\s]+")
+# re.ASCII pins \s to [ \t\n\r\f\v] — DuckDB's RE2 \s is ASCII-only, so
+# a unicode space (NBSP etc.) must be a phrase BOUNDARY on both sides;
+# Python's default unicode \s / str.split() would swallow it silently
+_FRAG_RE = re.compile(r"[^a-z0-9\s]+", re.ASCII)
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def phrase_occurrences(text: str) -> list[str]:
@@ -62,7 +66,9 @@ def phrase_occurrences(text: str) -> list[str]:
     out = []
     for frag in _FRAG_RE.split((text or "").lower()):
         cur: list[str] = []
-        for w in frag.split():
+        for w in _WS_RE.split(frag):
+            if not w:
+                continue
             if w in _STOPSET:
                 if cur:
                     out.append(" ".join(cur))
@@ -198,9 +204,16 @@ def rake_keywords(
 
         def wscore(batch: pa.Table) -> pd.DataFrame:
             df = batch.to_pandas()
-            df["wscore"] = (SCALE * df["deg"].astype(np.int64)) // df[
-                "freq"
-            ].astype(np.int64)
+            # Python ints: SCALE * deg wraps silently in numpy int64 for
+            # deg > ~9.2e12, diverging from the broadcast plan's exact
+            # (SCALE * int(d)) // int(f); vocab-scale rows, so the loop
+            # is cheap
+            df["wscore"] = pd.Series(
+                [(SCALE * int(d)) // int(f)
+                 for d, f in zip(df["deg"], df["freq"])],
+                index=df.index,
+                dtype="int64",
+            )
             return df[["word", "wscore"]]
 
         exploded = ptab.map_batches(arrow_out(explode), batch_format="pyarrow")

@@ -301,6 +301,22 @@ def key_to_value(key: int, float_domain: bool) -> float | int:
     return float(np.array([bits], dtype=np.int64).view(np.float64)[0])
 
 
+def _narrow_bracket(
+    s: dict, buckets: np.ndarray, cnts: np.ndarray, lo: int, hi: int, w: int
+) -> None:
+    """One radix-selection narrowing step, shared by the global and
+    per-group loops: walk the bucket histogram's cumulative counts to
+    the bucket containing the residual rank, rebase the rank, and
+    shrink [lo, hi] to that bucket. The invariant
+    ``1 <= rank <= count(lo..hi)`` guarantees the argmax hits."""
+    cum = cnts.cumsum()
+    t = int((cum >= s["rank"]).argmax())
+    bucket_id = int(buckets[t])
+    s["rank"] -= int(cum[t - 1]) if t else 0
+    s["lo"] = lo + bucket_id * w
+    s["hi"] = min(hi, s["lo"] + w - 1)
+
+
 def select_quantiles(
     ds,
     value_col: str,
@@ -416,13 +432,14 @@ def select_quantiles(
         ).to_pandas()
         for sid, (lo, hi, w) in spec:
             sub = merged[merged["sid"] == sid].sort_values("bucket")
-            cum = sub["cnt"].to_numpy().cumsum()
-            s = searches[sid]
-            t = int((cum >= s["rank"]).argmax())
-            bucket_id = int(sub["bucket"].to_numpy()[t])
-            s["rank"] -= int(cum[t - 1]) if t else 0
-            s["lo"] = lo + bucket_id * w
-            s["hi"] = min(hi, s["lo"] + w - 1)
+            _narrow_bracket(
+                searches[sid],
+                sub["bucket"].to_numpy(),
+                sub["cnt"].to_numpy(),
+                lo,
+                hi,
+                w,
+            )
 
     return pd.DataFrame(
         {
@@ -630,13 +647,14 @@ def group_select_quantiles(
             sub = merged[(merged["g"] == g) & (merged["qi"] == qi)].sort_values(
                 "bucket"
             )
-            cum = sub["cnt"].to_numpy().cumsum()
-            s = searches[(g, qi)]
-            t = int((cum >= s["rank"]).argmax())
-            bucket_id = int(sub["bucket"].to_numpy()[t])
-            s["rank"] -= int(cum[t - 1]) if t else 0
-            s["lo"] = lo + bucket_id * w
-            s["hi"] = min(hi, s["lo"] + w - 1)
+            _narrow_bracket(
+                searches[(g, qi)],
+                sub["bucket"].to_numpy(),
+                sub["cnt"].to_numpy(),
+                lo,
+                hi,
+                w,
+            )
 
     out_g, out_lab, out_n, out_v = [], [], [], []
     for _, row in bounds.sort_values("g").iterrows():
@@ -691,13 +709,13 @@ def group_corr(
     Returns a pandas DataFrame [(group_key, n, corr)] — O(n_groups)
     rows, legitimately driver-sized.
     """
-    from docstrange_ray.numerics import round6
+    from docstrange_ray.numerics import round6, to_int_units
     from docstrange_ray.shuffle import arrow_out, coalesced_blocks
 
     if x_to_int is None:
-        x_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+        x_to_int = to_int_units()  # half-away: SQL ROUND mirror on ties
     if y_to_int is None:
-        y_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+        y_to_int = to_int_units()
 
     def _exact_sums(x: np.ndarray, y: np.ndarray):
         # chunk length sized so every int64 chunk dot is PROVABLY under
@@ -816,12 +834,13 @@ def pareto_front(
     Returns a pandas DataFrame [(x, y, cnt)] sorted by x — frontier-
     sized, legitimately driver-sized for real objective domains.
     """
+    from docstrange_ray.numerics import to_int_units
     from docstrange_ray.shuffle import arrow_out, coalesced_blocks
 
     if x_to_int is None:
-        x_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+        x_to_int = to_int_units()  # half-away: SQL ROUND mirror on ties
     if y_to_int is None:
-        y_to_int = lambda a: np.round(np.asarray(a, np.float64)).astype(np.int64)
+        y_to_int = to_int_units()
     sx = 1 if minimize[0] else -1
     sy = 1 if minimize[1] else -1
 

@@ -70,13 +70,15 @@ def chi2_independence(ds, col_a: str, col_b: str, num_partitions=None):
     ra = ct.groupby("a")["cnt"].sum().to_dict()
     cb = ct.groupby("b")["cnt"].sum().to_dict()
     n = int(ct["cnt"].sum())
-    # every a x b combination contributes, including zero-observed cells
+    # observed-cell lookup built ONCE (O(cells)), not re-filtered per
+    # row category; every a x b combination contributes, including
+    # zero-observed cells
+    obs = ct.set_index(["a", "b"])["cnt"].to_dict()
     chi2_micro = 0
     for av, rtot in ra.items():
-        obs_row = ct[ct["a"] == av].set_index("b")["cnt"].to_dict()
         rt = int(rtot)
         for bv, ctot in cb.items():
-            o = int(obs_row.get(bv, 0))
+            o = int(obs.get((av, bv), 0))
             ctt = int(ctot)
             num = o * n - rt * ctt
             chi2_micro += (CHI2_SCALE * num * num) // (n * rt * ctt)
@@ -143,6 +145,14 @@ def ks_two_sample(
         cbm = df["cb"].to_numpy(dtype=object).cumsum()
         diffs = np.abs(ca * nb - cbm * na)
         d_num = int(max(diffs))
+        if d_num >= 1 << 63:
+            # the exact-integer witness column is int64-bounded (as is
+            # the BIGINT oracle): past ~3e9 rows PER GROUP, report the
+            # statistic from a quantile-binned or sampled column instead
+            raise ValueError(
+                f"ks_two_sample: exact D numerator {d_num} exceeds "
+                "int64 (group sizes ~> 3e9); bin or sample the column"
+            )
         # mirror SQL's evaluation exactly: CAST num AS DOUBLE, CAST den
         # AS DOUBLE, divide — two RN conversions, not Python's single
         # correctly-rounded bignum division (differs past 2^53)

@@ -115,3 +115,22 @@ class TestRake:
     def test_empty_corpus(self):
         got = rake_keywords(_ds(["the a of", ""]), k=5)
         assert len(got) == 0
+
+
+class TestAsciiWhitespaceParity:
+    def test_nbsp_is_a_boundary_like_duckdb(self):
+        # RE2's \s is ASCII-only: a unicode NBSP must split phrases on
+        # BOTH sides (review finding: Python's default unicode \s
+        # silently swallowed it into one phrase)
+        import duckdb
+
+        text = "foo bar baz"
+        got = phrase_occurrences(text)
+        frags = duckdb.sql(
+            r"""SELECT regexp_split_to_array(
+                   lower('foo' || chr(160) || 'bar baz'),
+                   '[^a-z0-9\s]+')"""
+        ).fetchone()[0]
+        # no stopwords here, so each fragment IS one phrase on both sides
+        assert list(frags) == ["foo", "bar baz"]
+        assert got == ["foo", "bar baz"]

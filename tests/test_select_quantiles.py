@@ -423,3 +423,50 @@ class TestGroupModeEntropy:
                FROM c JOIN n ON n.g = c.g GROUP BY c.g ORDER BY c.g"""
         ).fetchdf()
         assert list(got["entropy_micro"]) == list(exp["entropy_micro"])
+
+
+class TestDefaultRoundingHalfAway:
+    def test_to_int_units_matches_sql_round_on_ties(self, ray_session):
+        import duckdb
+
+        from docstrange_ray.numerics import to_int_units
+
+        vals = np.array([0.5, 1.5, 2.5, -0.5, -1.5, 0.125])
+        got = list(to_int_units(1)(vals)) + list(to_int_units(100)(vals))
+        con = duckdb.connect()
+        exp = [
+            con.execute(f"SELECT CAST(ROUND({v!r}) AS BIGINT)").fetchone()[0]
+            for v in vals
+        ] + [
+            con.execute(
+                f"SELECT CAST(ROUND({v!r} * 100) AS BIGINT)"
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert got == exp  # np.round would give 0,2,2 on the .5 ties
+
+    def test_group_corr_default_transform_half_away(self, ray_session):
+        # x values land ON .5 ties: the default transform must follow
+        # SQL ROUND (half-away), not np.round (half-even)
+        from docstrange_ray.ops.rankstats import group_corr
+
+        df = pd.DataFrame(
+            {"g": ["a"] * 4, "x": [0.5, 1.5, 2.5, 3.5], "y": [1.0, 2.0, 3.0, 4.0]}
+        )
+        got = group_corr(
+            ray.data.from_arrow(pa.Table.from_pandas(df)), "g", "x", "y"
+        )
+        import duckdb
+
+        exp = duckdb.connect().execute(
+            """WITH s AS (SELECT COUNT(*) n,
+                 SUM(CAST(ROUND(x) AS HUGEINT)) sx, SUM(CAST(ROUND(y) AS HUGEINT)) sy,
+                 SUM(CAST(ROUND(x) AS HUGEINT)*CAST(ROUND(y) AS HUGEINT)) sxy,
+                 SUM(CAST(ROUND(x) AS HUGEINT)*CAST(ROUND(x) AS HUGEINT)) sxx,
+                 SUM(CAST(ROUND(y) AS HUGEINT)*CAST(ROUND(y) AS HUGEINT)) syy
+               FROM (VALUES (0.5,1.0),(1.5,2.0),(2.5,3.0),(3.5,4.0)) t(x,y))
+               SELECT ROUND(CAST(n*sxy-sx*sy AS DOUBLE) /
+                 (SQRT(CAST(n*sxx-sx*sx AS DOUBLE))*SQRT(CAST(n*syy-sy*sy AS DOUBLE))), 6)
+               FROM s"""
+        ).fetchone()[0]
+        assert got["corr"].iloc[0] == exp

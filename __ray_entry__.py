@@ -1753,6 +1753,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_to_int=to_int_units(100),
         )
 
+    def source_length_mwu(sf_dir):
+        """Mann-Whitney U (rank-sum) statistic between src0's and
+        src1's document-length distributions (ops/stats_tests.
+        mann_whitney_u) — the nonparametric drift test. Shares the KS
+        histogram exchange; the DOUBLED statistic (2 per win, 1 per
+        tie) plus the tie-correction term are exact integers, bit-equal
+        to the SQL window-cumsum rebuild."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.stats_tests import mann_whitney_u
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        return mann_whitney_u(docs, "n_chars", "source", "src0", "src1")
+
+    def priority_price_welch(sf_dir):
+        """Welch's unequal-variance t statistic comparing URGENT vs LOW
+        order totals (ops/stats_tests.welch_t): ONE bignum sufficient-
+        stats scan in exact cent units; the t / Welch-Satterthwaite dof
+        float chain is mirrored step-for-step against SQL (bit-equal)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.numerics import to_int_units
+        from docstrange_ray.ops.stats_tests import welch_t
+
+        orders = read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        )
+        return welch_t(
+            orders,
+            "o_totalprice",
+            "o_orderpriority",
+            "1-URGENT",
+            "5-LOW",
+            to_int=to_int_units(100),
+        )
+
     def isotonic_calibration(sf_dir):
         """Isotonic (PAV) calibration curve mapping document length to
         the empirical P(doc mentions 'data') — the post-hoc probability
@@ -2537,6 +2574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_corr": returnflag_price_corr,
         "price_qty_frontier": price_qty_frontier,
         "isotonic_calibration": isotonic_calibration,
+        "source_length_mwu": source_length_mwu,
+        "priority_price_welch": priority_price_welch,
         "source_mode_length": source_mode_length,
         "source_lang_entropy": source_lang_entropy,
         "rake_keywords": rake_keywords_q,
@@ -3269,6 +3308,64 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * rt * ctot)
                    ) AS BIGINT) AS chi2_micro
             FROM cells
+        """,
+        "source_length_mwu": """
+            WITH h AS (
+                SELECT n_chars AS v,
+                       SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+                FROM documents WHERE source IN ('src0', 'src1') GROUP BY v
+            ), c AS (
+                SELECT v, ca, cb,
+                       SUM(cb) OVER (ORDER BY v) - cb AS below_b,
+                       SUM(ca) OVER (ORDER BY v) - ca AS below_a,
+                       (SELECT SUM(ca) FROM h) AS na,
+                       (SELECT SUM(cb) FROM h) AS nb
+                FROM h
+            )
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(SUM(ca * (2 * below_b + cb)) AS BIGINT) AS u2_a,
+                   CAST(SUM(cb * (2 * below_a + ca)) AS BIGINT) AS u2_b,
+                   CAST(SUM(CASE WHEN ca + cb > 1
+                            THEN (ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)
+                            ELSE 0 END) AS BIGINT) AS tie_term,
+                   CAST(SUM(ca * (2 * below_b + cb)) AS DOUBLE) / 2 AS u_a
+            FROM c GROUP BY na, nb
+        """,
+        "priority_price_welch": """
+            WITH s AS (
+                SELECT o_orderpriority AS g, COUNT(*) AS n,
+                       SUM(CAST(ROUND(o_totalprice*100) AS HUGEINT)) AS sx,
+                       SUM(CAST(ROUND(o_totalprice*100) AS HUGEINT)
+                           * CAST(ROUND(o_totalprice*100) AS HUGEINT)) AS sxx
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                GROUP BY 1
+            ), w AS (
+                SELECT
+                  (SELECT n FROM s WHERE g='1-URGENT') AS na,
+                  (SELECT n FROM s WHERE g='5-LOW') AS nb,
+                  CAST((SELECT sx FROM s WHERE g='1-URGENT') AS DOUBLE)
+                      / (SELECT n FROM s WHERE g='1-URGENT') AS ma,
+                  CAST((SELECT sx FROM s WHERE g='5-LOW') AS DOUBLE)
+                      / (SELECT n FROM s WHERE g='5-LOW') AS mb,
+                  CAST((SELECT n*sxx - sx*sx FROM s WHERE g='1-URGENT')
+                       AS DOUBLE)
+                    / (CAST((SELECT n FROM s WHERE g='1-URGENT') AS DOUBLE)
+                       * ((SELECT n FROM s WHERE g='1-URGENT') - 1))
+                    / (SELECT n FROM s WHERE g='1-URGENT') AS se2a,
+                  CAST((SELECT n*sxx - sx*sx FROM s WHERE g='5-LOW')
+                       AS DOUBLE)
+                    / (CAST((SELECT n FROM s WHERE g='5-LOW') AS DOUBLE)
+                       * ((SELECT n FROM s WHERE g='5-LOW') - 1))
+                    / (SELECT n FROM s WHERE g='5-LOW') AS se2b
+            )
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+                   ROUND((ma - mb) / SQRT(se2a + se2b), 6) AS t,
+                   ROUND((se2a + se2b) * (se2a + se2b)
+                         / (se2a*se2a/(na-1) + se2b*se2b/(nb-1)), 6) AS dof
+            FROM w
         """,
         "source_length_ks": """
             WITH h AS (

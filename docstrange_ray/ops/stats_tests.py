@@ -1,5 +1,6 @@
 """Distributed statistical tests over bounded-cardinality columns:
-chi-square independence and two-sample Kolmogorov-Smirnov.
+chi-square independence, two-sample Kolmogorov-Smirnov, Mann-Whitney U
+(rank-sum), and Welch's unequal-variance t.
 
 Both are one-pre-reduced-exchange shapes (the contingency table /
 value histogram is what crosses the wire, never rows) and both keep
@@ -93,6 +94,34 @@ def chi2_independence(ds, col_a: str, col_b: str, num_partitions=None):
     )
 
 
+def _two_sample_hist(
+    ds, value_col, group_col, group_a, group_b, num_partitions=None
+):
+    """Dataset[(v, ca, cb)] — the shared two-sample pre-reduced value
+    histogram exchange (KS and Mann-Whitney both reduce over it)."""
+    from docstrange_ray.shuffle import adaptive_final, arrow_out
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([value_col, group_col]).to_pandas().dropna()
+        df = df[df[group_col].isin([group_a, group_b])]
+        g = df.groupby([value_col, group_col], as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "v": g[value_col],
+                "ca": np.where(g[group_col] == group_a, g["size"], 0),
+                "cb": np.where(g[group_col] == group_b, g["size"], 0),
+            }
+        )
+        return out.groupby("v", as_index=False)[["ca", "cb"]].sum()
+
+    return adaptive_final(
+        ds.map_batches(arrow_out(local), batch_format="pyarrow"),
+        lambda df: df.groupby("v", as_index=False)[["ca", "cb"]].sum(),
+        keys=["v"],
+        num_partitions=num_partitions,
+    )
+
+
 def ks_two_sample(
     ds,
     value_col: str,
@@ -110,26 +139,10 @@ def ks_two_sample(
     ``d`` the mirrored 6dp float.
     """
     from docstrange_ray.numerics import round6
-    from docstrange_ray.shuffle import adaptive_final, arrow_out, coalesced_blocks
+    from docstrange_ray.shuffle import coalesced_blocks
 
-    def local(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select([value_col, group_col]).to_pandas().dropna()
-        df = df[df[group_col].isin([group_a, group_b])]
-        g = df.groupby([value_col, group_col], as_index=False).size()
-        out = pd.DataFrame(
-            {
-                "v": g[value_col],
-                "ca": np.where(g[group_col] == group_a, g["size"], 0),
-                "cb": np.where(g[group_col] == group_b, g["size"], 0),
-            }
-        )
-        return out.groupby("v", as_index=False)[["ca", "cb"]].sum()
-
-    hist = adaptive_final(
-        ds.map_batches(arrow_out(local), batch_format="pyarrow"),
-        lambda df: df.groupby("v", as_index=False)[["ca", "cb"]].sum(),
-        keys=["v"],
-        num_partitions=num_partitions,
+    hist = _two_sample_hist(
+        ds, value_col, group_col, group_a, group_b, num_partitions
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -168,4 +181,204 @@ def ks_two_sample(
     out = coalesced_blocks(hist, final).to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["n_a", "n_b", "d_num", "d"])
+    return out
+
+
+def mann_whitney_u(
+    ds,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    num_partitions=None,
+):
+    """Mann-Whitney U (Wilcoxon rank-sum) statistic between two groups
+    — the nonparametric location test (does group_a stochastically
+    dominate group_b?). Shares :func:`_two_sample_hist`'s ONE
+    pre-reduced exchange; the final computes the DOUBLED statistic
+    exactly in integers over the sorted histogram:
+
+        2*U_a = Σ_v ca[v] * (2 * #{b strictly below v} + cb[v])
+
+    (each strictly-won pair counts 2, each tie counts 1 — so ties never
+    force a float). Also emits the tie-correction term Σ(t³ - t) for a
+    normal-approximation consumer. ``u2_a + u2_b = 2 * n_a * n_b`` by
+    construction (pinned in tests). int64-bounded like ks_two_sample's
+    witness (explicit error past ~3e9 rows per group, matching the
+    BIGINT oracle's own bound).
+
+    Returns a one-row DataFrame [(n_a, n_b, u2_a, u2_b, tie_term, u_a)]
+    — ``u_a`` = u2_a/2 as an (exactly representable) double.
+    """
+    from docstrange_ray.shuffle import coalesced_blocks
+
+    hist = _two_sample_hist(
+        ds, value_col, group_col, group_a, group_b, num_partitions
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v")
+        na = int(df["ca"].sum())
+        nb = int(df["cb"].sum())
+        if na == 0 or nb == 0:
+            return pd.DataFrame(
+                columns=["n_a", "n_b", "u2_a", "u2_b", "tie_term", "u_a"]
+            )
+        ca = [int(x) for x in df["ca"]]
+        cb = [int(x) for x in df["cb"]]
+        below_b = 0
+        below_a = 0
+        u2a = 0
+        u2b = 0
+        tie = 0
+        for a_c, b_c in zip(ca, cb):
+            u2a += a_c * (2 * below_b + b_c)
+            u2b += b_c * (2 * below_a + a_c)
+            t = a_c + b_c
+            if t > 1:
+                tie += t * t * t - t
+            below_b += b_c
+            below_a += a_c
+        if max(u2a, u2b, tie) >= 1 << 63:
+            raise ValueError(
+                "mann_whitney_u: exact statistic exceeds int64 "
+                "(group sizes ~> 2e9); bin or sample the column"
+            )
+        return pd.DataFrame(
+            {
+                "n_a": pd.Series([na], dtype="int64"),
+                "n_b": pd.Series([nb], dtype="int64"),
+                "u2_a": pd.Series([u2a], dtype="int64"),
+                "u2_b": pd.Series([u2b], dtype="int64"),
+                "tie_term": pd.Series([tie], dtype="int64"),
+                "u_a": [float(u2a) / 2.0],
+            }
+        )
+
+    out = coalesced_blocks(hist, final).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            columns=["n_a", "n_b", "u2_a", "u2_b", "tie_term", "u_a"]
+        )
+    return out
+
+
+def welch_t(
+    ds,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    to_int=None,
+    num_partitions=None,
+):
+    """Welch's unequal-variance t statistic between two groups from ONE
+    integer sufficient-statistics scan (the :func:`group_corr`
+    machinery: per-block (n, Σx, Σx²) bignum partials per group, sums
+    cross the exchange as decimal strings). The final float chain is
+    mirrored step-for-step against SQL (CAST-DOUBLE divisions, SQRT,
+    ROUND 6), so ``t`` and the Welch-Satterthwaite ``dof`` are
+    bit-equal to the oracle:
+
+        var_i = (n_i*Σx² - Σx²ᵢ) / n_i   [as DOUBLE]  / (n_i - 1)
+        se2_i = var_i / n_i
+        t     = (mean_a - mean_b) / sqrt(se2_a + se2_b)
+        dof   = (se2_a+se2_b)² / (se2_a²/(n_a-1) + se2_b²/(n_b-1))
+
+    ``to_int`` maps values to exact integer units first (default
+    half-away round — ``numerics.to_int_units``). Degenerate inputs
+    (either group < 2 rows or both variances zero) return empty.
+
+    Returns a one-row DataFrame [(n_a, n_b, mean_a, mean_b, t, dof)] —
+    means as mirrored 6dp unit floats.
+    """
+    import math
+
+    from docstrange_ray.numerics import round6, to_int_units
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if to_int is None:
+        to_int = to_int_units()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([value_col, group_col]).to_pandas().dropna()
+        df = df[df[group_col].isin([group_a, group_b])]
+        rows = []
+        for gval, sub in df.groupby(group_col, sort=False):
+            x = to_int(sub[value_col].to_numpy())
+            # the group_corr chunk discipline: chunk length derived from
+            # max|x| so every int64 chunk dot is PROVABLY under 2^62;
+            # values past ~2^31 fall back to Python bignums
+            mx = int(np.abs(x).max(initial=0))
+            maxprod = max(mx * mx, 1)
+            sx = sxx = 0
+            if maxprod >= 1 << 62:
+                xi = [int(v) for v in x]
+                sx = sum(xi)
+                sxx = sum(v * v for v in xi)
+            else:
+                step = max(1, min(65536, (1 << 62) // maxprod))
+                for i in range(0, len(x), step):
+                    c = x[i : i + step]
+                    sx += int(c.sum())
+                    sxx += int(np.dot(c, c))
+            rows.append(
+                {
+                    "g": "a" if gval == group_a else "b",
+                    "n": np.int64(len(x)),
+                    "sx": str(sx),
+                    "sxx": str(sxx),
+                }
+            )
+        return pd.DataFrame(rows, columns=["g", "n", "sx", "sxx"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        stats = {}
+        for gval, sub in df.groupby("g"):
+            n = int(sub["n"].sum())
+            sx = sum(int(v) for v in sub["sx"])
+            sxx = sum(int(v) for v in sub["sxx"])
+            stats[gval] = (n, sx, sxx)
+        if "a" not in stats or "b" not in stats:
+            return pd.DataFrame(
+                columns=["n_a", "n_b", "mean_a", "mean_b", "t", "dof"]
+            )
+        (na, sxa, sxxa), (nb, sxb, sxxb) = stats["a"], stats["b"]
+        if na < 2 or nb < 2:
+            return pd.DataFrame(
+                columns=["n_a", "n_b", "mean_a", "mean_b", "t", "dof"]
+            )
+        # mirrored double chain — every op below exists verbatim in the
+        # SQL oracle, in the same order
+        ma = float(sxa) / float(na)
+        mb = float(sxb) / float(nb)
+        vara = float(na * sxxa - sxa * sxa) / (float(na) * float(na - 1))
+        varb = float(nb * sxxb - sxb * sxb) / (float(nb) * float(nb - 1))
+        se2a = vara / float(na)
+        se2b = varb / float(nb)
+        if se2a + se2b == 0.0:
+            return pd.DataFrame(
+                columns=["n_a", "n_b", "mean_a", "mean_b", "t", "dof"]
+            )
+        t = (ma - mb) / math.sqrt(se2a + se2b)
+        dof = (se2a + se2b) * (se2a + se2b) / (
+            se2a * se2a / float(na - 1) + se2b * se2b / float(nb - 1)
+        )
+        return pd.DataFrame(
+            {
+                "n_a": pd.Series([na], dtype="int64"),
+                "n_b": pd.Series([nb], dtype="int64"),
+                "mean_a": [float(round6(ma))],
+                "mean_b": [float(round6(mb))],
+                "t": [float(round6(t))],
+                "dof": [float(round6(dof))],
+            }
+        )
+
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow")
+    out = coalesced_blocks(partials, final).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            columns=["n_a", "n_b", "mean_a", "mean_b", "t", "dof"]
+        )
     return out

@@ -154,3 +154,128 @@ class TestKS:
         ).fetchdf()
         assert int(got["d_num"].iloc[0]) == int(exp["d_num"].iloc[0])
         assert got["d"].iloc[0] == exp["d"].iloc[0]
+
+
+class TestMannWhitney:
+    @staticmethod
+    def _reference(va, vb):
+        """Independent pair-loop 2*U_a (2 per win, 1 per tie)."""
+        u2 = 0
+        for a in va:
+            for b in vb:
+                if a > b:
+                    u2 += 2
+                elif a == b:
+                    u2 += 1
+        return u2
+
+    def test_equals_reference_with_ties(self):
+        from docstrange_ray.ops.stats_tests import mann_whitney_u
+
+        rng = np.random.default_rng(51)
+        va = rng.integers(0, 15, 300)
+        vb = rng.integers(3, 18, 200)
+        df = pd.DataFrame(
+            {"v": np.concatenate([va, vb]),
+             "g": ["a"] * len(va) + ["b"] * len(vb)}
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        got = mann_whitney_u(ds, "v", "g", "a", "b")
+        assert int(got["u2_a"].iloc[0]) == self._reference(list(va), list(vb))
+        assert int(got["u2_b"].iloc[0]) == self._reference(list(vb), list(va))
+        # complementarity: u2_a + u2_b = 2 * n_a * n_b
+        assert (
+            int(got["u2_a"].iloc[0]) + int(got["u2_b"].iloc[0])
+            == 2 * len(va) * len(vb)
+        )
+        exp_tie = 0
+        from collections import Counter
+
+        for t in Counter(np.concatenate([va, vb]).tolist()).values():
+            if t > 1:
+                exp_tie += t**3 - t
+        assert int(got["tie_term"].iloc[0]) == exp_tie
+        assert got["u_a"].iloc[0] == int(got["u2_a"].iloc[0]) / 2.0
+
+    def test_total_dominance(self):
+        from docstrange_ray.ops.stats_tests import mann_whitney_u
+
+        df = pd.DataFrame(
+            {"v": list(range(100, 150)) + list(range(50)),
+             "g": ["a"] * 50 + ["b"] * 50}
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        got = mann_whitney_u(ds, "v", "g", "a", "b")
+        assert int(got["u2_a"].iloc[0]) == 2 * 50 * 50
+        assert int(got["u2_b"].iloc[0]) == 0
+
+
+class TestWelchT:
+    def test_duckdb_mirror_bit_exact(self):
+        import duckdb
+
+        from docstrange_ray.ops.stats_tests import welch_t
+
+        rng = np.random.default_rng(53)
+        va = rng.normal(100, 10, 400).round(2)
+        vb = rng.normal(103, 25, 250).round(2)
+        df = pd.DataFrame(
+            {"v": np.concatenate([va, vb]),
+             "g": ["a"] * len(va) + ["b"] * len(vb)}
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        from docstrange_ray.numerics import to_int_units
+
+        got = welch_t(ds, "v", "g", "a", "b", to_int=to_int_units(100))
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            """WITH s AS (
+                 SELECT g, COUNT(*) AS n,
+                        SUM(CAST(ROUND(v*100) AS HUGEINT)) AS sx,
+                        SUM(CAST(ROUND(v*100) AS HUGEINT)
+                            * CAST(ROUND(v*100) AS HUGEINT)) AS sxx
+                 FROM t GROUP BY g
+               ), w AS (
+                 SELECT
+                   (SELECT n FROM s WHERE g='a') AS na,
+                   (SELECT n FROM s WHERE g='b') AS nb,
+                   CAST((SELECT sx FROM s WHERE g='a') AS DOUBLE)
+                       / (SELECT n FROM s WHERE g='a') AS ma,
+                   CAST((SELECT sx FROM s WHERE g='b') AS DOUBLE)
+                       / (SELECT n FROM s WHERE g='b') AS mb,
+                   CAST((SELECT n*sxx - sx*sx FROM s WHERE g='a') AS DOUBLE)
+                     / (CAST((SELECT n FROM s WHERE g='a') AS DOUBLE)
+                        * ((SELECT n FROM s WHERE g='a') - 1))
+                     / (SELECT n FROM s WHERE g='a') AS se2a,
+                   CAST((SELECT n*sxx - sx*sx FROM s WHERE g='b') AS DOUBLE)
+                     / (CAST((SELECT n FROM s WHERE g='b') AS DOUBLE)
+                        * ((SELECT n FROM s WHERE g='b') - 1))
+                     / (SELECT n FROM s WHERE g='b') AS se2b
+               )
+               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                      ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+                      ROUND((ma - mb) / SQRT(se2a + se2b), 6) AS t,
+                      ROUND((se2a + se2b) * (se2a + se2b)
+                            / (se2a*se2a/(na-1) + se2b*se2b/(nb-1)), 6) AS dof
+               FROM w"""
+        ).fetchdf()
+        for c in ["n_a", "n_b", "mean_a", "mean_b", "t", "dof"]:
+            assert got[c].iloc[0] == exp[c].iloc[0], c
+
+    def test_identical_groups_t_zero(self):
+        from docstrange_ray.ops.stats_tests import welch_t
+
+        v = list(range(50)) * 2
+        g = ["a"] * 50 + ["b"] * 50
+        ds = ray.data.from_arrow(pa.table({"v": [float(x) for x in v], "g": g}))
+        got = welch_t(ds, "v", "g", "a", "b")
+        assert got["t"].iloc[0] == 0.0
+
+    def test_degenerate_small_group_empty(self):
+        from docstrange_ray.ops.stats_tests import welch_t
+
+        ds = ray.data.from_arrow(
+            pa.table({"v": [1.0, 2.0, 3.0], "g": ["a", "a", "b"]})
+        )
+        assert len(welch_t(ds, "v", "g", "a", "b")) == 0

@@ -1753,6 +1753,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_to_int=to_int_units(100),
         )
 
+    def kcenter_coreset(sf_dir):
+        """Greedy k-center coreset over the embeddings table
+        (semantic.kcenter_select, Gonzalez 1985 farthest-point
+        traversal): k=16 maximally-diverse vectors for eval/labeling
+        sets. Stateless-recompute rounds — each broadcasts the selected
+        centers and runs ONE shuffle-free matmul scan + coalesced
+        argmax; the winner carries its vector, so no per-round fetch
+        scan. Rows-only by nature (k-step iterative argmax); pinned by
+        an independent numpy loop reference + partitioning-invariance
+        tests."""
+        from docstrange_ray.ops.semantic import kcenter_select
+
+        return kcenter_select(read_emb(sf_dir), k=16)
+
     def source_length_mwu(sf_dir):
         """Mann-Whitney U (rank-sum) statistic between src0's and
         src1's document-length distributions (ops/stats_tests.
@@ -2574,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_corr": returnflag_price_corr,
         "price_qty_frontier": price_qty_frontier,
         "isotonic_calibration": isotonic_calibration,
+        "kcenter_coreset": kcenter_coreset,
         "source_length_mwu": source_length_mwu,
         "priority_price_welch": priority_price_welch,
         "source_mode_length": source_mode_length,

@@ -389,3 +389,112 @@ def label_centroid_sims(emb_ds, scale_bits: int = 20, num_partitions=None):
                 cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
             rows.append((a, b, float(round6(cos))))
     return pd.DataFrame(rows, columns=["label_a", "label_b", "cos"])
+
+
+def kcenter_select(
+    ds,
+    k: int,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    num_partitions=None,
+):
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985): pick the point maximizing cosine distance to the
+    already-selected set, k times — the standard diverse-subset
+    selector for eval/labeling sets and the 2-approximation to the
+    optimal k-center cover.
+
+    Distributed shape: unit-normalized vectors are materialized ONCE;
+    each of the k-1 rounds broadcasts the (j x d) selected-center
+    matrix via ``ray.put`` and runs one shuffle-free scan — per block:
+    one matmul, per-row min-distance, local argmax — then ONE coalesced
+    global argmax (n_blocks candidate rows). Total work O(n k d) per
+    round / O(n k^2 d) overall, the stateless-recompute tradeoff: no
+    per-round re-materialization of an updated distance column, every
+    round is a pure function of (input, selected-so-far), so a killed
+    job resumes by replaying selections. Ties break on lowest id; the
+    seed is the lowest id (deterministic at any cluster size — argmax
+    compares identical doubles regardless of blocking).
+
+    Not SQL-expressible (k-step iterative argmax); pinned by an
+    independent numpy loop reference in tests.
+
+    Returns a pandas DataFrame [(sel_order, id, dist)] — ``dist`` the
+    cosine distance to the previously-selected set (2.0 sentinel for
+    the seed = the cosine-distance supremum).
+    """
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column(col).to_pylist()]
+        ) if batch.num_rows else np.zeros((0, 1))
+        if batch.num_rows:
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            mat = mat / nrm
+        return pa.table(
+            {
+                "id": batch.column(id_col),
+                "v": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    unit = ds.map_batches(normalize, batch_format="pyarrow").materialize()
+    n = unit.count()
+    if n == 0 or k <= 0:
+        return pd.DataFrame(columns=["sel_order", "id", "dist"])
+
+    from ray.data.aggregate import Min
+
+    seed_id = int(unit.aggregate(Min("id"))["min(id)"])
+    seed_vec = np.asarray(
+        unit.filter(expr=f"id == {seed_id}").take(1)[0]["v"], dtype=np.float64
+    )
+    selected = [(0, seed_id, 2.0)]
+    centers = [seed_vec]
+
+    for j in range(1, min(k, n)):
+        cref = ray.put(np.stack(centers))
+
+        def local_far(batch: pa.Table, _cref=cref) -> pd.DataFrame:
+            C = ray.get(_cref)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch.column("v").to_pylist()]
+            )
+            dist = 1.0 - (mat @ C.T).max(axis=1)
+            # local argmax, ties lowest id: sort keys (-dist, id); the
+            # winner CARRIES its vector so no per-round filter scan is
+            # needed to fetch the new center
+            order = np.lexsort((ids, -dist))
+            b = order[0]
+            return pd.DataFrame(
+                {
+                    "id": [int(ids[b])],
+                    "dist": [float(dist[b])],
+                    "v": [mat[b].tolist()],
+                }
+            )
+
+        def global_far(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["dist", "id"], ascending=[False, True])
+            return df.head(1)
+
+        best = coalesced_blocks(
+            unit.map_batches(arrow_out(local_far), batch_format="pyarrow"),
+            global_far,
+        ).take_all()[0]
+        bid, bdist = int(best["id"]), float(best["dist"])
+        selected.append((j, bid, bdist))
+        centers.append(np.asarray(best["v"], dtype=np.float64))
+
+    return pd.DataFrame(
+        {
+            "sel_order": pd.Series([s[0] for s in selected], dtype="int64"),
+            "id": pd.Series([s[1] for s in selected], dtype="int64"),
+            "dist": [s[2] for s in selected],
+        }
+    )

@@ -4325,3 +4325,97 @@ class TestLabelCentroidSims:
                     round6(float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb))))
                 )
                 assert got[(a, b)] == exp, (a, b)
+
+
+class TestKCenterSelect:
+    @staticmethod
+    def _ds(mat, ids=None, parts=4):
+        import pyarrow as pa
+
+        import ray
+
+        n = len(mat)
+        ids = list(range(n)) if ids is None else ids
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float64())
+                ),
+            }
+        )
+        return ray.data.from_arrow(tbl).repartition(parts)
+
+    @staticmethod
+    def _reference(mat, ids, k):
+        """Independent numpy loop (same arithmetic class, no shared
+        code): greedy farthest-point on cosine distance, seed = lowest
+        id, ties lowest id."""
+        import numpy as np
+
+        mat = np.asarray(mat, dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        unit = mat / nrm
+        order = np.argsort(ids)
+        sel = [int(order[0])]
+        out = [(0, ids[sel[0]], 2.0)]
+        for j in range(1, k):
+            dist = 1.0 - (unit @ unit[sel].T).max(axis=1)
+            cand = sorted(
+                range(len(ids)), key=lambda i: (-dist[i], ids[i])
+            )[0]
+            out.append((j, ids[cand], float(dist[cand])))
+            sel.append(cand)
+        return out
+
+    def test_equals_reference_random(self, ray_session):
+        import numpy as np
+
+        from docstrange_ray.ops.semantic import kcenter_select
+
+        rng = np.random.default_rng(61)
+        mat = rng.normal(0, 1, (200, 16))
+        ids = list(range(0, 400, 2))
+        got = kcenter_select(self._ds(mat, ids), k=8)
+        exp = self._reference(mat, ids, 8)
+        tup = list(zip(got["sel_order"], got["id"], got["dist"]))
+        assert [(a, b) for a, b, _ in tup] == [(a, b) for a, b, _ in exp]
+        for (_, _, d1), (_, _, d2) in zip(tup, exp):
+            assert d1 == d2  # identical doubles, any blocking
+
+    def test_covers_planted_clusters(self, ray_session):
+        import numpy as np
+
+        from docstrange_ray.ops.semantic import kcenter_select
+
+        rng = np.random.default_rng(62)
+        centers = np.eye(3) * 10
+        mat = np.vstack(
+            [c + rng.normal(0, 0.05, (40, 3)) for c in centers]
+        )
+        got = kcenter_select(self._ds(mat), k=3)
+        picked_clusters = {int(i) // 40 for i in got["id"]}
+        assert picked_clusters == {0, 1, 2}
+
+    def test_partitioning_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from docstrange_ray.ops.semantic import kcenter_select
+
+        rng = np.random.default_rng(63)
+        mat = rng.normal(0, 1, (120, 8))
+        a = kcenter_select(self._ds(mat, parts=2), k=6)
+        b = kcenter_select(self._ds(mat, parts=9), k=6)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_k_at_least_n_selects_all(self, ray_session):
+        import numpy as np
+
+        from docstrange_ray.ops.semantic import kcenter_select
+
+        mat = np.eye(4)
+        got = kcenter_select(self._ds(mat, parts=2), k=10)
+        assert len(got) == 4
+        assert set(got["id"]) == {0, 1, 2, 3}

@@ -998,6 +998,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f.write("ok")
         return read_jsonl_docs(out_dir, compression="gzip")
 
+    def csv_roundtrip_q(sf_dir):
+        """CSV ingest correctness (the reference's S7 interchange
+        format as a Ray source/sink): documents written as CSV shards
+        once per sf_dir (md5-keyed /tmp cache), read back via
+        ray.data.read_csv, emitted as-is; oracle = SELECT * FROM
+        documents — a value-hash match proves quoting/typing round-trip
+        losslessly."""
+        import hashlib as _hl
+        import os as _os
+
+        from docstrange_ray.io import read_csv_docs, write_csv_docs
+
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/dsray_csv_{tag}"
+        done = out_dir + ".done"
+        if not _os.path.exists(done):
+            import shutil as _sh
+
+            _sh.rmtree(out_dir, ignore_errors=True)
+            write_csv_docs(
+                read_parquet_clean(f"{sf_dir}/documents.parquet"), out_dir
+            )
+            with open(done, "w") as f:
+                f.write("ok")
+        return read_csv_docs(out_dir)
+
     def token_shard_roundtrip(sf_dir):
         """Indexed-binary training-data sink end-to-end (io.
         write_token_shards / read_token_shards — the Megatron-style
@@ -2494,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_tags": blocklist_tags_q,
         "source_zscore": source_zscore_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
+        "csv_roundtrip": csv_roundtrip_q,
         "token_shard_roundtrip": token_shard_roundtrip,
         "compression_stats": compression_stats_q,
         "weighted_jaccard_pairs": weighted_jaccard_pairs_q,
@@ -3574,6 +3601,7 @@ def oracle_sql() -> dict[str, str]:
         # JSONL and reads them back; hash-equality against the source
         # table proves the ingest path lossless.
         "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         # token_shard_roundtrip: the stats are recomputed from the WORD
         # stream with the same md5-prefix token ids the Ray side wrote
         # into the .bin files — a match proves the binary sink + reader

@@ -283,3 +283,29 @@ def read_token_shards(out_dir: str):
     return ray.data.from_items(
         [{"path": p} for p in idx_paths]
     ).map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def read_csv_docs(path: str, columns: list[str] | None = None):
+    """CSV ingest (the reference's S7 source, re-expressed as a Ray
+    Data source): ``ray.data.read_csv`` over a shard directory, schema
+    metadata stripped like every other reader (round-2 gotcha). CSV is
+    row-major and type-inferred — prefer parquet for anything re-read;
+    this exists for interchange with the reference's own CSV exports.
+    """
+    import ray.data
+
+    from docstrange_ray.shuffle import _strip_schema_metadata
+
+    ds = ray.data.read_csv(path)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return _strip_schema_metadata(ds)
+
+
+def write_csv_docs(ds, path: str) -> None:
+    """Write a Dataset as CSV shards under ``path`` (one file per block
+    — the resumable-output discipline). Arrow's writer quotes embedded
+    delimiters/newlines, so text columns survive the round trip."""
+    import ray.data  # noqa: F401
+
+    ds.write_csv(path)

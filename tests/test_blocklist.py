@@ -159,3 +159,36 @@ class TestCompressionStats:
         assert got.loc[0, "ratio"] < 0.1
         assert got.loc[0, "ratio"] < got.loc[2, "ratio"]
         assert got.loc[0, "ratio"] < got.loc[1, "ratio"]
+
+
+class TestCsvIngest:
+    def test_adversarial_content_roundtrip(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from docstrange_ray.io import read_csv_docs, write_csv_docs
+
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+                "text": [
+                    'comma, "quoted", more',
+                    "unié中文",
+                    "trailing space ",
+                    "semi;colon\ttab",
+                ],
+                "n": pd.Series([10, 20, 30, 40], dtype="int64"),
+            }
+        )
+        out = str(tmp_path / "csv_shards")
+        write_csv_docs(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(2), out
+        )
+        back = (
+            read_csv_docs(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(back, df)

@@ -1954,6 +1954,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(docs, "n_chars", "source", "src0", "src1")
 
+    def doc_quality_tree(sf_dir):
+        """Depth-2 histogram decision tree predicting lang=='en' from
+        binned metadata features (ops/tree.train_histogram_tree — the
+        PLANET / XGBoost-histogram shape): rows never move, each level
+        is ONE bounded (node x feature x bin) histogram exchange, and
+        every split is chosen by exact-integer micro-quantized Gini
+        (quantize-before-compare), so the whole grown tree is bit-equal
+        to the SQL rebuild. Oracle precondition (holds in the driver
+        corpus at every sf): the root is impure — the SQL mirror does
+        not model the root-leaf degenerate case."""
+        import pandas as _pd
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.tree import train_histogram_tree
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["lang", "source", "n_chars"],
+        )
+
+        def featurize(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "f_len": df["n_chars"] // 128,
+                    "f_mod": df["n_chars"] % 7,
+                    "f_src": df["source"].str.slice(3).astype("int64"),
+                    "y": (df["lang"] == "en").astype("int64"),
+                }
+            )
+
+        feats = docs.map_batches(featurize, batch_format="pandas")
+        return train_histogram_tree(
+            feats, ["f_len", "f_mod", "f_src"], "y", max_depth=2
+        )
+
     def source_interleave(sf_dir):
         """Deterministic training-mix interleave (stride scheduling,
         sampling.interleave_by_source): source weights 1 + idx%4 over the
@@ -2623,6 +2658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
+        "doc_quality_tree": doc_quality_tree,
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
         "embedding_quantized": embedding_quantized,
@@ -3350,6 +3386,121 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * rt * ctot)
                    ) AS BIGINT) AS chi2_micro
             FROM cells
+        """,
+        "doc_quality_tree": """
+            WITH base AS (
+                SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                       n_chars // 128 AS f_len,
+                       n_chars % 7 AS f_mod,
+                       CAST(substr(source, 4) AS BIGINT) AS f_src
+                FROM documents
+            ), feats AS (
+                SELECT 'f_len' AS feature, f_len AS bin, y FROM base
+                UNION ALL SELECT 'f_mod', f_mod, y FROM base
+                UNION ALL SELECT 'f_src', f_src, y FROM base
+            ), tot AS (
+                SELECT SUM(1 - y) AS n0, SUM(y) AS n1 FROM base
+            ), h1 AS (
+                SELECT feature, bin, SUM(1 - y) AS c0, SUM(y) AS c1
+                FROM feats GROUP BY 1, 2
+            ), c1 AS (
+                SELECT feature, bin,
+                       SUM(c0) OVER w AS l0, SUM(c1) OVER w AS l1,
+                       MAX(bin) OVER (PARTITION BY feature) AS maxbin
+                FROM h1
+                WINDOW w AS (PARTITION BY feature ORDER BY bin)
+            ), s1 AS (
+                SELECT feature, bin, l0, l1,
+                       (1000000 * (CAST(l0 AS HUGEINT) * l1
+                                     * (tot.n0 - l0 + tot.n1 - l1)
+                                 + CAST(tot.n0 - l0 AS HUGEINT)
+                                     * (tot.n1 - l1) * (l0 + l1)))
+                       // (CAST(l0 + l1 AS HUGEINT)
+                           * (tot.n0 - l0 + tot.n1 - l1)) AS score
+                FROM c1, tot WHERE bin < maxbin
+            ), root AS (
+                SELECT s1.* FROM s1, tot
+                WHERE tot.n0 > 0 AND tot.n1 > 0
+                ORDER BY score, feature, bin LIMIT 1
+            ), a2 AS (
+                SELECT b.*, CASE WHEN (CASE root.feature
+                                         WHEN 'f_len' THEN b.f_len
+                                         WHEN 'f_mod' THEN b.f_mod
+                                         ELSE b.f_src END) <= root.bin
+                            THEN 2 ELSE 3 END AS node
+                FROM base b CROSS JOIN root
+            ), feats2 AS (
+                SELECT node, 'f_len' AS feature, f_len AS bin, y FROM a2
+                UNION ALL SELECT node, 'f_mod', f_mod, y FROM a2
+                UNION ALL SELECT node, 'f_src', f_src, y FROM a2
+            ), t2 AS (
+                SELECT node, SUM(1 - y) AS n0, SUM(y) AS n1
+                FROM a2 GROUP BY node
+            ), h2 AS (
+                SELECT node, feature, bin, SUM(1 - y) AS c0, SUM(y) AS c1
+                FROM feats2 GROUP BY 1, 2, 3
+            ), c2 AS (
+                SELECT node, feature, bin,
+                       SUM(c0) OVER w AS l0, SUM(c1) OVER w AS l1,
+                       MAX(bin) OVER (PARTITION BY node, feature) AS maxbin
+                FROM h2
+                WINDOW w AS (PARTITION BY node, feature ORDER BY bin)
+            ), s2 AS (
+                SELECT c2.node, feature, bin, l0, l1,
+                       (1000000 * (CAST(l0 AS HUGEINT) * l1
+                                     * (t2.n0 - l0 + t2.n1 - l1)
+                                 + CAST(t2.n0 - l0 AS HUGEINT)
+                                     * (t2.n1 - l1) * (l0 + l1)))
+                       // (CAST(l0 + l1 AS HUGEINT)
+                           * (t2.n0 - l0 + t2.n1 - l1)) AS score
+                FROM c2 JOIN t2 ON t2.node = c2.node
+                WHERE bin < maxbin
+            ), w2 AS (
+                SELECT * FROM (
+                    SELECT s2.*, ROW_NUMBER() OVER
+                        (PARTITION BY node
+                         ORDER BY score, feature, bin) AS rn
+                    FROM s2
+                ) WHERE rn = 1
+            ), child AS (
+                SELECT t2.node, t2.n0, t2.n1, w2.feature, w2.bin,
+                       w2.score, w2.l0, w2.l1,
+                       (t2.n0 > 0 AND t2.n1 > 0
+                        AND w2.feature IS NOT NULL) AS does_split
+                FROM t2 LEFT JOIN w2 ON w2.node = t2.node
+            )
+            SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth,
+                   'split' AS kind, root.feature,
+                   CAST(root.bin AS BIGINT) AS bin,
+                   CAST(tot.n0 AS BIGINT) AS n0,
+                   CAST(tot.n1 AS BIGINT) AS n1,
+                   CAST(root.score AS BIGINT) AS score_micro,
+                   CAST(CASE WHEN tot.n1 > tot.n0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS pred
+            FROM root, tot
+            UNION ALL
+            SELECT CAST(node AS BIGINT), 1,
+                   CASE WHEN does_split THEN 'split' ELSE 'leaf' END,
+                   CASE WHEN does_split THEN feature ELSE '' END,
+                   CAST(CASE WHEN does_split THEN bin ELSE -1 END
+                        AS BIGINT),
+                   CAST(n0 AS BIGINT), CAST(n1 AS BIGINT),
+                   CAST(CASE WHEN does_split THEN score ELSE -1 END
+                        AS BIGINT),
+                   CAST(CASE WHEN n1 > n0 THEN 1 ELSE 0 END AS BIGINT)
+            FROM child
+            UNION ALL
+            SELECT CAST(node * 2 AS BIGINT), 2, 'leaf', '', -1,
+                   CAST(l0 AS BIGINT), CAST(l1 AS BIGINT), -1,
+                   CAST(CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS BIGINT)
+            FROM child WHERE does_split
+            UNION ALL
+            SELECT CAST(node * 2 + 1 AS BIGINT), 2, 'leaf', '', -1,
+                   CAST(n0 - l0 AS BIGINT), CAST(n1 - l1 AS BIGINT), -1,
+                   CAST(CASE WHEN n1 - l1 > n0 - l0 THEN 1 ELSE 0 END
+                        AS BIGINT)
+            FROM child WHERE does_split
+            ORDER BY node
         """,
         "source_length_mwu": """
             WITH h AS (

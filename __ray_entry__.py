@@ -1954,6 +1954,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(docs, "n_chars", "source", "src0", "src1")
 
+    def length_auc(sf_dir):
+        """ROC AUC of document length as a ranking score for
+        lang=='en' (ops/stats_tests.auc_score) — the model-eval
+        primitive, computed distributed via the rank-sum identity
+        AUC = U_pos/(n_pos*n_neg) over the SAME one pre-reduced
+        value-histogram exchange as Mann-Whitney; ties count exactly
+        1/2 in integer arithmetic, so auc2_num/auc_micro are bit-equal
+        to the SQL window-cumsum rebuild."""
+        import pandas as _pd
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.stats_tests import auc_score
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        )
+
+        def lab(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "score": df["n_chars"],
+                    "y": (df["lang"] == "en").astype("int64"),
+                }
+            )
+
+        return auc_score(docs.map_batches(lab, batch_format="pandas"),
+                         "score", "y")
+
     def doc_quality_tree(sf_dir):
         """Depth-2 histogram decision tree predicting lang=='en' from
         binned metadata features (ops/tree.train_histogram_tree — the
@@ -2658,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
+        "length_auc": length_auc,
         "doc_quality_tree": doc_quality_tree,
         "source_interleave": source_interleave,
         "user_event_pivot": user_event_pivot,
@@ -3386,6 +3415,33 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * rt * ctot)
                    ) AS BIGINT) AS chi2_micro
             FROM cells
+        """,
+        "length_auc": """
+            WITH d AS (
+                SELECT n_chars AS v,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+            ), h AS (
+                SELECT v, SUM(y) AS ca, SUM(1 - y) AS cb
+                FROM d GROUP BY v
+            ), c AS (
+                SELECT v, ca, cb,
+                       SUM(cb) OVER (ORDER BY v) - cb AS below_b,
+                       (SELECT SUM(ca) FROM h) AS na,
+                       (SELECT SUM(cb) FROM h) AS nb
+                FROM h
+            )
+            SELECT CAST(na AS BIGINT) AS n_pos,
+                   CAST(nb AS BIGINT) AS n_neg,
+                   CAST(SUM(ca * (2 * below_b + cb)) AS BIGINT)
+                       AS auc2_num,
+                   CAST((1000000
+                         * CAST(SUM(ca * (2 * below_b + cb)) AS HUGEINT))
+                        // (2 * CAST(na AS HUGEINT) * nb)
+                        AS BIGINT) AS auc_micro,
+                   CAST(SUM(ca * (2 * below_b + cb)) AS DOUBLE)
+                       / CAST(2 * na * nb AS DOUBLE) AS auc
+            FROM c GROUP BY na, nb
         """,
         "doc_quality_tree": """
             WITH base AS (

@@ -263,6 +263,39 @@ def mann_whitney_u(
     return out
 
 
+def auc_score(ds, score_col, label_col, num_partitions=None):
+    """ROC AUC of ``score_col`` as a ranking of the binary
+    ``label_col`` (1 = positive), via the rank-sum identity
+    AUC = U_pos / (n_pos * n_neg) — i.e. ``mann_whitney_u`` with the
+    label as the group column, so it inherits the ONE pre-reduced
+    value-histogram exchange and the exact tie handling (a tied
+    (pos, neg) pair contributes exactly 1/2).  Same cardinality
+    contract: the score must be a bounded integer domain (bin
+    continuous model scores first, e.g. to 6dp micro-units).
+
+    Returns one row [(n_pos, n_neg, auc2_num, auc_micro, auc)]:
+    ``auc2_num`` = 2*U_pos exactly; ``auc_micro`` =
+    (10**6 * auc2_num) // (2*n_pos*n_neg) (floor-quantized — the SQL
+    mirror's HUGEINT arithmetic); ``auc`` the one-division double
+    (exact in IEEE on both sides while the integers stay < 2^53)."""
+    u = mann_whitney_u(ds, score_col, label_col, 1, 0, num_partitions)
+    cols = ["n_pos", "n_neg", "auc2_num", "auc_micro", "auc"]
+    if u.empty:
+        return pd.DataFrame(columns=cols)
+    np_, nn = int(u["n_a"].iloc[0]), int(u["n_b"].iloc[0])
+    u2 = int(u["u2_a"].iloc[0])
+    den = 2 * np_ * nn
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([np_], dtype="int64"),
+            "n_neg": pd.Series([nn], dtype="int64"),
+            "auc2_num": pd.Series([u2], dtype="int64"),
+            "auc_micro": pd.Series([(1_000_000 * u2) // den], dtype="int64"),
+            "auc": [float(u2) / float(den)],
+        }
+    )
+
+
 def welch_t(
     ds,
     value_col: str,

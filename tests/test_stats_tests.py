@@ -210,6 +210,45 @@ class TestMannWhitney:
         assert int(got["u2_b"].iloc[0]) == 0
 
 
+class TestAUC:
+    def test_equals_sklearn_free_reference(self):
+        """AUC vs an independent pair-counting reference; ties 1/2."""
+        from docstrange_ray.ops.stats_tests import auc_score
+
+        rng = np.random.default_rng(7)
+        scores = rng.integers(0, 12, 400)
+        labels = ((scores + rng.integers(0, 6, 400)) % 3 == 0).astype(int)
+        df = pd.DataFrame({"s": scores, "y": labels})
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        got = auc_score(ds, "s", "y")
+        pos = scores[labels == 1]
+        neg = scores[labels == 0]
+        u2 = sum(2 if p > n else (1 if p == n else 0)
+                 for p in pos for n in neg)
+        assert int(got["auc2_num"].iloc[0]) == u2
+        den = 2 * len(pos) * len(neg)
+        assert int(got["auc_micro"].iloc[0]) == (1_000_000 * u2) // den
+        assert got["auc"].iloc[0] == float(u2) / float(den)
+
+    def test_perfect_and_inverted(self):
+        from docstrange_ray.ops.stats_tests import auc_score
+
+        df = pd.DataFrame({"s": list(range(20)),
+                           "y": [0] * 10 + [1] * 10})
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        assert auc_score(ds, "s", "y")["auc"].iloc[0] == 1.0
+        df["y"] = df["y"].iloc[::-1].to_list()
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        assert auc_score(ds, "s", "y")["auc"].iloc[0] == 0.0
+
+    def test_single_class_empty(self):
+        from docstrange_ray.ops.stats_tests import auc_score
+
+        df = pd.DataFrame({"s": [1, 2, 3], "y": [1, 1, 1]})
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+        assert auc_score(ds, "s", "y").empty
+
+
 class TestWelchT:
     def test_duckdb_mirror_bit_exact(self):
         import duckdb

@@ -1954,6 +1954,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(docs, "n_chars", "source", "src0", "src1")
 
+    def pair_bleu_overlap(sf_dir):
+        """Clipped 1/2-gram overlap counts (BLEU precision / ROUGE
+        recall numerators, ops/overlap.pair_ngram_overlap) for the
+        deterministic pair set (doc_id % 7 == 0) x (doc_id + 1): texts
+        attach through the bloom-prefiltered pair_texts tail, the
+        Counter-intersection kernel runs per pair in map_batches, and
+        every emitted column is an exact int64 — the oracle is a pure
+        gram-count SQL rebuild with no float chain at all."""
+        import pandas as _pd
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.overlap import pair_ngram_overlap
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def mk_pairs(df: _pd.DataFrame) -> _pd.DataFrame:
+            sel = df[df["doc_id"] % 7 == 0]
+            return _pd.DataFrame(
+                {"doc_id_a": sel["doc_id"], "doc_id_b": sel["doc_id"] + 1}
+            )
+
+        pairs = docs.map_batches(mk_pairs, batch_format="pandas")
+        return pair_ngram_overlap(docs, pairs, orders=(1, 2))
+
     def length_auc(sf_dir):
         """ROC AUC of document length as a ranking score for
         lang=='en' (ops/stats_tests.auc_score) — the model-eval
@@ -2686,6 +2712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
+        "pair_bleu_overlap": pair_bleu_overlap,
         "length_auc": length_auc,
         "doc_quality_tree": doc_quality_tree,
         "source_interleave": source_interleave,
@@ -3415,6 +3442,64 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * rt * ctot)
                    ) AS BIGINT) AS chi2_micro
             FROM cells
+        """,
+        "pair_bleu_overlap": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                FROM documents a
+                JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 7 = 0
+            ), g1 AS (
+                SELECT doc_id, ws[i+1] AS gram, COUNT(*) AS c
+                FROM l, UNNEST(range(len(ws))) AS t(i)
+                GROUP BY 1, 2
+            ), g2 AS (
+                SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS gram,
+                       COUNT(*) AS c
+                FROM l, UNNEST(range(len(ws) - 1)) AS t(i)
+                GROUP BY 1, 2
+            ), t1 AS (
+                SELECT doc_id, SUM(c) AS n FROM g1 GROUP BY doc_id
+            ), t2 AS (
+                SELECT doc_id, SUM(c) AS n FROM g2 GROUP BY doc_id
+            ), m1 AS (
+                SELECT p.doc_id_a, p.doc_id_b,
+                       SUM(LEAST(ga.c, gb.c)) AS m
+                FROM p
+                JOIN g1 ga ON ga.doc_id = p.doc_id_a
+                JOIN g1 gb ON gb.doc_id = p.doc_id_b
+                          AND gb.gram = ga.gram
+                GROUP BY 1, 2
+            ), m2 AS (
+                SELECT p.doc_id_a, p.doc_id_b,
+                       SUM(LEAST(ga.c, gb.c)) AS m
+                FROM p
+                JOIN g2 ga ON ga.doc_id = p.doc_id_a
+                JOIN g2 gb ON gb.doc_id = p.doc_id_b
+                          AND gb.gram = ga.gram
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_id_a, p.doc_id_b,
+                   CAST(COALESCE(m1.m, 0) AS BIGINT) AS m1,
+                   CAST(COALESCE(t1a.n, 0) AS BIGINT) AS total1_a,
+                   CAST(COALESCE(t1b.n, 0) AS BIGINT) AS total1_b,
+                   CAST(COALESCE(m2.m, 0) AS BIGINT) AS m2,
+                   CAST(COALESCE(t2a.n, 0) AS BIGINT) AS total2_a,
+                   CAST(COALESCE(t2b.n, 0) AS BIGINT) AS total2_b
+            FROM p
+            LEFT JOIN m1 ON m1.doc_id_a = p.doc_id_a
+                        AND m1.doc_id_b = p.doc_id_b
+            LEFT JOIN m2 ON m2.doc_id_a = p.doc_id_a
+                        AND m2.doc_id_b = p.doc_id_b
+            LEFT JOIN t1 t1a ON t1a.doc_id = p.doc_id_a
+            LEFT JOIN t1 t1b ON t1b.doc_id = p.doc_id_b
+            LEFT JOIN t2 t2a ON t2a.doc_id = p.doc_id_a
+            LEFT JOIN t2 t2b ON t2b.doc_id = p.doc_id_b
         """,
         "length_auc": """
             WITH d AS (

@@ -1954,6 +1954,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(docs, "n_chars", "source", "src0", "src1")
 
+    def customer_scd2(sf_dir):
+        """Slowly-changing-dimension type-2 merge (relational.
+        scd2_merge, the Kimball DW maintenance op): the customer table
+        is the open dimension; a snapshot is synthesized IN-PLAN with
+        deterministic churn (keys %3==2 absent, %10==0 balance +100
+        cents, %17==3 address suffixed, %100==4 cloned to a new key) so
+        the merge must close, keep, re-open and insert exactly the SQL
+        mirror's rows. ONE co-partition outer join on the key; closed
+        history never enters the exchange; dates ride as ISO strings so
+        nothing can diverge."""
+        import pandas as _pd
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.numerics import to_int_units
+        from docstrange_ray.relational import scd2_merge
+
+        cust = read_parquet_clean(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        )
+        _cents = to_int_units(100)
+
+        def mk_dim(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "key": df["c_custkey"],
+                    "address": df["c_name"],
+                    "acct_cents": _cents(df["c_acctbal"]),
+                    "valid_from": "2020-01-01",
+                    "valid_to": "9999-12-31",
+                }
+            )
+
+        def mk_snap(df: _pd.DataFrame) -> _pd.DataFrame:
+            k = df["c_custkey"]
+            addr = df["c_name"]
+            cents = _cents(df["c_acctbal"])
+            upd = _pd.DataFrame(
+                {
+                    "key": k,
+                    "address": addr.where(k % 17 != 3, addr + " APT 7"),
+                    "acct_cents": cents + (k % 10 == 0) * 100,
+                }
+            )[(k % 3 != 2).values]
+            ins = _pd.DataFrame(
+                {
+                    "key": k + 1_000_000,
+                    "address": "NEW " + addr,
+                    "acct_cents": cents + 1,
+                }
+            )[(k % 100 == 4).values]
+            return _pd.concat([upd, ins], ignore_index=True)
+
+        dim = cust.map_batches(mk_dim, batch_format="pandas")
+        snap = cust.map_batches(mk_snap, batch_format="pandas")
+        return scd2_merge(
+            dim, snap, "key", ["address", "acct_cents"],
+            snap_date="2024-06-01", int_cols=["acct_cents"],
+        )
+
     def pair_bleu_overlap(sf_dir):
         """Clipped 1/2-gram overlap counts (BLEU precision / ROUGE
         recall numerators, ops/overlap.pair_ngram_overlap) for the
@@ -2712,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
+        "customer_scd2": customer_scd2,
         "pair_bleu_overlap": pair_bleu_overlap,
         "length_auc": length_auc,
         "doc_quality_tree": doc_quality_tree,
@@ -3442,6 +3503,40 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * rt * ctot)
                    ) AS BIGINT) AS chi2_micro
             FROM cells
+        """,
+        "customer_scd2": """
+            WITH dim AS (
+                SELECT c_custkey AS key, c_name AS address,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents
+                FROM customer
+            ), snap AS (
+                SELECT key,
+                       CASE WHEN key % 17 = 3 THEN address || ' APT 7'
+                            ELSE address END AS address,
+                       acct_cents
+                       + CASE WHEN key % 10 = 0 THEN 100 ELSE 0 END
+                           AS acct_cents
+                FROM dim WHERE key % 3 <> 2
+                UNION ALL
+                SELECT key + 1000000, 'NEW ' || address, acct_cents + 1
+                FROM dim WHERE key % 100 = 4
+            )
+            SELECT d.key, d.address, d.acct_cents,
+                   '2020-01-01' AS valid_from,
+                   CASE WHEN s.key IS NULL
+                             OR (s.address = d.address
+                                 AND s.acct_cents = d.acct_cents)
+                        THEN '9999-12-31' ELSE '2024-06-01'
+                   END AS valid_to
+            FROM dim d LEFT JOIN snap s ON s.key = d.key
+            UNION ALL
+            SELECT s.key, s.address, s.acct_cents,
+                   '2024-06-01' AS valid_from,
+                   '9999-12-31' AS valid_to
+            FROM snap s LEFT JOIN dim d ON d.key = s.key
+            WHERE d.key IS NULL
+               OR s.address <> d.address
+               OR s.acct_cents <> d.acct_cents
         """,
         "pair_bleu_overlap": r"""
             WITH l AS (

@@ -552,3 +552,89 @@ class TestPivotAgg:
         # SQL semantics: COUNT(*) counts null-value rows, SUM skips them
         assert list(got["cnt_a"]) == [2, 1]
         assert list(got["sum_a_cents"]) == [150, 0]
+
+
+class TestSCD2Merge:
+    HIGH = "9999-12-31"
+
+    def _dim(self, rows):
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                rows,
+                columns=["key", "addr", "bal", "valid_from", "valid_to"],
+            )
+        ).repartition(3)
+
+    def _snap(self, rows):
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(rows, columns=["key", "addr", "bal"])
+        ).repartition(2)
+
+    def _merge(self, dim, snap, date):
+        from docstrange_ray.relational import scd2_merge
+
+        return (
+            scd2_merge(dim, snap, "key", ["addr", "bal"], date,
+                       int_cols=["bal"])
+            .to_pandas()
+            .sort_values(["key", "valid_from"])
+            .reset_index(drop=True)
+        )
+
+    def test_all_four_cases_and_closed_passthrough(self):
+        dim = self._dim([
+            # already-closed history row: must pass through untouched
+            (1, "old", 5, "2019-01-01", "2020-01-01"),
+            (1, "a1", 10, "2020-01-01", self.HIGH),   # unchanged
+            (2, "a2", 20, "2020-01-01", self.HIGH),   # bal changes
+            (3, "a3", 30, "2020-01-01", self.HIGH),   # absent from snap
+        ])
+        snap = self._snap([
+            (1, "a1", 10),       # identical -> keep
+            (2, "a2", 25),       # changed -> close + reopen
+            (4, "a4", 40),       # insert
+        ])
+        got = self._merge(dim, snap, "2024-06-01")
+        want = pd.DataFrame(
+            [
+                (1, "old", 5, "2019-01-01", "2020-01-01"),
+                (1, "a1", 10, "2020-01-01", self.HIGH),
+                (2, "a2", 20, "2020-01-01", "2024-06-01"),
+                (2, "a2", 25, "2024-06-01", self.HIGH),
+                (3, "a3", 30, "2020-01-01", self.HIGH),
+                (4, "a4", 40, "2024-06-01", self.HIGH),
+            ],
+            columns=["key", "addr", "bal", "valid_from", "valid_to"],
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["key"].dtype == "int64" and got["bal"].dtype == "int64"
+
+    def test_second_generation_merge(self):
+        # applying a second snapshot on the merged output closes the
+        # reopened row again and never touches older generations
+        dim = self._dim([(7, "x", 1, "2020-01-01", self.HIGH)])
+        g1 = self._merge(dim, self._snap([(7, "x", 2)]), "2021-01-01")
+        import ray.data
+
+        g2 = self._merge(
+            ray.data.from_pandas(g1), self._snap([(7, "y", 2)]),
+            "2022-01-01",
+        )
+        want = pd.DataFrame(
+            [
+                (7, "x", 1, "2020-01-01", "2021-01-01"),
+                (7, "x", 2, "2021-01-01", "2022-01-01"),
+                (7, "y", 2, "2022-01-01", self.HIGH),
+            ],
+            columns=["key", "addr", "bal", "valid_from", "valid_to"],
+        )
+        pd.testing.assert_frame_equal(g2, want, check_dtype=False)
+
+    def test_empty_snapshot_keeps_everything(self):
+        dim = self._dim([(1, "a", 1, "2020-01-01", self.HIGH)])
+        got = self._merge(dim, self._snap([]), "2024-01-01")
+        assert len(got) == 1 and got.iloc[0]["valid_to"] == self.HIGH

@@ -1954,6 +1954,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(docs, "n_chars", "source", "src0", "src1")
 
+    def plsa_init_counts(sf_dir):
+        """Topic-word count exchange of hard-EM PLSA's deterministic
+        init (ops/topics): z0 = md5_key52(f"{doc_id} {word}") % 6 per
+        distinct (doc, word) pair, counts weighted by occurrences —
+        ONE bounded (word x topic) exchange. The oracle rebuilds the
+        md5 assignment with the house 13-hex-char key idiom, so the
+        explode + init + exchange are verified bit-for-bit (the
+        iterative EM itself is pytest-oracled in tests/test_topics.py
+        against an independent reference)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.topics import (
+            build_plsa_table,
+            topic_word_counts,
+        )
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return topic_word_counts(build_plsa_table(docs, 6), 6)
+
+    def plsa_doc_topics(sf_dir):
+        """Per-document dominant topic after 3 hard-EM PLSA iterations
+        (k=6): every statistic is an exact integer and ties break to
+        the lowest topic, so the result is deterministic and
+        partitioning-invariant (pinned in tests); each iteration costs
+        ONE Heaps-bounded (word x topic) exchange + a broadcast — no
+        per-iteration doc exchange exists because each doc's state is
+        one atomic list-column row. Iterative (not SQL-expressible):
+        rows-only driver check by design."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.topics import doc_topics, plsa_train
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return doc_topics(plsa_train(docs, k=6, iters=3), 6)
+
     def customer_scd2(sf_dir):
         """Slowly-changing-dimension type-2 merge (relational.
         scd2_merge, the Kimball DW maintenance op): the customer table
@@ -2772,6 +2809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": rake_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
+        "plsa_init_counts": plsa_init_counts,
+        "plsa_doc_topics": plsa_doc_topics,
         "customer_scd2": customer_scd2,
         "pair_bleu_overlap": pair_bleu_overlap,
         "length_auc": length_auc,
@@ -3503,6 +3542,27 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(n AS HUGEINT) * rt * ctot)
                    ) AS BIGINT) AS chi2_micro
             FROM cells
+        """,
+        "plsa_init_counts": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), wc AS (
+                SELECT doc_id, ws[i+1] AS w, COUNT(*) AS c
+                FROM l, UNNEST(range(len(ws))) AS t(i)
+                GROUP BY 1, 2
+            ), z AS (
+                SELECT w,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ' ' || w), 1, 13))::BIGINT
+                           % 6 AS z,
+                       c
+                FROM wc
+            )
+            SELECT w, CAST(z AS BIGINT) AS z, CAST(SUM(c) AS BIGINT) AS c
+            FROM z GROUP BY 1, 2
         """,
         "customer_scd2": """
             WITH dim AS (

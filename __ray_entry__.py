@@ -1364,6 +1364,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         the kernel matches it on unicode too)."""
         return dedup.pair_edit_distance(read_docs(sf_dir), threshold=0.8)
 
+    def edit_dup_pairs(sf_dir):
+        """ALL title pairs within byte Levenshtein distance 2 — the
+        PassJoin exact similarity join (ops/editjoin.py), no
+        candidate-generation recall gap (contrast pair_edit_distance,
+        which only verifies MinHash candidates). Titles = first 30
+        codepoints of text (Python slice == SQL substr semantics);
+        three bounded exchanges carry 64-bit segment hashes, never
+        text; banded O(len*tau) verify."""
+        from docstrange_ray.ops.editjoin import edit_distance_join
+
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def title(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "text": pa.array(
+                        [(t or "")[:30] for t in batch.column("text").to_pylist()]
+                    ),
+                }
+            )
+
+        return edit_distance_join(
+            docs.map_batches(title, batch_format="pyarrow"), tau=2
+        )
+
     def near_dup_keep_best(sf_dir):
         """Quality-aware dedup representative selection: each near-dup
         cluster keeps its LONGEST member (max n_chars, min-doc_id
@@ -2751,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": winnow_pairs_q,
         "minhash_near_dups": minhash_near_dups,
         "jaccard_join_pairs": jaccard_join_pairs,
+        "edit_dup_pairs": edit_dup_pairs,
         "containment_pairs": containment_pairs,
         "pagerank_purchases": pagerank_purchases,
         "copurchase_triangles": copurchase_triangles,
@@ -4423,6 +4452,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.doc_id = inter.doc_id_a
             JOIN tot tb ON tb.doc_id = inter.doc_id_b
             WHERE CAST(c AS DOUBLE) / LEAST(ta.n, tb.n) >= 0.6
+        """,
+        "edit_dup_pairs": """
+            WITH s AS (
+                SELECT doc_id, substr(text, 1, 30) AS t FROM documents
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance
+            FROM s a JOIN s b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.t) - length(b.t)) <= 2
+            WHERE levenshtein(a.t, b.t) <= 2
         """,
         "jaccard_join_pairs": r"""
             WITH l AS (

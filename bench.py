@@ -164,6 +164,7 @@ OP_GROUPS: list[list[str]] = [
         "dup_spans",
         "cdc_dup_chunks",
         "pair_edit_distance",
+        "edit_dup_pairs",
         "dup_positions_exact",
         "streaming_dedup_pairs",
         "image_near_dups",

@@ -1807,6 +1807,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_to_int=to_int_units(100),
         )
 
+    def returnflag_price_regression(sf_dir):
+        """EXACT per-group OLS regression (price cents on quantity by
+        return flag) from the same ONE integer sufficient-statistics
+        scan as group_corr (rankstats.group_regression): bignum
+        partials cross the exchange as decimal strings, final slope /
+        intercept float chain mirrored step-for-step in the SQL oracle
+        (HUGEINT sums -> CAST DOUBLE division -> ROUND 6) — BIT-equal
+        by construction."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.numerics import to_int_units
+        from docstrange_ray.ops.rankstats import group_regression
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        return group_regression(
+            li,
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            y_to_int=to_int_units(100),
+        )
+
     def kcenter_coreset(sf_dir):
         """Greedy k-center coreset over the embeddings table
         (semantic.kcenter_select, Gonzalez 1985 farthest-point
@@ -2828,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_select": price_quantile_select,
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
+        "returnflag_price_regression": returnflag_price_regression,
         "price_qty_frontier": price_qty_frontier,
         "isotonic_calibration": isotonic_calibration,
         "kcenter_coreset": kcenter_coreset,
@@ -3438,6 +3463,28 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        "returnflag_price_regression": """
+            WITH s AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS sy,
+                       SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                           * CAST(ROUND(l_extendedprice*100) AS HUGEINT)) AS sxy,
+                       SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                           * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx
+                FROM lineitem GROUP BY l_returnflag
+            ), sl AS (
+                SELECT l_returnflag, n,
+                       CAST(n*sxy - sx*sy AS DOUBLE)
+                           / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                       sx, sy
+                FROM s WHERE n >= 2 AND n*sxx - sx*sx > 0
+            )
+            SELECT l_returnflag, n, ROUND(slope, 6) AS slope,
+                   ROUND((CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM sl
         """,
         "source_mode_length": """
             WITH c AS (

@@ -674,6 +674,38 @@ def group_select_quantiles(
     )
 
 
+def _exact_sums(x: np.ndarray, y: np.ndarray):
+    """Exact integer moment sums (Σx, Σy, Σxy, Σx², Σy²) over int64
+    arrays: chunk length sized so every int64 chunk dot is PROVABLY
+    under 2^62 (chunk * max_abs_product bounds the accumulator);
+    values whose single product already reaches 2^62 (|v| ~ 2^31)
+    fall back to Python bignums for the whole block — exactness
+    first. Shared by group_corr / group_regression."""
+    mx = int(np.abs(x).max(initial=0))
+    my = int(np.abs(y).max(initial=0))
+    maxprod = max(mx * mx, my * my, mx * my, 1)
+    if maxprod >= 1 << 62:
+        xi = [int(v) for v in x]
+        yi = [int(v) for v in y]
+        return (
+            sum(xi),
+            sum(yi),
+            sum(a * b for a, b in zip(xi, yi)),
+            sum(a * a for a in xi),
+            sum(b * b for b in yi),
+        )
+    chunk = max(1, min(65536, (1 << 62) // maxprod))
+    sx = sy = sxy = sxx = syy = 0
+    for i in range(0, len(x), chunk):
+        cx, cy = x[i : i + chunk], y[i : i + chunk]
+        sx += int(cx.sum())
+        sy += int(cy.sum())
+        sxy += int(np.dot(cx, cy))
+        sxx += int(np.dot(cx, cx))
+        syy += int(np.dot(cy, cy))
+    return sx, sy, sxy, sxx, syy
+
+
 def group_corr(
     ds,
     group_key: str,
@@ -716,35 +748,6 @@ def group_corr(
         x_to_int = to_int_units()  # half-away: SQL ROUND mirror on ties
     if y_to_int is None:
         y_to_int = to_int_units()
-
-    def _exact_sums(x: np.ndarray, y: np.ndarray):
-        # chunk length sized so every int64 chunk dot is PROVABLY under
-        # 2^62: chunk * max_abs_product bounds the accumulator. Values
-        # whose single product already reaches 2^62 (|v| ~ 2^31) fall
-        # back to Python bignums for the whole block — exactness first.
-        mx = int(np.abs(x).max(initial=0))
-        my = int(np.abs(y).max(initial=0))
-        maxprod = max(mx * mx, my * my, mx * my, 1)
-        if maxprod >= 1 << 62:
-            xi = [int(v) for v in x]
-            yi = [int(v) for v in y]
-            return (
-                sum(xi),
-                sum(yi),
-                sum(a * b for a, b in zip(xi, yi)),
-                sum(a * a for a in xi),
-                sum(b * b for b in yi),
-            )
-        chunk = max(1, min(65536, (1 << 62) // maxprod))
-        sx = sy = sxy = sxx = syy = 0
-        for i in range(0, len(x), chunk):
-            cx, cy = x[i : i + chunk], y[i : i + chunk]
-            sx += int(cx.sum())
-            sy += int(cy.sum())
-            sxy += int(np.dot(cx, cy))
-            sxx += int(np.dot(cx, cx))
-            syy += int(np.dot(cy, cy))
-        return sx, sy, sxy, sxx, syy
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.select([group_key, x_col, y_col]).to_pandas()
@@ -797,6 +800,91 @@ def group_corr(
     out = coalesced_blocks(partials, final).to_pandas()
     if out.empty:  # empty materialized Datasets lose their schema
         return pd.DataFrame(columns=[group_key, "n", "corr"])
+    return out
+
+
+def group_regression(
+    ds,
+    group_key: str,
+    x_col: str,
+    y_col: str,
+    x_to_int=None,
+    y_to_int=None,
+    num_partitions: int | None = None,
+):
+    """EXACT per-group simple (ordinary-least-squares) linear
+    regression — slope and intercept of y on x — from the same ONE
+    integer sufficient-statistics scan as :func:`group_corr`: per-block
+    (n, Σx, Σy, Σxy, Σx²) bignum partials cross the exchange as
+    decimal strings, so the distributed reduction is order-independent
+    and BIT-equal to the SQL mirror by construction.
+
+    Float chain (mirrored verbatim in the oracle — HUGEINT sums, then):
+      slope     = CAST(nΣxy − ΣxΣy AS DOUBLE) / CAST(nΣx² − Σx² AS DOUBLE)
+      intercept = (CAST(Σy AS DOUBLE) − slope·CAST(Σx AS DOUBLE)) / n
+    both rounded half-away to 6dp. Groups with n < 2 or zero x-variance
+    are dropped (SQL regr_slope would yield NULL).
+
+    Returns pandas [(group_key, n, slope, intercept)] — O(n_groups)
+    rows, legitimately driver-sized.
+    """
+    from docstrange_ray.numerics import round6, to_int_units
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    if x_to_int is None:
+        x_to_int = to_int_units()
+    if y_to_int is None:
+        y_to_int = to_int_units()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([group_key, x_col, y_col]).to_pandas()
+        df = df.dropna()
+        rows = []
+        for gval, sub in df.groupby(group_key, sort=False):
+            x = x_to_int(sub[x_col].to_numpy())
+            y = y_to_int(sub[y_col].to_numpy())
+            sx, sy, sxy, sxx, _syy = _exact_sums(x, y)
+            rows.append(
+                {
+                    group_key: gval,
+                    "n": np.int64(len(x)),
+                    "sx": str(sx),
+                    "sy": str(sy),
+                    "sxy": str(sxy),
+                    "sxx": str(sxx),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=[group_key, "n", "sx", "sy", "sxy", "sxx"]
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gval, sub in df.groupby(group_key, sort=True):
+            n = int(sub["n"].sum())
+            sx = sum(int(v) for v in sub["sx"])
+            sy = sum(int(v) for v in sub["sy"])
+            sxy = sum(int(v) for v in sub["sxy"])
+            sxx = sum(int(v) for v in sub["sxx"])
+            den = n * sxx - sx * sx
+            if n < 2 or den <= 0:
+                continue
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            out.append(
+                {
+                    group_key: gval,
+                    "n": np.int64(n),
+                    "slope": float(round6(slope)),
+                    "intercept": float(round6(intercept)),
+                }
+            )
+        return pd.DataFrame(out, columns=[group_key, "n", "slope", "intercept"])
+
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow")
+    out = coalesced_blocks(partials, final).to_pandas()
+    if out.empty:  # empty materialized Datasets lose their schema
+        return pd.DataFrame(columns=[group_key, "n", "slope", "intercept"])
     return out
 
 

@@ -279,6 +279,72 @@ class TestGroupCorr:
         assert list(got["corr"]) == [1.0]
 
 
+class TestGroupRegression:
+    def test_duckdb_mirror_bit_exact_and_regr_close(self, ray_session):
+        import duckdb
+
+        from docstrange_ray.ops.rankstats import group_regression
+
+        rng = np.random.default_rng(29)
+        n = 4000
+        g = rng.choice(["p", "q", "r"], n)
+        x = rng.integers(1, 51, n).astype(np.float64)
+        y = (x * 250.0 + rng.normal(0, 300, n)).round(2)
+        ds = ray.data.from_arrow(pa.table({"g": g, "x": x, "y": y})).repartition(7)
+        got = group_regression(
+            ds, "g", "x", "y",
+            y_to_int=lambda a: np.round(np.asarray(a, np.float64) * 100).astype(np.int64),
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"g": g, "x": x, "y": y}))
+        exp = con.execute(
+            """WITH s AS (
+                 SELECT g, COUNT(*) AS n,
+                        SUM(CAST(ROUND(x) AS HUGEINT)) AS sx,
+                        SUM(CAST(ROUND(y*100) AS HUGEINT)) AS sy,
+                        SUM(CAST(ROUND(x) AS HUGEINT)*CAST(ROUND(y*100) AS HUGEINT)) AS sxy,
+                        SUM(CAST(ROUND(x) AS HUGEINT)*CAST(ROUND(x) AS HUGEINT)) AS sxx
+                 FROM t GROUP BY g),
+               sl AS (
+                 SELECT g, n, CAST(n*sxy - sx*sy AS DOUBLE)
+                        / CAST(n*sxx - sx*sx AS DOUBLE) AS slope, sx, sy
+                 FROM s WHERE n >= 2 AND n*sxx - sx*sx > 0)
+               SELECT g, n, ROUND(slope, 6) AS slope,
+                      ROUND((CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+                            / CAST(n AS DOUBLE), 6) AS intercept
+               FROM sl ORDER BY g"""
+        ).fetchdf()
+        got = got.sort_values("g").reset_index(drop=True)
+        assert list(got["g"]) == list(exp["g"])
+        assert (got["n"].to_numpy() == exp["n"].to_numpy().astype(np.int64)).all()
+        assert list(got["slope"]) == list(exp["slope"])  # BIT-equal
+        assert list(got["intercept"]) == list(exp["intercept"])
+        # sanity vs DuckDB's own regr_* on the integer units
+        native = con.execute(
+            """SELECT g, regr_slope(ROUND(y*100), ROUND(x)),
+                      regr_intercept(ROUND(y*100), ROUND(x))
+               FROM t GROUP BY g ORDER BY g"""
+        ).fetchdf()
+        assert np.allclose(got["slope"], native.iloc[:, 1], atol=1e-4)
+        assert np.allclose(got["intercept"], native.iloc[:, 2], atol=1e-2)
+
+    def test_exact_line_and_degenerate_groups(self, ray_session):
+        from docstrange_ray.ops.rankstats import group_regression
+
+        df = pd.DataFrame(
+            {
+                "g": ["ok"] * 3 + ["constx", "constx", "single"],
+                "x": [1.0, 2.0, 3.0, 5.0, 5.0, 1.0],
+                "y": [7.0, 9.0, 11.0, 1.0, 2.0, 1.0],  # ok: y = 2x + 5
+            }
+        )
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+        got = group_regression(ds, "g", "x", "y")
+        assert list(got["g"]) == ["ok"]
+        assert list(got["slope"]) == [2.0]
+        assert list(got["intercept"]) == [5.0]
+
+
 class TestParetoFront:
     @staticmethod
     def _reference(pts, minimize=(True, True)):

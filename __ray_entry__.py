@@ -1831,6 +1831,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_to_int=to_int_units(100),
         )
 
+    def entity_matches(sf_dir):
+        """Record linkage (ops/entity.py — Fellegi-Sunter shape): a
+        deterministic dirty-records fixture over customer (every 3rd
+        customer gains a duplicate with a 1-char name typo; every 6th
+        also a corrupted phone digit), candidates from the UNION of
+        two blocking passes (exact phone; exact nation+balance — the
+        corrupted-phone dups only survive via pass 2), integer
+        agreement weights (phone 25, name-edit<=1 30, nation 10,
+        balance 15), matches at >= 55. Everything integer and
+        arithmetic-derived, so the oracle rebuilds the records AND the
+        pipeline in SQL."""
+        import numpy as np
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.numerics import to_int_units
+        from docstrange_ray.ops.editjoin import _banded_distance
+        from docstrange_ray.ops.entity import resolve_entities
+
+        cust = read_parquet_clean(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        )
+        cents = to_int_units(100)
+
+        def to_records(batch: pa.Table) -> pa.Table:
+            ks = batch.column("c_custkey").to_pylist()
+            names = batch.column("c_name").to_pylist()
+            nations = batch.column("c_nationkey").to_pylist()
+            bal = cents(batch.column("c_acctbal").to_numpy())
+            rid, nm, ph, nat, bl = [], [], [], [], []
+            for k, name, nation, b in zip(ks, names, nations, bal):
+                phone = f"({10 + k % 90}){(k * 7) % 10_000_000:07d}"
+                rid.append(k * 2)
+                nm.append(name)
+                ph.append(phone)
+                nat.append(nation)
+                bl.append(b)
+                if k % 3 == 0:
+                    p0 = 9 + (k % 9)  # drop a digit of the name tail
+                    dphone = phone
+                    if k % 6 == 0:  # corrupt last phone digit
+                        dphone = phone[:-1] + str((int(phone[-1]) + 1) % 10)
+                    rid.append(k * 2 + 1)
+                    nm.append(name[:p0] + name[p0 + 1 :])
+                    ph.append(dphone)
+                    nat.append(nation)
+                    bl.append(b)
+            return pa.table(
+                {
+                    "rec_id": pa.array(rid, pa.int64()),
+                    "name": pa.array(nm),
+                    "phone": pa.array(ph),
+                    "nation": pa.array(nat, pa.int32()),
+                    "bal": pa.array([int(v) for v in bl], pa.int64()),
+                }
+            )
+
+        recs = cust.map_batches(to_records, batch_format="pyarrow")
+
+        def pair_score(df):
+            s = np.where(
+                df["phone_a"].to_numpy() == df["phone_b"].to_numpy(), 25, 0
+            ).astype(np.int64)
+            near = [
+                _banded_distance(
+                    (x or "").encode("utf-8"), (y or "").encode("utf-8"), 1
+                ) <= 1
+                for x, y in zip(df["name_a"].tolist(), df["name_b"].tolist())
+            ]
+            s += np.where(np.asarray(near, dtype=bool), 30, 0)
+            s += np.where(
+                df["nation_a"].to_numpy() == df["nation_b"].to_numpy(), 10, 0
+            )
+            s += np.where(df["bal_a"].to_numpy() == df["bal_b"].to_numpy(), 15, 0)
+            return s
+
+        out = resolve_entities(
+            recs,
+            id_col="rec_id",
+            block_keys=[["phone"], ["nation", "bal"]],
+            pair_score=pair_score,
+            threshold=55,
+        )
+        return out.rename(columns={"id_a": "rec_id_a", "id_b": "rec_id_b"})
+
     def kcenter_coreset(sf_dir):
         """Greedy k-center coreset over the embeddings table
         (semantic.kcenter_select, Gonzalez 1985 farthest-point
@@ -2853,6 +2938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_quantiles": returnflag_price_quantiles,
         "returnflag_price_corr": returnflag_price_corr,
         "returnflag_price_regression": returnflag_price_regression,
+        "entity_matches": entity_matches,
         "price_qty_frontier": price_qty_frontier,
         "isotonic_calibration": isotonic_calibration,
         "kcenter_coreset": kcenter_coreset,
@@ -3463,6 +3549,52 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        "entity_matches": """
+            WITH cust AS (
+                SELECT c_custkey AS k, c_name, c_nationkey,
+                       CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
+                       '(' || CAST(10 + c_custkey % 90 AS VARCHAR) || ')'
+                           || lpad(CAST((c_custkey*7) % 10000000 AS VARCHAR),
+                                   7, '0') AS phone
+                FROM customer
+            ), recs AS (
+                SELECT k*2 AS rec_id, c_name AS name, phone,
+                       c_nationkey AS nation, bal
+                FROM cust
+                UNION ALL
+                SELECT k*2+1,
+                       substr(c_name, 1, 9 + (k % 9))
+                           || substr(c_name, 11 + (k % 9)),
+                       CASE WHEN k % 6 = 0 THEN
+                           substr(phone, 1, length(phone)-1) ||
+                           CAST((CAST(substr(phone, length(phone), 1) AS INT)
+                                 + 1) % 10 AS VARCHAR)
+                       ELSE phone END,
+                       c_nationkey, bal
+                FROM cust WHERE k % 3 = 0
+            ), blocks AS (
+                SELECT a.rec_id AS ia, b.rec_id AS ib
+                FROM recs a JOIN recs b
+                  ON a.rec_id < b.rec_id AND a.phone = b.phone
+                UNION
+                SELECT a.rec_id, b.rec_id
+                FROM recs a JOIN recs b
+                  ON a.rec_id < b.rec_id
+                 AND a.nation = b.nation AND a.bal = b.bal
+            ), scored AS (
+                SELECT ia AS rec_id_a, ib AS rec_id_b,
+                       (CASE WHEN a.phone = b.phone THEN 25 ELSE 0 END)
+                     + (CASE WHEN levenshtein(a.name, b.name) <= 1
+                             THEN 30 ELSE 0 END)
+                     + (CASE WHEN a.nation = b.nation THEN 10 ELSE 0 END)
+                     + (CASE WHEN a.bal = b.bal THEN 15 ELSE 0 END) AS score
+                FROM blocks
+                JOIN recs a ON a.rec_id = ia
+                JOIN recs b ON b.rec_id = ib
+            )
+            SELECT rec_id_a, rec_id_b, CAST(score AS BIGINT) AS score
+            FROM scored WHERE score >= 55
         """,
         "returnflag_price_regression": """
             WITH s AS (

@@ -1,0 +1,115 @@
+"""Entity resolution (ops/entity.py): brute-force reference parity,
+blocking-union recall, null-key convention, max_block skip semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from docstrange_ray.ops.entity import resolve_entities
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _records():
+    # 3 true dup clusters + noise; r3/r4 share ONLY the zip block,
+    # r5/r6 ONLY the phone block; r7 has a null phone.
+    return pd.DataFrame(
+        {
+            "rec_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "name": ["ann lee", "ann lee", "bob roy", "bob ray",
+                     "cat ito", "cat ito", "dan wu", "eve xu"],
+            "phone": ["555-01", "555-01", "555-02", "555-03",
+                      "555-04", "555-04", None, "555-05"],
+            "zip": [10, 10, 20, 20, 30, 31, 40, 40],
+        }
+    )
+
+
+def _brute(df, threshold):
+    out = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            a, b = df.iloc[i], df.iloc[j]
+            blocked = (
+                (a["phone"] is not None and a["phone"] == b["phone"])
+                or a["zip"] == b["zip"]
+            )
+            if not blocked:
+                continue
+            s = (
+                2 * (a["phone"] is not None and a["phone"] == b["phone"])
+                + 3 * (a["name"] == b["name"])
+                + 1 * (a["zip"] == b["zip"])
+            )
+            if s >= threshold:
+                out.append((int(a["rec_id"]), int(b["rec_id"]), int(s)))
+    return sorted(out)
+
+
+class TestResolveEntities:
+    def _run(self, df, threshold, **kw):
+        # closure, not a module-level def: test-module UDFs fail to
+        # unpickle on workers (round-2 gotcha)
+        score = lambda d: (  # noqa: E731
+            np.where(d["phone_a"].to_numpy() == d["phone_b"].to_numpy(), 2, 0)
+            + np.where(d["name_a"].to_numpy() == d["name_b"].to_numpy(), 3, 0)
+            + np.where(d["zip_a"].to_numpy() == d["zip_b"].to_numpy(), 1, 0)
+        ).astype(np.int64)
+        return resolve_entities(
+            ray.data.from_pandas(df),
+            id_col="rec_id",
+            block_keys=[["phone"], ["zip"]],
+            pair_score=score,
+            threshold=threshold,
+            **kw,
+        )
+
+    def test_matches_brute_force_reference(self):
+        df = _records()
+        got = self._run(df, threshold=3)
+        exp = _brute(df, 3)
+        assert (
+            list(map(tuple, got[["id_a", "id_b", "score"]]
+                     .itertuples(index=False))) == exp
+        )
+        # the phone-only cluster (5,6) needs the phone pass (zips 30/31)
+        ids = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+        assert (5, 6) in ids
+
+    def test_pair_meeting_in_both_blocks_emitted_once(self):
+        df = _records()
+        got = self._run(df, threshold=1)
+        pairs = list(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+        assert len(pairs) == len(set(pairs))
+        assert (1, 2) in set(pairs)  # meets in phone AND zip blocks
+        assert (3, 4) in set(pairs)  # zip-only pair: pass 2 recall
+
+    def test_null_blocking_key_matches_nothing(self):
+        df = _records()
+        got = self._run(df, threshold=1)
+        ids = set(got["id_a"]) | set(got["id_b"])
+        # rec 7's phone is null; it can only arrive via its zip block
+        got_hi = self._run(df, threshold=3)
+        assert 7 in ids  # zip 40 pairs it with rec 8 at threshold 1
+        assert 7 not in (set(got_hi["id_a"]) | set(got_hi["id_b"]))
+
+    def test_max_block_skips_whole_block_deterministically(self):
+        # one non-discriminative zip shared by 6 records
+        df = pd.DataFrame(
+            {
+                "rec_id": range(10),
+                "name": [f"n{i}" for i in range(10)],
+                "phone": [f"p{i}" for i in [0, 0, 1, 2, 3, 4, 5, 6, 7, 8]],
+                "zip": [99] * 6 + [1, 2, 3, 4],
+            }
+        )
+        full = self._run(df, threshold=1)
+        capped = self._run(df, threshold=1, max_block=4)
+        # uncapped: the hot zip block contributes C(6,2) pairs
+        assert len(full) > len(capped)
+        # capped: only the phone pair (0,1) remains (zip block skipped
+        # entirely, smaller blocks unaffected)
+        assert list(map(tuple, capped[["id_a", "id_b"]]
+                        .itertuples(index=False))) == [(0, 1)]

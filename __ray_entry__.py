@@ -2597,6 +2597,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tbl = _pa.Table.from_pylist(rows, schema=multimodal.MEDIA_SCHEMA)
         return multimodal.audio_features(ray.data.from_arrow(tbl))
 
+    def audio_fp_dups(sf_dir):
+        """Shift/gain-invariant audio near-dup detection
+        (ops/audiofp.py — the Shazam constellation shape): 60 PCM16
+        clips with index-derived 3-tone spectra; every 4th clip gains
+        a silence-shifted copy and every 6th a gain-scaled copy.
+        Landmark hashes ride ONE exchange; pairs vote per time offset.
+        No SQL oracle by nature (STFT); planted-duplicate recall and
+        non-dup rejection are pinned by tests/test_audiofp.py."""
+        import io as _io
+        import math as _math
+        import wave as _wave
+
+        import ray
+        from docstrange_ray.ops.audiofp import audio_near_dups
+
+        def clip(freqs, dur_ms, amp=0.25, lead_ms=0, sr=8000):
+            n = int(sr * dur_ms / 1000)
+            frames = bytearray(b"\x00\x00" * int(sr * lead_ms / 1000))
+            for i in range(n):
+                v = int(amp * 32767 * sum(
+                    _math.sin(2 * _math.pi * f * i / sr) for f in freqs))
+                frames += max(-32768, min(32767, v)).to_bytes(
+                    2, "little", signed=True)
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(bytes(frames))
+            return buf.getvalue()
+
+        rows = []
+        for i in range(60):
+            freqs = [300 + 37 * (i % 19), 900 + 53 * (i % 11),
+                     1700 + 29 * (i % 13)]
+            rows.append({"media_ref": f"aud/{i:03d}/base",
+                         "payload": clip(freqs, 600)})
+            if i % 4 == 0:
+                rows.append({"media_ref": f"aud/{i:03d}/shift",
+                             "payload": clip(freqs, 600,
+                                             lead_ms=128 * (1 + i % 3))})
+            if i % 6 == 0:
+                rows.append({"media_ref": f"aud/{i:03d}/gain",
+                             "payload": clip(freqs, 600, amp=0.4)})
+        tbl = pa.Table.from_pylist(rows)
+        return audio_near_dups(ray.data.from_arrow(tbl), min_votes=40)
+
     def media_frames(sf_dir):
         """REAL multi-frame decode: animated GIF payloads (stdlib
         writer) -> uniform frame sampling with genuine pixel means via
@@ -2970,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_bucketed": embedding_dups_bucketed,
         "media_frames": media_frames,
         "audio_features": audio_features,
+        "audio_fp_dups": audio_fp_dups,
         "ivf_ann_topk": ivf_ann_topk,
         "pq_ann_topk": pq_ann_topk,
         "ivf_recall_planted": ivf_recall_planted,

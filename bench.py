@@ -168,6 +168,7 @@ OP_GROUPS: list[list[str]] = [
         "dup_positions_exact",
         "streaming_dedup_pairs",
         "image_near_dups",
+        "audio_fp_dups",
     ],
     [
         "pack_offsets",

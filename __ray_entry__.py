@@ -1807,6 +1807,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_to_int=to_int_units(100),
         )
 
+    def customer_k_anonymity(sf_dir):
+        """k-anonymity / l-diversity privacy audit over customer
+        (ops/pii.k_anonymity_audit): quasi-identifiers (nation,
+        market segment), sensitive value = rounded balance; emits the
+        groups with n < 5 or fewer than 2 distinct sensitive values.
+        Exact distinct-per-group via the lossless two-level
+        (QI, sensitive) pre-reduce — one bounded exchange."""
+        import numpy as np
+
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.numerics import to_int_units
+        from docstrange_ray.ops.pii import k_anonymity_audit
+
+        cust = read_parquet_clean(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        )
+        units = to_int_units()
+
+        def add_bal(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "bal", pa.array(units(batch.column("c_acctbal").to_numpy()),
+                                pa.int64()),
+            ).drop_columns(["c_acctbal"])
+
+        out = k_anonymity_audit(
+            cust.map_batches(add_bal, batch_format="pyarrow"),
+            quasi_cols=["c_nationkey", "c_mktsegment"],
+            sensitive_col="bal",
+            k=5,
+            l=2,
+        )
+        out["at_risk_k"] = out["at_risk_k"].astype(np.int64)
+        out["at_risk_l"] = out["at_risk_l"].astype(np.int64)
+        return out
+
     def returnflag_price_regression(sf_dir):
         """EXACT per-group OLS regression (price cents on quantity by
         return flag) from the same ONE integer sufficient-statistics
@@ -2986,6 +3022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_corr": returnflag_price_corr,
         "returnflag_price_regression": returnflag_price_regression,
         "entity_matches": entity_matches,
+        "customer_k_anonymity": customer_k_anonymity,
         "price_qty_frontier": price_qty_frontier,
         "isotonic_calibration": isotonic_calibration,
         "kcenter_coreset": kcenter_coreset,
@@ -3597,6 +3634,22 @@ def oracle_sql() -> dict[str, str]:
                           SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
             FROM s
             WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """,
+        "customer_k_anonymity": """
+            WITH c AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(ROUND(c_acctbal) AS BIGINT) AS bal
+                FROM customer
+            ), g AS (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                       COUNT(DISTINCT bal) AS n_sensitive
+                FROM c GROUP BY 1, 2
+            )
+            SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+                   CAST(n_sensitive AS BIGINT) AS n_sensitive,
+                   CAST(n < 5 AS BIGINT) AS at_risk_k,
+                   CAST(n_sensitive < 2 AS BIGINT) AS at_risk_l
+            FROM g WHERE n < 5 OR n_sensitive < 2
         """,
         "entity_matches": """
             WITH cust AS (

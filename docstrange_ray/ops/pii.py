@@ -68,3 +68,64 @@ def pii_scrub(batch: pa.Table) -> pa.Table:
     stats = pii_stats(batch)
     red = pii_redact(batch)
     return stats.append_column("redacted", red.column("redacted"))
+
+
+def k_anonymity_audit(
+    ds,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+    num_partitions: int | None = None,
+):
+    """k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007): for every quasi-identifier combination, the row count
+    and the number of DISTINCT sensitive values, flagging groups that
+    re-identify (n < k) or leak (distinct sensitive < l) — the privacy
+    gate a training-data release pipeline runs before publishing
+    records. The reference has no privacy ops; this extends the
+    pii_* family from per-row detection to corpus-level risk.
+
+    Scale shape: exact distinct-per-group without shipping rows — the
+    per-block pre-reduce groups by (quasi..., sensitive) FIRST, so the
+    one exchange carries at most one row per distinct (QI, sensitive)
+    combination per block (the same lossless two-level reduction as
+    source_lang_entropy); the final then counts rows (=distinct
+    sensitive) and sums counts per QI. Returns ONLY the violating
+    groups: (quasi..., n, n_sensitive, at_risk_k, at_risk_l) — output
+    is audit-sized, not corpus-sized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    keys = list(quasi_cols)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(keys + [sensitive_col]).to_pandas()
+        return df.groupby(keys + [sensitive_col], as_index=False, sort=False,
+                          dropna=False).size().rename(columns={"size": "cnt"})
+
+    def final(block: pa.Table) -> pd.DataFrame:
+        df = block.to_pandas()
+        # re-merge per-block partials of the same (QI, sensitive)
+        df = df.groupby(keys + [sensitive_col], as_index=False,
+                        dropna=False)["cnt"].sum()
+        g = df.groupby(keys, dropna=False).agg(
+            n=("cnt", "sum"), n_sensitive=(sensitive_col, "size")
+        ).reset_index()
+        g["at_risk_k"] = g["n"] < k
+        g["at_risk_l"] = g["n_sensitive"] < l
+        g = g[g["at_risk_k"] | g["at_risk_l"]]
+        g["n"] = g["n"].astype(np.int64)
+        g["n_sensitive"] = g["n_sensitive"].astype(np.int64)
+        return g
+
+    partials = ds.map_batches(arrow_out(partial), batch_format="pyarrow")
+    out = grouped_blocks(partials, keys, final,
+                         num_partitions=num_partitions).to_pandas()
+    if out.empty:  # empty materialized Datasets lose their schema
+        return pd.DataFrame(columns=keys + ["n", "n_sensitive",
+                                            "at_risk_k", "at_risk_l"])
+    return out.sort_values(keys).reset_index(drop=True)

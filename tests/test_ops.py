@@ -4419,3 +4419,63 @@ class TestKCenterSelect:
         got = kcenter_select(self._ds(mat, parts=2), k=10)
         assert len(got) == 4
         assert set(got["id"]) == {0, 1, 2, 3}
+
+
+class TestKAnonymityAudit:
+    def test_flags_and_counts_match_pandas_reference(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from docstrange_ray.ops.pii import k_anonymity_audit
+
+        rng = np.random.default_rng(31)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "zip": rng.integers(0, 12, n),
+                "age_band": rng.integers(0, 4, n),
+                "diagnosis": rng.integers(0, 6, n),
+            }
+        )
+        # plant: one uniform-sensitive group (l-risk but not k-risk)
+        df.loc[df.index[:400], ["zip", "age_band", "diagnosis"]] = [99, 9, 7]
+        # plant: one singleton group (k-risk)
+        df.loc[df.index[-1], ["zip", "age_band", "diagnosis"]] = [77, 8, 3]
+        got = k_anonymity_audit(
+            ray.data.from_pandas(df).repartition(5),
+            quasi_cols=["zip", "age_band"],
+            sensitive_col="diagnosis",
+            k=5,
+            l=2,
+        )
+        ref = df.groupby(["zip", "age_band"]).agg(
+            n=("diagnosis", "size"), n_sensitive=("diagnosis", "nunique")
+        ).reset_index()
+        ref = ref[(ref["n"] < 5) | (ref["n_sensitive"] < 2)]
+        ref = ref.sort_values(["zip", "age_band"]).reset_index(drop=True)
+        assert list(got["zip"]) == list(ref["zip"])
+        assert list(got["n"]) == list(ref["n"])
+        assert list(got["n_sensitive"]) == list(ref["n_sensitive"])
+        planted = got[(got["zip"] == 99) & (got["age_band"] == 9)]
+        assert len(planted) == 1 and bool(planted["at_risk_l"].iloc[0])
+        assert not bool(planted["at_risk_k"].iloc[0])
+        single = got[(got["zip"] == 77) & (got["age_band"] == 8)]
+        assert len(single) == 1 and bool(single["at_risk_k"].iloc[0])
+
+    def test_null_sensitive_counts_as_a_value(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from docstrange_ray.ops.pii import k_anonymity_audit
+
+        df = pd.DataFrame(
+            {"q": ["a"] * 6, "s": [None, None, None, 1.0, 1.0, 1.0]}
+        )
+        got = k_anonymity_audit(
+            ray.data.from_pandas(df), ["q"], "s", k=5, l=3
+        )
+        # n=6 (not k-risk), distinct sensitive = {null, 1.0} = 2 < 3
+        assert len(got) == 1
+        assert int(got["n"].iloc[0]) == 6
+        assert int(got["n_sensitive"].iloc[0]) == 2

@@ -78,6 +78,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ensure_hash_shuffle()
 
+    # Write the extraction spec-oracle fixtures (synth_expected.py) for every
+    # test-data tier up front, so the DuckDB oracle's read_parquet() finds
+    # them regardless of which side the driver runs first. Idempotent and
+    # cheap (~2 s total, cached on disk).
+    import glob as _glob
+
+    from docstrange_ray.synth_expected import write_expected_fixtures
+
+    for _sf in _glob.glob("/root/testdata/sf*"):
+        try:
+            write_expected_fixtures(_corpus_size(_sf))
+        except OSError:
+            pass  # fixture dir unwritable: extraction oracles fall back red
+
     from docstrange_ray.io import read_parquet_clean
 
     def read_docs(sf_dir):
@@ -228,9 +242,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cfg = replace(_DCFG, page_backend="pixels")
         return extract_files(out, cfg).map_batches(flatten, batch_format="pyarrow")
 
+    def _spec_subset(sf_dir, ds):
+        """Restrict an extraction result to the spec-oracle subset (the
+        non-paged populations whose expected output is closed-form from the
+        generator structure — synth_expected.py). The engine still extracts
+        the FULL corpus upstream (extract_flagship covers the paged docs
+        rows-only + pytest span-equality); this filter makes the driver's
+        rows+schema+hash comparison against the expected-span fixture a
+        genuine end-to-end extraction check."""
+        import pyarrow.compute as pc
+
+        from docstrange_ray.synth_expected import oracleable_doc_ids
+
+        ids = pa.array(sorted(oracleable_doc_ids(_corpus_size(sf_dir))))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("doc_id"), value_set=ids))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
     def extract_markdown(sf_dir):
-        return add_projection(_extracted(sf_dir), "markdown").select_columns(
-            ["doc_id", "markdown"]
+        return _spec_subset(
+            sf_dir,
+            add_projection(_extracted(sf_dir), "markdown").select_columns(
+                ["doc_id", "markdown"]
+            ),
         )
 
     def extract_html(sf_dir):
@@ -246,7 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def section_chunks(sf_dir):
         from docstrange_ray.projections import chunk_documents
 
-        return chunk_documents(_extracted(sf_dir), token_budget=512)
+        return _spec_subset(
+            sf_dir, chunk_documents(_extracted(sf_dir), token_budget=512)
+        )
 
     def search_docs(sf_dir):
         from docstrange_ray.projections import search_documents
@@ -312,7 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 )
             return pa.Table.from_pylist(rows)
 
-        return _extracted(sf_dir).map_batches(meta, batch_format="pyarrow")
+        return _spec_subset(
+            sf_dir, _extracted(sf_dir).map_batches(meta, batch_format="pyarrow")
+        )
 
     # -- training-data ops --
     def token_count(sf_dir):
@@ -3214,6 +3254,65 @@ def oracle_sql() -> dict[str, str]:
     _rake_stop_vals = ", ".join(f"('{w}')" for w in _RAKE_STOP)
 
     return {
+        # --- extraction spec oracles (VERDICT r4 #1) -----------------------
+        # The expected-span fixtures are written by queries() registration
+        # from the generator STRUCTURE (synth_expected.py — independent of
+        # the extract/ parsers); these oracles rebuild each query's exact
+        # output table from the fixture, so the driver's hash compare is an
+        # end-to-end check of serialize → parse → extract → project.
+        # extract_markdown: spans_to_markdown contract — image-refs render
+        # ![alt](ref), empty parts dropped, blank-line join in span order.
+        "extract_markdown": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            ), sp AS (
+                SELECT * FROM read_parquet('/tmp/dsray_expected_v1/spans_n*.parquet')
+                WHERE n = (SELECT n FROM nn)
+            ), parts AS (
+                SELECT doc_id, "offset",
+                       CASE WHEN kind = 'image-ref'
+                            THEN '![' || text || '](' || media_ref || ')'
+                            ELSE text END AS part
+                FROM sp
+            )
+            SELECT doc_id,
+                   STRING_AGG(part, chr(10) || chr(10) ORDER BY "offset")
+                       AS markdown
+            FROM parts WHERE part <> '' GROUP BY doc_id
+        """,
+        # extract_doc_meta: spans_to_json metadata contract — sections =
+        # heading spans, level = leading-'#' run length, flags from kinds.
+        "extract_doc_meta": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            ), sp AS (
+                SELECT * FROM read_parquet('/tmp/dsray_expected_v1/spans_n*.parquet')
+                WHERE n = (SELECT n FROM nn)
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_spans,
+                   COUNT(*) FILTER (kind = 'heading') AS section_count,
+                   COALESCE(MAX(CASE WHEN kind = 'heading'
+                                     THEN LENGTH(text) - LENGTH(LTRIM(text, '#'))
+                                END), 0) AS max_heading_level,
+                   BOOL_OR(kind = 'table') AS has_tables,
+                   BOOL_OR(kind = 'image-ref') AS has_images
+            FROM sp GROUP BY doc_id
+        """,
+        # section_chunks: the chunk fixture is computed by an independent
+        # re-derivation of the greedy token-budget packing contract.
+        "section_chunks": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, chunk_id, n_sections, n_tokens_est,
+                   first_section, text
+            FROM read_parquet('/tmp/dsray_expected_v1/chunks_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
         "pagerank_purchases": _pagerank_oracle(),
         # bootstrap_price_means: the Poisson(1) inverse-CDF thresholds
         # are inlined from the SAME module constants the op uses

@@ -72,35 +72,54 @@ def _pick_population(rng: random.Random) -> str:
 # --- population generators --------------------------------------------------
 
 
-def _gen_html(rng: random.Random, doc_id: str) -> list[dict]:
+def _gen_html(rng: random.Random, doc_id: str) -> tuple[list[dict], dict]:
+    """Returns (payload spans, generation structure). The structure records
+    the pre-serialization content blocks — the closed-form ground truth the
+    spec oracle (synth_expected) maps to expected extracted spans. RNG draw
+    order is IDENTICAL to the original generator (corpus bytes pinned by
+    tests/test_synth_expected.py::test_corpus_hash_unchanged)."""
     title = _sentence(rng, 2, 5).rstrip(".")
     nav_links = "".join(
         f'<a href="/nav/{i}">{rng.choice(_WORDS)} {rng.choice(_WORDS)}</a>'
         for i in range(rng.randint(3, 6))
     )
-    body_parts = [f"<h1>{_sentence(rng, 2, 4).rstrip('.')}</h1>"]
+    h1 = _sentence(rng, 2, 4).rstrip(".")
+    body_parts = [f"<h1>{h1}</h1>"]
+    blocks: list[tuple] = [("h1", h1)]
     for _ in range(rng.randint(2, 5)):
         r = rng.random()
         if r < 0.5:
-            body_parts.append(f"<p>{_paragraph(rng)}</p>")
+            p = _paragraph(rng)
+            body_parts.append(f"<p>{p}</p>")
+            blocks.append(("p", p))
         elif r < 0.65:
-            body_parts.append(f"<h2>{_sentence(rng, 2, 4).rstrip('.')}</h2>")
+            h2 = _sentence(rng, 2, 4).rstrip(".")
+            body_parts.append(f"<h2>{h2}</h2>")
+            blocks.append(("h2", h2))
         elif r < 0.78:
-            items = "".join(f"<li>{_sentence(rng, 2, 6)}</li>" for _ in range(rng.randint(2, 5)))
+            n_items = rng.randint(2, 5)
+            item_texts = [_sentence(rng, 2, 6) for _ in range(n_items)]
+            items = "".join(f"<li>{t}</li>" for t in item_texts)
             body_parts.append(f"<ul>{items}</ul>")
+            blocks.append(("ul", item_texts))
         elif r < 0.9:
+            n_rows = rng.randint(2, 4)
+            cells = [[rng.choice(_WORDS) for _ in range(3)] for _ in range(n_rows)]
             rows = "".join(
-                "<tr>" + "".join(f"<td>{rng.choice(_WORDS)}</td>" for _ in range(3)) + "</tr>"
-                for _ in range(rng.randint(2, 4))
+                "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                for row in cells
             )
             body_parts.append(
                 "<table><tr><th>a</th><th>b</th><th>c</th></tr>" + rows + "</table>"
             )
+            blocks.append(("table", [["a", "b", "c"]] + cells))
         else:
-            body_parts.append(
-                f'<img src="media://{doc_id}/h{rng.randint(0, 9)}" alt="{rng.choice(_WORDS)}">'
-            )
+            ref_i = rng.randint(0, 9)
+            alt = rng.choice(_WORDS)
+            body_parts.append(f'<img src="media://{doc_id}/h{ref_i}" alt="{alt}">')
+            blocks.append(("img", alt, f"media://{doc_id}/h{ref_i}"))
     # a link-farm box inside main that link-density pruning must drop
+    # (deliberately absent from the structure: the spec says it is pruned)
     if rng.random() < 0.5:
         farm = "".join(f'<a href="/rel/{i}">{rng.choice(_WORDS)}</a> ' for i in range(5))
         body_parts.append(f'<div class="related">{farm}</div>')
@@ -115,57 +134,89 @@ def _gen_html(rng: random.Random, doc_id: str) -> list[dict]:
         + "</main>"
         + f"<footer><p>copyright</p>{nav_links}</footer></body></html>"
     )
-    return [{"kind": "html", "text": html, "media_ref": "", "offset": 0}]
+    struct = {"title": title, "blocks": blocks}
+    return [{"kind": "html", "text": html, "media_ref": "", "offset": 0}], struct
 
 
-def _gen_text(rng: random.Random) -> list[dict]:
+def _gen_text(rng: random.Random) -> tuple[list[dict], dict]:
     paras = [_paragraph(rng) for _ in range(rng.randint(2, 6))]
     blanks = "\n" * rng.randint(2, 4)
     payload = "\n" + blanks.join(p + ("  " if rng.random() < 0.3 else "") for p in paras) + "\n\n"
-    return [{"kind": "text", "text": payload, "media_ref": "", "offset": 0}]
+    return (
+        [{"kind": "text", "text": payload, "media_ref": "", "offset": 0}],
+        {"paras": paras},
+    )
 
 
-def _gen_markdown(rng: random.Random, doc_id: str) -> list[dict]:
-    parts = [f"# {_sentence(rng, 2, 4).rstrip('.')}"]
+def _gen_markdown(rng: random.Random, doc_id: str) -> tuple[list[dict], dict]:
+    h1 = _sentence(rng, 2, 4).rstrip(".")
+    parts = [f"# {h1}"]
+    blocks: list[tuple] = [("heading", f"# {h1}")]
     for _ in range(rng.randint(3, 6)):
         r = rng.random()
         if r < 0.35:
-            parts.append(_paragraph(rng))
+            p = _paragraph(rng)
+            parts.append(p)
+            blocks.append(("p", p))
         elif r < 0.5:
-            parts.append(f"{'#' * rng.randint(2, 3)} {_sentence(rng, 2, 4).rstrip('.')}")
+            level = rng.randint(2, 3)
+            h = _sentence(rng, 2, 4).rstrip(".")
+            parts.append(f"{'#' * level} {h}")
+            blocks.append(("heading", f"{'#' * level} {h}"))
         elif r < 0.62:
-            parts.append("\n".join(f"- {_sentence(rng, 2, 6)}" for _ in range(rng.randint(2, 4))))
+            n_items = rng.randint(2, 4)
+            item_texts = [f"- {_sentence(rng, 2, 6)}" for _ in range(n_items)]
+            parts.append("\n".join(item_texts))
+            blocks.append(("list", item_texts))
         elif r < 0.72:
-            parts.append(
-                "```python\n" + "\n".join(f"x{i} = {i}" for i in range(rng.randint(2, 5))) + "\n```"
+            code = (
+                "```python\n"
+                + "\n".join(f"x{i} = {i}" for i in range(rng.randint(2, 5)))
+                + "\n```"
             )
+            parts.append(code)
+            blocks.append(("code", code))
         elif r < 0.82:
             hdr = "| col1 | col2 | col3 |"
             sep = "| --- | --- | --- |"
-            rows = "\n".join(
+            n_rows = rng.randint(2, 4)
+            row_lines = [
                 "| " + " | ".join(rng.choice(_WORDS) for _ in range(3)) + " |"
-                for _ in range(rng.randint(2, 4))
-            )
+                for _ in range(n_rows)
+            ]
+            rows = "\n".join(row_lines)
             parts.append(f"{hdr}\n{sep}\n{rows}")
+            blocks.append(("table", f"{hdr}\n{sep}\n{rows}"))
         elif r < 0.92:
-            parts.append(f"> {_sentence(rng)}")
+            q = f"> {_sentence(rng)}"
+            parts.append(q)
+            blocks.append(("quote", q))
         else:
-            parts.append(f"![{rng.choice(_WORDS)}](media://{doc_id}/m0)")
-    return [{"kind": "md", "text": "\n\n".join(parts), "media_ref": "", "offset": 0}]
+            alt = rng.choice(_WORDS)
+            parts.append(f"![{alt}](media://{doc_id}/m0)")
+            blocks.append(("img", alt, f"media://{doc_id}/m0"))
+    return (
+        [{"kind": "md", "text": "\n\n".join(parts), "media_ref": "", "offset": 0}],
+        {"blocks": blocks},
+    )
 
 
-def _gen_tabular(rng: random.Random) -> list[dict]:
+def _gen_tabular(rng: random.Random) -> tuple[list[dict], dict]:
     n_cols = rng.randint(3, 8)
     n_rows = rng.randint(2, 40)
-    header = ",".join(f"col{i}" for i in range(n_cols))
-    rows = [header]
+    header_cells = [f"col{i}" for i in range(n_cols)]
+    grid = [header_cells]
+    rows = [",".join(header_cells)]
     for _ in range(n_rows):
-        rows.append(
-            ",".join(
-                "" if rng.random() < 0.05 else rng.choice(_WORDS) for _ in range(n_cols)
-            )
-        )
-    return [{"kind": "table-src", "text": "\n".join(rows), "media_ref": "", "offset": 0}]
+        cells = [
+            "" if rng.random() < 0.05 else rng.choice(_WORDS) for _ in range(n_cols)
+        ]
+        grid.append(cells)
+        rows.append(",".join(cells))
+    return (
+        [{"kind": "table-src", "text": "\n".join(rows), "media_ref": "", "offset": 0}],
+        {"grid": grid},
+    )
 
 
 def _gen_docx(rng: random.Random) -> list[dict]:
@@ -192,7 +243,10 @@ def _gen_docx(rng: random.Random) -> list[dict]:
             + [[rng.choice(_WORDS) for _ in range(3)] for _ in range(n_rows)]
         )
     payload = json.dumps({"paragraphs": paras, "tables": tables})
-    return [{"kind": "docx-src", "text": payload, "media_ref": "", "offset": 0}]
+    return (
+        [{"kind": "docx-src", "text": payload, "media_ref": "", "offset": 0}],
+        {"paras": paras, "tables": tables},
+    )
 
 
 def _gen_pptx(rng: random.Random) -> list[dict]:
@@ -201,7 +255,10 @@ def _gen_pptx(rng: random.Random) -> list[dict]:
         for _ in range(rng.randint(2, 8))
     ]
     payload = json.dumps({"slides": slides})
-    return [{"kind": "pptx-src", "text": payload, "media_ref": "", "offset": 0}]
+    return (
+        [{"kind": "pptx-src", "text": payload, "media_ref": "", "offset": 0}],
+        {"slides": slides},
+    )
 
 
 def _gen_xlsx(rng: random.Random) -> list[dict]:
@@ -215,7 +272,10 @@ def _gen_xlsx(rng: random.Random) -> list[dict]:
         ]
         sheets.append({"name": f"Sheet{s + 1}", "grid": grid})
     payload = json.dumps({"sheets": sheets})
-    return [{"kind": "xlsx-src", "text": payload, "media_ref": "", "offset": 0}]
+    return (
+        [{"kind": "xlsx-src", "text": payload, "media_ref": "", "offset": 0}],
+        {"sheets": sheets},
+    )
 
 
 def _gen_page_payload(rng: random.Random) -> str:
@@ -293,30 +353,48 @@ def _gen_paged(rng: random.Random, doc_id: str, giant: bool) -> list[dict]:
     return spans
 
 
-def gen_doc(seed: int, i: int) -> dict:
-    """Generate document ``i`` of the corpus — pure function of (seed, i)."""
+def gen_doc_full(seed: int, i: int) -> tuple[dict, str, dict | None]:
+    """Generate document ``i`` plus its generation structure — pure function
+    of (seed, i). Returns (row, population, structure); structure is None for
+    the paged populations (their expected output is backend-dependent, so
+    they stay under the pytest span-equality gate rather than the spec
+    oracle)."""
     rng = random.Random((seed << 34) ^ (i * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFF))
     doc_id = f"doc-{i:08d}"
     pop = _pick_population(rng)
+    struct: dict | None
     if pop == "html_page":
-        spans = _gen_html(rng, doc_id)
+        spans, struct = _gen_html(rng, doc_id)
     elif pop == "plain_text":
-        spans = _gen_text(rng)
+        spans, struct = _gen_text(rng)
     elif pop == "markdown_doc":
-        spans = _gen_markdown(rng, doc_id)
+        spans, struct = _gen_markdown(rng, doc_id)
     elif pop == "tabular":
-        spans = _gen_tabular(rng)
+        spans, struct = _gen_tabular(rng)
     elif pop == "docx_doc":
-        spans = _gen_docx(rng)
+        spans, struct = _gen_docx(rng)
     elif pop == "pptx_doc":
-        spans = _gen_pptx(rng)
+        spans, struct = _gen_pptx(rng)
     elif pop == "xlsx_doc":
-        spans = _gen_xlsx(rng)
+        spans, struct = _gen_xlsx(rng)
     else:
         spans = _gen_paged(rng, doc_id, giant=(pop == "giant_doc"))
+        struct = None
     for j, s in enumerate(spans):
         s["offset"] = j
-    return {"doc_id": doc_id, "spans": spans}
+    return {"doc_id": doc_id, "spans": spans}, pop, struct
+
+
+def gen_doc(seed: int, i: int) -> dict:
+    """Generate document ``i`` of the corpus — pure function of (seed, i)."""
+    return gen_doc_full(seed, i)[0]
+
+
+def population_of(seed: int, i: int) -> str:
+    """Population of document ``i`` without generating it (the population
+    pick is the FIRST rng draw — one random() call instead of a full doc)."""
+    rng = random.Random((seed << 34) ^ (i * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFF))
+    return _pick_population(rng)
 
 
 def gen_corpus_table(seed: int, start: int, count: int) -> pa.Table:

@@ -143,8 +143,10 @@ def audio_near_dups(
 
     Returns pandas [(media_ref_a, media_ref_b, dt_frames, votes)] —
     pairs whose landmark collisions agree on one time offset at least
-    ``min_votes`` times, sorted, id_a < id_b, one row per (pair,
-    offset) that clears the bar.
+    ``min_votes`` times, sorted, id_a < id_b. One row per PAIR: a pair
+    matching at multiple offsets keeps only its best
+    (votes DESC, dt ASC) offset — see the module docstring's tally
+    step.
     """
     from docstrange_ray.stages import bind_actor
     from docstrange_ray.shuffle import arrow_out, grouped_blocks

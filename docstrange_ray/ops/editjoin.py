@@ -39,10 +39,15 @@ Distributed shape (three exchanges, the minhash-chain discipline):
      pairs. Hash collisions in step 1 only add candidates here — they
      can never lose a pair.
 
-Short strings (len <= tau, where segments would be empty) meet in one
-dedicated bucket with every string of len <= 2*tau (any partner of a
-short string is itself short): all-pairs inside is bounded by the
-short-string population, negligible for real corpora.
+Short strings (len <= tau, where segments would be empty) meet strings
+of len <= 2*tau (any partner of a short string is itself short) in a
+dedicated bucket SUB-KEYED BY INDEX LENGTH: probes emit one row per
+admissible partner length (|l_s - l_r| <= tau, l_r <= tau), so shorts
+spread across tau+1 hash groups instead of one global partition and
+length-inadmissible pairs never become candidates. Within one length
+group all-pairs is the honest cost — for strings of length <= tau
+nearly every pair IS within distance tau, so the candidate set is the
+answer's own magnitude.
 
 Byte semantics throughout: DuckDB's ``levenshtein`` is byte-based
 (dedup._levenshtein docstring), and the oracle contract must hold on
@@ -173,18 +178,24 @@ def edit_distance_join(
             b = (text or "").encode("utf-8")
             l = len(b)
             if l <= 2 * tau:
-                # short bucket: probe always; index only if l <= tau
-                # OR l < k is impossible beyond tau (k = tau+1), so
-                # index when the main scheme can't cover it as partner.
-                h.append(0)
-                oi.append(_SHORT)
-                lr.append(0)
-                did.append(doc_id)
-                kind.append(np.int8(1))
+                # short bucket, SUB-BUCKETED by index length (ADVICE r4:
+                # one global (0, _SHORT, 0) key sent every short string
+                # to a single partition). Index when l <= tau (the main
+                # scheme can't cover it); probe one row per admissible
+                # partner length |l - l_r| <= tau with l_r <= tau — which
+                # both spreads shorts over tau+1 hash groups and prunes
+                # the length-inadmissible all-pairs the single bucket
+                # used to generate. <= 2*tau+1 probe rows per string.
+                for l_r in range(max(0, l - tau), min(tau, l + tau) + 1):
+                    h.append(0)
+                    oi.append(_SHORT)
+                    lr.append(l_r)
+                    did.append(doc_id)
+                    kind.append(np.int8(1))
                 if l <= tau:
                     h.append(0)
                     oi.append(_SHORT)
-                    lr.append(0)
+                    lr.append(l)
                     did.append(doc_id)
                     kind.append(np.int8(0))
             if l >= k:

@@ -17,14 +17,19 @@ Distributed shape (the editjoin/minhash exchange discipline):
      rejects), never lose a pair. Null/empty keys emit nothing (a null
      blocking value matches nothing, the standard ER convention).
   2. ONE groupby on (ordinal, key_hash): candidates = all pairs inside
-     a block. Block sizes are the caller's discriminativeness
-     contract: a non-discriminative key (everyone shares it) yields
-     its true quadratic candidate set — reported honestly, no silent
-     cap (the jaccard_join posting-cap lesson). ``max_block`` (opt-in)
-     instead SKIPS an oversized block ENTIRELY and deterministically —
-     the standard ER "too common to be informative" rule — which is a
-     documented recall trade, not a silent truncation: skipped block
-     counts are returned.
+     a block. ``max_block`` (default 10_000) SKIPS an oversized block
+     ENTIRELY and deterministically — the standard ER "too common to
+     be informative" rule (Splink/Dedupe never score universal
+     blocks), and the r4-VERDICT lesson that the safe behavior must be
+     the DEFAULT: without it a degenerate blocking key (say ``city``
+     where one city holds 10% of records) yields an O(m²) candidate
+     set inside one straggler group. The skip is a documented recall
+     trade, not a silent truncation: each skipped block emits a marker
+     row through the SAME exchange (a (kind, h) group lives in exactly
+     one partition, so markers are globally exact without dedup), and
+     the summed count is returned on the result as
+     ``df.attrs['skipped_blocks']``. Pass ``max_block=None`` for the
+     unconditionally exact quadratic behavior.
   3. ONE groupby on the pair dedups multi-block meetings, then record
      attributes attach via two co-partition hash_joins and the
      caller's VECTORIZED ``pair_score`` runs per batch; pairs scoring
@@ -55,12 +60,13 @@ def resolve_entities(
     pair_score,
     threshold: int,
     attr_cols: list[str] | None = None,
-    max_block: int | None = None,
+    max_block: int | None = 10_000,
     num_partitions: int | None = None,
 ):
     """Match record pairs via blocking-union candidates + vectorized
     scoring. Returns a pandas DataFrame [(id_a, id_b, score)] sorted,
-    with score int64 and id_a < id_b.
+    with score int64 and id_a < id_b; the number of blocks skipped by
+    ``max_block`` is attached as ``result.attrs['skipped_blocks']``.
 
     ``pair_score(df) -> int ndarray`` receives a DataFrame whose
     columns are every attr column suffixed ``_a`` / ``_b`` and must be
@@ -105,6 +111,7 @@ def resolve_entities(
     def candidates(block: pa.Table) -> pd.DataFrame:
         df = block.to_pandas()
         out_a, out_b, skipped = [], [], 0
+        first_id = df["id"].iloc[0] if len(df) else None
         for _, grp in df.groupby(["kind", "h"], sort=False):
             m = len(grp)
             if m < 2:
@@ -123,17 +130,41 @@ def resolve_entities(
                 "resolve_entities: skipped %d blocks over max_block=%s",
                 skipped, max_block,
             )
-        if not out_a:
+        if not out_a and not skipped:
             return pd.DataFrame({"id_a": pd.Series(dtype=object),
-                                 "id_b": pd.Series(dtype=object)})
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                                 "id_b": pd.Series(dtype=object),
+                                 "skip": pd.Series(dtype="int64")})
+        out = pd.DataFrame(
+            {"id_a": np.concatenate(out_a) if out_a else
+                 pd.Series(dtype=object),
+             "id_b": np.concatenate(out_b) if out_b else
+                 pd.Series(dtype=object)}
         ).drop_duplicates()
+        out["skip"] = np.int64(0)
+        if skipped:
+            # one marker row per finalizer task; id fields hold a real id
+            # so dtypes stay uniform across the exchange
+            out = pd.concat(
+                [out, pd.DataFrame({"id_a": [first_id], "id_b": [first_id],
+                                    "skip": [np.int64(skipped)]})],
+                ignore_index=True,
+            )
+        return out
 
     cand = grouped_blocks(rows, ["kind", "h"], candidates,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions).materialize()
+    # distributed scalar reduce — the pair-scale dataset never reaches
+    # the driver
+    skipped_blocks = int(cand.sum(on="skip") or 0)
+
+    def _data_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.equal(batch.column("skip"), 0)
+        ).drop_columns(["skip"])
+
     pairs = grouped_blocks(
-        cand, ["id_a", "id_b"],
+        cand.map_batches(_data_only, batch_format="pyarrow"),
+        ["id_a", "id_b"],
         lambda b: b.to_pandas().drop_duplicates(["id_a", "id_b"]),
         num_partitions=num_partitions,
     ).materialize()  # bounded: candidate pair count (schema-probe gotcha)
@@ -171,7 +202,10 @@ def resolve_entities(
 
     out = j2.map_batches(arrow_out(score), batch_format="pyarrow").to_pandas()
     if out.empty:  # empty materialized Datasets lose their schema
-        return pd.DataFrame({"id_a": pd.Series(dtype=object),
-                             "id_b": pd.Series(dtype=object),
-                             "score": pd.Series(dtype="int64")})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        out = pd.DataFrame({"id_a": pd.Series(dtype=object),
+                            "id_b": pd.Series(dtype=object),
+                            "score": pd.Series(dtype="int64")})
+    else:
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out.attrs["skipped_blocks"] = skipped_blocks
+    return out

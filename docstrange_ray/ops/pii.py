@@ -80,7 +80,9 @@ def k_anonymity_audit(
 ):
     """k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala
     et al. 2007): for every quasi-identifier combination, the row count
-    and the number of DISTINCT sensitive values, flagging groups that
+    and the number of DISTINCT non-null sensitive values (SQL
+    COUNT(DISTINCT) semantics: null-sensitive rows count toward ``n``
+    but not toward diversity), flagging groups that
     re-identify (n < k) or leak (distinct sensitive < l) — the privacy
     gate a training-data release pipeline runs before publishing
     records. The reference has no privacy ops; this extends the
@@ -112,8 +114,12 @@ def k_anonymity_audit(
         # re-merge per-block partials of the same (QI, sensitive)
         df = df.groupby(keys + [sensitive_col], as_index=False,
                         dropna=False)["cnt"].sum()
+        # SQL COUNT(DISTINCT) parity: a NULL sensitive value counts toward
+        # n but NOT toward diversity (ADVICE r4: the oracle shape is
+        # COUNT(DISTINCT bal), which excludes NULLs)
+        df["_nn"] = df[sensitive_col].notna().astype(np.int64)
         g = df.groupby(keys, dropna=False).agg(
-            n=("cnt", "sum"), n_sensitive=(sensitive_col, "size")
+            n=("cnt", "sum"), n_sensitive=("_nn", "sum")
         ).reset_index()
         g["at_risk_k"] = g["n"] < k
         g["at_risk_l"] = g["n_sensitive"] < l
@@ -126,6 +132,27 @@ def k_anonymity_audit(
     out = grouped_blocks(partials, keys, final,
                          num_partitions=num_partitions).to_pandas()
     if out.empty:  # empty materialized Datasets lose their schema
-        return pd.DataFrame(columns=keys + ["n", "n_sensitive",
-                                            "at_risk_k", "at_risk_l"])
+        # explicit dtypes (ADVICE r4): quasi-column types from the input
+        # schema, int64 counts, bool flags — so empty and non-empty
+        # results share a schema and the oracle's bit-parity holds
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            qtypes = {kk: base.field(kk).type for kk in keys}
+        else:  # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
+            def _to_pa(dtype):
+                try:
+                    return pa.from_numpy_dtype(dtype)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    return pa.string()
+
+            qtypes = {
+                kk: _to_pa(base.types[list(base.names).index(kk)])
+                for kk in keys
+            }
+        cols = {kk: pa.array([], qtypes[kk]) for kk in keys}
+        cols["n"] = pa.array([], pa.int64())
+        cols["n_sensitive"] = pa.array([], pa.int64())
+        cols["at_risk_k"] = pa.array([], pa.bool_())
+        cols["at_risk_l"] = pa.array([], pa.bool_())
+        return pa.table(cols).to_pandas()
     return out.sort_values(keys).reset_index(drop=True)

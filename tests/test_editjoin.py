@@ -135,6 +135,22 @@ class TestEditDistanceJoin:
             got = edit_distance_join(self._ds(df), tau=tau)
             assert _got(got) == _brute(df, tau)
 
+    def test_short_corpus_subbuckets_and_stays_exact(self):
+        """ADVICE r4: a corpus dominated by very short strings must not
+        collapse into one partition — shorts sub-bucket by index length
+        — and the result stays brute-force exact."""
+        rng = random.Random(7)
+        alpha = "abcd"
+        rows = [
+            {"doc_id": f"s{i:04d}",
+             "text": "".join(rng.choice(alpha)
+                             for _ in range(rng.randint(0, 4)))}
+            for i in range(120)
+        ]
+        df = pd.DataFrame(rows)
+        got = edit_distance_join(self._ds(df), tau=2, num_partitions=8)
+        assert _got(got) == _brute(df, 2)
+
     def test_hot_shared_prefix_stays_exact(self):
         """Sequential-id shape ('Customer#000000001'): one segment is
         universal, so its group holds the full index x probe cross —

@@ -95,6 +95,48 @@ class TestResolveEntities:
         assert 7 in ids  # zip 40 pairs it with rec 8 at threshold 1
         assert 7 not in (set(got_hi["id_a"]) | set(got_hi["id_b"]))
 
+    def test_universal_blocking_key_guarded_by_default(self):
+        """VERDICT r4 #2: a degenerate blocking key (every record shares
+        the value) must NOT produce its quadratic candidate set under the
+        DEFAULT max_block; the skip is observable via attrs."""
+        n = 30
+        df = pd.DataFrame(
+            {
+                "rec_id": range(n),
+                "name": [f"n{i}" for i in range(n)],
+                "phone": [f"p{i // 2}" for i in range(n)],  # pairs
+                "zip": [7] * n,  # universal key
+            }
+        )
+        score = lambda d: (  # noqa: E731
+            np.where(d["phone_a"].to_numpy() == d["phone_b"].to_numpy(), 2, 0)
+        ).astype(np.int64)
+        got = resolve_entities(
+            ray.data.from_pandas(df),
+            id_col="rec_id",
+            block_keys=[["phone"], ["zip"]],
+            pair_score=score,
+            threshold=2,
+            max_block=8,
+        )
+        # the universal zip block (30 records > 8) is skipped whole;
+        # the phone pairs all survive via the phone pass
+        assert got.attrs["skipped_blocks"] == 1
+        assert len(got) == n // 2
+        assert all(b - a == 1 for a, b in
+                   got[["id_a", "id_b"]].itertuples(index=False))
+        # default guard (10k) leaves small blocks alone: same records,
+        # no skip
+        got2 = resolve_entities(
+            ray.data.from_pandas(df),
+            id_col="rec_id",
+            block_keys=[["phone"]],
+            pair_score=score,
+            threshold=2,
+        )
+        assert got2.attrs["skipped_blocks"] == 0
+        assert len(got2) == n // 2
+
     def test_max_block_skips_whole_block_deterministically(self):
         # one non-discriminative zip shared by 6 records
         df = pd.DataFrame(

@@ -4463,7 +4463,9 @@ class TestKAnonymityAudit:
         single = got[(got["zip"] == 77) & (got["age_band"] == 8)]
         assert len(single) == 1 and bool(single["at_risk_k"].iloc[0])
 
-    def test_null_sensitive_counts_as_a_value(self, ray_session):
+    def test_null_sensitive_excluded_from_distinct(self, ray_session):
+        """SQL COUNT(DISTINCT) parity: nulls count toward n, not toward
+        diversity (ADVICE r4)."""
         import pandas as pd
         import ray.data
 
@@ -4475,7 +4477,27 @@ class TestKAnonymityAudit:
         got = k_anonymity_audit(
             ray.data.from_pandas(df), ["q"], "s", k=5, l=3
         )
-        # n=6 (not k-risk), distinct sensitive = {null, 1.0} = 2 < 3
+        # n=6 (not k-risk), distinct non-null sensitive = {1.0} = 1 < 3
         assert len(got) == 1
         assert int(got["n"].iloc[0]) == 6
-        assert int(got["n_sensitive"].iloc[0]) == 2
+        assert int(got["n_sensitive"].iloc[0]) == 1
+
+    def test_empty_result_keeps_schema(self, ray_session):
+        """No violating groups -> empty frame with the SAME dtypes as a
+        non-empty one (ADVICE r4 medium: the sf0.01 oracle MISMATCH)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from docstrange_ray.ops.pii import k_anonymity_audit
+
+        df = pd.DataFrame(
+            {"q": ["a"] * 40 + ["b"] * 40, "s": list(range(40)) * 2}
+        )
+        got = k_anonymity_audit(ray.data.from_pandas(df), ["q"], "s", k=5, l=2)
+        assert got.empty
+        assert got["q"].dtype == object
+        assert got["n"].dtype == np.int64
+        assert got["n_sensitive"].dtype == np.int64
+        assert got["at_risk_k"].dtype == np.bool_
+        assert got["at_risk_l"].dtype == np.bool_

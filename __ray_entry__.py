@@ -738,6 +738,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe.bpe_train(docs, n_merges=32)
         return bpe.bpe_encode_counts(docs, merges)
 
+    def byte_bpe_pair_counts_q(sf_dir):
+        """First-iteration BYTE-level BPE statistics (GPT-2-style,
+        ops/bytebpe): top-50 adjacent mapped-byte pairs within regex
+        pre-tokens, weighted by pre-token frequency — ONE pre-token
+        exchange -> bounded pair final. SQL-oracled (RE2
+        pre-tokenization + byte-map CASE + LEAD pairing share the
+        module's contract constants verbatim)."""
+        from docstrange_ray.ops import bytebpe
+
+        return bytebpe.byte_pair_counts(read_docs(sf_dir), top_k=50)
+
+    def byte_bpe_tokens_q(sf_dir):
+        """Train 24 byte-level merges on the corpus, then per-doc token
+        counts under them (broadcast merge list, distinct-pretoken
+        cache per batch, shuffle-free). Iterative + encoder semantics —
+        pytest-oracled (plan parity + arbitrary-byte round-trip in
+        tests/test_bytebpe.py), rows-only here."""
+        from docstrange_ray.ops import bytebpe
+
+        docs = read_docs(sf_dir)
+        merges = bytebpe.byte_bpe_train(docs, n_merges=24)
+        return bytebpe.byte_bpe_token_counts(docs, merges)
+
     def wp_pair_stats_q(sf_dir):
         """First-iteration WordPiece statistics: top-50 character pairs
         by likelihood-gain score freq(ab)/(freq(a)·freq(b)) — emitted
@@ -2983,6 +3006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens": heavy_tokens_q,
         "vocab_encode": vocab_encode_q,
         "bpe_pair_counts": bpe_pair_counts_q,
+        "byte_bpe_pair_counts": byte_bpe_pair_counts_q,
+        "byte_bpe_tokens": byte_bpe_tokens_q,
         "bpe_merges": bpe_merges_q,
         "bpe_token_counts": bpe_token_counts_q,
         "wp_pair_stats": wp_pair_stats_q,
@@ -3249,9 +3274,20 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
 def oracle_sql() -> dict[str, str]:
     from docstrange_ray import relational
     from docstrange_ray.ops.bootstrap import poisson_sql_weight_expr
+    from docstrange_ray.ops.bytebpe import BYTE_PRETOKEN_PATTERN, byte_to_unicode
     from docstrange_ray.ops.keywords import STOPWORDS as _RAKE_STOP
 
     _rake_stop_vals = ", ".join(f"('{w}')" for w in _RAKE_STOP)
+    # byte-BPE contract constants shared verbatim with ops/bytebpe: the
+    # RE2-compatible pre-token pattern and the byte->unicode stand-ins
+    # for the whitespace/control bytes an ASCII corpus can contain
+    # (printable ASCII maps to itself)
+    _bbpe_pat = BYTE_PRETOKEN_PATTERN.replace("'", "''")
+    _b2u = byte_to_unicode()
+    _bbpe_map_cases = " ".join(
+        f"WHEN chr({b}) THEN chr({ord(_b2u[b])})"
+        for b in (9, 10, 11, 12, 13, 32, 127)
+    )
 
     return {
         # --- extraction spec oracles (VERDICT r4 #1) -----------------------
@@ -5724,6 +5760,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM idx GROUP BY 1, 2
             )
             SELECT left_sym, right_sym, freq FROM pairs
+            ORDER BY freq DESC, left_sym, right_sym LIMIT 50
+        """,
+        # byte_bpe_pair_counts: RE2 pre-tokenization (the shared
+        # contract pattern — no lookarounds by design), byte->unicode
+        # CASE mapping, LEAD pairing within each distinct pre-token,
+        # frequency-weighted sums. ASCII corpus => char == byte.
+        "byte_bpe_pair_counts": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '{_bbpe_pat}')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok
+            ), syms AS (
+                SELECT tok, f, i,
+                       CASE substr(tok, i, 1) {_bbpe_map_cases}
+                            ELSE substr(tok, i, 1) END AS sym
+                FROM (SELECT tok, f,
+                             unnest(generate_series(1, length(tok))) AS i
+                      FROM tf)
+            ), pairs AS (
+                SELECT f, sym AS left_sym,
+                       LEAD(sym) OVER (PARTITION BY tok ORDER BY i)
+                           AS right_sym
+                FROM syms
+            )
+            SELECT left_sym, right_sym, CAST(SUM(f) AS BIGINT) AS freq
+            FROM pairs WHERE right_sym IS NOT NULL
+            GROUP BY 1, 2
             ORDER BY freq DESC, left_sym, right_sym LIMIT 50
         """,
         # wp_pair_stats: the bpe_pair_counts character arithmetic plus

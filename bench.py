@@ -152,6 +152,8 @@ OP_GROUPS: list[list[str]] = [
         "jsonl_roundtrip",
         "source_interleave",
         "rake_keywords",
+        "plsa_doc_topics",
+        "customer_scd2",
     ],
     [
         "exact_dedup",
@@ -169,6 +171,7 @@ OP_GROUPS: list[list[str]] = [
         "streaming_dedup_pairs",
         "image_near_dups",
         "audio_fp_dups",
+        "entity_matches",
     ],
     [
         "pack_offsets",
@@ -206,6 +209,8 @@ OP_GROUPS: list[list[str]] = [
         "part_link_predictions",
         "lang_source_chi2",
         "price_qty_frontier",
+        "returnflag_price_regression",
+        "source_length_mwu",
     ],
 ]
 

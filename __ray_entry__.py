@@ -199,7 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from docstrange_ray.synth_files import make_table_png, make_text_png
 
         out = (
-            "/tmp/dsray_pixel_pages_v3_"
+            "/tmp/dsray_pixel_pages_v4_"
             f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         )
         if not os.path.isdir(out):
@@ -212,11 +212,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 with open(os.path.join(out, f"page{i}.png"), "wb") as f:
                     f.write(make_png_gray(img))
             # glyph-font pages: the recognizer reads ACTUAL text back
-            # from actual pixels (extract/glyphs template matcher)
+            # from actual pixels (extract/glyphs template matcher);
+            # scale cycles 1/2/3 so the reference's 2x-zoom rasterization
+            # path (pdf_processor.py:139) is exercised end-to-end
             for i in range(4):
                 lines = [f"PAGE {i + 2} OF 9", "RAY DATA ENGINE", f"SECTION {i + 2}-A"]
                 with open(os.path.join(out, f"text{i}.png"), "wb") as f:
-                    f.write(make_text_png(lines))
+                    f.write(make_text_png(lines, scale=1 + i % 3))
             # ruled-table pages: grid structure + per-cell glyph OCR
             # (the TableFormer-analogue path, extract/backends._detect_tables)
             for i in range(2):

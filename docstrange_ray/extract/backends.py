@@ -256,12 +256,12 @@ class ProjectionProfileBackend:
             return payload  # undecodable image: fall back to descriptor path
         import numpy as np
 
-        from docstrange_ray.extract.glyphs import read_line
+        from docstrange_ray.extract.glyphs import read_line_multiscale
 
         dark = img.astype(np.float64) < max(1.0, float(img.mean()))
         # Ruled tables first: grid structure + per-cell OCR (A2 analogue);
         # their rows are excluded from line segmentation below.
-        blocks, consumed = _detect_tables(dark, read_line)
+        blocks, consumed = _detect_tables(dark, read_line_multiscale)
         rows = dark.sum(axis=1)
         thr = max(1.0, self.MIN_INK_FRACTION * img.shape[1])
         ink = rows >= thr
@@ -277,7 +277,7 @@ class ProjectionProfileBackend:
             band = dark[y0:y]
             cols = np.where(band.any(axis=0))[0]
             x0, x1 = (int(cols[0]), int(cols[-1]) + 1) if cols.size else (0, img.shape[1])
-            recognized = read_line(band[:, x0:x1])
+            recognized = read_line_multiscale(band[:, x0:x1])
             blocks.append(
                 {
                     "text": recognized

@@ -614,6 +614,7 @@ def render_text_image(
     ink: int = 20,
     bg: int = 250,
     preserve_case: bool = False,
+    scale: int = 1,
 ):
     """Render text lines into a grayscale page image with the 5x7
     bitmap font (extract/glyphs) — the fixture generator for the
@@ -622,7 +623,10 @@ def render_text_image(
     between. Returns numpy (h, w) uint8. Unsupported characters raise
     KeyError. By default text is uppercased (the pre-lowercase fixture
     contract); pass ``preserve_case=True`` to render the font's full
-    mixed-case charset."""
+    mixed-case charset. ``scale`` renders an integer-zoomed page (every
+    pixel becomes a scale×scale block) — the reference's 2x
+    rasterization path (pdf_processor.py:139, config.py:11), read back
+    by glyphs.read_line_multiscale."""
     import numpy as np
 
     from docstrange_ray.extract.glyphs import ADVANCE, GLYPH_H, GLYPH_W, glyph_bitmap
@@ -639,12 +643,18 @@ def render_text_image(
                 continue
             x = margin + ci * ADVANCE
             img[y : y + GLYPH_H, x : x + GLYPH_W][glyph_bitmap(ch)] = ink
+    if scale > 1:
+        img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
     return img
 
 
-def make_text_png(lines: list[str], preserve_case: bool = False) -> bytes:
+def make_text_png(
+    lines: list[str], preserve_case: bool = False, scale: int = 1
+) -> bytes:
     """PNG-encoded :func:`render_text_image` page."""
-    return make_png_gray(render_text_image(lines, preserve_case=preserve_case))
+    return make_png_gray(
+        render_text_image(lines, preserve_case=preserve_case, scale=scale)
+    )
 
 
 def render_table_image(

@@ -272,13 +272,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def extract_html(sf_dir):
-        return add_projection(_extracted(sf_dir), "html").select_columns(
-            ["doc_id", "html"]
+        return _spec_subset(
+            sf_dir,
+            add_projection(_extracted(sf_dir), "html").select_columns(
+                ["doc_id", "html"]
+            ),
         )
 
     def extract_csv(sf_dir):
-        return add_projection(_extracted(sf_dir), "csv").select_columns(
-            ["doc_id", "csv"]
+        return _spec_subset(
+            sf_dir,
+            add_projection(_extracted(sf_dir), "csv").select_columns(
+                ["doc_id", "csv"]
+            ),
         )
 
     def section_chunks(sf_dir):
@@ -290,23 +296,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def search_docs(sf_dir):
         from docstrange_ray.projections import search_documents
+        from docstrange_ray.synth_expected import SEARCH_NEEDLE
 
-        return search_documents(_extracted(sf_dir), "shuffle", context_lines=2)
+        return _spec_subset(
+            sf_dir,
+            search_documents(_extracted(sf_dir), SEARCH_NEEDLE, context_lines=2),
+        )
 
     def doc_headers(sf_dir):
         from docstrange_ray.projections import document_headers
 
-        return document_headers(_extracted(sf_dir))
+        return _spec_subset(sf_dir, document_headers(_extracted(sf_dir)))
 
     def doc_summaries(sf_dir):
         from docstrange_ray.projections import section_summaries
 
-        return section_summaries(_extracted(sf_dir))
+        return _spec_subset(sf_dir, section_summaries(_extracted(sf_dir)))
 
     def doc_structure(sf_dir):
         from docstrange_ray.projections import hierarchical_structure
 
-        return hierarchical_structure(_extracted(sf_dir))
+        return _spec_subset(sf_dir, hierarchical_structure(_extracted(sf_dir)))
 
     def field_extraction(sf_dir):
         """Schema-driven field extraction over the real-format fixture
@@ -3349,6 +3359,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_id, n_sections, n_tokens_est,
                    first_section, text
             FROM read_parquet('/tmp/dsray_expected_v1/chunks_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        # extract_html / extract_csv / doc_structure: doc-level expected
+        # projections from the independent contract re-derivations
+        # (synth_expected.exp_html / exp_csv / exp_structure).
+        "extract_html": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, html
+            FROM read_parquet('/tmp/dsray_expected_v1/docproj_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        "extract_csv": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, csv
+            FROM read_parquet('/tmp/dsray_expected_v1/docproj_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        "doc_structure": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, n_sections, total_tokens, recommendation, structure
+            FROM read_parquet('/tmp/dsray_expected_v1/docproj_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        "doc_headers": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, level, title, start_line, token_count
+            FROM read_parquet('/tmp/dsray_expected_v1/headers_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        "doc_summaries": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, level, title, token_count, summary
+            FROM read_parquet('/tmp/dsray_expected_v1/summaries_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        "search_docs": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, line_no, snippet
+            FROM read_parquet('/tmp/dsray_expected_v1/search_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "pagerank_purchases": _pagerank_oracle(),

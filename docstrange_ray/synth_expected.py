@@ -33,7 +33,12 @@ on disk.
 
 from __future__ import annotations
 
+import csv
+import html as _html
+import io
+import json
 import os
+import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -210,6 +215,255 @@ def expected_chunks(spans: list[dict], token_budget: int) -> list[dict]:
     ]
 
 
+# --- independent projection re-derivations (contract mirrors) ---------------
+#
+# Each function below re-derives one documented projection contract
+# (reference: result.py / mcp_server_module/server.py — see
+# docstrange_ray/projections.py's per-function citations) directly from
+# expected spans, WITHOUT importing the projections module. The driver's
+# oracle comparison then checks engine extraction + projection against
+# this second implementation end-to-end.
+
+_HEAD_RE = re.compile(r"^(#{1,6})\s+")
+_TBL_LINE = re.compile(r"^\|(.+)\|$")
+_TBL_SEP = re.compile(r"^\|[-\s|:]+\|$")
+
+
+def exp_markdown(spans: list[dict]) -> str:
+    parts = [
+        f"![{s['text']}]({s['media_ref']})" if s["kind"] == "image-ref" else s["text"]
+        for s in spans
+    ]
+    return "\n\n".join(p for p in parts if p)
+
+
+def exp_sections(spans: list[dict]) -> list[dict]:
+    """Header-delimited sections over markdown lines (server.py:94-144):
+    section = header line .. line before next header; token = len//4
+    fallback; header-less document => one level-0 'Document Content'."""
+    md = exp_markdown(spans)
+    lines = md.split("\n")
+    out: list[dict] = []
+    cur: dict | None = None
+
+    def close(end: int) -> None:
+        if cur is not None:
+            content = "\n".join(lines[cur["start_line"] : end + 1])
+            cur["end_line"] = end
+            cur["content"] = content
+            cur["token_count"] = max(1, len(content) // 4) if content else 0
+            out.append(cur)
+
+    for i, line in enumerate(lines):
+        m = _HEAD_RE.match(line)
+        if m:
+            close(i - 1)
+            cur = {
+                "level": len(m.group(1)),
+                "title": line[m.end() :].strip(),
+                "start_line": i,
+                "end_line": i,
+            }
+    close(len(lines) - 1)
+    if not out and md:
+        out.append(
+            {
+                "level": 0,
+                "title": "Document Content",
+                "start_line": 0,
+                "end_line": len(lines) - 1,
+                "content": md,
+                "token_count": max(1, len(md) // 4),
+            }
+        )
+    return out
+
+
+def exp_headers(spans: list[dict], max_level: int = 6) -> list[dict]:
+    return [
+        {
+            "level": s["level"],
+            "title": s["title"],
+            "start_line": s["start_line"],
+            "token_count": s["token_count"],
+        }
+        for s in exp_sections(spans)
+        if 0 < s["level"] <= max_level
+    ]
+
+
+def exp_summaries(spans: list[dict], max_length: int = 200) -> list[dict]:
+    out = []
+    for s in exp_sections(spans):
+        content = s["content"].strip()
+        summary = (
+            content if len(content) <= max_length else content[:max_length] + "..."
+        )
+        out.append(
+            {
+                "level": s["level"],
+                "title": s["title"],
+                "token_count": s["token_count"],
+                "summary": summary,
+            }
+        )
+    return out
+
+
+def exp_structure(spans: list[dict]) -> dict:
+    """Section tree by header-level stack + context-tier recommendation
+    (server.py:147-181, :307-337)."""
+    secs = exp_sections(spans)
+    root: list = []
+    stack: list[tuple[int, list]] = [(0, root)]
+    for sec in secs:
+        node = {
+            "title": sec["title"],
+            "level": sec["level"],
+            "token_count": sec["token_count"],
+            "children": [],
+        }
+        while stack and stack[-1][0] >= sec["level"] and len(stack) > 1:
+            stack.pop()
+        stack[-1][1].append(node)
+        stack.append((sec["level"], node["children"]))
+    total = sum(s["token_count"] for s in secs)
+    if total < 8000:
+        rec = "full_document"
+    elif total < 32000:
+        rec = "full_document_or_chunked"
+    elif total < 128000:
+        rec = "chunked_processing"
+    else:
+        rec = "hierarchical_navigation"
+    return {
+        "n_sections": len(secs),
+        "total_tokens": total,
+        "recommendation": rec,
+        "structure": json.dumps(root, sort_keys=True),
+    }
+
+
+def exp_search(spans: list[dict], needle: str, context_lines: int = 2) -> list[dict]:
+    """Case-insensitive substring search with +-context over markdown
+    lines, 1-based line numbers (server.py:265-296)."""
+    low = needle.lower()
+    lines = exp_markdown(spans).split("\n")
+    out = []
+    for i, line in enumerate(lines):
+        if low in line.lower():
+            lo = max(0, i - context_lines)
+            hi = min(len(lines), i + context_lines + 1)
+            out.append({"line_no": i + 1, "snippet": "\n".join(lines[lo:hi])})
+    return out
+
+
+_INLINE = (
+    (re.compile(r"\*\*([^*]+)\*\*"), r"<strong>\1</strong>"),
+    (re.compile(r"\*([^*]+)\*"), r"<em>\1</em>"),
+    (re.compile(r"`([^`]+)`"), r"<code>\1</code>"),
+    (re.compile(r"\[([^\]]*)\]\(([^)]+)\)"), r'<a href="\2">\1</a>'),
+)
+
+
+def _inline(text: str) -> str:
+    out = _html.escape(text, quote=False)
+    for pat, repl in _INLINE:
+        out = pat.sub(repl, out)
+    return out
+
+
+def _parse_md_table(text: str) -> list[list[str]]:
+    grid = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not _TBL_LINE.match(line) or _TBL_SEP.match(line):
+            continue
+        grid.append(
+            [c.strip().replace("\\|", "|") for c in re.split(r"(?<!\\)\|", line.strip("|"))]
+        )
+    return grid
+
+
+def exp_html(spans: list[dict]) -> str:
+    """Per-kind HTML rendering with escaping (result.py:356-686)."""
+    parts: list[str] = []
+    in_list = False
+
+    def close_list() -> None:
+        nonlocal in_list
+        if in_list:
+            parts.append("</ul>")
+            in_list = False
+
+    for s in spans:
+        kind, text = s["kind"], s["text"]
+        if kind == "heading":
+            close_list()
+            m = _HEAD_RE.match(text)
+            lvl = len(m.group(1)) if m else 1
+            title = _HEAD_RE.sub("", text).strip()
+            parts.append(f"<h{lvl}>{_inline(title)}</h{lvl}>")
+        elif kind == "code":
+            close_list()
+            body = re.sub(r"^```[^\n]*\n?|\n?```$", "", text)
+            parts.append(f"<pre><code>{_html.escape(body, quote=False)}</code></pre>")
+        elif kind == "table":
+            close_list()
+            grid = _parse_md_table(text)
+            if grid:
+                rows = [
+                    "<tr>" + "".join(f"<th>{_inline(c)}</th>" for c in grid[0]) + "</tr>"
+                ]
+                rows += [
+                    "<tr>" + "".join(f"<td>{_inline(c)}</td>" for c in r) + "</tr>"
+                    for r in grid[1:]
+                ]
+                parts.append("<table>" + "".join(rows) + "</table>")
+        elif kind == "list_item":
+            if not in_list:
+                parts.append("<ul>")
+                in_list = True
+            item = re.sub(r"^([-*+]|\d+\.|[a-zA-Z]\.)\s+", "", text)
+            parts.append(f"<li>{_inline(item)}</li>")
+        elif kind == "image-ref":
+            close_list()
+            parts.append(
+                f'<img src="{_html.escape(s["media_ref"])}" alt="{_html.escape(text)}">'
+            )
+        elif kind == "blockquote":
+            close_list()
+            body = re.sub(r"^>\s?", "", text, flags=re.M)
+            parts.append(f"<blockquote>{_inline(body)}</blockquote>")
+        elif kind == "hr":
+            close_list()
+            parts.append("<hr>")
+        else:
+            close_list()
+            if text.startswith(">"):
+                body = re.sub(r"^>\s?", "", text, flags=re.M)
+                parts.append(f"<blockquote>{_inline(body)}</blockquote>")
+            else:
+                parts.append(f"<p>{_inline(text)}</p>")
+    close_list()
+    return "\n".join(parts)
+
+
+def exp_csv(spans: list[dict]) -> str:
+    """Table spans as CSV with '=== Table N ===' separators
+    (result.py:1028-1106)."""
+    tables = [g for g in (_parse_md_table(s["text"]) for s in spans if s["kind"] == "table") if g]
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    for i, grid in enumerate(tables):
+        if len(tables) > 1:
+            buf.write(f"=== Table {i + 1} ===\n")
+        w.writerows(grid)
+        if len(tables) > 1 and i < len(tables) - 1:
+            buf.write("\n")
+    return buf.getvalue()
+
+
 # --- fixture writer ---------------------------------------------------------
 
 _SPANS_FIXTURE_SCHEMA = pa.schema(
@@ -235,6 +489,54 @@ _CHUNKS_FIXTURE_SCHEMA = pa.schema(
     ]
 )
 
+# dtypes mirror the Ray projection ops' arrow schemas exactly, so the
+# driver's schema comparison sees identical columns on both sides
+_DOCPROJ_FIXTURE_SCHEMA = pa.schema(
+    [
+        ("n", pa.int64()),
+        ("doc_id", pa.string()),
+        ("html", pa.string()),
+        ("csv", pa.string()),
+        ("n_sections", pa.int64()),
+        ("total_tokens", pa.int64()),
+        ("recommendation", pa.string()),
+        ("structure", pa.string()),
+    ]
+)
+
+_HEADERS_FIXTURE_SCHEMA = pa.schema(
+    [
+        ("n", pa.int64()),
+        ("doc_id", pa.string()),
+        ("level", pa.int32()),
+        ("title", pa.string()),
+        ("start_line", pa.int32()),
+        ("token_count", pa.int64()),
+    ]
+)
+
+_SUMMARIES_FIXTURE_SCHEMA = pa.schema(
+    [
+        ("n", pa.int64()),
+        ("doc_id", pa.string()),
+        ("level", pa.int32()),
+        ("title", pa.string()),
+        ("token_count", pa.int64()),
+        ("summary", pa.string()),
+    ]
+)
+
+_SEARCH_FIXTURE_SCHEMA = pa.schema(
+    [
+        ("n", pa.int64()),
+        ("doc_id", pa.string()),
+        ("line_no", pa.int32()),
+        ("snippet", pa.string()),
+    ]
+)
+
+SEARCH_NEEDLE = "shuffle"  # the search_docs query's needle, shared contract
+
 
 def write_expected_fixtures(
     n: int, seed: int = 42, token_budget: int = 512, out_dir: str = FIXTURE_DIR
@@ -244,30 +546,62 @@ def write_expected_fixtures(
     constant ``n`` column so one DuckDB glob + filter serves every corpus
     size."""
     os.makedirs(out_dir, exist_ok=True)
-    spans_path = os.path.join(out_dir, f"spans_n{n}_s{seed}.parquet")
-    chunks_path = os.path.join(out_dir, f"chunks_n{n}_s{seed}_b{token_budget}.parquet")
-    if os.path.exists(spans_path) and os.path.exists(chunks_path):
-        return spans_path, chunks_path
-    span_rows: list[dict] = []
-    chunk_rows: list[dict] = []
+    paths = {
+        "spans": os.path.join(out_dir, f"spans_n{n}_s{seed}.parquet"),
+        "chunks": os.path.join(
+            out_dir, f"chunks_n{n}_s{seed}_b{token_budget}.parquet"
+        ),
+        "docproj": os.path.join(out_dir, f"docproj_n{n}_s{seed}.parquet"),
+        "headers": os.path.join(out_dir, f"headers_n{n}_s{seed}.parquet"),
+        "summaries": os.path.join(out_dir, f"summaries_n{n}_s{seed}.parquet"),
+        "search": os.path.join(out_dir, f"search_n{n}_s{seed}.parquet"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths["spans"], paths["chunks"]
+    rows_by_kind: dict[str, list[dict]] = {k: [] for k in paths}
     for i in range(n):
         row, pop, struct = gen_doc_full(seed, i)
         if pop not in ORACLEABLE_POPS or struct is None:
             continue
-        spans = expected_spans(pop, struct, row["doc_id"])
-        span_rows.extend({"n": n, "doc_id": row["doc_id"], **s} for s in spans)
-        chunk_rows.extend(
-            {"n": n, "doc_id": row["doc_id"], **c}
-            for c in expected_chunks(spans, token_budget)
+        did = row["doc_id"]
+        spans = expected_spans(pop, struct, did)
+        rows_by_kind["spans"].extend({"n": n, "doc_id": did, **s} for s in spans)
+        rows_by_kind["chunks"].extend(
+            {"n": n, "doc_id": did, **c} for c in expected_chunks(spans, token_budget)
         )
-    for path, rows, schema in (
-        (spans_path, span_rows, _SPANS_FIXTURE_SCHEMA),
-        (chunks_path, chunk_rows, _CHUNKS_FIXTURE_SCHEMA),
-    ):
+        rows_by_kind["docproj"].append(
+            {
+                "n": n,
+                "doc_id": did,
+                "html": exp_html(spans),
+                "csv": exp_csv(spans),
+                **exp_structure(spans),
+            }
+        )
+        rows_by_kind["headers"].extend(
+            {"n": n, "doc_id": did, **h} for h in exp_headers(spans)
+        )
+        rows_by_kind["summaries"].extend(
+            {"n": n, "doc_id": did, **s} for s in exp_summaries(spans)
+        )
+        rows_by_kind["search"].extend(
+            {"n": n, "doc_id": did, **s} for s in exp_search(spans, SEARCH_NEEDLE)
+        )
+    schemas = {
+        "spans": _SPANS_FIXTURE_SCHEMA,
+        "chunks": _CHUNKS_FIXTURE_SCHEMA,
+        "docproj": _DOCPROJ_FIXTURE_SCHEMA,
+        "headers": _HEADERS_FIXTURE_SCHEMA,
+        "summaries": _SUMMARIES_FIXTURE_SCHEMA,
+        "search": _SEARCH_FIXTURE_SCHEMA,
+    }
+    for kind, path in paths.items():
         tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        pq.write_table(
+            pa.Table.from_pylist(rows_by_kind[kind], schema=schemas[kind]), tmp
+        )
         os.replace(tmp, path)
-    return spans_path, chunks_path
+    return paths["spans"], paths["chunks"]
 
 
 def oracleable_doc_ids(n: int, seed: int = 42) -> set[str]:

@@ -89,6 +89,57 @@ def test_meta_and_markdown_sql_contract(docs):
         assert m["max_heading_level"] == lvl
 
 
+def test_projection_rederivations_match_engine(docs):
+    """The independent contract mirrors (exp_html/csv/sections/structure/
+    search) agree with the engine's projections module on expected
+    spans — so the fixture-backed driver oracles check engine extraction
+    AND projection end-to-end."""
+    import json as _json
+
+    from docstrange_ray import projections as P
+    from docstrange_ray.synth_expected import (
+        exp_csv,
+        exp_headers,
+        exp_html,
+        exp_markdown,
+        exp_search,
+        exp_sections,
+        exp_structure,
+        exp_summaries,
+    )
+
+    for row, pop, struct in docs[:150]:
+        if pop not in ORACLEABLE_POPS:
+            continue
+        sp = expected_spans(pop, struct, row["doc_id"])
+        assert exp_markdown(sp) == P.spans_to_markdown(sp)
+        assert exp_html(sp) == P.spans_to_html(sp)
+        assert exp_csv(sp) == P.spans_to_csv(sp)
+        ref_secs = [
+            {
+                k: s[k]
+                for k in (
+                    "level",
+                    "title",
+                    "start_line",
+                    "end_line",
+                    "content",
+                    "token_count",
+                )
+            }
+            for s in P.parse_sections(sp)
+        ]
+        assert exp_sections(sp) == ref_secs
+        # structure mirrors hierarchical_structure's tree + tiers
+        st = exp_structure(sp)
+        assert st["n_sections"] == len(ref_secs)
+        assert st["total_tokens"] == sum(s["token_count"] for s in ref_secs)
+        _json.loads(st["structure"])  # valid JSON tree
+        assert len(exp_headers(sp)) == sum(1 for s in ref_secs if s["level"] > 0)
+        assert len(exp_summaries(sp)) == len(ref_secs)
+        exp_search(sp, "shuffle")  # derives without error
+
+
 def test_oracleable_ids_match_population(docs):
     ids = oracleable_doc_ids(N, SEED)
     want = {row["doc_id"] for row, pop, _ in docs if pop in ORACLEABLE_POPS}

@@ -5947,6 +5947,110 @@ def oracle_sql() -> dict[str, str]:
                        AS tgt_c
             FROM toks GROUP BY 1
         """,
+        # dsir_weights: rebuild the bucket counts, quantize the add-one
+        # smoothed per-bucket log-ratio to 1e-8 int units (DuckDB LN is
+        # pinned bit-equal to Python math.log on this platform —
+        # NOTES_r4; the op uses math.log for exactly this reason), sum
+        # ints per doc, mirror the final ROUND(x/1e8, 6) float chain.
+        "dsir_weights": r"""
+            WITH docs AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, source, ws[i] AS tok
+                FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            ), bi AS (
+                SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS tok
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+            ), occ AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096
+                            AS BIGINT) AS bucket,
+                       source
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ), cnt AS (
+                SELECT bucket, COUNT(*)::BIGINT AS raw_c,
+                       COUNT(*) FILTER (WHERE source = 'src0')::BIGINT AS tgt_c
+                FROM occ GROUP BY bucket
+            ), tot AS (
+                SELECT SUM(raw_c)::BIGINT AS R, SUM(tgt_c)::BIGINT AS T
+                FROM cnt
+            ), lam AS (
+                SELECT bucket,
+                       CAST(ROUND(((LN(tgt_c + 1.0) - LN(T + 4096))
+                                   - (LN(raw_c + 1.0) - LN(R + 4096)))
+                                  * 100000000) AS BIGINT) AS lam_int
+                FROM cnt, tot
+            ), per_doc AS (
+                SELECT o.doc_id, SUM(l.lam_int)::BIGINT AS units
+                FROM occ o JOIN lam l ON l.bucket = o.bucket
+                GROUP BY o.doc_id
+            )
+            SELECT d.doc_id,
+                   ROUND(CAST(COALESCE(p.units, 0) AS DOUBLE) / 100000000, 6)
+                       AS logw
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        # dsir_selected: the dsir_weights chain + the deterministic
+        # md5-Gumbel key (u = (CAST md5-prefix AS DOUBLE + 0.5)/2^64,
+        # g = -LN(-LN(u)) — LN pinned; the op mirrors with math.log),
+        # ordered by the RAW key, emitted at 6 dp.
+        "dsir_selected": r"""
+            WITH docs AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, source, ws[i] AS tok
+                FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+            ), bi AS (
+                SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS tok
+                FROM docs, UNNEST(range(1, len(ws))) AS t(i)
+            ), occ AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096
+                            AS BIGINT) AS bucket,
+                       source
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ), cnt AS (
+                SELECT bucket, COUNT(*)::BIGINT AS raw_c,
+                       COUNT(*) FILTER (WHERE source = 'src0')::BIGINT AS tgt_c
+                FROM occ GROUP BY bucket
+            ), tot AS (
+                SELECT SUM(raw_c)::BIGINT AS R, SUM(tgt_c)::BIGINT AS T
+                FROM cnt
+            ), lam AS (
+                SELECT bucket,
+                       CAST(ROUND(((LN(tgt_c + 1.0) - LN(T + 4096))
+                                   - (LN(raw_c + 1.0) - LN(R + 4096)))
+                                  * 100000000) AS BIGINT) AS lam_int
+                FROM cnt, tot
+            ), per_doc AS (
+                SELECT o.doc_id, SUM(l.lam_int)::BIGINT AS units
+                FROM occ o JOIN lam l ON l.bucket = o.bucket
+                GROUP BY o.doc_id
+            ), weights AS (
+                SELECT d.doc_id,
+                       ROUND(CAST(COALESCE(p.units, 0) AS DOUBLE)
+                             / 100000000, 6) AS logw
+                FROM (SELECT DISTINCT doc_id FROM documents) d
+                LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ), keyed AS (
+                SELECT doc_id, logw,
+                       logw + (-LN(-LN(
+                           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 16))::UBIGINT
+                                 AS DOUBLE) + 0.5)
+                           / 18446744073709551616.0))) AS rawkey
+                FROM weights
+            )
+            SELECT doc_id, logw, ROUND(rawkey, 6) AS key
+            FROM keyed ORDER BY rawkey DESC, doc_id ASC LIMIT 100
+        """,
         "logreg_grad0": r"""
             WITH q AS (
                 SELECT doc_id,

@@ -124,20 +124,33 @@ def bucket_counts(ds, m: int = 4096, target_source: str = "src0"):
     return adaptive_final(partials, combine, ["bucket"])
 
 
+LAMBDA_UNITS = 10**8  # per-bucket log-ratio quantization (1e-8 units)
+
+
 def _lambda_vector(counts: pd.DataFrame, m: int) -> np.ndarray:
     """Dense per-bucket log-ratio lambda_b = ln p_tgt(b) − ln p_raw(b)
     with add-one smoothing (buckets unseen in either side included via
-    the +m denominator term)."""
-    lam = np.zeros(m, dtype=np.float64)
-    raw = np.zeros(m, dtype=np.float64)
-    tgt = np.zeros(m, dtype=np.float64)
+    the +m denominator term), QUANTIZED to int64 ``LAMBDA_UNITS``
+    units. Integer quantization makes the per-document sum
+    reduction-order-independent and bit-exactly SQL-mirrorable
+    (``CAST(ROUND(lam * 1e8) AS BIGINT)``); ``math.log`` (not np.log's
+    SIMD variant) is used because it is pinned bit-equal to DuckDB's
+    ``LN`` on this platform (the Adamic-Adar lesson, NOTES_r4). The m
+    log calls run once on the driver — O(m), corpus-independent."""
+    import math
+
+    raw = np.zeros(m, dtype=np.int64)
+    tgt = np.zeros(m, dtype=np.int64)
     b = counts["bucket"].to_numpy(np.int64)
-    raw[b] = counts["raw_c"].to_numpy(np.float64)
-    tgt[b] = counts["tgt_c"].to_numpy(np.float64)
-    R, T = raw.sum(), tgt.sum()
-    lam = (np.log(tgt + 1.0) - np.log(T + m)) - (
-        np.log(raw + 1.0) - np.log(R + m)
-    )
+    raw[b] = counts["raw_c"].to_numpy(np.int64)
+    tgt[b] = counts["tgt_c"].to_numpy(np.int64)
+    R, T = int(raw.sum()), int(tgt.sum())
+    lam = np.empty(m, dtype=np.int64)
+    for i in range(m):
+        v = (math.log(tgt[i] + 1.0) - math.log(T + m)) - (
+            math.log(raw[i] + 1.0) - math.log(R + m)
+        )
+        lam[i] = int(math.copysign(math.floor(abs(v * LAMBDA_UNITS) + 0.5), v))
     return lam
 
 
@@ -145,9 +158,10 @@ def dsir_logweights(ds, m: int = 4096, target_source: str = "src0",
                     counts: pd.DataFrame | None = None):
     """(doc_id, logw): per-document DSIR importance log-weight.
     ``counts`` (from :func:`bucket_counts`) may be precomputed; the
-    m-float lambda vector broadcasts once and scoring is a shuffle-free
-    scan. logw is emitted at 6 dp (half-away) for display; selection
-    uses the unrounded value."""
+    m-int quantized lambda vector broadcasts once and scoring is a
+    shuffle-free scan summing EXACT int64 units per document (order-
+    independent), emitted as ``round6(sum / 1e8)`` — the float chain
+    the ``dsir_weights`` SQL oracle mirrors step-for-step."""
     import ray
 
     if counts is None:
@@ -160,12 +174,12 @@ def dsir_logweights(ds, m: int = 4096, target_source: str = "src0",
         lam = _ray.get(lam_ref)
         texts = batch.column("text").to_pylist()
         buckets, doc_of = _doc_buckets(texts, m)
-        logw = np.zeros(len(texts), dtype=np.float64)
+        units = np.zeros(len(texts), dtype=np.int64)
         if len(buckets):
-            np.add.at(logw, doc_of, lam[buckets])
+            np.add.at(units, doc_of, lam[buckets])
         return pd.DataFrame(
             {"doc_id": batch.column("doc_id").to_pylist(),
-             "logw": round6(logw, 6)}
+             "logw": round6(units.astype(np.float64) / LAMBDA_UNITS, 6)}
         )
 
     return ds.map_batches(arrow_out(score), batch_format="pyarrow",
@@ -175,12 +189,20 @@ def dsir_logweights(ds, m: int = 4096, target_source: str = "src0",
 def _gumbel_of_ids(ids: list) -> np.ndarray:
     """Deterministic standard-Gumbel noise per id: g = -ln(-ln(u)) with
     u the md5-derived uniform in (0,1) of the id (the weighted_sample
-    discipline; u is clipped away from {0,1} by the 2^-64 grid)."""
-    digest = b"".join(
-        hashlib.md5(str(i).encode("utf-8")).digest()[:8] for i in ids
-    )
-    u = (np.frombuffer(digest, dtype=">u8").astype(np.float64) + 0.5) / 2.0**64
-    return -np.log(-np.log(u))
+    discipline; u is clipped away from {0,1} by the 2^-64 grid).
+    ``math.log`` per id (not np.log's SIMD variant): pinned bit-equal
+    to DuckDB LN, so the dsir_selected oracle mirrors the key chain
+    exactly; the md5 already dominates the per-id cost."""
+    import math
+
+    out = np.empty(len(ids), dtype=np.float64)
+    for j, i in enumerate(ids):
+        h = int.from_bytes(
+            hashlib.md5(str(i).encode("utf-8")).digest()[:8], "big"
+        )
+        u = (float(h) + 0.5) / 2.0**64
+        out[j] = -math.log(-math.log(u))
+    return out
 
 
 def dsir_select(ds, k: int, m: int = 4096, target_source: str = "src0"):

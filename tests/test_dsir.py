@@ -40,17 +40,21 @@ def ref_counts(rows, target_source):
 
 
 def ref_logw(rows, target_source):
+    """Exact mirror of the op's quantized contract: per-bucket lambda
+    rounded half-away to 1e-8 int units, summed as ints per doc,
+    emitted round6(sum/1e8) — identical (not approx) to the engine."""
     raw, tgt = ref_counts(rows, target_source)
     R, T = sum(raw.values()), sum(tgt.values())
     out = {}
     for r in rows:
-        s = 0.0
+        s = 0
         for tok in ref_tokens(r["text"]):
             b = ref_bucket(tok)
-            s += (math.log(tgt.get(b, 0) + 1.0) - math.log(T + M)) - (
+            v = (math.log(tgt.get(b, 0) + 1.0) - math.log(T + M)) - (
                 math.log(raw.get(b, 0) + 1.0) - math.log(R + M)
             )
-        out[r["doc_id"]] = s
+            s += int(math.copysign(math.floor(abs(v * 1e8) + 0.5), v))
+        out[r["doc_id"]] = ref_round6(s / 1e8)
     return out
 
 
@@ -120,7 +124,7 @@ class TestDsir:
         by_id = dict(zip(got["doc_id"], got["logw"]))
         assert set(by_id) == set(exp)
         for d, v in exp.items():
-            assert by_id[d] == pytest.approx(v, abs=2e-6), d
+            assert by_id[d] == v, d  # EXACT: quantized integer contract
 
     def test_target_flavored_docs_outscore_spam(self):
         rows = fixture_rows()

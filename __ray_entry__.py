@@ -2084,10 +2084,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         calibration step for any monotone quality score
         (ops/classifier.isotonic_calibrate). ONE pre-reduced histogram
         exchange; PAV pooling runs in exact cross-multiplied integer
-        rationals on the bounded bin table. Rows-only by nature
-        (iterative pooling is not SQL-expressible); pinned by an
-        independent exact-Fraction minimax reference in
-        tests/test_classifier.py."""
+        rationals on the bounded bin table. SQL-oracled via the O(B^2)
+        minimax closed form (exact in doubles — see the op docstring);
+        also pinned by an independent exact-Fraction minimax reference
+        in tests/test_classifier.py."""
         import pyarrow.compute as pc
 
         from docstrange_ray.ops.classifier import isotonic_calibrate
@@ -5946,6 +5946,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
                        AS tgt_c
             FROM toks GROUP BY 1
+        """,
+        # isotonic_calibration: the PAV pools via the minimax closed
+        # form fitted[i] = max_{j<=i} min_{k>=i} avg(j..k) — exact in
+        # DOUBLE because distinct rational rates (denominators <= N)
+        # differ by >= 1/N^2, far above double eps, so min/max pick the
+        # true rational extremes and level sets group exactly. O(B^2)
+        # pair rows over the bounded bin table (B = distinct bins).
+        "isotonic_calibration": r"""
+            WITH hist AS (
+                SELECT CAST(ROUND((n_chars / 4000.0) * 10000) AS BIGINT)
+                           AS bin,
+                       COUNT(*)::BIGINT AS n,
+                       SUM(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0
+                           END)::BIGINT AS pos
+                FROM documents GROUP BY 1
+            ), ord AS (
+                SELECT bin, n, pos,
+                       ROW_NUMBER() OVER (ORDER BY bin) AS r,
+                       SUM(n) OVER (ORDER BY bin) AS cn,
+                       SUM(pos) OVER (ORDER BY bin) AS cp
+                FROM hist
+            ), pairs AS (
+                SELECT j.r AS jr, k.r AS kr,
+                       CAST(k.cp - j.cp + j.pos AS DOUBLE)
+                           / (k.cn - j.cn + j.n) AS a
+                FROM ord j JOIN ord k ON j.r <= k.r
+            ), sm AS (
+                SELECT jr, kr,
+                       MIN(a) OVER (PARTITION BY jr ORDER BY kr DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS m
+                FROM pairs
+            ), fitted AS (
+                SELECT kr, MAX(m) AS fit FROM sm GROUP BY kr
+            ), seg AS (
+                SELECT f.fit, MIN(o.bin) AS bin_lo, MAX(o.bin) AS bin_hi,
+                       SUM(o.n)::BIGINT AS n, SUM(o.pos)::BIGINT AS pos
+                FROM fitted f JOIN ord o ON o.r = f.kr
+                GROUP BY f.fit
+            )
+            SELECT bin_lo, bin_hi, n, pos,
+                   CAST((1000000 * pos) // n AS BIGINT) AS rate_micro
+            FROM seg
         """,
         # dsir_weights: rebuild the bucket counts, quantize the add-one
         # smoothed per-bucket log-ratio to 1e-8 int units (DuckDB LN is

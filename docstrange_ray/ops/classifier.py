@@ -467,10 +467,13 @@ def isotonic_calibrate(
     decisions have no float boundary and the segment set is
     deterministic at any cluster size. O(bins) stack algorithm.
 
-    Not SQL-expressible (iterative pooling; the minimax closed form
-    needs rational MIN/MAX that SQL can only approximate in doubles) —
-    correctness is pinned by an independent O(B^2) minimax-formula
-    reference in tests, the same oracle strategy as bpe_merges.
+    SQL-oracled via the minimax closed form (``isotonic_calibration``):
+    fitted[i] = max_{j<=i} min_{k>=i} avg(j..k) computed in DOUBLE is
+    EXACT here — distinct rational rates with denominators <= N differ
+    by >= 1/N^2, far above double eps, so double min/max pick the true
+    rational extremes and the level sets (= the PAV pools) group
+    exactly. Also pinned by an independent exact-Fraction minimax
+    reference in tests (two structurally unrelated derivations).
 
     Returns a pandas DataFrame of calibration segments
     [(bin_lo, bin_hi, n, pos, rate_micro)] with ``rate_micro`` =

@@ -341,6 +341,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract_files(out), ["revenue", "costs", "region", "name"]
         )
 
+    def schema_extraction(sf_dir):
+        """Nested json_schema variant over the same real-format fixture
+        corpus (ops/fields.extract_with_schema — VERDICT r4 #10):
+        typed scalars + nested object + array-of-object (table rows
+        under covering headers); one JSON row per doc. Rules-based
+        behind the documented LLM seam; cast matrix and nested walk
+        pinned in tests/test_navigation_fields.py."""
+        import hashlib
+        import os
+
+        from docstrange_ray.ops.fields import extract_with_schema
+        from docstrange_ray.sources import extract_files
+        from docstrange_ray.synth_files import FIXTURE_VERSION, write_fixture_corpus
+
+        out = (
+            f"/tmp/dsray_real_fixtures_v{FIXTURE_VERSION}_"
+            f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        )
+        if not os.path.isdir(out):
+            write_fixture_corpus(out)
+        schema = {
+            "properties": {
+                "revenue": {"type": "number"},
+                "meta": {
+                    "type": "object",
+                    "properties": {
+                        "region": {"type": "string"},
+                        "name": {"type": "string"},
+                    },
+                },
+                "rows": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "properties": {
+                            "region": {"type": "string"},
+                            "revenue": {"type": "number"},
+                        },
+                    },
+                },
+            }
+        }
+        return extract_with_schema(extract_files(out), schema)
+
     def extract_doc_meta(sf_dir):
         from docstrange_ray.projections import spans_to_json
 
@@ -2975,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_csv": extract_csv,
         "extract_doc_meta": extract_doc_meta,
         "section_chunks": section_chunks,
+        "schema_extraction": schema_extraction,
         "search_docs": search_docs,
         "doc_headers": doc_headers,
         "doc_summaries": doc_summaries,

@@ -146,26 +146,121 @@ def _cast(value: str | None, typ: str):
     return value
 
 
+def _collect_all(spans: list[dict], field: str) -> list[str]:
+    """Every value for ``field``: all matching two-column table rows,
+    all cells of a matching header column, all key:value lines — the
+    scalar-array rule (``{"type": "array", "items": {scalar}}``)."""
+    want = _norm(field)
+    pat = _kv_patterns(want)
+    out: list[str] = []
+    for s in spans:
+        if s["kind"] == "table":
+            grid = parse_table_text(s.get("text", ""))
+            for row in grid[1:] if len(grid) > 1 else grid:
+                if len(row) >= 2 and _norm(row[0]) == want and row[1].strip():
+                    out.append(row[1].strip())
+            if len(grid) >= 2:
+                for ci, header in enumerate(grid[0]):
+                    if _norm(header) == want:
+                        out.extend(
+                            r[ci].strip()
+                            for r in grid[1:]
+                            if ci < len(r) and r[ci].strip()
+                        )
+        elif s["kind"] in ("text", "list_item", "blockquote"):
+            for line in s.get("text", "").split("\n"):
+                m = pat.match(line.strip().lstrip("->•* "))
+                if m:
+                    out.append(m.group(1).strip())
+    return out
+
+
+def _table_records(spans: list[dict], props: dict) -> list[dict]:
+    """Array-of-object rule: the first table whose (normalized) headers
+    cover every property name yields one object per data row, cells
+    cast to the declared types."""
+    wants = {_norm(p): p for p in props}
+    for s in spans:
+        if s["kind"] != "table":
+            continue
+        grid = parse_table_text(s.get("text", ""))
+        if len(grid) < 2:
+            continue
+        col_of = {}
+        for ci, header in enumerate(grid[0]):
+            hn = _norm(header)
+            if hn in wants and wants[hn] not in col_of:
+                col_of[wants[hn]] = ci
+        if len(col_of) == len(props):
+            recs = []
+            for row in grid[1:]:
+                rec = {}
+                for p, ci in col_of.items():
+                    typ = props[p].get("type", "string") if isinstance(props[p], dict) else "string"
+                    val = row[ci].strip() if ci < len(row) else ""
+                    rec[p] = _cast(val or None, typ)
+                recs.append(rec)
+            return recs
+    return []
+
+
+def _extract_node(spans: list[dict], name: str, node: dict, path: list[str]):
+    """Recursive schema walk (nested objects / arrays — VERDICT r4 #10,
+    reference contract result.py:971-977 where the LLM conforms output
+    to an arbitrary JSON schema; here the deterministic rules recurse):
+
+    * scalar type -> first match; the dotted path name ('address city')
+      is tried before the bare leaf name, so nested keys can
+      disambiguate ('billing city' vs 'shipping city');
+    * object -> recurse into properties;
+    * array of scalars -> EVERY match, each cast;
+    * array of objects -> the first table whose headers cover the item
+      properties, one object per data row.
+    """
+    typ = node.get("type", "string") if isinstance(node, dict) else "string"
+    if typ == "object":
+        props = node.get("properties", {})
+        return {
+            p: _extract_node(spans, p, sub, path + [name])
+            for p, sub in props.items()
+        }
+    if typ == "array":
+        items = node.get("items", {"type": "string"})
+        it = items.get("type", "string") if isinstance(items, dict) else "string"
+        if it == "object":
+            return _table_records(spans, items.get("properties", {}))
+        return [_cast(v, it) for v in _collect_all(spans, name)]
+    # scalar: dotted-path first, then the bare leaf name
+    for candidate in ([" ".join(path + [name])] if path else []) + [name]:
+        got = extract_fields_from_spans(spans, [candidate])[candidate]
+        if got is not None:
+            return _cast(got, typ)
+    return None
+
+
+def extract_schema_from_spans(spans: list[dict], json_schema: dict) -> dict:
+    """One document's spans -> a dict conforming to ``json_schema``
+    (``{"properties": {...}}`` or the flat ``{name: {"type": ...}}``
+    shorthand; nested objects and arrays supported)."""
+    props = json_schema.get("properties", json_schema)
+    return {p: _extract_node(spans, p, node, []) for p, node in props.items()}
+
+
 def extract_with_schema(ds, json_schema: dict):
-    """Dataset op for the ``json_schema`` variant
-    (result.py:971-977): schema ``{"properties": {name: {"type": ...}}}``
-    (or the flat ``{name: {"type": ...}}`` shorthand); values are cast
-    to the declared type, uncastable/missing values surface as null.
+    """Dataset op for the ``json_schema`` variant (result.py:971-977):
+    values cast to declared types, nested objects recursed, arrays
+    collected (scalar arrays = every match; object arrays = table rows
+    under covering headers); uncastable/missing values surface as null.
     Output: one row per doc with a JSON string column conforming to the
     schema (free-form typed columns would vary per call)."""
     import json as _json
-
-    props = json_schema.get("properties", json_schema)
-    fields = list(props)
-    types = {f: (props[f].get("type", "string") if isinstance(props[f], dict) else "string") for f in fields}
 
     def extract(batch: pa.Table) -> pa.Table:
         rows = []
         for did, spans in zip(
             batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
         ):
-            got = extract_fields_from_spans(list(spans or []), fields)
-            data = {f: _cast(got[f], types[f]) for f in fields}
+            data = extract_schema_from_spans(list(spans or []), json_schema)
             rows.append(
                 {"doc_id": did, "extracted": _json.dumps(data, sort_keys=True)}
             )

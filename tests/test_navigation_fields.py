@@ -159,6 +159,77 @@ class TestFieldExtraction:
         data = json.loads(out[0]["extracted"])
         assert data == {"revenue": 100, "total_amount": 1250.0, "currency": "USD"}
 
+    def test_cast_matrix(self):
+        from docstrange_ray.ops.fields import _cast
+
+        assert _cast("1,250", "integer") == 1250
+        assert _cast("1250.75", "number") == 1250.75
+        assert _cast("  YES ", "boolean") is True
+        assert _cast("no", "boolean") is False
+        assert _cast("1", "boolean") is True
+        assert _cast("x12", "integer") is None  # uncastable -> null
+        assert _cast("x12", "number") is None
+        assert _cast(None, "string") is None
+        assert _cast("plain", "string") == "plain"
+        assert _cast("7", "string") == "7"
+
+    def test_nested_schema(self):
+        """VERDICT r4 #10: nested objects, scalar arrays, and
+        array-of-object (table rows under covering headers)."""
+        from docstrange_ray.extract.core import finalize_spans
+        from docstrange_ray.extract.markdown_extract import markdown_to_spans
+        from docstrange_ray.ops.fields import extract_schema_from_spans
+
+        md = "\n\n".join(
+            [
+                "# Invoice",
+                "vendor: Acme Corp",
+                "- tag: alpha",
+                "- tag: beta",
+                "address city: Springfield",
+                "zip: 11001",
+                "| item | qty | price |\n| --- | --- | --- |\n"
+                "| bolt | 4 | 1.5 |\n| nut | 9 | 0.25 |",
+            ]
+        )
+        spans = finalize_spans(markdown_to_spans(md))
+        schema = {
+            "properties": {
+                "vendor": {"type": "string"},
+                "tag": {"type": "array", "items": {"type": "string"}},
+                "address": {
+                    "type": "object",
+                    "properties": {
+                        "city": {"type": "string"},
+                        "zip": {"type": "integer"},
+                    },
+                },
+                "lines": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "properties": {
+                            "item": {"type": "string"},
+                            "qty": {"type": "integer"},
+                            "price": {"type": "number"},
+                        },
+                    },
+                },
+            }
+        }
+        got = extract_schema_from_spans(spans, schema)
+        assert got == {
+            "vendor": "Acme Corp",
+            "tag": ["alpha", "beta"],
+            # 'address city' dotted path wins for city; zip falls back
+            # to the bare leaf name
+            "address": {"city": "Springfield", "zip": 11001},
+            "lines": [
+                {"item": "bolt", "qty": 4, "price": 1.5},
+                {"item": "nut", "qty": 9, "price": 0.25},
+            ],
+        }
+
 
 class TestUrlDetect:
     def test_is_url(self):

@@ -745,10 +745,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def approx_user_reach_q(sf_dir):
         """HyperLogLog distinct users per event type: one-pass,
         shuffle-free register partials (16 KiB per group per batch
-        regardless of cardinality). Rows-only driver check — the
-        estimate's ~0.8% error band and its batching-invariance are
-        pinned by tests/test_ops.py::TestHLL; the exact twin is the
-        oracled `event_user_reach`."""
+        regardless of cardinality). SQL-oracled EXACTLY: the sketch is
+        deterministic given the md5 hash, so the oracle rebuilds the
+        registers and the bias-corrected estimate in SQL; the ~0.8%
+        error band vs truth and batching-invariance are additionally
+        pinned by tests/test_ops.py::TestHLL; the exact twin is
+        `event_user_reach`."""
         from docstrange_ray.io import read_parquet_clean
         from docstrange_ray.ops.sketch import approx_distinct
 
@@ -5991,6 +5993,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT)
                        AS tgt_c
             FROM toks GROUP BY 1
+        """,
+        # approx_user_reach: HLL is DETERMINISTIC given the md5 hash —
+        # registers (idx = top-14 hash bits, rho = leading zeros of the
+        # sentinel-padded remainder + 1, via 65 - length(bin(rest))),
+        # then the Flajolet bias-corrected estimate with the
+        # linear-counting small-range branch, float chain mirrored.
+        "approx_user_reach": r"""
+            WITH vals AS (
+                SELECT DISTINCT event_type AS g, user_id AS v FROM events
+            ), h AS (
+                SELECT g,
+                       ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT
+                           AS h
+                FROM vals
+            ), parts AS (
+                SELECT g, (h >> 50) AS idx,
+                       ((h % 1125899906842624::UBIGINT) * 16384::UBIGINT
+                        + 16383::UBIGINT) AS rest
+                FROM h
+            ), regs AS (
+                SELECT g, idx, MAX(65 - length(bin(rest))) AS m_j
+                FROM parts GROUP BY g, idx
+            ), agg AS (
+                SELECT g, COUNT(*)::BIGINT AS present,
+                       SUM(POWER(2.0, -m_j)) AS s
+                FROM regs GROUP BY g
+            ), est AS (
+                SELECT g, 16384 - present AS zeros,
+                       (0.7213 / (1.0 + 1.079 / 16384.0)) * 16384 * 16384
+                           / (s + (16384 - present)) AS e0
+                FROM agg
+            )
+            SELECT g AS event_type,
+                   CAST(ROUND(CASE WHEN e0 <= 2.5 * 16384 AND zeros > 0
+                                   THEN 16384 * LN(CAST(16384 AS DOUBLE) / zeros)
+                                   ELSE e0 END) AS BIGINT)
+                       AS n_distinct_approx
+            FROM est
         """,
         # isotonic_calibration: the PAV pools via the minimax closed
         # form fitted[i] = max_{j<=i} min_{k>=i} avg(j..k) — exact in

@@ -3362,7 +3362,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
                 FROM documents
             ), sp AS (
-                SELECT * FROM read_parquet('/tmp/dsray_expected_v1/spans_n*.parquet')
+                SELECT * FROM read_parquet('/tmp/dsray_expected_v2/spans_n*.parquet')
                 WHERE n = (SELECT n FROM nn)
             ), parts AS (
                 SELECT doc_id, "offset",
@@ -3383,7 +3383,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
                 FROM documents
             ), sp AS (
-                SELECT * FROM read_parquet('/tmp/dsray_expected_v1/spans_n*.parquet')
+                SELECT * FROM read_parquet('/tmp/dsray_expected_v2/spans_n*.parquet')
                 WHERE n = (SELECT n FROM nn)
             )
             SELECT doc_id,
@@ -3405,7 +3405,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, chunk_id, n_sections, n_tokens_est,
                    first_section, text
-            FROM read_parquet('/tmp/dsray_expected_v1/chunks_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/chunks_n*.parquet')
+            WHERE n = (SELECT n FROM nn)
+        """,
+        # extract_flagship: the FULL-corpus flat span table (every
+        # population, paged included) vs the spec-oracle fixture.
+        "extract_flagship": r"""
+            WITH nn AS (
+                SELECT GREATEST(200, LEAST(2000, COUNT(*)))::BIGINT AS n
+                FROM documents
+            )
+            SELECT doc_id, "offset"::INTEGER AS "offset", kind, text,
+                   media_ref
+            FROM read_parquet('/tmp/dsray_expected_v2/spans_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         # extract_html / extract_csv / doc_structure: doc-level expected
@@ -3417,7 +3429,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, html
-            FROM read_parquet('/tmp/dsray_expected_v1/docproj_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/docproj_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "extract_csv": r"""
@@ -3426,7 +3438,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, csv
-            FROM read_parquet('/tmp/dsray_expected_v1/docproj_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/docproj_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "doc_structure": r"""
@@ -3435,7 +3447,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, n_sections, total_tokens, recommendation, structure
-            FROM read_parquet('/tmp/dsray_expected_v1/docproj_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/docproj_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "doc_headers": r"""
@@ -3444,7 +3456,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, level, title, start_line, token_count
-            FROM read_parquet('/tmp/dsray_expected_v1/headers_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/headers_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "doc_summaries": r"""
@@ -3453,7 +3465,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, level, title, token_count, summary
-            FROM read_parquet('/tmp/dsray_expected_v1/summaries_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/summaries_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "search_docs": r"""
@@ -3462,7 +3474,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, line_no, snippet
-            FROM read_parquet('/tmp/dsray_expected_v1/search_n*.parquet')
+            FROM read_parquet('/tmp/dsray_expected_v2/search_n*.parquet')
             WHERE n = (SELECT n FROM nn)
         """,
         "pagerank_purchases": _pagerank_oracle(),

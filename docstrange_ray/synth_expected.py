@@ -20,9 +20,11 @@ genuine end-to-end check:
 Shared knowledge between the two sides is only the CONTRACT (e.g. how a
 table renders as canonical markdown — reference excel_processor.py:150-180;
 how the DOCX row cap truncates — docx_processor.py:140-148). The paged
-populations (page-src payloads) are excluded: their output threads through
-the configured layout backend, so they stay under the pytest span-equality
-gate (tests/test_pipeline.py) and the rows-only driver check.
+populations need no generator refactor — a 'page-src' payload IS its
+structure (the JSON block descriptor standing in for the rasterized
+page), so ``expected_spans_paged`` re-derives the documented layout
+heuristics independently (see the paged section below), and the spec
+oracle covers the FULL corpus.
 
 Scale note: fixture generation is a pure per-index function (same property
 as synth.gen_doc), so at real scale it would fan out with the same
@@ -59,7 +61,7 @@ ORACLEABLE_POPS = frozenset(
     }
 )
 
-FIXTURE_DIR = "/tmp/dsray_expected_v1"
+FIXTURE_DIR = "/tmp/dsray_expected_v2"
 TABLE_ROW_CAP = 20  # contract: reference docx_processor.py:140-148
 
 # --- independent renderers (contract re-derivations, NOT imports) -----------
@@ -212,6 +214,179 @@ def expected_chunks(spans: list[dict], token_budget: int) -> list[dict]:
             "text": "\n\n".join(t for _, t in b),
         }
         for ci, (b, toks) in enumerate(chunks)
+    ]
+
+
+# --- paged-population spec oracle (page-descriptor contract mirrors) --------
+#
+# A 'page-src' payload IS its structure (the JSON block descriptor that
+# stands in for the rasterized page), so the paged populations need no
+# generator refactor — the spec oracle re-derives the documented layout
+# heuristics (confidence floor, reading order, block classification,
+# paragraph grouping, smart word join, lossy OCR cleanup, table-row
+# merge, page assembly — reference layout_detector.py /
+# pdf_processor.py citations in extract/page_extract.py) independently
+# of the extract/ modules.
+
+_OCR_SUBS = (("|", "I"), ("0", "o"), ("1", "l"))
+_WS_RUN = re.compile(r"[ \t]+")
+_SENT_SP = re.compile(r"([.!?])([A-Z])")
+_LIST_PATS = (
+    re.compile(r"^\d+\.\s+"),
+    re.compile(r"^[•◦⁃∙]\s*"),
+    re.compile(r"^[-*+]\s+"),
+    re.compile(r"^[a-zA-Z]\.\s+"),
+)
+_MANY_BLANKS = re.compile(r"\n{3,}")
+# contract constants (config.ExtractConfig defaults)
+_CONF_FLOOR = 0.5
+_DIRECT_TEXT = 50
+_GAP_FACTOR = 1.5
+_HEADING_MAX_WORDS = 5
+_H1_MAX_WORDS = 3
+_H2_MAX_WORDS = 5
+
+
+def _exp_ocr_clean(text: str) -> str:
+    for a, b in _OCR_SUBS:
+        text = text.replace(a, b)
+    text = _WS_RUN.sub(" ", text).strip()
+    return _SENT_SP.sub(r"\1 \2", text)
+
+
+def _exp_smart_join(words: list[str]) -> str:
+    out: list[str] = []
+    for w in words:
+        if not w:
+            continue
+        if out and (
+            w[0] in ".,;:!?)]}" or out[-1][-1] in "([{" or out[-1].endswith("-")
+        ):
+            out[-1] = out[-1] + w
+        else:
+            out.append(w)
+    return " ".join(out)
+
+
+def _exp_classify(t: str) -> str:
+    for pat in _LIST_PATS:
+        if pat.match(t):
+            return "list_item"
+    if "|" in t or "\t" in t:
+        return "table_row"
+    words = t.split()
+    if len(words) >= 4 and "  " in t:
+        return "table_row"
+    if len(words) <= _HEADING_MAX_WORDS and (t.endswith(".") or t.isupper()):
+        return "heading"
+    return "text"
+
+
+def _exp_cells(text: str) -> list[str]:
+    if "|" in text:
+        return [c for c in (c.strip() for c in text.split("|")) if c != ""]
+    if "\t" in text:
+        return [c.strip() for c in text.split("\t") if c.strip()]
+    return [c for c in re.split(r"\s{2,}", text.strip()) if c]
+
+
+def _exp_trim_paragraphs(text: str) -> list[str]:
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    out = "\n".join(lines).strip("\n")
+    out = _MANY_BLANKS.sub("\n\n", out)
+    if not out:
+        return []
+    return [p.strip("\n") for p in out.split("\n\n") if p.strip("\n")]
+
+
+def _exp_page(payload: str, page_no: int) -> list[tuple]:
+    spans: list[tuple] = [("heading", f"## Page {page_no}", "")]
+    try:
+        page = json.loads(payload)
+    except (json.JSONDecodeError, TypeError):
+        return spans
+    embedded = (page.get("embedded_text") or "").strip()
+    if len(embedded) > _DIRECT_TEXT:
+        spans.extend(("text", p, "") for p in _exp_trim_paragraphs(embedded))
+        return spans
+    blocks = [
+        b
+        for b in page.get("blocks", [])
+        if (b.get("text") or b.get("words"))
+        and float(b.get("conf", 1.0)) > _CONF_FLOOR
+    ]
+    if not blocks:
+        return spans
+    blocks.sort(key=lambda b: (float(b.get("y", 0.0)), float(b.get("x", 0.0))))
+    avg_h = sum(float(b.get("h", 0.0)) for b in blocks) / len(blocks)
+    gap_limit = _GAP_FACTOR * avg_h
+
+    para: list[str] = []
+    para_bottom = None
+    table_rows: list[list[str]] = []
+
+    def flush_para() -> None:
+        nonlocal para_bottom
+        if para:
+            spans.append(("text", _exp_ocr_clean(" ".join(para)), ""))
+            para.clear()
+        para_bottom = None
+
+    def flush_table() -> None:
+        if table_rows:
+            spans.append(("table", _md_table(list(table_rows)), ""))
+            table_rows.clear()
+
+    for b in blocks:
+        words = b.get("words")
+        text = (
+            _exp_smart_join([str(w) for w in words])
+            if words
+            else str(b.get("text", ""))
+        ).strip()
+        if not text:
+            continue
+        kind = _exp_classify(text)
+        y = float(b.get("y", 0.0))
+        h = float(b.get("h", 0.0))
+        if kind == "table_row":
+            flush_para()
+            table_rows.append(_exp_cells(text))
+            continue
+        flush_table()
+        if kind == "heading":
+            flush_para()
+            n = len(text.split())
+            level = 1 if n <= _H1_MAX_WORDS else (2 if n <= _H2_MAX_WORDS else 3)
+            spans.append(("heading", "#" * level + " " + text, ""))
+        elif kind == "list_item":
+            flush_para()
+            spans.append(("list_item", text, ""))
+        else:
+            if para and para_bottom is not None and (y - para_bottom) > gap_limit:
+                flush_para()
+            para.append(text)
+            para_bottom = y + h
+    flush_para()
+    flush_table()
+    return spans
+
+
+def expected_spans_paged(in_spans: list[dict], doc_id: str) -> list[dict]:
+    """Expected extracted spans for a paged/giant document, from its
+    input span sequence (page descriptors + interleaved image-refs)."""
+    out: list[tuple] = []
+    page_no = 0
+    for s in sorted(in_spans, key=lambda x: int(x.get("offset", 0))):
+        if s["kind"] == "page-src":
+            page_no += 1
+            out.extend(_exp_page(s.get("text", "") or "", page_no))
+        elif s["kind"] == "image-ref":
+            out.append(("image-ref", s.get("text", "") or "",
+                        s.get("media_ref", "") or ""))
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": j}
+        for j, (k, t, m) in enumerate(out)
     ]
 
 
@@ -561,10 +736,11 @@ def write_expected_fixtures(
     rows_by_kind: dict[str, list[dict]] = {k: [] for k in paths}
     for i in range(n):
         row, pop, struct = gen_doc_full(seed, i)
-        if pop not in ORACLEABLE_POPS or struct is None:
-            continue
         did = row["doc_id"]
-        spans = expected_spans(pop, struct, did)
+        if pop in ORACLEABLE_POPS and struct is not None:
+            spans = expected_spans(pop, struct, did)
+        else:  # paged/giant: the payload IS the structure
+            spans = expected_spans_paged(row["spans"], did)
         rows_by_kind["spans"].extend({"n": n, "doc_id": did, **s} for s in spans)
         rows_by_kind["chunks"].extend(
             {"n": n, "doc_id": did, **c} for c in expected_chunks(spans, token_budget)
@@ -605,12 +781,9 @@ def write_expected_fixtures(
 
 
 def oracleable_doc_ids(n: int, seed: int = 42) -> set[str]:
-    """doc_ids of the spec-oracle subset (population is the first rng draw,
-    so this costs one random() per index — no document generation)."""
-    from docstrange_ray.synth import population_of
-
-    return {
-        f"doc-{i:08d}"
-        for i in range(n)
-        if population_of(seed, i) in ORACLEABLE_POPS
-    }
+    """doc_ids of the spec-oracle subset. Since the paged populations
+    gained their own spec oracle (``expected_spans_paged``), EVERY
+    document is covered — the set is the full corpus (kept as a
+    function so the query-side filter stays general if a future
+    population is ever excluded)."""
+    return {f"doc-{i:08d}" for i in range(n)}

@@ -140,10 +140,28 @@ def test_projection_rederivations_match_engine(docs):
         exp_search(sp, "shuffle")  # derives without error
 
 
+def test_paged_spec_matches_engine(docs):
+    """The paged populations' spec oracle (page-descriptor contract
+    mirrors: conf floor, reading order, classify, word join, OCR
+    cleanup, grouping, table merge, page assembly) == engine
+    extraction."""
+    from docstrange_ray.synth_expected import expected_spans_paged
+
+    checked = 0
+    for row, pop, _ in docs:
+        if pop not in ("paged_doc", "giant_doc"):
+            continue
+        checked += 1
+        exp = expected_spans_paged(row["spans"], row["doc_id"])
+        got = extract_document(row)["spans"]
+        assert got == exp, f"{row['doc_id']} ({pop})"
+    assert checked > 0
+
+
 def test_oracleable_ids_match_population(docs):
+    # full-corpus coverage since the paged spec oracle landed
     ids = oracleable_doc_ids(N, SEED)
-    want = {row["doc_id"] for row, pop, _ in docs if pop in ORACLEABLE_POPS}
-    assert ids == want
+    assert ids == {row["doc_id"] for row, _, _ in docs}
     for i in range(50):
         assert population_of(SEED, i) == docs[i][1]
 

@@ -377,7 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "type": "object",
                         "properties": {
                             "region": {"type": "string"},
-                            "revenue": {"type": "number"},
+                            "total": {"type": "integer"},
                         },
                     },
                 },
@@ -3407,6 +3407,204 @@ def oracle_sql() -> dict[str, str]:
                    first_section, text
             FROM read_parquet('/tmp/dsray_expected_v2/chunks_n*.parquet')
             WHERE n = (SELECT n FROM nn)
+        """,
+        # schema_extraction: golden nested-schema JSON per fixture doc —
+        # numbers.xlsx's Summary sheet (headers cover region+total)
+        # exercises the array-of-object rule; report.docx the typed
+        # scalar; data.csv the nested-object leaf fallback.
+        "schema_extraction": """
+            SELECT * FROM (VALUES
+                ('data.csv', '{"meta": {"name": "widget", "region": null}, "revenue": null, "rows": []}'),
+                ('deck.pptx', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('ledger.xls', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('legacy.doc', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('notes.txt', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('numbers.xlsx', '{"meta": {"name": null, "region": "north"}, "revenue": null, "rows": [{"region": "north", "total": 10}, {"region": "south", "total": 7}]}'),
+                ('page.html', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('paper.pdf', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('photo.png', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('report.docx', '{"meta": {"name": null, "region": null}, "revenue": 100.0, "rows": []}'),
+                ('scan.jpg', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('scan.pdf', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}'),
+                ('talk.ppt', '{"meta": {"name": null, "region": null}, "revenue": null, "rows": []}')
+            ) AS t(doc_id, extracted)
+        """,
+        # field_extraction: golden (doc, field, value, found) table over
+        # the real-bytes fixture corpus — the rules-based analogue's
+        # contract: report.docx's two-column table rows yield revenue/
+        # costs, data.csv's and numbers.xlsx's header columns yield
+        # name/region (first data row), everything else is absent.
+        "field_extraction": """
+            SELECT * FROM (VALUES
+                ('data.csv', 'costs', '', FALSE),
+                ('data.csv', 'name', 'widget', TRUE),
+                ('data.csv', 'region', '', FALSE),
+                ('data.csv', 'revenue', '', FALSE),
+                ('deck.pptx', 'costs', '', FALSE),
+                ('deck.pptx', 'name', '', FALSE),
+                ('deck.pptx', 'region', '', FALSE),
+                ('deck.pptx', 'revenue', '', FALSE),
+                ('ledger.xls', 'costs', '', FALSE),
+                ('ledger.xls', 'name', '', FALSE),
+                ('ledger.xls', 'region', '', FALSE),
+                ('ledger.xls', 'revenue', '', FALSE),
+                ('legacy.doc', 'costs', '', FALSE),
+                ('legacy.doc', 'name', '', FALSE),
+                ('legacy.doc', 'region', '', FALSE),
+                ('legacy.doc', 'revenue', '', FALSE),
+                ('notes.txt', 'costs', '', FALSE),
+                ('notes.txt', 'name', '', FALSE),
+                ('notes.txt', 'region', '', FALSE),
+                ('notes.txt', 'revenue', '', FALSE),
+                ('numbers.xlsx', 'costs', '', FALSE),
+                ('numbers.xlsx', 'name', '', FALSE),
+                ('numbers.xlsx', 'region', 'north', TRUE),
+                ('numbers.xlsx', 'revenue', '', FALSE),
+                ('page.html', 'costs', '', FALSE),
+                ('page.html', 'name', '', FALSE),
+                ('page.html', 'region', '', FALSE),
+                ('page.html', 'revenue', '', FALSE),
+                ('paper.pdf', 'costs', '', FALSE),
+                ('paper.pdf', 'name', '', FALSE),
+                ('paper.pdf', 'region', '', FALSE),
+                ('paper.pdf', 'revenue', '', FALSE),
+                ('photo.png', 'costs', '', FALSE),
+                ('photo.png', 'name', '', FALSE),
+                ('photo.png', 'region', '', FALSE),
+                ('photo.png', 'revenue', '', FALSE),
+                ('report.docx', 'costs', '40', TRUE),
+                ('report.docx', 'name', '', FALSE),
+                ('report.docx', 'region', '', FALSE),
+                ('report.docx', 'revenue', '100', TRUE),
+                ('scan.jpg', 'costs', '', FALSE),
+                ('scan.jpg', 'name', '', FALSE),
+                ('scan.jpg', 'region', '', FALSE),
+                ('scan.jpg', 'revenue', '', FALSE),
+                ('scan.pdf', 'costs', '', FALSE),
+                ('scan.pdf', 'name', '', FALSE),
+                ('scan.pdf', 'region', '', FALSE),
+                ('scan.pdf', 'revenue', '', FALSE),
+                ('talk.ppt', 'costs', '', FALSE),
+                ('talk.ppt', 'name', '', FALSE),
+                ('talk.ppt', 'region', '', FALSE),
+                ('talk.ppt', 'revenue', '', FALSE)
+            ) AS t(doc_id, field, value, found)
+        """,
+        # pixel_layout_extract: hand-verified GOLDEN span table for the
+        # deterministic page-image fixtures — geometry pages emit
+        # placeholder lines (with the reference-faithful lossy OCR
+        # rewrite 1->l), glyph pages at scales 1/2/3 read their REAL
+        # text back from pixels (multi-scale matcher), ruled-table
+        # pages recognize grid structure + per-cell OCR. Each row
+        # derived from the fixture parameters + the documented layout
+        # contracts and frozen, so a regression in the decoder,
+        # segmenter, recognizer, or table detector shows driver-red.
+        "pixel_layout_extract": """
+            SELECT * FROM (VALUES
+                ('page0.png', 0, 'heading', '## Page 1', ''),
+                ('page0.png', 1, 'text', '[text line l: 7px]', ''),
+                ('page0.png', 2, 'text', '[text line 2: 7px]', ''),
+                ('page1.png', 0, 'heading', '## Page 1', ''),
+                ('page1.png', 1, 'text', '[text line l: 8px]', ''),
+                ('page1.png', 2, 'text', '[text line 2: 8px]', ''),
+                ('page1.png', 3, 'text', '[text line 3: 8px]', ''),
+                ('page2.png', 0, 'heading', '## Page 1', ''),
+                ('page2.png', 1, 'text', '[text line l: 7px]', ''),
+                ('page2.png', 2, 'text', '[text line 2: 7px]', ''),
+                ('page2.png', 3, 'text', '[text line 3: 7px]', ''),
+                ('page2.png', 4, 'text', '[text line 4: 2px]', ''),
+                ('page3.png', 0, 'heading', '## Page 1', ''),
+                ('page3.png', 1, 'text', '[text line l: 8px]', ''),
+                ('page3.png', 2, 'text', '[text line 2: 8px]', ''),
+                ('page4.png', 0, 'heading', '## Page 1', ''),
+                ('page4.png', 1, 'text', '[text line l: 7px]', ''),
+                ('page4.png', 2, 'text', '[text line 2: 7px]', ''),
+                ('page4.png', 3, 'text', '[text line 3: 7px]', ''),
+                ('page5.png', 0, 'heading', '## Page 1', ''),
+                ('page5.png', 1, 'text', '[text line l: 8px]', ''),
+                ('page5.png', 2, 'text', '[text line 2: 8px]', ''),
+                ('page5.png', 3, 'text', '[text line 3: 8px]', ''),
+                ('page5.png', 4, 'text', '[text line 4: 2px]', ''),
+                ('page6.png', 0, 'heading', '## Page 1', ''),
+                ('page6.png', 1, 'text', '[text line l: 7px]', ''),
+                ('page6.png', 2, 'text', '[text line 2: 7px]', ''),
+                ('page7.png', 0, 'heading', '## Page 1', ''),
+                ('page7.png', 1, 'text', '[text line l: 8px]', ''),
+                ('page7.png', 2, 'text', '[text line 2: 8px]', ''),
+                ('page7.png', 3, 'text', '[text line 3: 8px]', ''),
+                ('table0.png', 0, 'heading', '## Page 1', ''),
+                ('table0.png', 1, 'table', '| ITEM | QTY | PRICE |' || chr(10) || '| --- | --- | --- |' || chr(10) || '| PART 2A | 7 | 3.25 |' || chr(10) || '| PART 2B | 12 | 4.50 |', ''),
+                ('table1.png', 0, 'heading', '## Page 1', ''),
+                ('table1.png', 1, 'table', '| ITEM | QTY | PRICE |' || chr(10) || '| --- | --- | --- |' || chr(10) || '| PART 3A | 8 | 4.25 |' || chr(10) || '| PART 3B | 13 | 5.50 |', ''),
+                ('text0.png', 0, 'heading', '## Page 1', ''),
+                ('text0.png', 1, 'heading', '## PAGE 2 OF 9', ''),
+                ('text0.png', 2, 'heading', '# RAY DATA ENGINE', ''),
+                ('text0.png', 3, 'heading', '# SECTION 2-A', ''),
+                ('text1.png', 0, 'heading', '## Page 1', ''),
+                ('text1.png', 1, 'heading', '## PAGE 3 OF 9', ''),
+                ('text1.png', 2, 'heading', '# RAY DATA ENGINE', ''),
+                ('text1.png', 3, 'heading', '# SECTION 3-A', ''),
+                ('text2.png', 0, 'heading', '## Page 1', ''),
+                ('text2.png', 1, 'heading', '## PAGE 4 OF 9', ''),
+                ('text2.png', 2, 'heading', '# RAY DATA ENGINE', ''),
+                ('text2.png', 3, 'heading', '# SECTION 4-A', ''),
+                ('text3.png', 0, 'heading', '## Page 1', ''),
+                ('text3.png', 1, 'heading', '## PAGE 5 OF 9', ''),
+                ('text3.png', 2, 'heading', '# RAY DATA ENGINE', ''),
+                ('text3.png', 3, 'heading', '# SECTION 5-A', '')
+            ) AS t(doc_id, "offset", kind, text, media_ref)
+        """,
+        # real_format_extract: hand-verified GOLDEN span table for the
+        # 14-file real-bytes fixture corpus — every row was derived from
+        # the fixture CONTENT + the documented per-format contracts
+        # (CSV heading rule, Excel sheet headings, DOCX style map, PPT
+        # slide assembly, PDF direct-text threshold, OCR-path page
+        # headings) and frozen as literals, so a regression in ANY
+        # binary parser shows as a driver-red row.
+        "real_format_extract": """
+            SELECT * FROM (VALUES
+                ('data.csv', 0, 'heading', '# CSV Data: data.csv.t1', ''),
+                ('data.csv', 1, 'table', '| name | qty |' || chr(10) || '| --- | --- |' || chr(10) || '| widget | 3 |' || chr(10) || '| gadget | 5 |', ''),
+                ('deck.pptx', 0, 'heading', '## Slide 1', ''),
+                ('deck.pptx', 1, 'text', 'Quarterly Update', ''),
+                ('deck.pptx', 2, 'text', 'Prepared by the team', ''),
+                ('deck.pptx', 3, 'heading', '## Slide 2', ''),
+                ('deck.pptx', 4, 'text', 'Thanks!' || chr(10) || 'Questions?', ''),
+                ('ledger.xls', 0, 'heading', '# Excel Data: ledger.xls', ''),
+                ('ledger.xls', 1, 'heading', '## Sheet: Accounts', ''),
+                ('ledger.xls', 2, 'table', '| account | balance |' || chr(10) || '| --- | --- |' || chr(10) || '| ops | 250 |' || chr(10) || '| eng | 410 |', ''),
+                ('legacy.doc', 0, 'text', 'Legacy memo.', ''),
+                ('legacy.doc', 1, 'text', 'Written long ago in the binary format.', ''),
+                ('notes.txt', 0, 'text', 'plain notes' || chr(10) || 'with two lines', ''),
+                ('numbers.xlsx', 0, 'heading', '# Excel Data: numbers.xlsx', ''),
+                ('numbers.xlsx', 1, 'heading', '## Sheet: Summary', ''),
+                ('numbers.xlsx', 2, 'table', '| region | total |' || chr(10) || '| --- | --- |' || chr(10) || '| north | 10 |' || chr(10) || '| south | 7 |', ''),
+                ('numbers.xlsx', 3, 'heading', '## Sheet: Detail', ''),
+                ('numbers.xlsx', 4, 'table', '| day | count |' || chr(10) || '| --- | --- |' || chr(10) || '| mon | 3 |' || chr(10) || '| tue | 4 |', ''),
+                ('page.html', 0, 'heading', '# A Page', ''),
+                ('page.html', 1, 'heading', '# Hello', ''),
+                ('page.html', 2, 'text', 'World body text.', ''),
+                ('paper.pdf', 0, 'heading', '## Page 1', ''),
+                ('paper.pdf', 1, 'text', 'Introduction' || chr(10) || 'This paper explains the approach in detail, covering background and methods over several sentences.', ''),
+                ('paper.pdf', 2, 'heading', '## Page 2', ''),
+                ('paper.pdf', 3, 'text', 'Results' || chr(10) || 'Everything improved across the board in every measured dimension of the study, as the tables show.', ''),
+                ('photo.png', 0, 'heading', '## Page 1', ''),
+                ('report.docx', 0, 'heading', '# Annual Report', ''),
+                ('report.docx', 1, 'heading', '# Overview', ''),
+                ('report.docx', 2, 'text', 'The year went well.', ''),
+                ('report.docx', 3, 'heading', '## Details', ''),
+                ('report.docx', 4, 'list_item', '- first item', ''),
+                ('report.docx', 5, 'list_item', '- second item', ''),
+                ('report.docx', 6, 'table', '| metric | value |' || chr(10) || '| --- | --- |' || chr(10) || '| revenue | 100 |' || chr(10) || '| costs | 40 |', ''),
+                ('scan.jpg', 0, 'heading', '## Page 1', ''),
+                ('scan.pdf', 0, 'heading', '## Page 1', ''),
+                ('scan.pdf', 1, 'heading', '## Page 2', ''),
+                ('talk.ppt', 0, 'heading', '## Slide 1', ''),
+                ('talk.ppt', 1, 'text', 'Old Deck', ''),
+                ('talk.ppt', 2, 'text', 'Legacy bullets', ''),
+                ('talk.ppt', 3, 'heading', '## Slide 2', ''),
+                ('talk.ppt', 4, 'text', 'The End', '')
+            ) AS t(doc_id, "offset", kind, text, media_ref)
         """,
         # extract_flagship: the FULL-corpus flat span table (every
         # population, paged included) vs the spec-oracle fixture.

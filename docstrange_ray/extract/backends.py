@@ -96,13 +96,23 @@ def _runs(mask):
 
 def _rule_bars(dark):
     """Horizontal rule bars: maximal groups of consecutive rows whose
-    longest dark run is >= _RULE_MIN_RUN. Returns [(y0, y1, x0, x1)]
-    with the x-extent of the qualifying runs."""
+    longest dark run is >= max(_RULE_MIN_RUN, 30% of page width).
+    Returns [(y0, y1, x0, x1)] with the x-extent of the qualifying runs.
+
+    The relative floor is load-bearing for multi-scale pages: a table
+    RULE spans its table (most of the page), while a glyph's horizontal
+    stroke never does — but at integer zoom a stroke grows to
+    scale*GLYPH_W px and crossed the absolute 12 px floor at 3x,
+    turning scaled text into phantom table grids (found via the
+    pixel_layout_extract golden). Narrow tables whose rules span under
+    30% of the page fall back to text-line placeholders — documented
+    contract bound."""
     import numpy as np
 
+    min_run = max(_RULE_MIN_RUN, int(0.3 * dark.shape[1]))
     rule_rows = []
     for y in range(dark.shape[0]):
-        long = [(a, b) for a, b in _runs(dark[y]) if b - a >= _RULE_MIN_RUN]
+        long = [(a, b) for a, b in _runs(dark[y]) if b - a >= min_run]
         if long:
             rule_rows.append((y, min(a for a, _ in long), max(b for _, b in long)))
     bars = []

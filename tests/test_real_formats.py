@@ -665,6 +665,29 @@ class TestPixelsBackend:
         )
         assert [dict(s) for s in rows[0]["spans"]] == oracle[0]["spans"]
 
+    def test_scale3_page_not_mistaken_for_table(self, ray_session, tmp_path):
+        """Regression (pixel_layout_extract golden find): at 3x zoom a
+        glyph's horizontal stroke crossed the absolute 12 px rule-run
+        floor and scaled text became phantom table grids. The rule
+        threshold is now relative (30% of page width); a 3x page must
+        read its text, and a real ruled table must still be detected."""
+        from dataclasses import replace
+
+        from docstrange_ray.config import DEFAULT
+        from docstrange_ray.sources import extract_files
+        from docstrange_ray.synth_files import make_table_png, make_text_png
+
+        p = tmp_path / "zoom3.png"
+        p.write_bytes(make_text_png(["RAY DATA ENGINE", "SECTION X-A"], scale=3))
+        t = tmp_path / "grid.png"
+        t.write_bytes(make_table_png([["A", "B"], ["X", "Y"]]))
+        cfg = replace(DEFAULT, page_backend="pixels")
+        rows = {r["doc_id"]: r for r in extract_files(str(tmp_path), cfg).take_all()}
+        z = " ".join(s["text"] for s in rows["zoom3.png"]["spans"])
+        assert "RAY DATA ENGINE" in z and "SECTION X-A" in z
+        assert not any(s["kind"] == "table" for s in rows["zoom3.png"]["spans"])
+        assert any(s["kind"] == "table" for s in rows["grid.png"]["spans"])
+
     def test_glyph_recognizer_reads_real_text_end_to_end(self, ray_session, tmp_path):
         """S12 with actual recognition: render text with the bitmap
         font, decode + segment + template-match through the full

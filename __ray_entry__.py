@@ -2595,6 +2595,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ann.lsh_topk(ray.data.from_arrow(tbl).repartition(8), q, [0, 1, 2, 3], k=10)
 
+    def hnsw_recall_planted(sf_dir):
+        """Sharded-HNSW recall oracle on the planted fixture: per-shard
+        graphs + merged top-k must return the exact planted set (the
+        ivf/lsh planted pattern; ops/hnsw.py)."""
+        import ray
+
+        from docstrange_ray.ops.hnsw import hnsw_topk
+
+        tbl = _planted_ann_table()
+        q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"][:4].to_pylist()]
+        )
+        return hnsw_topk(
+            ray.data.from_arrow(tbl).repartition(8), q, [0, 1, 2, 3], k=10, ef=64
+        )
+
+    def hnsw_ann_topk(sf_dir):
+        """Sharded-HNSW top-10 over the embeddings table (graph ANN —
+        the family's scale path alongside IVF/LSH/PQ). Approximate by
+        design: rows-only here; exactness on the planted fixture is the
+        oracled `hnsw_recall_planted`, recall vs brute force pinned in
+        tests/test_hnsw.py."""
+        import ray
+
+        from docstrange_ray.ops.hnsw import hnsw_topk
+
+        emb = read_emb(sf_dir)
+        head = emb.limit(8).to_pandas()
+        q = np.stack([np.asarray(v, np.float64) for v in head["embedding"]])
+        return hnsw_topk(emb, q, head["vec_id"].tolist(), k=10, ef=64)
+
     def embedding_dups_bucketed(sf_dir):
         return dedup.embedding_dup_pairs_bucketed(read_emb(sf_dir), threshold=0.4)
 
@@ -3183,6 +3214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": pq_ann_topk,
         "ivf_recall_planted": ivf_recall_planted,
         "lsh_recall_planted": lsh_recall_planted,
+        "hnsw_recall_planted": hnsw_recall_planted,
+        "hnsw_ann_topk": hnsw_ann_topk,
         "knn_classify": knn_classify_q,
         "knn_classify_ivf": knn_classify_ivf_q,
         "pca_scatter": pca_scatter_q,
@@ -7002,6 +7035,15 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "lsh_recall_planted": r"""
+            WITH q AS (SELECT UNNEST(range(4)) AS b),
+                 c AS (SELECT UNNEST(range(9)) AS c)
+            SELECT b::BIGINT AS query_id, vec_id, 1.0 AS score FROM (
+                SELECT b, b::BIGINT AS vec_id FROM q
+                UNION ALL
+                SELECT b, (4 + b * 9 + c)::BIGINT FROM q, c
+            )
+        """,
+        "hnsw_recall_planted": r"""
             WITH q AS (SELECT UNNEST(range(4)) AS b),
                  c AS (SELECT UNNEST(range(9)) AS c)
             SELECT b::BIGINT AS query_id, vec_id, 1.0 AS score FROM (

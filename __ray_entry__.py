@@ -910,6 +910,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return classifier.confusion(read_docs_lang(sf_dir))
 
+    def kn_perplexity_q(sf_dir):
+        """Interpolated Kneser-Ney trigram bits-per-trigram per doc
+        (ops/kneser.py — the KenLM-style filter): ONE trigram-type
+        exchange, per-type probability table broadcast, shuffle-free
+        scoring scan. SQL-oracled: every KN statistic is an exact
+        integer over the trigram type table and the float chain is
+        mirrored term-for-term."""
+        from docstrange_ray.ops.kneser import kn_score
+
+        return kn_score(read_docs(sf_dir))
+
     def dsir_bucket_counts_q(sf_dir):
         """DSIR (Xie et al. 2023) hashed unigram+bigram bucket counts:
         (bucket, raw_c, tgt_c) with target = source 'src0'; exact int64
@@ -3109,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_grad0": logreg_grad0_q,
         "quality_classifier": quality_classifier_q,
         "classifier_eval": classifier_eval_q,
+        "kn_perplexity": kn_perplexity_q,
         "dsir_bucket_counts": dsir_bucket_counts_q,
         "dsir_weights": dsir_weights_q,
         "dsir_selected": dsir_selected_q,
@@ -6317,6 +6329,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin_lo, bin_hi, n, pos,
                    CAST((1000000 * pos) // n AS BIGINT) AS rate_micro
             FROM seg
+        """,
+        # kn_perplexity: every KN statistic is an exact integer over the
+        # trigram TYPE table (c12/N3 per context, continuation counts
+        # N1/MT/TY, unigram continuation Nc, bigram-type total B); the
+        # interpolation float chain mirrors ops/kneser term-for-term
+        # (left-assoc * and /), -LOG2 per type, ROUND(AVG, 6) per doc —
+        # the lm_quality/ccnet float discipline.
+        "kn_perplexity": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), dtri AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+                FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)
+            ), tri AS (
+                SELECT w1, w2, w3, COUNT(*)::BIGINT AS c
+                FROM dtri GROUP BY 1, 2, 3
+            ), c12 AS (
+                SELECT w1, w2, SUM(c)::BIGINT AS c12, COUNT(*)::BIGINT AS n3
+                FROM tri GROUP BY 1, 2
+            ), n1 AS (
+                SELECT w2, w3, COUNT(*)::BIGINT AS n1 FROM tri GROUP BY 1, 2
+            ), mid AS (
+                SELECT w2, SUM(n1)::BIGINT AS mt, COUNT(*)::BIGINT AS ty
+                FROM n1 GROUP BY 1
+            ), cont AS (
+                SELECT w3, COUNT(*)::BIGINT AS nc FROM n1 GROUP BY 1
+            ), bt AS (
+                SELECT COUNT(*)::BIGINT AS b FROM n1
+            ), ptype AS (
+                SELECT t.w1, t.w2, t.w3,
+                       -LOG2(GREATEST(t.c - 0.75, 0.0) / j.c12
+                             + 0.75 * j.n3 / j.c12
+                               * (GREATEST(k.n1 - 0.75, 0.0) / m.mt
+                                  + 0.75 * m.ty / m.mt
+                                    * (o.nc / (SELECT b FROM bt))))
+                           AS bits
+                FROM tri t
+                JOIN c12 j ON j.w1 = t.w1 AND j.w2 = t.w2
+                JOIN n1 k ON k.w2 = t.w2 AND k.w3 = t.w3
+                JOIN mid m ON m.w2 = t.w2
+                JOIN cont o ON o.w3 = t.w3
+            )
+            SELECT d.doc_id, ROUND(AVG(p.bits), 6) AS bits_per_trigram
+            FROM dtri d
+            JOIN ptype p ON p.w1 = d.w1 AND p.w2 = d.w2 AND p.w3 = d.w3
+            GROUP BY d.doc_id
         """,
         # dsir_weights: rebuild the bucket counts, quantize the add-one
         # smoothed per-bucket log-ratio to 1e-8 int units (DuckDB LN is

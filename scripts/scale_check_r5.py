@@ -52,14 +52,19 @@ def synth_texts(n: int):
 
         for i in ids:
             base = i - 1 if i % 20 == 0 and i > 0 else i
-            # md5-prefix first token: any two DIFFERENT bases differ in
-            # ~8 hex chars (far beyond tau), so only the planted
-            # 1-substitution variants (every 20th id) are true pairs
-            tag = _hl.md5(str(int(base)).encode()).hexdigest()[:10]
-            ws = [f"u{tag}"] + [
-                _WORDS[(int(base) * 31 + j * 7) % 300] for j in range(4)
-            ]
-            t = " ".join(ws)
+            # HIGH-ENTROPY body: 24 md5 hex chars + one pool word, so
+            # EVERY PassJoin segment is essentially unique and the
+            # candidate set is the planted pairs. (The first fixture
+            # drew 4 of 5 tokens from a 300-word pool: segments 2-3
+            # were pool-determined, ~30 strings shared each segment
+            # value at identical (ordinal, length) coordinates, and at
+            # 1M docs the documented exactness contract dutifully
+            # produced ~10^8 candidates — 37 GB of object store and a
+            # straggler group. Low-entropy corpora ARE the op's
+            # documented quadratic case; a SCALING fixture must not be
+            # answer-dominated.)
+            tag = _hl.md5(str(int(base)).encode()).hexdigest()[:24]
+            t = f"u{tag} {_WORDS[int(base) % 300]}"
             if i % 20 == 0 and i > 0:
                 t = "x" + t[1:]
             texts.append(t)
@@ -101,7 +106,9 @@ def synth_audio(n: int):
     sr, dur = 8000, 0.2
 
     def clip_bytes(i: int) -> bytes:
-        base = i - 10 if i % 10 == 0 and i >= 10 else i
+        # copy target must NOT itself be a copy (i-5 is never ≡ 0 mod
+        # 10), else the "planted" pairs chain into nothing
+        base = i - 5 if i % 10 == 0 and i >= 10 else i
         # time-VARYING tone sequence (10 x 20 ms segments, wide range):
         # constellations encode the temporal structure, so unrelated
         # clips share almost no (f1, f2, dt) hashes and only the
@@ -210,9 +217,13 @@ def run(n: int, an: int) -> dict:
         lambda: byte_bpe_train(rows, n_merges=8, plan="distributed"),
     )
     audio = synth_audio(an).materialize()
+    # min_votes=25: unrelated two-tone clips max out near 11 shared-
+    # offset votes (measured) while planted shifted copies score ~93 —
+    # the bar keeps the answer at the planted pairs so the timing
+    # measures the ENGINE, not a quadratic accidental-pair output.
     res["audiofp"] = timed(
         "audio_near_dups", an,
-        lambda: audio_near_dups(audio, min_votes=10),
+        lambda: audio_near_dups(audio, min_votes=25),
     )
     return res
 

@@ -1442,6 +1442,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return connected_components(copurchase_path_edges(sf_dir))
 
+    def copurchase_cheapest(sf_dir):
+        """Hop-bounded multi-seed cheapest paths (<= 4 hops, exactly 4
+        Bellman-Ford relaxation rounds — graph.sssp_bounded) over the
+        WEIGHTED co-purchase path graph: edge cost = max(1, 1000 //
+        co-purchase count), seeds = the 3 lowest-keyed source parts.
+        Integer min arithmetic makes broadcast plan, join plan and the
+        hop-bounded recursive-CTE oracle bit-identical."""
+        from docstrange_ray.ops.graph import (
+            copurchase_weighted_edges,
+            sssp_bounded,
+        )
+        from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+        edges = copurchase_weighted_edges(sf_dir).materialize()
+
+        def local_min3(batch):
+            import numpy as np
+            import pandas as pd
+
+            vals = np.unique(
+                batch.column("src").to_numpy(zero_copy_only=False)
+            )[:3]
+            return pd.DataFrame({"node": vals})
+
+        def final_min3(df):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame({"node": np.unique(df["node"].to_numpy())[:3]})
+
+        seeds = [
+            int(r["node"])
+            for r in coalesced_blocks(
+                edges.map_batches(arrow_out(local_min3), batch_format="pyarrow"),
+                final_min3,
+            ).take_all()
+        ]
+        return sssp_bounded(edges, seeds, max_hops=4)
+
     def part_link_predictions(sf_dir):
         """Common-neighbor + Adamic-Adar link prediction over the
         co-purchase path graph (graph.link_predictions, Adamic & Adar
@@ -3144,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": copurchase_triangles,
         "copurchase_reach": copurchase_reach,
         "copurchase_core": copurchase_core,
+        "copurchase_cheapest": copurchase_cheapest,
         "copurchase_components": copurchase_components,
         "part_link_predictions": part_link_predictions,
         "jaccard_drops": jaccard_drops,
@@ -3804,6 +3844,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.lvl < 3
             )
             SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
+        """,
+        "copurchase_cheapest": r"""
+            WITH RECURSIVE op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), s AS (
+                SELECT ok, p,
+                       ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+                FROM op
+            ), e0 AS (
+                SELECT s1.p AS x, s2.p AS y
+                FROM s s1 JOIN s s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+            ), e AS (
+                SELECT x AS src, y AS dst,
+                       GREATEST(1, 1000 // COUNT(*)) AS w
+                FROM e0 GROUP BY x, y
+            ), seeds AS (
+                SELECT DISTINCT src AS node FROM e ORDER BY src LIMIT 3
+            ), walk AS (
+                SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM seeds
+                UNION ALL
+                SELECT e.dst, walk.dist + e.w, walk.hops + 1
+                FROM walk JOIN e ON e.src = walk.node
+                WHERE walk.hops < 4
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node
         """,
         "copurchase_components": r"""
             WITH RECURSIVE op AS (

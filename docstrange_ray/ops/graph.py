@@ -1526,3 +1526,293 @@ def link_predictions(
         num_partitions,
         batch_format="pandas",
     )
+
+
+def copurchase_weighted_edges(sf_dir: str, num_partitions=None):
+    """Weighted co-purchase path edges: the distinct directed path edge
+    (src < dst, :func:`copurchase_path_edges`) with an integer affinity
+    COST ``w = max(1, 1000 // c)`` where c = number of orders producing
+    the edge — frequently co-purchased pairs are cheap to traverse.
+    ONE (src, dst) count exchange over the (already linear-in-lineitem)
+    path-edge stream. Returns Dataset[(src, dst, w)] (all int64).
+    """
+    from docstrange_ray.shuffle import grouped_blocks
+
+    edges = copurchase_path_edges(sf_dir, num_partitions)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], as_index=False).size()
+        out.columns = ["src", "dst", "c"]
+        w = np.maximum(1, 1000 // out["c"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "src": out["src"].to_numpy(np.int64),
+                "dst": out["dst"].to_numpy(np.int64),
+                "w": w.astype(np.int64),
+            }
+        )
+
+    return grouped_blocks(
+        edges, ["src", "dst"], weigh, num_partitions, batch_format="pandas"
+    )
+
+
+def sssp_bounded(
+    edges,
+    seeds: list[int],
+    max_hops: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Hop-bounded single-source (multi-seed) cheapest paths along
+    DIRECTED weighted edges: for every node reachable within
+    ``max_hops`` edges, the minimum total edge cost over all paths of
+    <= ``max_hops`` hops from any seed. Exactly ``max_hops`` rounds of
+    Bellman-Ford relaxation (the invariant: after round h, dist[v] =
+    min cost over <= h-hop paths), so the result is a pure function of
+    (edges, seeds, max_hops) — deterministic integer min, no
+    tie-breaking, SQL-mirrorable by a hop-bounded recursive CTE.
+    Negative weights are rejected (min over bounded-hop paths is still
+    well-defined but the relaxation-frontier pruning below is not).
+
+    Returns Dataset[(node, dist)] — seeds included at dist 0.
+
+    Plans (the :func:`bfs_levels` pair): below ``broadcast_node_limit``
+    REACHED nodes, the dist map lives on the driver and each round
+    broadcasts only the IMPROVED frontier (ray.put once per round) —
+    one pre-reduced min exchange per round, bounded take_all (distinct
+    improved nodes). Above the gate, state stays a co-partitioned
+    Dataset: per round ONE tagged-union exchange keyed by node merges
+    relax candidates into the dist table; the only driver scalar is
+    the improved-count loop terminator. Skew: a hot src's out-edges
+    land in one block and relax candidates are min-reduced per block
+    before the exchange, so the exchange carries distinct dst rows,
+    not edge multiplicity.
+    """
+    import ray
+
+    from docstrange_ray.shuffle import (
+        _strip_schema_metadata,
+        arrow_out,
+        coalesced_blocks,
+        grouped_blocks,
+    )
+
+    seeds = sorted({int(s) for s in seeds})
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+    )
+    if not seeds:
+        return ray.data.from_arrow(empty)
+    edges = _strip_schema_metadata(edges).materialize()  # consumed every round
+
+    if plan == "auto":
+        plan = "broadcast"  # gate-checked per round below
+
+    if plan == "broadcast":
+        dist: dict[int, int] = {s: 0 for s in seeds}
+        frontier: dict[int, int] = dict(dist)
+        for _ in range(max_hops):
+            if not frontier or len(dist) > broadcast_node_limit:
+                break
+            f_ref = ray.put(frontier)
+
+            def relax(batch: pa.Table, _ref=f_ref) -> pd.DataFrame:
+                fr = ray.get(_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                w = batch.column("w").to_numpy(zero_copy_only=False)
+                if (w < 0).any():
+                    raise ValueError("sssp_bounded: negative edge weight")
+                return _relax_frame(
+                    np.fromiter(fr.keys(), dtype=np.int64, count=len(fr)),
+                    np.fromiter(fr.values(), dtype=np.int64, count=len(fr)),
+                    src, dst, w,
+                )
+
+            def min_final(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("node", as_index=False)["dist"].min()
+
+            cand_rows = grouped_blocks(
+                edges.map_batches(arrow_out(relax), batch_format="pyarrow"),
+                ["node"],
+                min_final,
+                num_partitions,
+                batch_format="pandas",
+            ).take_all()  # bounded: distinct improved nodes under the gate
+            frontier = {}
+            for r in cand_rows:
+                v, nd = int(r["node"]), int(r["dist"])
+                if nd < dist.get(v, _INF64):
+                    dist[v] = nd
+                    frontier[v] = nd
+        nodes = np.array(sorted(dist), dtype=np.int64)
+        dd = np.fromiter((dist[int(v)] for v in nodes), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array(nodes, pa.int64()),
+                 "dist": pa.array(dd, pa.int64())}
+            )
+        )
+
+    # ---- join (scale) plan: dist table never leaves the cluster ----
+    state = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array(np.zeros(len(seeds), dtype=np.int64)),
+            }
+        )
+    ).materialize()
+    frontier_ds = state  # (node, dist) improved last round
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        if (w < 0).any():
+            raise ValueError("sssp_bounded: negative edge weight")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("src").cast(pa.int64()),
+                "dst": batch.column("dst").cast(pa.int64()),
+                "w": batch.column("w").cast(pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    for _ in range(max_hops):
+        if frontier_ds.count() == 0:
+            break
+
+        def front_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "dst": pa.nulls(n, pa.int64()),
+                    "w": batch.column("dist").cast(pa.int64()),
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
+
+        def relax_block(block: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            kind = block.column("kind")
+            fr = block.filter(pc.equal(kind, pa.scalar(1, pa.int8())))
+            ed = block.filter(pc.equal(kind, pa.scalar(0, pa.int8())))
+            if fr.num_rows == 0 or ed.num_rows == 0:
+                return pd.DataFrame(
+                    {"node": np.array([], dtype=np.int64),
+                     "dist": np.array([], dtype=np.int64)}
+                )
+            src = ed.column("node").to_numpy(zero_copy_only=False)
+            dst = ed.column("dst").to_numpy(zero_copy_only=False)
+            w = ed.column("w").to_numpy(zero_copy_only=False)
+            return _relax_frame(
+                fr.column("node").to_numpy(zero_copy_only=False).astype(np.int64),
+                fr.column("w").to_numpy(zero_copy_only=False).astype(np.int64),
+                src, dst, w,
+            )
+
+        cand_ds = grouped_blocks(
+            edge_tagged.union(
+                frontier_ds.map_batches(front_rows, batch_format="pyarrow")
+            ),
+            ["node"],
+            relax_block,
+            num_partitions,
+            batch_format="pyarrow",
+        )
+
+        # merge candidates into state keyed by node; improved rows form
+        # the next frontier (tag: state=0, candidate=1)
+        def tag_state(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "dist": batch.column("dist").cast(pa.int64()),
+                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
+
+        def tag_cand(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "dist": batch.column("dist").cast(pa.int64()),
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
+
+        def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+            old = df[df["kind"] == 0].groupby("node")["dist"].min()
+            best = df.groupby("node", as_index=False)["dist"].min()
+            prior = old.reindex(best["node"]).to_numpy()
+            improved = np.isnan(prior) | (best["dist"].to_numpy() < prior)
+            out = best[["node", "dist"]].copy()
+            out["improved"] = improved
+            return out
+
+        merged = grouped_blocks(
+            state.map_batches(tag_state, batch_format="pyarrow").union(
+                _strip_schema_metadata(cand_ds).map_batches(
+                    tag_cand, batch_format="pyarrow"
+                )
+            ),
+            ["node"],
+            min_merge,
+            num_partitions,
+            batch_format="pandas",
+        ).materialize()
+
+        def only_improved(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.equal(batch.column("improved"), pa.scalar(True))
+            ).select(["node", "dist"])
+
+        state = merged.drop_columns(["improved"]).materialize()
+        frontier_ds = merged.map_batches(
+            only_improved, batch_format="pyarrow"
+        ).materialize()
+
+    return state
+
+
+def _relax_frame(fr_nodes, fr_dist, src, dst, w):
+    """Vectorized one-round relaxation: for edges whose src is in the
+    frontier, emit per-dst min(frontier_dist[src] + w) — the per-block
+    pre-reduction that keeps the exchange at distinct-dst scale."""
+    if len(fr_nodes) == 0 or len(src) == 0:
+        return pd.DataFrame(
+            {"node": np.array([], dtype=np.int64),
+             "dist": np.array([], dtype=np.int64)}
+        )
+    base = (
+        pd.Series(fr_dist, index=fr_nodes)
+        .reindex(src.astype(np.int64))
+        .to_numpy(dtype=np.float64)
+    )
+    mask = ~np.isnan(base)
+    if not mask.any():
+        return pd.DataFrame(
+            {"node": np.array([], dtype=np.int64),
+             "dist": np.array([], dtype=np.int64)}
+        )
+    nd = base[mask].astype(np.int64) + w[mask].astype(np.int64)
+    out = (
+        pd.DataFrame({"node": dst[mask].astype(np.int64), "dist": nd})
+        .groupby("node", as_index=False)["dist"]
+        .min()
+    )
+    return out
+
+
+_INF64 = np.iinfo(np.int64).max

@@ -466,3 +466,99 @@ class TestLinkPredictions:
         assert all(a != 0 and b != 0 or (a, b) == (10, 12) for a, b in capped)
         full = self._run(uedges)
         assert len(full) > len(capped)
+
+
+class TestSsspBounded:
+    @staticmethod
+    def _reference(wedges, seeds, max_hops):
+        """Independent Bellman-Ford on dicts: min cost over <= h-hop
+        paths (no shared code with the distributed plans)."""
+        dist = {s: 0 for s in seeds}
+        for _ in range(max_hops):
+            nxt = dict(dist)
+            for s, d, w in wedges:
+                if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        return dist
+
+    @staticmethod
+    def _wedge_ds(wedges, parts=3):
+        tbl = pa.table(
+            {
+                "src": pa.array([s for s, _, _ in wedges], pa.int64()),
+                "dst": pa.array([d for _, d, _ in wedges], pa.int64()),
+                "w": pa.array([w for _, _, w in wedges], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(tbl).repartition(parts)
+
+    def _random_wedges(self, seed, n_nodes=25, n_edges=70, max_w=9):
+        rng = np.random.RandomState(seed)
+        return [
+            (
+                int(rng.randint(0, n_nodes)),
+                int(rng.randint(0, n_nodes)),
+                int(rng.randint(1, max_w + 1)),
+            )
+            for _ in range(n_edges)
+        ]
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.graph import sssp_bounded
+
+        wedges = [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 2), (4, 1, 1),
+                  (5, 1, 2), (1, 6, 7), (6, 2, 1)]
+        seeds = [1, 5]
+        want = self._reference(wedges, seeds, 4)
+        got = {
+            int(r["node"]): int(r["dist"])
+            for r in sssp_bounded(
+                self._wedge_ds(wedges), seeds, max_hops=4, plan=plan
+            ).take_all()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_graphs_both_plans(self, seed):
+        from docstrange_ray.ops.graph import sssp_bounded
+
+        wedges = self._random_wedges(seed)
+        seeds = [0, 1]
+        want = self._reference(wedges, seeds, 3)
+        for plan in ("broadcast", "join"):
+            got = {
+                int(r["node"]): int(r["dist"])
+                for r in sssp_bounded(
+                    self._wedge_ds(wedges), seeds, max_hops=3, plan=plan
+                ).take_all()
+            }
+            assert got == want, plan
+
+    def test_hop_bound_matters(self):
+        # a cheap long path beyond the hop bound must NOT win
+        from docstrange_ray.ops.graph import sssp_bounded
+
+        wedges = [(0, 9, 100)] + [(i, i + 1, 1) for i in range(9)]
+        got2 = {
+            int(r["node"]): int(r["dist"])
+            for r in sssp_bounded(self._wedge_ds(wedges), [0], max_hops=2).take_all()
+        }
+        assert got2[9] == 100  # direct edge; 9-hop path invisible at h=2
+        got9 = {
+            int(r["node"]): int(r["dist"])
+            for r in sssp_bounded(self._wedge_ds(wedges), [0], max_hops=9).take_all()
+        }
+        assert got9[9] == 9
+
+    def test_negative_weight_rejected(self):
+        from docstrange_ray.ops.graph import sssp_bounded
+
+        with pytest.raises(Exception):
+            sssp_bounded(self._wedge_ds([(0, 1, -1)]), [0], max_hops=2).take_all()
+
+    def test_empty_seeds(self):
+        from docstrange_ray.ops.graph import sssp_bounded
+
+        assert sssp_bounded(self._wedge_ds([(0, 1, 1)]), [], max_hops=2).count() == 0

@@ -2254,6 +2254,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.rename(columns={"x": "price_cents", "y": "qty"})
 
+    def textrank_keywords_q(sf_dir):
+        """Corpus TextRank keywords (Mihalcea & Tarau 2004): top-50
+        words by fixed-point integer PageRank (5 iters, d=0.85) over
+        the adjacent-content-word co-occurrence graph. Integer
+        arithmetic + md5-prefix node ids make engine and unrolled-CTE
+        oracle bit-identical (ops/keywords.textrank_keywords)."""
+        from docstrange_ray.ops.keywords import textrank_keywords
+
+        return textrank_keywords(read_docs(sf_dir), k=50)
+
     def rake_keywords_q(sf_dir):
         """Corpus-wide top-50 RAKE keywords (ops/keywords.rake_keywords,
         Rose et al. 2010): punctuation/stopword-delimited candidate
@@ -3238,6 +3248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mode_length": source_mode_length,
         "source_lang_entropy": source_lang_entropy,
         "rake_keywords": rake_keywords_q,
+        "textrank_keywords": textrank_keywords_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "plsa_init_counts": plsa_init_counts,
@@ -3372,26 +3383,25 @@ def _kmeans_cte(k: int, n_iters: int) -> str:
     return "WITH " + ",\n".join(parts)
 
 
-def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
-    """Unrolled-CTE DuckDB mirror of ops.graph.pagerank over the
-    purchase graph: one CTE per iteration, integer floor arithmetic
-    throughout (DuckDB `//`), so the comparison is bit-exact."""
-    head = f"""
-        WITH e AS (
-            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        ), nodes AS (
+def _pagerank_core(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB mirror of ops.graph.pagerank's iteration
+    chain over a caller-provided CTE ``e(src, dst)`` of DISTINCT
+    directed edges: one CTE per iteration, integer floor arithmetic
+    throughout (DuckDB `//`), so the comparison is bit-exact. The
+    returned fragment starts mid-WITH (", nodes AS ...") and defines
+    nodes/nn/deg/r0..r{iters}."""
+    head = f""", nodes AS MATERIALIZED (
             SELECT src AS node FROM e UNION SELECT dst FROM e
-        ), nn AS (SELECT COUNT(*) AS n FROM nodes),
-        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
-        r0 AS (
+        ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        r0 AS MATERIALIZED (
             SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes
         )"""
     its = []
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
         its.append(
-            f""", r{i} AS (
+            f""", r{i} AS MATERIALIZED (
             SELECT n.node,
                    15 * {scale} // (100 * (SELECT n FROM nn))
                    + 85 * (COALESCE(s.insum, 0)
@@ -3408,10 +3418,72 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
             ) s ON s.node = n.node
         )"""
         )
+    return head + "".join(its)
+
+
+def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
+    """_pagerank_core over the distinct customer->supplier purchase
+    graph (parity-disjoint node ids, ops.graph.purchase_pagerank)."""
     return (
-        head
-        + "".join(its)
+        """
+        WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )"""
+        + _pagerank_core(iters, scale)
         + f'\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r{iters}'
+    )
+
+
+def _textrank_oracle(stop_vals: str, k: int = 50, iters: int = 5) -> str:
+    """_pagerank_core over the TextRank word co-occurrence graph
+    (ops/keywords.textrank_keywords contract: content tokens =
+    alphabetic non-stopwords of the ASCII-whitespace split, adjacent
+    distinct pairs, unordered distinct, symmetrized; node id =
+    md5-prefix 60-bit)."""
+    return (
+        rf"""
+        WITH stop(sw) AS (VALUES {stop_vals}),
+        docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, i, ws[i] AS w
+            FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        ), content AS MATERIALIZED (
+            SELECT doc_id, w,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+            FROM tok
+            WHERE regexp_full_match(w, '[a-z]+')
+              AND w NOT IN (SELECT sw FROM stop)
+        ), pair0 AS (
+            SELECT c1.w AS wa, c2.w AS wb
+            FROM content c1 JOIN content c2
+              ON c1.doc_id = c2.doc_id AND c2.rn = c1.rn + 1
+            WHERE c1.w <> c2.w
+        ), wpairs AS MATERIALIZED (
+            SELECT LEAST(wa, wb) AS x, GREATEST(wa, wb) AS y
+            FROM pair0 GROUP BY 1, 2
+        ), wordmap AS MATERIALIZED (
+            SELECT w, CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT)
+                       AS id
+            FROM (SELECT x AS w FROM wpairs UNION SELECT y AS w FROM wpairs)
+        ), e AS MATERIALIZED (
+            SELECT mx.id AS src, my.id AS dst
+            FROM wpairs JOIN wordmap mx ON mx.w = wpairs.x
+                        JOIN wordmap my ON my.w = wpairs.y
+            UNION
+            SELECT my.id AS src, mx.id AS dst
+            FROM wpairs JOIN wordmap mx ON mx.w = wpairs.x
+                        JOIN wordmap my ON my.w = wpairs.y
+        )"""
+        + _pagerank_core(iters)
+        + rf"""
+        SELECT wm.w AS word, CAST(r.r AS BIGINT) AS "rank"
+        FROM r{iters} r JOIN wordmap wm ON wm.id = r.node
+        ORDER BY r.r DESC, wm.w LIMIT {k}"""
     )
 
 
@@ -4340,6 +4412,7 @@ def oracle_sql() -> dict[str, str]:
         # split, stopword grouping (cumulative-anchor idiom), word
         # freq/deg from occurrence-weighted distinct phrases, integer
         # floor-division word scores summed per phrase token
+        "textrank_keywords": _textrank_oracle(_rake_stop_vals),
         "rake_keywords": rf"""
             WITH stop(sw) AS (VALUES {_rake_stop_vals}),
             docs AS (

@@ -259,3 +259,179 @@ def _local_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
             "score_micro": df["score_micro"].to_numpy().astype(np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (Mihalcea & Tarau 2004) — PageRank over the word
+# co-occurrence graph, on the exact-integer pagerank machinery
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[a-z]+\Z", re.ASCII)
+
+
+def _word_node_id(w: str) -> int:
+    """Deterministic 60-bit word node id: int of the first 15 hex chars
+    of md5 — the house SQL-mirrorable hash (< 2^60, BIGINT-safe)."""
+    import hashlib
+
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def content_tokens(text: str) -> list[str]:
+    """TextRank content-token sequence (module contract): lower,
+    ASCII-whitespace split, keep purely alphabetic non-stopwords."""
+    return [
+        w
+        for w in _WS_RE.split((text or "").lower())
+        if w and _WORD_RE.fullmatch(w) and w not in _STOPSET
+    ]
+
+
+def textrank_keywords(
+    ds,
+    k: int = 50,
+    iterations: int = 5,
+    scale: int = 10**12,
+    text_col: str = "text",
+    num_partitions=None,
+):
+    """Corpus-level TextRank keywords: fixed-point integer PageRank
+    (ops/graph.pagerank — 5 iterations, d=0.85, dangling handled) over
+    the word co-occurrence graph, top-``k`` words by (rank DESC, word
+    ASC). Returns pandas DataFrame[(word, rank)] — rank in 1/scale
+    units, bit-identical across plans and to the SQL oracle.
+
+    Graph contract (shared verbatim with the oracle): adjacent pairs of
+    the per-doc CONTENT token sequence (:func:`content_tokens`),
+    equal-word pairs dropped, unordered (min, max) distinct corpus-wide,
+    symmetrized to both directions; node id = md5-prefix
+    (:func:`_word_node_id`).
+
+    Scale shape: ONE (x, y) pair exchange carries per-block DISTINCT
+    pairs (co-occurrence-pair scale, not token scale); the vocabulary
+    table derives from the distinct pair table (Heaps-bounded); ranks
+    rejoin words on ONE vocab-scale tagged-union exchange; top-k is
+    block-local candidates -> one coalesced final. The pagerank inner
+    loop auto-gates broadcast vs co-partition at 2M nodes.
+    """
+    from docstrange_ray.ops.graph import pagerank
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    def pair_scan(batch: pa.Table) -> pd.DataFrame:
+        pairs: set[tuple[str, str]] = set()
+        for t in batch.column(text_col).to_pylist():
+            toks = content_tokens(t)
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    pairs.add((a, b) if a < b else (b, a))
+        if not pairs:
+            return pd.DataFrame({"x": pd.Series([], dtype=object),
+                                 "y": pd.Series([], dtype=object)})
+        xs, ys = zip(*sorted(pairs))
+        return pd.DataFrame({"x": list(xs), "y": list(ys)})
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    wpairs = grouped_blocks(
+        ds.map_batches(arrow_out(pair_scan), batch_format="pyarrow"),
+        ["x", "y"],
+        distinct_pairs,
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    # vocabulary = words of the distinct pair table (Heaps-bounded)
+    def words_local(batch: pa.Table) -> pd.DataFrame:
+        ws = pd.unique(
+            np.concatenate(
+                [
+                    batch.column("x").to_numpy(zero_copy_only=False),
+                    batch.column("y").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pd.DataFrame(
+            {"word": ws,
+             "node": np.array([_word_node_id(w) for w in ws], dtype=np.int64)}
+        )
+
+    def words_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    wordmap = grouped_blocks(
+        wpairs.map_batches(arrow_out(words_local), batch_format="pyarrow"),
+        ["word"],
+        words_final,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def to_edges(batch: pa.Table) -> pd.DataFrame:
+        xs = batch.column("x").to_numpy(zero_copy_only=False)
+        ys = batch.column("y").to_numpy(zero_copy_only=False)
+        xi = np.array([_word_node_id(w) for w in xs], dtype=np.int64)
+        yi = np.array([_word_node_id(w) for w in ys], dtype=np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([xi, yi]), "dst": np.concatenate([yi, xi])}
+        )
+
+    edges = wpairs.map_batches(arrow_out(to_edges), batch_format="pyarrow")
+    # globally distinct by construction: (x, y) pairs are distinct with
+    # x < y, so the two emitted directions cannot collide
+    ranks = pagerank(
+        edges,
+        iterations=iterations,
+        scale=scale,
+        num_partitions=num_partitions,
+        assume_distinct=True,
+    )
+
+    # attach words: vocab-scale tagged union keyed by node id
+    def tag_rank(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"node": df["node"].to_numpy(np.int64), "word": "",
+             "rank": df["rank"].to_numpy(np.int64), "kind": np.int8(0)}
+        )
+
+    def tag_word(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"node": df["node"].to_numpy(np.int64), "word": df["word"],
+             "rank": np.int64(0), "kind": np.int8(1)}
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["kind"] == 0][["node", "rank"]]
+        w = df[df["kind"] == 1][["node", "word"]]
+        out = r.merge(w, on="node", how="inner")
+        return out[["word", "rank"]]
+
+    named = grouped_blocks(
+        ranks.map_batches(arrow_out(tag_rank), batch_format="pyarrow").union(
+            wordmap.map_batches(arrow_out(tag_word), batch_format="pyarrow")
+        ),
+        ["node"],
+        attach,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def local_top(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return df.sort_values(
+            ["rank", "word"], ascending=[False, True]
+        ).head(k)
+
+    cands = named.map_batches(arrow_out(local_top), batch_format="pyarrow")
+    out = coalesced_blocks(
+        cands,
+        lambda df: df.sort_values(["rank", "word"], ascending=[False, True]).head(k),
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"word": pd.Series([], dtype=object),
+             "rank": pd.Series([], dtype=np.int64)}
+        )
+    return out.reset_index(drop=True)

@@ -134,3 +134,99 @@ class TestAsciiWhitespaceParity:
         # no stopwords here, so each fragment IS one phrase on both sides
         assert list(frags) == ["foo", "bar baz"]
         assert got == ["foo", "bar baz"]
+
+
+class TestTextrank:
+    @staticmethod
+    def _tr_reference(texts, k=50, iterations=5, scale=10**12):
+        """Independent dict/loop TextRank under the module contract:
+        content tokens, adjacent distinct unordered pairs, integer
+        pagerank (graph module semantics re-derived, no shared code)."""
+        import hashlib
+        import re as _re
+
+        stop = set(STOPWORDS)
+        word_re = _re.compile(r"[a-z]+\Z", _re.ASCII)
+        ws_re = _re.compile(r"\s+", _re.ASCII)
+        pairs = set()
+        for t in texts:
+            toks = [
+                w
+                for w in ws_re.split((t or "").lower())
+                if w and word_re.fullmatch(w) and w not in stop
+            ]
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    pairs.add((a, b) if a < b else (b, a))
+        wid = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for p in pairs
+            for w in p
+        }
+        edges = sorted(
+            {(wid[a], wid[b]) for a, b in pairs}
+            | {(wid[b], wid[a]) for a, b in pairs}
+        )
+        if not edges:
+            return []
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        n = len(nodes)
+        outdeg = {v: 0 for v in nodes}
+        for s, _ in edges:
+            outdeg[s] += 1
+        t0 = 15 * scale // (100 * n)
+        r = {v: scale // n for v in nodes}
+        for _ in range(iterations):
+            dang = sum(r[v] for v in nodes if outdeg[v] == 0)
+            dshare = dang // n
+            insum = {v: 0 for v in nodes}
+            for s, d in edges:
+                insum[d] += r[s] // outdeg[s]
+            r = {v: t0 + 85 * (insum[v] + dshare) // 100 for v in nodes}
+        by_word = {w: r[i] for w, i in wid.items()}
+        ranked = sorted(by_word.items(), key=lambda t: (-t[1], t[0]))[:k]
+        return ranked
+
+    def _ds(self, texts, parts=4):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": [f"d{i}" for i in range(len(texts))],
+                      "text": texts})
+        ).repartition(parts)
+
+    def test_equals_reference(self):
+        from docstrange_ray.ops.keywords import textrank_keywords
+
+        texts = [
+            "ray data streams arrow blocks across the cluster",
+            "arrow blocks stream through ray tasks and ray actors",
+            "the cluster schedules tasks with backpressure",
+            "data pipelines use arrow and ray for streaming compute",
+            "compute graphs schedule streaming tasks",
+        ] * 3
+        want = self._tr_reference(texts, k=10)
+        got = textrank_keywords(self._ds(texts), k=10)
+        assert list(zip(got["word"], got["rank"].astype(int))) == want
+
+    def test_stopwords_and_nonalpha_excluded(self):
+        from docstrange_ray.ops.keywords import textrank_keywords
+
+        texts = ["the quick2 fox and the lazy dog", "fox dog fox dog"]
+        got = textrank_keywords(self._ds(texts), k=20)
+        words = set(got["word"])
+        assert "the" not in words and "and" not in words
+        assert "quick2" not in words  # non-alphabetic token excluded
+        assert {"fox", "dog"} <= words
+
+    def test_empty_corpus(self):
+        from docstrange_ray.ops.keywords import textrank_keywords
+
+        got = textrank_keywords(self._ds(["", "the a an", "12 34"]), k=5)
+        assert len(got) == 0
+
+    def test_partition_invariance(self):
+        from docstrange_ray.ops.keywords import textrank_keywords
+
+        texts = [f"alpha beta w{i} gamma delta" for i in range(40)]
+        a = textrank_keywords(self._ds(texts, parts=1), k=15)
+        b = textrank_keywords(self._ds(texts, parts=7), k=15)
+        pd.testing.assert_frame_equal(a, b)

@@ -2254,6 +2254,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.rename(columns={"x": "price_cents", "y": "qty"})
 
+    def doc_title_links_q(sf_dir):
+        """Blocked Jaro-Winkler linkage over 24-char document titles
+        (first-4-chars exact blocking, threshold 0.90): the classic
+        record-linkage name matcher. Scores pinned bit-for-bit to
+        DuckDB's jaro_winkler_similarity (ops/entity.jaro_winkler), so
+        threshold cut + micro-unit emit are oracle-exact."""
+        import pyarrow.compute as pc
+
+        from docstrange_ray.ops.entity import jw_linkage
+
+        def titles(batch):
+            t = pc.utf8_slice_codeunits(
+                pc.utf8_lower(batch.column("text")), 0, 24
+            )
+            return pa.table({"doc_id": batch.column("doc_id"), "title": t})
+
+        return jw_linkage(
+            read_docs(sf_dir).map_batches(titles, batch_format="pyarrow"),
+            "doc_id",
+            "title",
+            threshold=0.90,
+        )
+
     def textrank_keywords_q(sf_dir):
         """Corpus TextRank keywords (Mihalcea & Tarau 2004): top-50
         words by fixed-point integer PageRank (5 iters, d=0.85) over
@@ -3249,6 +3272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": source_lang_entropy,
         "rake_keywords": rake_keywords_q,
         "textrank_keywords": textrank_keywords_q,
+        "doc_title_links": doc_title_links_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "plsa_init_counts": plsa_init_counts,
@@ -4413,6 +4437,19 @@ def oracle_sql() -> dict[str, str]:
         # freq/deg from occurrence-weighted distinct phrases, integer
         # floor-division word scores summed per phrase token
         "textrank_keywords": _textrank_oracle(_rake_stop_vals),
+        "doc_title_links": r"""
+            WITH t AS (
+                SELECT doc_id, substr(lower(text), 1, 24) AS nm FROM documents
+            )
+            SELECT CAST(a.doc_id AS VARCHAR) AS a,
+                   CAST(b.doc_id AS VARCHAR) AS b,
+                   CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1000000
+                              + 0.5) AS BIGINT) AS jw_micro
+            FROM t a JOIN t b
+              ON substr(a.nm, 1, 4) = substr(b.nm, 1, 4)
+             AND a.doc_id < b.doc_id
+            WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.90
+        """,
         "rake_keywords": rf"""
             WITH stop(sw) AS (VALUES {_rake_stop_vals}),
             docs AS (

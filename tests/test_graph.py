@@ -562,3 +562,58 @@ class TestSsspBounded:
         from docstrange_ray.ops.graph import sssp_bounded
 
         assert sssp_bounded(self._wedge_ds([(0, 1, 1)]), [], max_hops=2).count() == 0
+
+
+class TestDegreeAssortativity:
+    @staticmethod
+    def _reference(edges):
+        """Independent dict/loop Newman r over the distinct undirected
+        simple graph (stub-based Pearson; no shared code)."""
+        ue = sorted(
+            {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        )
+        deg = {}
+        for a, b in ue:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        m = len(ue)
+        p = sum(deg[a] * deg[b] for a, b in ue)
+        s1 = sum(deg[a] + deg[b] for a, b in ue)
+        s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in ue)
+        num = 4.0 * m * p - float(s1) * s1
+        den = 2.0 * m * s2 - float(s1) * s1
+        from docstrange_ray.numerics import round6
+
+        r = None if den == 0.0 else float(round6(num / den))
+        return m, p, s1, s2, r
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.graph import degree_assortativity
+
+        edges = _random_edges(3, n_nodes=20, n_edges=60)
+        edges = [(a, b) for a, b in edges if a != b]
+        m, p, s1, s2, r = self._reference(edges)
+        row = degree_assortativity(_edge_ds(edges), plan=plan).take_all()[0]
+        assert (
+            int(row["m_edges"]), int(row["sum_jk"]),
+            int(row["sum_j_plus_k"]), int(row["sum_j2_k2"]),
+        ) == (m, p, s1, s2)
+        assert row["assortativity"] == pytest.approx(r, abs=0)
+
+    def test_star_graph_disassortative(self):
+        from docstrange_ray.ops.graph import degree_assortativity
+
+        edges = [(0, i) for i in range(1, 8)]
+        row = degree_assortativity(_edge_ds(edges)).take_all()[0]
+        assert row["assortativity"] == -1.0
+
+    def test_regular_graph_none(self):
+        from docstrange_ray.ops.graph import degree_assortativity
+
+        # 4-cycle: every degree 2 -> zero denominator -> None
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        row = degree_assortativity(_edge_ds(edges)).take_all()[0]
+        import math
+
+        assert row["assortativity"] is None or math.isnan(row["assortativity"])

@@ -2267,6 +2267,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.rename(columns={"x": "price_cents", "y": "qty"})
 
+    def kmeans_clusters_q(sf_dir):
+        """Exact-integer Lloyd k-means (k=8, 2 iterations) over the
+        embeddings table (ops/kmeans.py): quantize-once int64
+        arithmetic, md5-ordered seeding, trunc-division centroid
+        update — plan-independent and bit-equal to the unrolled-CTE
+        oracle. Centroids broadcast per round; points never shuffle."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.kmeans import kmeans_quantized
+
+        emb = read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return kmeans_quantized(emb, k=8, iterations=2)
+
     def doc_title_links_q(sf_dir):
         """Blocked Jaro-Winkler linkage over 24-char document titles
         (first-4-chars exact blocking, threshold 0.90): the classic
@@ -3287,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keywords": rake_keywords_q,
         "textrank_keywords": textrank_keywords_q,
         "doc_title_links": doc_title_links_q,
+        "kmeans_clusters": kmeans_clusters_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "plsa_init_counts": plsa_init_counts,
@@ -3471,6 +3486,69 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
         + _pagerank_core(iters, scale)
         + f'\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r{iters}'
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, q: int = 10**6) -> str:
+    """Unrolled-CTE DuckDB mirror of ops.kmeans.kmeans_quantized over
+    the embeddings table: quantize (sign * floor(|x*q| + 0.5)), seed by
+    (md5_key52, id), per-iteration argmin assignment (ties -> lowest
+    centroid index) + truncated-division centroid update (DuckDB `//`),
+    final assignment emit. Exact integers throughout -> bit-identical."""
+    quant = (
+        f"CAST(CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 "
+        f"THEN FLOOR(CAST(embedding[i] AS DOUBLE) * {q}.0 + 0.5) "
+        f"ELSE -FLOOR(-CAST(embedding[i] AS DOUBLE) * {q}.0 + 0.5) END "
+        f"AS BIGINT)"
+    )
+    sql = f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, i, {quant} AS x
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), seeds AS MATERIALIZED (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                                1, 13))::BIGINT, vec_id
+                   ) - 1 AS cidx
+            FROM (SELECT DISTINCT vec_id FROM embeddings)
+            ORDER BY cidx LIMIT {k}
+        ), c0 AS MATERIALIZED (
+            SELECT s.cidx, p.i, p.x AS v
+            FROM seeds s JOIN pts p ON p.vec_id = s.vec_id
+        )"""
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        sql += f""", d{r} AS MATERIALIZED (
+            SELECT p.vec_id, c.cidx,
+                   CAST(SUM((p.x - c.v) * (p.x - c.v)) AS BIGINT) AS d2
+            FROM pts p JOIN {prev} c ON c.i = p.i
+            GROUP BY 1, 2
+        ), a{r} AS MATERIALIZED (
+            SELECT vec_id, cidx FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cidx) AS rn
+                FROM d{r}
+            ) WHERE rn = 1
+        ), c{r} AS MATERIALIZED (
+            SELECT c.cidx, c.i, CAST(COALESCE(u.v, c.v) AS BIGINT) AS v
+            FROM {prev} c LEFT JOIN (
+                SELECT a.cidx, p.i, SUM(p.x) // COUNT(*) AS v
+                FROM a{r} a JOIN pts p ON p.vec_id = a.vec_id
+                GROUP BY 1, 2
+            ) u ON u.cidx = c.cidx AND u.i = c.i
+        )"""
+    sql += f""", dF AS MATERIALIZED (
+            SELECT p.vec_id, c.cidx,
+                   CAST(SUM((p.x - c.v) * (p.x - c.v)) AS BIGINT) AS d2
+            FROM pts p JOIN c{iters} c ON c.i = p.i
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, CAST(cidx AS BIGINT) AS cluster, d2 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, cidx) AS rn
+            FROM dF
+        ) WHERE rn = 1"""
+    return sql
 
 
 def _textrank_oracle(stop_vals: str, k: int = 50, iters: int = 5) -> str:
@@ -4486,6 +4564,7 @@ def oracle_sql() -> dict[str, str]:
         # freq/deg from occurrence-weighted distinct phrases, integer
         # floor-division word scores summed per phrase token
         "textrank_keywords": _textrank_oracle(_rake_stop_vals),
+        "kmeans_clusters": _kmeans_oracle(),
         "doc_title_links": r"""
             WITH t AS (
                 SELECT doc_id, substr(lower(text), 1, 24) AS nm FROM documents

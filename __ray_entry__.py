@@ -2267,6 +2267,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.rename(columns={"x": "price_cents", "y": "qty"})
 
+    def cosine_pairs_exact_q(sf_dir):
+        """EXACT quantized-cosine similarity self-join (t=0.30) over
+        the embeddings table (semantic.cosine_join_exact): int64
+        quantize-once coordinates make every dot/norm exact in float64
+        matmul; the threshold cut is an arbitrary-precision integer
+        predicate; cos6 is IEEE-deterministic. The SQL-green complement
+        to the LSH/IVF recall-oracle paths."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.semantic import cosine_join_exact
+
+        emb = read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return cosine_join_exact(emb, threshold_num=30, threshold_den=100)
+
     def kmeans_clusters_q(sf_dir):
         """Exact-integer Lloyd k-means (k=8, 2 iterations) over the
         embeddings table (ops/kmeans.py): quantize-once int64
@@ -3270,6 +3285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": dup_spans_q,
         "dup_spans_exact": dup_spans_exact_q,
         "kmeans_clusters": kmeans_clusters_q,
+        "cosine_pairs_exact": cosine_pairs_exact_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann_topk,
@@ -3302,6 +3318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": textrank_keywords_q,
         "doc_title_links": doc_title_links_q,
         "kmeans_clusters": kmeans_clusters_q,
+        "cosine_pairs_exact": cosine_pairs_exact_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "plsa_init_counts": plsa_init_counts,
@@ -4565,6 +4582,31 @@ def oracle_sql() -> dict[str, str]:
         # floor-division word scores summed per phrase token
         "textrank_keywords": _textrank_oracle(_rake_stop_vals),
         "kmeans_clusters": _kmeans_oracle(),
+        "cosine_pairs_exact": r"""
+            WITH pts AS MATERIALIZED (
+                SELECT vec_id, i,
+                       CAST(CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+                            THEN FLOOR(CAST(embedding[i] AS DOUBLE)
+                                       * 1000000.0 + 0.5)
+                            ELSE -FLOOR(-CAST(embedding[i] AS DOUBLE)
+                                        * 1000000.0 + 0.5) END AS BIGINT) AS x
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            ), nrm AS MATERIALIZED (
+                SELECT vec_id, SUM(x * x) AS n2 FROM pts GROUP BY 1
+            ), dots AS MATERIALIZED (
+                SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS dot
+                FROM pts a JOIN pts b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT d.a, d.b, CAST(d.dot AS BIGINT) AS dot_q,
+                   ROUND(CAST(d.dot AS DOUBLE)
+                         / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                         6) AS cos6
+            FROM dots d JOIN nrm na ON na.vec_id = d.a
+                        JOIN nrm nb ON nb.vec_id = d.b
+            WHERE d.dot >= 0
+              AND 100 * 100 * d.dot * d.dot >= 30 * 30 * na.n2 * nb.n2
+        """,
         "doc_title_links": r"""
             WITH t AS (
                 SELECT doc_id, substr(lower(text), 1, 24) AS nm FROM documents

@@ -498,3 +498,110 @@ def kcenter_select(
             "dist": [s[2] for s in selected],
         }
     )
+
+
+def cosine_join_exact(
+    ds,
+    threshold_num: int = 30,
+    threshold_den: int = 100,
+    q: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_limit: int | None = None,
+):
+    """EXACT cosine similarity self-join over quantized embeddings —
+    the SQL-checkable complement to the float LSH/IVF near-dup paths:
+    no recall gap, no float-reduction ambiguity, every pair with
+    cos(qx, qy) >= num/den present with a bit-deterministic score.
+
+    Exactness argument (why floats can't break it): coordinates are
+    quantized ONCE to int64 (``kmeans.quantize_vec``); for unit-norm
+    embeddings at q = 1e6 every product |xi*yi| <= 1e12 and every dot
+    or norm sum <= dim * 1e12 << 2^53, so the float64 MATMUL that
+    computes them is EXACT integer arithmetic. The threshold cut is
+    then the integer predicate ``dot >= 0 AND den^2*dot^2 >=
+    num^2*n2a*n2b`` — dot^2 (~1e27) overflows float53 AND int64, so a
+    float pre-cut with a 1e-9 relative band selects candidates and the
+    borderline band is re-checked in arbitrary-precision Python ints
+    (the exact-geometry two-tier idiom). Emitted ``cos6`` =
+    round6(dot / sqrt(double(n2a) * n2b)) — IEEE mult/sqrt/div are
+    correctly rounded, so DuckDB computes the identical bits from the
+    identical integers.
+
+    Scale shape: the quantized matrix is ray.put-broadcast ONCE and
+    each block matmuls its rows against it (the ops/dedup
+    EMBED_BRUTE_ROW_LIMIT gate; above it exact all-pairs is O(n^2) BY
+    NATURE — use the LSH/IVF/semantic paths and their planted-recall
+    oracles instead). Output is pair-scale.
+
+    Returns Dataset[(a, b, dot_q, cos6)] with a < b (id order).
+    """
+    import ray
+
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.ops.dedup import EMBED_BRUTE_ROW_LIMIT
+    from docstrange_ray.ops.kmeans import quantize_vec
+    from docstrange_ray.shuffle import arrow_out
+
+    if brute_limit is None:
+        brute_limit = EMBED_BRUTE_ROW_LIMIT
+    n_rows = ds.count()
+    if n_rows > brute_limit:
+        raise ValueError(
+            f"cosine_join_exact: {n_rows} rows exceeds brute_limit="
+            f"{brute_limit}; exact all-pairs is quadratic by nature — "
+            "use embedding_near_dups (LSH) / semantic_dedup at this scale"
+        )
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()  # gated above
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = quantize_vec(
+        np.array([rows[i][vec_col] for i in order], dtype=np.float64), q
+    ).astype(np.float64)
+    n2 = np.einsum("nd,nd->n", mat, mat)  # exact (< 2^53)
+    ref = ray.put((ids, mat, n2))
+
+    tn2 = threshold_num * threshold_num
+    td2 = threshold_den * threshold_den
+
+    def block_pairs(batch: pa.Table) -> pd.DataFrame:
+        all_ids, M, N2 = ray.get(ref)
+        bid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = quantize_vec(
+            np.array(batch.column(vec_col).to_pylist(), dtype=np.float64), q
+        ).astype(np.float64)
+        bn2 = np.einsum("nd,nd->n", bmat, bmat)
+        dots = bmat @ M.T  # exact integers in float64
+        # float pre-cut with relative band, then exact int verify
+        denom = np.sqrt(bn2[:, None] * N2[None, :])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosf = np.where(denom > 0, dots / denom, 0.0)
+        t = threshold_num / threshold_den
+        cand_i, cand_j = np.nonzero(
+            (cosf >= t - 1e-9) & (bid[:, None] < all_ids[None, :])
+        )
+        out_a, out_b, out_d, out_c = [], [], [], []
+        for i, j in zip(cand_i, cand_j):
+            d = int(dots[i, j])
+            if d < 0:
+                continue
+            if td2 * d * d < tn2 * int(bn2[i]) * int(N2[j]):  # exact ints
+                continue
+            out_a.append(int(bid[i]))
+            out_b.append(int(all_ids[j]))
+            out_d.append(d)
+            out_c.append(
+                float(round6(d / np.sqrt(float(bn2[i]) * float(N2[j]))))
+            )
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype=np.int64),
+                "b": pd.Series(out_b, dtype=np.int64),
+                "dot_q": pd.Series(out_d, dtype=np.int64),
+                "cos6": pd.Series(out_c, dtype=np.float64),
+            }
+        )
+
+    return ds.map_batches(arrow_out(block_pairs), batch_format="pyarrow")

@@ -263,3 +263,91 @@ class TestHashedDocVectors:
         found = set(zip(pairs["id_a"], pairs["id_b"]))
         assert (0, 1) in found or (1, 0) in found
         assert not any(2 in p for p in found)
+
+
+class TestCosineJoinExact:
+    @staticmethod
+    def _reference(ids, vecs, num, den, q=10**6):
+        from docstrange_ray.numerics import round6
+        from docstrange_ray.ops.kmeans import quantize_vec
+
+        # the Dataset column is list<float32>: round-trip first
+        qm = quantize_vec(np.asarray(vecs, dtype=np.float32).astype(np.float64), q)
+        out = []
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if ids[i] >= ids[j]:
+                    continue
+                d = int(np.dot(qm[i].astype(object), qm[j].astype(object)))
+                na = int(np.dot(qm[i].astype(object), qm[i].astype(object)))
+                nb = int(np.dot(qm[j].astype(object), qm[j].astype(object)))
+                if d < 0 or den * den * d * d < num * num * na * nb:
+                    continue
+                c6 = float(round6(float(d) / np.sqrt(float(na) * float(nb))))
+                out.append((ids[i], ids[j], d, c6))
+        return sorted(out)
+
+    def _ds(self, ids, vecs, parts=3):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "embedding": pa.array(
+                     [list(map(float, v)) for v in vecs],
+                     pa.list_(pa.float32()))}
+            )
+        ).repartition(parts)
+
+    def test_equals_reference(self):
+        from docstrange_ray.ops.semantic import cosine_join_exact
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 8)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = list(range(40))
+        want = self._reference(ids, vecs, 30, 100)
+        got = sorted(
+            (int(r["a"]), int(r["b"]), int(r["dot_q"]), float(r["cos6"]))
+            for r in cosine_join_exact(self._ds(ids, vecs)).take_all()
+        )
+        assert got == want and len(want) > 0
+
+    def test_exact_boundary_pair_included(self):
+        from docstrange_ray.ops.semantic import cosine_join_exact
+
+        # qx=(3,4), qy=(4,3): cos = 24/25 exactly
+        vecs = [[3e-6, 4e-6], [4e-6, 3e-6]]
+        got = cosine_join_exact(
+            self._ds([1, 2], vecs), threshold_num=24, threshold_den=25
+        ).take_all()
+        assert len(got) == 1 and int(got[0]["dot_q"]) == 24
+        got2 = cosine_join_exact(
+            self._ds([1, 2], vecs), threshold_num=9601, threshold_den=10000
+        ).take_all()
+        assert len(got2) == 0
+
+    def test_partition_invariance(self):
+        from docstrange_ray.ops.semantic import cosine_join_exact
+
+        rng = np.random.RandomState(8)
+        vecs = rng.randn(50, 6)
+        ids = list(range(50))
+        a = sorted(
+            tuple(r.values())
+            for r in cosine_join_exact(self._ds(ids, vecs, parts=1)).take_all()
+        )
+        b = sorted(
+            tuple(r.values())
+            for r in cosine_join_exact(self._ds(ids, vecs, parts=8)).take_all()
+        )
+        assert a == b
+
+    def test_gate_raises(self):
+        from docstrange_ray.ops.semantic import cosine_join_exact
+
+        rng = np.random.RandomState(0)
+        with pytest.raises(ValueError):
+            cosine_join_exact(
+                self._ds(list(range(20)), rng.randn(20, 4)), brute_limit=10
+            )

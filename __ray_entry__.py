@@ -2267,6 +2267,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.rename(columns={"x": "price_cents", "y": "qty"})
 
+    def kcenter_coreset_exact_q(sf_dir):
+        """Greedy k-center (k=8) in exact int64 squared-L2 over the
+        quantized embeddings (semantic.kcenter_select_exact) — the
+        SQL-green twin of kcenter_coreset's float-cosine traversal
+        (monotone-equivalent on unit-norm vectors)."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.semantic import kcenter_select_exact
+
+        emb = read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return kcenter_select_exact(emb, k=8)
+
     def cosine_pairs_exact_q(sf_dir):
         """EXACT quantized-cosine similarity self-join (t=0.30) over
         the embeddings table (semantic.cosine_join_exact): int64
@@ -3286,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_exact": dup_spans_exact_q,
         "kmeans_clusters": kmeans_clusters_q,
         "cosine_pairs_exact": cosine_pairs_exact_q,
+        "kcenter_coreset_exact": kcenter_coreset_exact_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann_topk,
@@ -3319,6 +3333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_title_links": doc_title_links_q,
         "kmeans_clusters": kmeans_clusters_q,
         "cosine_pairs_exact": cosine_pairs_exact_q,
+        "kcenter_coreset_exact": kcenter_coreset_exact_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "plsa_init_counts": plsa_init_counts,
@@ -3503,6 +3518,52 @@ def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
         + _pagerank_core(iters, scale)
         + f'\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r{iters}'
     )
+
+
+def _kcenter_oracle(k: int = 8, q: int = 10**6) -> str:
+    """Unrolled-CTE mirror of semantic.kcenter_select_exact: one
+    (min-dist, argmax, union) CTE triple per greedy round, exact int64
+    squared-L2 on the quantized coordinates, ties on lowest id."""
+    quant = (
+        f"CAST(CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 "
+        f"THEN FLOOR(CAST(embedding[i] AS DOUBLE) * {q}.0 + 0.5) "
+        f"ELSE -FLOOR(-CAST(embedding[i] AS DOUBLE) * {q}.0 + 0.5) END "
+        f"AS BIGINT)"
+    )
+    sql = f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, i, {quant} AS x
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), sel0 AS MATERIALIZED (
+            SELECT MIN(vec_id) AS id FROM pts
+        )"""
+    for j in range(1, k):
+        sql += f""", m{j} AS MATERIALIZED (
+            SELECT t.vid AS id, MIN(t.d2) AS d2 FROM (
+                SELECT a.vec_id AS vid, s.id AS cid,
+                       SUM((a.x - c.x) * (a.x - c.x)) AS d2
+                FROM sel{j - 1} s
+                JOIN pts c ON c.vec_id = s.id
+                JOIN pts a ON a.i = c.i
+                GROUP BY 1, 2
+            ) t
+            WHERE t.vid NOT IN (SELECT id FROM sel{j - 1})
+            GROUP BY 1
+        ), w{j} AS MATERIALIZED (
+            SELECT id, CAST(d2 AS BIGINT) AS d2
+            FROM m{j} ORDER BY d2 DESC, id LIMIT 1
+        ), sel{j} AS MATERIALIZED (
+            SELECT id FROM sel{j - 1} UNION ALL SELECT id FROM w{j}
+        )"""
+    finals = [
+        "SELECT CAST(0 AS BIGINT) AS sel_order, id, "
+        "CAST(-1 AS BIGINT) AS d2 FROM sel0"
+    ]
+    for j in range(1, k):
+        finals.append(
+            f"SELECT CAST({j} AS BIGINT) AS sel_order, id, d2 FROM w{j}"
+        )
+    return sql + "\n        " + "\n        UNION ALL ".join(finals)
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 2, q: int = 10**6) -> str:
@@ -4582,6 +4643,7 @@ def oracle_sql() -> dict[str, str]:
         # floor-division word scores summed per phrase token
         "textrank_keywords": _textrank_oracle(_rake_stop_vals),
         "kmeans_clusters": _kmeans_oracle(),
+        "kcenter_coreset_exact": _kcenter_oracle(),
         "cosine_pairs_exact": r"""
             WITH pts AS MATERIALIZED (
                 SELECT vec_id, i,

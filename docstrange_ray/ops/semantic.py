@@ -605,3 +605,119 @@ def cosine_join_exact(
         )
 
     return ds.map_batches(arrow_out(block_pairs), batch_format="pyarrow")
+
+
+def kcenter_select_exact(
+    ds,
+    k: int,
+    q: int = 10**6,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Greedy k-center (Gonzalez 1985) in EXACT integer arithmetic —
+    the SQL-green twin of :func:`kcenter_select` (same
+    farthest-point-traversal shape; squared-L2 on quantize-once int64
+    coordinates instead of float cosine — monotone-equivalent for the
+    unit-norm embeddings this runs on, since d2 = 2 - 2 cos there).
+
+    Determinism: every pairwise d2 is an exact integer (< 2^53, so the
+    float64 matmul computing it is exact — the ops/kmeans argument);
+    argmax ties break on lowest id; already-selected ids are excluded
+    (an all-coincident-points corpus would otherwise re-pick the
+    seed). Output is a pure function of the input at any parallelism,
+    mirrored by k unrolled CTEs in the oracle.
+
+    Same broadcast-and-scan shape as kcenter_select: per round the
+    (j x d) int center matrix is ray.put once, each block emits ONE
+    candidate row, one coalesced global argmax.
+
+    Returns pandas DataFrame [(sel_order, id, d2)] — d2 int64, -1
+    sentinel for the seed.
+    """
+    import ray
+
+    from docstrange_ray.ops.kmeans import quantize_vec
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+    def quant(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype=np.int64),
+                 "qv": pd.Series([], dtype=object)}
+            )
+        mat = quantize_vec(
+            np.asarray(batch.column(col).to_pylist(), dtype=np.float64), q
+        )
+        return pd.DataFrame({"id": ids, "qv": [r.tobytes() for r in mat]})
+
+    pts = ds.map_batches(arrow_out(quant), batch_format="pyarrow").materialize()
+    n = pts.count()
+    if n == 0 or k <= 0:
+        return pd.DataFrame(
+            {"sel_order": pd.Series([], dtype=np.int64),
+             "id": pd.Series([], dtype=np.int64),
+             "d2": pd.Series([], dtype=np.int64)}
+        )
+
+    from ray.data.aggregate import Min
+
+    seed_id = int(pts.aggregate(Min("id"))["min(id)"])
+    seed_vec = np.frombuffer(
+        pts.filter(expr=f"id == {seed_id}").take(1)[0]["qv"], dtype=np.int64
+    )
+    selected = [(0, seed_id, -1)]
+    centers = [seed_vec]
+
+    for j in range(1, min(k, n)):
+        cref = ray.put(
+            (np.stack(centers).astype(np.float64),
+             frozenset(s[1] for s in selected))
+        )
+
+        def local_far(batch: pa.Table, _cref=cref) -> pd.DataFrame:
+            C, taken = ray.get(_cref)
+            df = batch.to_pandas()
+            df = df[~df["id"].isin(taken)]
+            if df.empty:
+                return pd.DataFrame(
+                    {"id": pd.Series([], dtype=np.int64),
+                     "d2": pd.Series([], dtype=np.int64),
+                     "qv": pd.Series([], dtype=object)}
+                )
+            ids = df["id"].to_numpy(np.int64)
+            mat = np.stack(
+                [np.frombuffer(b, dtype=np.int64) for b in df["qv"]]
+            ).astype(np.float64)
+            # d2 to each center, exact in float64: |x|^2 + |c|^2 - 2 x.c
+            x2 = np.einsum("nd,nd->n", mat, mat)
+            c2 = np.einsum("kd,kd->k", C, C)
+            d2 = (x2[:, None] + c2[None, :] - 2.0 * (mat @ C.T)).min(axis=1)
+            order = np.lexsort((ids, -d2))
+            b = order[0]
+            return pd.DataFrame(
+                {"id": [int(ids[b])], "d2": [int(d2[b])],
+                 "qv": [df["qv"].iloc[b]]}
+            )
+
+        def global_far(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["d2", "id"], ascending=[False, True])
+            return df.head(1)
+
+        win = coalesced_blocks(
+            pts.map_batches(arrow_out(local_far), batch_format="pyarrow"),
+            global_far,
+        ).take_all()
+        if not win:
+            break
+        w = win[0]
+        selected.append((j, int(w["id"]), int(w["d2"])))
+        centers.append(np.frombuffer(w["qv"], dtype=np.int64))
+
+    return pd.DataFrame(
+        {
+            "sel_order": pd.Series([s[0] for s in selected], dtype=np.int64),
+            "id": pd.Series([s[1] for s in selected], dtype=np.int64),
+            "d2": pd.Series([s[2] for s in selected], dtype=np.int64),
+        }
+    )

@@ -351,3 +351,72 @@ class TestCosineJoinExact:
             cosine_join_exact(
                 self._ds(list(range(20)), rng.randn(20, 4)), brute_limit=10
             )
+
+
+class TestKcenterExact:
+    @staticmethod
+    def _reference(ids, vecs, k, q=10**6):
+        from docstrange_ray.ops.kmeans import quantize_vec
+
+        qm = quantize_vec(np.asarray(vecs, dtype=np.float32).astype(np.float64), q)
+        by_id = dict(zip(ids, qm))
+        sel = [min(ids)]
+        out = [(0, sel[0], -1)]
+        for j in range(1, min(k, len(ids))):
+            best = None
+            for i in sorted(ids):
+                if i in sel:
+                    continue
+                d2 = min(
+                    int(sum((int(a) - int(b)) ** 2
+                            for a, b in zip(by_id[i], by_id[c])))
+                    for c in sel
+                )
+                if best is None or d2 > best[1]:
+                    best = (i, d2)
+            out.append((j, best[0], best[1]))
+            sel.append(best[0])
+        return out
+
+    def _ds(self, ids, vecs, parts=4):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                       pa.list_(pa.float32()))}
+            )
+        ).repartition(parts)
+
+    def test_equals_reference(self):
+        from docstrange_ray.ops.semantic import kcenter_select_exact
+
+        rng = np.random.RandomState(4)
+        vecs = rng.randn(30, 5)
+        ids = list(range(30))
+        want = self._reference(ids, vecs, k=6)
+        got = kcenter_select_exact(self._ds(ids, vecs), k=6)
+        assert (
+            list(zip(got["sel_order"].astype(int), got["id"].astype(int),
+                     got["d2"].astype(int)))
+            == want
+        )
+
+    def test_partition_invariance(self):
+        from docstrange_ray.ops.semantic import kcenter_select_exact
+
+        rng = np.random.RandomState(6)
+        vecs = rng.randn(40, 4)
+        ids = list(range(40))
+        a = kcenter_select_exact(self._ds(ids, vecs, parts=1), k=5)
+        b = kcenter_select_exact(self._ds(ids, vecs, parts=9), k=5)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_coincident_points_no_repick(self):
+        from docstrange_ray.ops.semantic import kcenter_select_exact
+
+        vecs = [[1.0, 2.0]] * 5
+        got = kcenter_select_exact(self._ds(list(range(5)), vecs), k=3)
+        assert list(got["id"].astype(int)) == [0, 1, 2]
+        assert list(got["d2"].astype(int)) == [-1, 0, 0]

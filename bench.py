@@ -154,6 +154,8 @@ OP_GROUPS: list[list[str]] = [
         "rake_keywords",
         "plsa_doc_topics",
         "customer_scd2",
+        "textrank_keywords",
+        "kn_perplexity",
     ],
     [
         "exact_dedup",
@@ -172,6 +174,8 @@ OP_GROUPS: list[list[str]] = [
         "image_near_dups",
         "audio_fp_dups",
         "entity_matches",
+        "doc_title_links",
+        "cosine_pairs_exact",
     ],
     [
         "pack_offsets",
@@ -188,6 +192,9 @@ OP_GROUPS: list[list[str]] = [
         "pca_project",
         "price_quantile_select",
         "returnflag_price_quantiles",
+        "kmeans_clusters",
+        "kcenter_coreset_exact",
+        "hnsw_ann_topk",
     ],
     [
         "q1_pricing",
@@ -211,6 +218,8 @@ OP_GROUPS: list[list[str]] = [
         "price_qty_frontier",
         "returnflag_price_regression",
         "source_length_mwu",
+        "copurchase_cheapest",
+        "copurchase_assortativity",
     ],
 ]
 

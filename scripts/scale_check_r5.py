@@ -34,6 +34,8 @@ from docstrange_ray.shuffle import ensure_hash_shuffle
 
 ensure_hash_shuffle()
 
+ONLY = set(os.environ.get("R5_ONLY", "").split(",")) - {""}
+
 SMALL = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 BIG = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
 A_SMALL = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
@@ -164,6 +166,10 @@ def synth_audio(n: int):
                                          batch_size=512)
 
 
+def _want(key: str) -> bool:
+    return not ONLY or key in ONLY
+
+
 def timed(name, n, fn):
     t0 = time.time()
     out = fn()
@@ -183,11 +189,14 @@ def run(n: int, an: int) -> dict:
     from docstrange_ray.ops.tree import train_histogram_tree
 
     res = {}
-    rows = synth_texts(n).materialize()
-    res["editjoin"] = timed(
-        "edit_distance_join", n,
-        lambda: edit_distance_join(rows, tau=2),
-    )
+    rows = None
+    if any(_want(k) for k in ("editjoin", "entity", "plsa", "tree", "bytebpe")):
+        rows = synth_texts(n).materialize()
+    if _want("editjoin"):
+        res["editjoin"] = timed(
+            "edit_distance_join", n,
+            lambda: edit_distance_join(rows, tau=2),
+        )
 
     def score(df):
         return (
@@ -195,27 +204,35 @@ def run(n: int, an: int) -> dict:
             + 1 * (df["name_a"].to_numpy() == df["name_b"].to_numpy())
         ).astype(np.int64)
 
-    res["entity"] = timed(
-        "resolve_entities", n,
-        lambda: resolve_entities(
-            synth_records(n), id_col="rec_id",
-            block_keys=[["phone"], ["zip"]], pair_score=score, threshold=3,
-        ),
-    )
-    res["plsa"] = timed(
-        "plsa_train+doc_topics", n,
-        lambda: doc_topics(
-            plsa_train(rows, k=6, iters=3, doc_col="did"), k=6, doc_col="did"
-        ),
-    )
-    res["tree"] = timed(
-        "train_histogram_tree", n,
-        lambda: train_histogram_tree(rows, ["val", "y"], "label", max_depth=2),
-    )
-    res["bytebpe"] = timed(
-        "byte_bpe_train(distributed)", n,
-        lambda: byte_bpe_train(rows, n_merges=8, plan="distributed"),
-    )
+    if _want("entity"):
+        res["entity"] = timed(
+            "resolve_entities", n,
+            lambda: resolve_entities(
+                synth_records(n), id_col="rec_id",
+                block_keys=[["phone"], ["zip"]], pair_score=score, threshold=3,
+            ),
+        )
+    if _want("plsa"):
+        res["plsa"] = timed(
+            "plsa_train+doc_topics", n,
+            lambda: doc_topics(
+                plsa_train(rows, k=6, iters=3, doc_col="did"), k=6,
+                doc_col="did"
+            ),
+        )
+    if _want("tree"):
+        res["tree"] = timed(
+            "train_histogram_tree", n,
+            lambda: train_histogram_tree(rows, ["val", "y"], "label",
+                                         max_depth=2),
+        )
+    if _want("bytebpe"):
+        res["bytebpe"] = timed(
+            "byte_bpe_train(distributed)", n,
+            lambda: byte_bpe_train(rows, n_merges=8, plan="distributed"),
+        )
+    if not _want("audiofp"):
+        return res
     audio = synth_audio(an).materialize()
     # min_votes=25: unrelated two-tone clips max out near 11 shared-
     # offset votes (measured) while planted shifted copies score ~93 —

@@ -2051,23 +2051,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_to_int=to_int_units(100),
         )
 
-    def entity_matches(sf_dir):
-        """Record linkage (ops/entity.py — Fellegi-Sunter shape): a
-        deterministic dirty-records fixture over customer (every 3rd
-        customer gains a duplicate with a 1-char name typo; every 6th
-        also a corrupted phone digit), candidates from the UNION of
-        two blocking passes (exact phone; exact nation+balance — the
-        corrupted-phone dups only survive via pass 2), integer
-        agreement weights (phone 25, name-edit<=1 30, nation 10,
-        balance 15), matches at >= 55. Everything integer and
-        arithmetic-derived, so the oracle rebuilds the records AND the
-        pipeline in SQL."""
-        import numpy as np
-
+    def _entity_records(sf_dir):
+        """Shared dirty-records fixture for the linkage family (see
+        entity_matches docstring for the corruption rules)."""
         from docstrange_ray.io import read_parquet_clean
         from docstrange_ray.numerics import to_int_units
-        from docstrange_ray.ops.editjoin import _banded_distance
-        from docstrange_ray.ops.entity import resolve_entities
 
         cust = read_parquet_clean(
             f"{sf_dir}/customer.parquet",
@@ -2108,7 +2096,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        recs = cust.map_batches(to_records, batch_format="pyarrow")
+        return cust.map_batches(to_records, batch_format="pyarrow")
+
+    def entity_matches(sf_dir):
+        """Record linkage (ops/entity.py — Fellegi-Sunter shape): a
+        deterministic dirty-records fixture over customer (every 3rd
+        customer gains a duplicate with a 1-char name typo; every 6th
+        also a corrupted phone digit), candidates from the UNION of
+        two blocking passes (exact phone; exact nation+balance — the
+        corrupted-phone dups only survive via pass 2), integer
+        agreement weights (phone 25, name-edit<=1 30, nation 10,
+        balance 15), matches at >= 55. Everything integer and
+        arithmetic-derived, so the oracle rebuilds the records AND the
+        pipeline in SQL."""
+        import numpy as np
+
+        from docstrange_ray.ops.editjoin import _banded_distance
+        from docstrange_ray.ops.entity import resolve_entities
+
+        recs = _entity_records(sf_dir)
 
         def pair_score(df):
             s = np.where(
@@ -2135,6 +2141,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=55,
         )
         return out.rename(columns={"id_a": "rec_id_a", "id_b": "rec_id_b"})
+
+    def golden_customers_q(sf_dir):
+        """Golden-record survivorship merge (entity.golden_records) on
+        the linkage fixture: Fellegi-Sunter match pairs -> connected-
+        component clusters (singletons kept) -> deterministic rules
+        (longest-then-lexico name, MIN phone/nation, MAX bal). The SQL
+        oracle rebuilds the records, the matcher, a recursive-CTE CC,
+        and the window/aggregate rules end to end."""
+        import ray.data as _rd
+
+        from docstrange_ray.ops.entity import golden_records
+
+        recs = _entity_records(sf_dir).materialize()
+        pairs_df = entity_matches(sf_dir)
+        pairs = _rd.from_arrow(
+            pa.table(
+                {"id_a": pa.array(pairs_df["rec_id_a"].astype("int64")),
+                 "id_b": pa.array(pairs_df["rec_id_b"].astype("int64"))}
+            )
+        )
+        return golden_records(
+            recs,
+            pairs,
+            id_col="rec_id",
+            longest_cols=("name",),
+            min_cols=("phone", "nation"),
+            max_cols=("bal",),
+        )
 
     def kcenter_coreset(sf_dir):
         """Greedy k-center coreset over the embeddings table
@@ -3320,6 +3354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_corr": returnflag_price_corr,
         "returnflag_price_regression": returnflag_price_regression,
         "entity_matches": entity_matches,
+        "golden_customers": golden_customers_q,
         "customer_k_anonymity": customer_k_anonymity,
         "price_qty_frontier": price_qty_frontier,
         "isotonic_calibration": isotonic_calibration,
@@ -4523,6 +4558,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n < 5 AS BIGINT) AS at_risk_k,
                    CAST(n_sensitive < 2 AS BIGINT) AS at_risk_l
             FROM g WHERE n < 5 OR n_sensitive < 2
+        """,
+        "golden_customers": """
+            WITH RECURSIVE cust AS (
+                SELECT c_custkey AS k, c_name, c_nationkey,
+                       CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal,
+                       '(' || CAST(10 + c_custkey % 90 AS VARCHAR) || ')'
+                           || lpad(CAST((c_custkey*7) % 10000000 AS VARCHAR),
+                                   7, '0') AS phone
+                FROM customer
+            ), recs AS MATERIALIZED (
+                SELECT k*2 AS rec_id, c_name AS name, phone,
+                       c_nationkey AS nation, bal
+                FROM cust
+                UNION ALL
+                SELECT k*2+1,
+                       substr(c_name, 1, 9 + (k % 9))
+                           || substr(c_name, 11 + (k % 9)),
+                       CASE WHEN k % 6 = 0 THEN
+                           substr(phone, 1, length(phone)-1) ||
+                           CAST((CAST(substr(phone, length(phone), 1) AS INT)
+                                 + 1) % 10 AS VARCHAR)
+                       ELSE phone END,
+                       c_nationkey, bal
+                FROM cust WHERE k % 3 = 0
+            ), blocks AS (
+                SELECT a.rec_id AS ia, b.rec_id AS ib
+                FROM recs a JOIN recs b
+                  ON a.rec_id < b.rec_id AND a.phone = b.phone
+                UNION
+                SELECT a.rec_id, b.rec_id
+                FROM recs a JOIN recs b
+                  ON a.rec_id < b.rec_id
+                 AND a.nation = b.nation AND a.bal = b.bal
+            ), matches AS MATERIALIZED (
+                SELECT ia AS a, ib AS b FROM blocks
+                JOIN recs ra ON ra.rec_id = ia
+                JOIN recs rb ON rb.rec_id = ib
+                WHERE (CASE WHEN ra.phone = rb.phone THEN 25 ELSE 0 END)
+                    + (CASE WHEN levenshtein(ra.name, rb.name) <= 1
+                            THEN 30 ELSE 0 END)
+                    + (CASE WHEN ra.nation = rb.nation THEN 10 ELSE 0 END)
+                    + (CASE WHEN ra.bal = rb.bal THEN 15 ELSE 0 END) >= 55
+            ), e AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM matches
+                UNION
+                SELECT b, a FROM matches
+            ), reach AS (
+                SELECT rec_id AS node, rec_id AS lab FROM recs
+                UNION
+                SELECT e.src AS node, r.lab
+                FROM reach r JOIN e ON e.dst = r.node
+            ), compo AS MATERIALIZED (
+                SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+            ), lab AS MATERIALIZED (
+                SELECT r.*, c.component
+                FROM recs r JOIN compo c ON c.node = r.rec_id
+            ), best_name AS (
+                SELECT component, name FROM (
+                    SELECT component, name,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY component
+                               ORDER BY length(name) DESC, name) AS rn
+                    FROM lab
+                ) WHERE rn = 1
+            ), agg AS (
+                SELECT component, COUNT(*) AS n_records,
+                       MIN(phone) AS phone_g, MIN(nation) AS nation_g,
+                       MAX(bal) AS bal_g
+                FROM lab GROUP BY 1
+            )
+            SELECT a.component AS cluster_id,
+                   CAST(a.n_records AS BIGINT) AS n_records,
+                   b.name AS name_g, a.phone_g,
+                   CAST(a.nation_g AS INT) AS nation_g,
+                   CAST(a.bal_g AS BIGINT) AS bal_g
+            FROM agg a JOIN best_name b ON b.component = a.component
         """,
         "entity_matches": """
             WITH cust AS (

@@ -355,3 +355,144 @@ def jw_linkage(
         num_partitions,
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship merge (master-data consolidation)
+# ---------------------------------------------------------------------------
+
+
+def golden_records(
+    records,
+    pairs,
+    id_col: str = "rec_id",
+    longest_cols: tuple = (),
+    min_cols: tuple = (),
+    max_cols: tuple = (),
+    num_partitions=None,
+):
+    """Survivorship merge after record linkage — the master-data step
+    that turns match PAIRS into one golden row per real-world entity:
+    clusters = connected components of the match graph (singletons keep
+    their own id), then per-cluster deterministic attribute rules:
+
+      - ``longest_cols``: longest value wins, ties to the
+        lexicographically smallest (typo'd dups are usually DROPPED
+        characters, so the undamaged original survives);
+      - ``min_cols`` / ``max_cols``: plain MIN / MAX;
+      - ``cluster_id`` = min member id; ``n_records`` = member count.
+
+    Every rule is an exact reduction over the cluster, so the output is
+    a pure function of (records, pairs) at any parallelism and the SQL
+    oracle rebuilds it with window functions over a recursive-CTE CC.
+
+    Distributed shape: CC runs on the pair graph only (match-pair
+    scale, large-star/small-star O(log^2 n) — ops/graph); the
+    (node, component) table rides ONE tagged-union exchange keyed by
+    record id to label records (unmatched records fall through to
+    their own id — no row leaves the exchange unlabeled), then ONE
+    component-keyed merge reduces each cluster to its golden row.
+    Returns Dataset[(cluster_id, n_records, *rules)] with golden
+    column names ``<col>_g``.
+    """
+    import pyarrow.compute as pc
+
+    from docstrange_ray.ops.graph import connected_components
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    comp = connected_components(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("id_a").cast(pa.int64()),
+                 "dst": b.column("id_b").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        num_partitions=num_partitions,
+    )
+
+    cols = list(longest_cols) + list(min_cols) + list(max_cols)
+
+    # typed neutral fillers so the tagged union has ONE Arrow schema
+    # (a None-filled object column would type as null and clash)
+    base = records.schema().base_schema
+    defaults = {}
+    for c in cols:
+        if isinstance(base, pa.Schema):
+            t = base.field(c).type
+        else:  # PandasBlockSchema: names + numpy dtypes (the pii idiom)
+            try:
+                t = pa.from_numpy_dtype(base.types[list(base.names).index(c)])
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+        if pa.types.is_integer(t):
+            defaults[c] = np.int64(0)
+        elif pa.types.is_floating(t):
+            defaults[c] = np.float64(0.0)
+        else:
+            defaults[c] = ""
+
+    def rec_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = pd.DataFrame({"node": df[id_col].to_numpy(np.int64)})
+        for c in cols:
+            out[c] = df[c]
+        out["component"] = np.int64(-1)
+        out["kind"] = np.int8(0)
+        return out
+
+    def comp_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {"node": df["node"].to_numpy(np.int64)}
+        )
+        for c in cols:
+            out[c] = defaults[c]
+        out["component"] = df["component"].to_numpy(np.int64)
+        out["kind"] = np.int8(1)
+        return out
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        cm = df[df["kind"] == 1].set_index("node")["component"]
+        rec = df[df["kind"] == 0].copy()
+        lab = cm.reindex(rec["node"]).to_numpy()
+        own = rec["node"].to_numpy(np.int64)
+        rec["component"] = np.where(np.isnan(lab.astype(np.float64)),
+                                    own, lab).astype(np.int64)
+        return rec[["component"] + cols]
+
+    labeled = grouped_blocks(
+        records.map_batches(arrow_out(rec_rows), batch_format="pyarrow").union(
+            comp.map_batches(arrow_out(comp_rows), batch_format="pyarrow")
+        ),
+        ["node"],
+        label,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for comp_id, grp in df.groupby("component", sort=True):
+            row = {"cluster_id": np.int64(comp_id),
+                   "n_records": np.int64(len(grp))}
+            for c in longest_cols:
+                vals = grp[c].astype(str)
+                best = sorted(vals, key=lambda v: (-len(v), v))[0]
+                row[f"{c}_g"] = best
+            for c in min_cols:
+                row[f"{c}_g"] = grp[c].min()
+            for c in max_cols:
+                row[f"{c}_g"] = grp[c].max()
+            rows.append(row)
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"cluster_id": pd.Series([], dtype=np.int64),
+             "n_records": pd.Series([], dtype=np.int64),
+             **{f"{c}_g": pd.Series([], dtype=object) for c in longest_cols},
+             **{f"{c}_g": pd.Series([], dtype=object)
+                for c in list(min_cols) + list(max_cols)}}
+        )
+
+    return grouped_blocks(
+        labeled, ["component"], merge, num_partitions, batch_format="pandas"
+    )

@@ -253,3 +253,70 @@ class TestJwLinkage:
             self._ds(rows), "k", "nm", threshold=0.5, max_block=10
         ).count()
         assert full > 0 and capped == 0
+
+
+class TestGoldenRecords:
+    def _records(self):
+        return pd.DataFrame(
+            {
+                "rec_id": [1, 2, 3, 4, 5, 6],
+                "name": ["John Smith", "Jon Smith", "John Smth",
+                         "Mary Jones", "Mary Jone", "Solo Person"],
+                "phone": ["555-0001", "555-0001", "555-0002",
+                          "555-0100", "555-0100", "555-0200"],
+                "bal": [100, 250, 90, 500, 450, 10],
+            }
+        )
+
+    def _pairs(self, pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                 "id_b": pa.array([b for _, b in pairs], pa.int64())}
+            )
+        )
+
+    def test_merge_rules(self):
+        from docstrange_ray.ops.entity import golden_records
+
+        recs = ray.data.from_pandas(self._records()).repartition(3)
+        # cluster {1,2,3} (transitive via pairs), cluster {4,5}, singleton 6
+        out = {
+            int(r["cluster_id"]): r
+            for r in golden_records(
+                recs,
+                self._pairs([(1, 2), (2, 3), (4, 5)]),
+                longest_cols=("name",),
+                min_cols=("phone",),
+                max_cols=("bal",),
+            ).take_all()
+        }
+        assert set(out) == {1, 4, 6}
+        # longest name wins; tie would go lexicographically smallest
+        assert out[1]["name_g"] == "John Smith" and out[1]["n_records"] == 3
+        assert out[1]["phone_g"] == "555-0001" and out[1]["bal_g"] == 250
+        assert out[4]["name_g"] == "Mary Jones" and out[4]["bal_g"] == 500
+        assert out[6]["n_records"] == 1 and out[6]["name_g"] == "Solo Person"
+
+    def test_longest_tie_lexicographic(self):
+        from docstrange_ray.ops.entity import golden_records
+
+        recs = ray.data.from_pandas(
+            pd.DataFrame({"rec_id": [1, 2], "name": ["bbb", "aaa"],
+                          "bal": [1, 2]})
+        )
+        out = golden_records(
+            recs, self._pairs([(1, 2)]),
+            longest_cols=("name",), max_cols=("bal",),
+        ).take_all()
+        assert len(out) == 1 and out[0]["name_g"] == "aaa"
+
+    def test_no_pairs_all_singletons(self):
+        from docstrange_ray.ops.entity import golden_records
+
+        recs = ray.data.from_pandas(self._records())
+        out = golden_records(
+            recs, self._pairs([]), longest_cols=("name",),
+        ).take_all()
+        assert len(out) == 6
+        assert all(int(r["n_records"]) == 1 for r in out)

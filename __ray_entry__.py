@@ -1442,6 +1442,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return connected_components(copurchase_path_edges(sf_dir))
 
+    def copurchase_pagerank_weighted_q(sf_dir):
+        """WEIGHTED fixed-point integer PageRank (5 iters) over the
+        co-purchase path graph: edge weight = co-purchase count (capped
+        at 1e6 — the rank*w int64 bound), contribution = rank * w //
+        out_weight. Exact integers -> bit-identical across plans and
+        to the weighted unrolled-CTE oracle."""
+        from docstrange_ray.ops.graph import copurchase_path_edges, pagerank
+        from docstrange_ray.shuffle import grouped_blocks
+
+        edges = copurchase_path_edges(sf_dir)
+
+        def weigh(df):
+            out = df.groupby(["src", "dst"], as_index=False).size()
+            out.columns = ["src", "dst", "w"]
+            out["w"] = np.minimum(
+                out["w"].to_numpy(np.int64), 10**6
+            ).astype(np.int64)
+            return out
+
+        wedges = grouped_blocks(
+            edges, ["src", "dst"], weigh, batch_format="pandas"
+        )
+        return pagerank(wedges, iterations=5, assume_distinct=True,
+                        weighted=True)
+
     def copurchase_cheapest(sf_dir):
         """Hop-bounded multi-seed cheapest paths (<= 4 hops, exactly 4
         Bellman-Ford relaxation rounds — graph.sssp_bounded) over the
@@ -3306,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_reach": copurchase_reach,
         "copurchase_core": copurchase_core,
         "copurchase_cheapest": copurchase_cheapest,
+        "copurchase_pagerank_weighted": copurchase_pagerank_weighted_q,
         "copurchase_assortativity": copurchase_assortativity_q,
         "copurchase_components": copurchase_components,
         "part_link_predictions": part_link_predictions,
@@ -3503,21 +3529,24 @@ def _kmeans_cte(k: int, n_iters: int) -> str:
     return "WITH " + ",\n".join(parts)
 
 
-def _pagerank_core(iters: int = 5, scale: int = 10**12) -> str:
+def _pagerank_core(iters: int = 5, scale: int = 10**12,
+                   weighted: bool = False) -> str:
     """Unrolled-CTE DuckDB mirror of ops.graph.pagerank's iteration
     chain over a caller-provided CTE ``e(src, dst)`` of DISTINCT
     directed edges: one CTE per iteration, integer floor arithmetic
     throughout (DuckDB `//`), so the comparison is bit-exact. The
     returned fragment starts mid-WITH (", nodes AS ...") and defines
     nodes/nn/deg/r0..r{iters}."""
+    dexpr = "SUM(w)" if weighted else "COUNT(*)"
     head = f""", nodes AS MATERIALIZED (
             SELECT src AS node FROM e UNION SELECT dst FROM e
         ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
-        deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        deg AS MATERIALIZED (SELECT src, {dexpr} AS d FROM e GROUP BY src),
         r0 AS MATERIALIZED (
             SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes
         )"""
     its = []
+    contrib = "p.r * e.w // d.d" if weighted else "p.r // d.d"
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
         its.append(
@@ -3531,7 +3560,7 @@ def _pagerank_core(iters: int = 5, scale: int = 10**12) -> str:
                      ) // 100 AS r
             FROM nodes n
             LEFT JOIN (
-                SELECT e.dst AS node, SUM(p.r // d.d) AS insum
+                SELECT e.dst AS node, SUM({contrib}) AS insum
                 FROM e JOIN {p} p ON p.node = e.src
                        JOIN deg d ON d.src = e.src
                 GROUP BY e.dst
@@ -3713,6 +3742,30 @@ def _textrank_oracle(stop_vals: str, k: int = 50, iters: int = 5) -> str:
         SELECT wm.w AS word, CAST(r.r AS BIGINT) AS "rank"
         FROM r{iters} r JOIN wordmap wm ON wm.id = r.node
         ORDER BY r.r DESC, wm.w LIMIT {k}"""
+    )
+
+
+def _copurchase_weighted_pagerank_oracle(iters: int = 5) -> str:
+    """Weighted _pagerank_core over the co-purchase path graph
+    (w = LEAST(count, 1e6))."""
+    return (
+        """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ), sq AS (
+            SELECT ok, p,
+                   ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+            FROM op
+        ), e0 AS (
+            SELECT s1.p AS x, s2.p AS y
+            FROM sq s1 JOIN sq s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+        ), e AS MATERIALIZED (
+            SELECT x AS src, y AS dst,
+                   LEAST(COUNT(*), 1000000) AS w
+            FROM e0 GROUP BY 1, 2
+        )"""
+        + _pagerank_core(iters, weighted=True)
+        + f'\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r{iters}'
     )
 
 
@@ -4146,6 +4199,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
         """,
+        "copurchase_pagerank_weighted": _copurchase_weighted_pagerank_oracle(),
         "copurchase_cheapest": r"""
             WITH RECURSIVE op AS (
                 SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

@@ -64,14 +64,20 @@ def distinct_edges(edges, num_partitions=None):
     )
 
 
-def _node_table(edges, num_partitions=None):
+def _node_table(edges, num_partitions=None, weighted: bool = False):
     """Dataset[(node, outdeg)] — every node appearing as src or dst,
-    outdeg 0 for sinks. One pre-reduced exchange."""
+    outdeg 0 for sinks. When ``weighted``, ``outdeg`` carries the
+    total OUT-WEIGHT (sum of w per src) instead of the edge count —
+    the only state difference weighted PageRank needs. One pre-reduced
+    exchange."""
     from docstrange_ray.shuffle import arrow_out, grouped_blocks
 
     def local(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
-        out = df.groupby("src", as_index=False).size()
+        if weighted:
+            out = df.groupby("src", as_index=False)["w"].sum()
+        else:
+            out = df.groupby("src", as_index=False).size()
         out.columns = ["node", "outdeg"]
         dsts = pd.DataFrame({"node": df["dst"].unique()})
         dsts["outdeg"] = 0
@@ -97,6 +103,7 @@ def pagerank(
     plan: str = "auto",
     broadcast_node_limit: int = 2_000_000,
     assume_distinct: bool = False,
+    weighted: bool = False,
 ):
     """Fixed-point integer PageRank over Dataset[(src int, dst int)].
 
@@ -106,15 +113,25 @@ def pagerank(
     node table and broadcasts below ``broadcast_node_limit``, else
     runs the co-partition (Pregel) plan whose per-iteration driver
     state is ONE scalar.
+
+    ``weighted=True``: edges carry an int64 ``w`` column (1 <= w <=
+    1e6 — the bound keeps rank*w inside int64 at scale=1e12); a
+    source's rank splits proportionally, contribution = rank * w //
+    out_weight (floor — still exact-integer, still SQL-mirrorable).
+    Weighted mode requires ``assume_distinct=True`` (the caller owns
+    the per-edge weight aggregation).
     """
     import ray
 
     from docstrange_ray.shuffle import _strip_schema_metadata
 
+    if weighted and not assume_distinct:
+        raise ValueError("weighted pagerank requires assume_distinct=True "
+                         "(aggregate (src, dst) -> w upstream)")
     if not assume_distinct:
         edges = distinct_edges(edges, num_partitions)
     edges = _strip_schema_metadata(edges).materialize()  # consumed every iteration
-    nodes = _node_table(edges, num_partitions).materialize()
+    nodes = _node_table(edges, num_partitions, weighted=weighted).materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return ray.data.from_arrow(
@@ -128,15 +145,18 @@ def pagerank(
 
     if plan == "broadcast":
         return _pagerank_broadcast(
-            edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions
+            edges, nodes, n_nodes, iterations, scale, t0, r_init,
+            num_partitions, weighted
         )
     return _pagerank_join(
-        edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions
+        edges, nodes, n_nodes, iterations, scale, t0, r_init,
+        num_partitions, weighted
     )
 
 
 def _pagerank_broadcast(
-    edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions
+    edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions,
+    weighted: bool = False,
 ):
     """Gated plan: the (node -> rank, outdeg) map is ray.put-broadcast
     (bounded by broadcast_node_limit); each iteration = one per-block
@@ -164,11 +184,22 @@ def _pagerank_broadcast(
             pmap = ray.get(_ref)
             src = batch.column("src").to_numpy(zero_copy_only=False)
             dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            contrib = np.fromiter(
-                (pmap[int(s)][0] // pmap[int(s)][1] for s in src),
-                dtype=np.int64,
-                count=len(src),
-            )
+            if weighted:
+                w = batch.column("w").to_numpy(zero_copy_only=False)
+                if (w < 1).any() or (w > 10**6).any():
+                    raise ValueError("weighted pagerank: w outside [1, 1e6]")
+                contrib = np.fromiter(
+                    (pmap[int(s)][0] * int(ww) // pmap[int(s)][1]
+                     for s, ww in zip(src, w)),
+                    dtype=np.int64,
+                    count=len(src),
+                )
+            else:
+                contrib = np.fromiter(
+                    (pmap[int(s)][0] // pmap[int(s)][1] for s in src),
+                    dtype=np.int64,
+                    count=len(src),
+                )
             out = (
                 pd.DataFrame({"node": dst, "c": contrib})
                 .groupby("node", as_index=False)["c"]
@@ -207,7 +238,8 @@ def _pagerank_broadcast(
 
 
 def _pagerank_join(
-    edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions
+    edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions,
+    weighted: bool = False,
 ):
     """Scale plan (Pregel shape): rank state is a Dataset co-partitioned
     with the edges each iteration. Two pre-reduced exchanges per
@@ -232,15 +264,19 @@ def _pagerank_join(
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
-            {
-                "node": batch.column("src").cast(pa.int64()),
-                "dst": batch.column("dst").cast(pa.int64()),
-                "rank": pa.nulls(n, pa.int64()),
-                "outdeg": pa.nulls(n, pa.int64()),
-                "kind": pa.array(np.zeros(n, dtype=np.int8)),
-            }
-        )
+        cols = {
+            "node": batch.column("src").cast(pa.int64()),
+            "dst": batch.column("dst").cast(pa.int64()),
+            "rank": pa.nulls(n, pa.int64()),
+            "outdeg": pa.nulls(n, pa.int64()),
+        }
+        if weighted:  # w rides the edge rows only in weighted mode
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            if (w < 1).any() or (w > 10**6).any():
+                raise ValueError("weighted pagerank: w outside [1, 1e6]")
+            cols["w"] = batch.column("w").cast(pa.int64())
+        cols["kind"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
 
     edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
 
@@ -270,15 +306,16 @@ def _pagerank_join(
 
         def state_rows(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            return pa.table(
-                {
-                    "node": batch.column("node"),
-                    "dst": pa.nulls(n, pa.int64()),
-                    "rank": batch.column("rank"),
-                    "outdeg": batch.column("outdeg"),
-                    "kind": pa.array(np.ones(n, dtype=np.int8)),
-                }
-            )
+            cols = {
+                "node": batch.column("node"),
+                "dst": pa.nulls(n, pa.int64()),
+                "rank": batch.column("rank"),
+                "outdeg": batch.column("outdeg"),
+            }
+            if weighted:
+                cols["w"] = pa.nulls(n, pa.int64())
+            cols["kind"] = pa.array(np.ones(n, dtype=np.int8))
+            return pa.table(cols)
 
         def scatter(block: pa.Table) -> pd.DataFrame:
             # stay in Arrow until after the kind split: a pandas
@@ -306,11 +343,20 @@ def _pagerank_join(
                 )
             )
             srcs = ed.column("node").to_numpy(zero_copy_only=False).tolist()
-            contrib = np.fromiter(
-                (rmap[s][0] // rmap[s][1] for s in srcs),
-                dtype=np.int64,
-                count=len(srcs),
-            )
+            if weighted:
+                ws = ed.column("w").to_numpy(zero_copy_only=False).tolist()
+                contrib = np.fromiter(
+                    (rmap[s][0] * int(ww) // rmap[s][1]
+                     for s, ww in zip(srcs, ws)),
+                    dtype=np.int64,
+                    count=len(srcs),
+                )
+            else:
+                contrib = np.fromiter(
+                    (rmap[s][0] // rmap[s][1] for s in srcs),
+                    dtype=np.int64,
+                    count=len(srcs),
+                )
             return (
                 pd.DataFrame(
                     {

@@ -617,3 +617,86 @@ class TestDegreeAssortativity:
         import math
 
         assert row["assortativity"] is None or math.isnan(row["assortativity"])
+
+
+class TestWeightedPagerank:
+    @staticmethod
+    def _reference(wedges, iterations=5, scale=10**12):
+        """Independent dict/loop weighted-pagerank reference:
+        contribution = rank * w // out_weight."""
+        wedges = sorted(wedges)
+        nodes = sorted({s for s, _, _ in wedges} | {d for _, d, _ in wedges})
+        n = len(nodes)
+        outw = {v: 0 for v in nodes}
+        for s, _, w in wedges:
+            outw[s] += w
+        t0 = 15 * scale // (100 * n)
+        r = {v: scale // n for v in nodes}
+        for _ in range(iterations):
+            dang = sum(r[v] for v in nodes if outw[v] == 0)
+            dshare = dang // n
+            insum = {v: 0 for v in nodes}
+            for s, d, w in wedges:
+                insum[d] += r[s] * w // outw[s]
+            r = {v: t0 + 85 * (insum[v] + dshare) // 100 for v in nodes}
+        return r
+
+    @staticmethod
+    def _wedge_ds(wedges, parts=3):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([s for s, _, _ in wedges], pa.int64()),
+                    "dst": pa.array([d for _, d, _ in wedges], pa.int64()),
+                    "w": pa.array([w for _, _, w in wedges], pa.int64()),
+                }
+            )
+        ).repartition(parts)
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.graph import pagerank
+
+        wedges = [(1, 2, 3), (2, 3, 1), (3, 1, 7), (4, 1, 2), (1, 3, 5),
+                  (5, 1, 1), (2, 4, 4)]
+        want = self._reference(wedges)
+        got = {
+            int(r["node"]): int(r["rank"])
+            for r in pagerank(
+                self._wedge_ds(wedges), plan=plan,
+                assume_distinct=True, weighted=True,
+            ).take_all()
+        }
+        assert got == want
+
+    def test_uniform_weights_equal_unweighted(self):
+        from docstrange_ray.ops.graph import pagerank
+
+        edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
+        un = {
+            int(r["node"]): int(r["rank"])
+            for r in pagerank(_edge_ds(edges), assume_distinct=True).take_all()
+        }
+        wt = {
+            int(r["node"]): int(r["rank"])
+            for r in pagerank(
+                self._wedge_ds([(s, d, 1) for s, d in edges]),
+                assume_distinct=True, weighted=True,
+            ).take_all()
+        }
+        assert un == wt
+
+    def test_requires_assume_distinct(self):
+        from docstrange_ray.ops.graph import pagerank
+
+        with pytest.raises(ValueError):
+            pagerank(self._wedge_ds([(1, 2, 1)]), weighted=True)
+
+    def test_weight_bound_enforced(self):
+        from docstrange_ray.ops.graph import pagerank
+
+        with pytest.raises(Exception):
+            pagerank(
+                self._wedge_ds([(1, 2, 10**7)]),
+                assume_distinct=True, weighted=True,
+            ).take_all()

@@ -1419,10 +1419,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def copurchase_core(sf_dir):
         """Maximal 3-core of the co-purchase path graph (the standard
         graph-curation prune: nodes with in-core degree >= 3 after
-        iterative peeling to the unique fixpoint). Rows-only by nature:
-        the peel round count is data-dependent and DuckDB's recursive
-        CTEs cannot aggregate over the recursive relation; correctness
-        is pinned by the independent peeling reference + plan-parity
+        iterative peeling to the unique fixpoint). SQL-oracled since
+        r5 block 3: peeling is MONOTONE, so an unrolled 24-round CTE
+        chain is a no-op past the fixpoint and equals the engine's
+        exact fixpoint whenever the engine converges (it raises past
+        its own cap, so a silent divergence cannot happen); also
+        pinned by the independent peeling reference + plan-parity
         tests in tests/test_graph.py."""
         from docstrange_ray.ops.graph import copurchase_path_edges, k_core
 
@@ -3745,6 +3747,54 @@ def _textrank_oracle(stop_vals: str, k: int = 50, iters: int = 5) -> str:
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
+    """Unrolled-peel mirror of ops.graph.k_core over the co-purchase
+    path graph: each round keeps nodes with >= k neighbors among the
+    previous survivors. Peeling is monotone, so rounds past the
+    fixpoint are no-ops — unrolling MORE rounds than the engine needed
+    is harmless, and the engine RAISES if its own cap is exceeded, so
+    a converged engine result always equals the ``rounds``-deep CTE
+    (MATERIALIZED: each s_r is referenced twice per round — plain CTEs
+    would inline 2^rounds copies)."""
+    sql = """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ), sq AS (
+            SELECT ok, p,
+                   ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+            FROM op
+        ), e0 AS (
+            SELECT s1.p AS x, s2.p AS y
+            FROM sq s1 JOIN sq s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+        ), ue AS MATERIALIZED (
+            SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b
+            FROM e0 WHERE x <> y GROUP BY 1, 2
+        ), sym AS MATERIALIZED (
+            SELECT a AS node, b AS other FROM ue
+            UNION ALL
+            SELECT b, a FROM ue
+        ), s0 AS MATERIALIZED (
+            SELECT DISTINCT node FROM sym
+        )"""
+    for r in range(1, rounds + 1):
+        sql += f""", s{r} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT x.node, COUNT(*) AS d
+                FROM sym x
+                JOIN s{r - 1} p1 ON p1.node = x.node
+                JOIN s{r - 1} p2 ON p2.node = x.other
+                GROUP BY x.node
+            ) WHERE d >= {k}
+        )"""
+    sql += f"""
+        SELECT x.node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym x
+        JOIN s{rounds} p1 ON p1.node = x.node
+        JOIN s{rounds} p2 ON p2.node = x.other
+        GROUP BY x.node"""
+    return sql
+
+
 def _copurchase_weighted_pagerank_oracle(iters: int = 5) -> str:
     """Weighted _pagerank_core over the co-purchase path graph
     (w = LEAST(count, 1e6))."""
@@ -4200,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
         """,
         "copurchase_pagerank_weighted": _copurchase_weighted_pagerank_oracle(),
+        "copurchase_core": _kcore_oracle(),
         "copurchase_cheapest": r"""
             WITH RECURSIVE op AS (
                 SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

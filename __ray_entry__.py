@@ -2356,6 +2356,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_join_exact(emb, threshold_num=30, threshold_den=100)
 
+    def weighted_price_quantiles_q(sf_dir):
+        """EXACT global quantity-weighted price quantiles
+        (rankstats.weighted_select_quantiles): radix selection with
+        int64 weight-sum histograms — never shuffles, <= 6 counting
+        scans; the crossing test qd*cumw >= qn*W is exact integer
+        cross-multiplication mirrored by the SQL window cumsum."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.rankstats import weighted_select_quantiles
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_quantity"],
+        )
+        return weighted_select_quantiles(
+            li, "l_extendedprice", "l_quantity",
+            quantiles=((1, 4), (1, 2), (3, 4), (9, 10)),
+        )
+
     def kmeans_clusters_q(sf_dir):
         """Exact-integer Lloyd k-means (k=8, 2 iterations) over the
         embeddings table (ops/kmeans.py): quantize-once int64
@@ -3360,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": dup_spans_q,
         "dup_spans_exact": dup_spans_exact_q,
         "kmeans_clusters": kmeans_clusters_q,
+        "weighted_price_quantiles": weighted_price_quantiles_q,
         "cosine_pairs_exact": cosine_pairs_exact_q,
         "kcenter_coreset_exact": kcenter_coreset_exact_q,
         "semantic_dedup": semantic_dedup_q,
@@ -3395,6 +3414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": textrank_keywords_q,
         "doc_title_links": doc_title_links_q,
         "kmeans_clusters": kmeans_clusters_q,
+        "weighted_price_quantiles": weighted_price_quantiles_q,
         "cosine_pairs_exact": cosine_pairs_exact_q,
         "kcenter_coreset_exact": kcenter_coreset_exact_q,
         "lang_source_chi2": lang_source_chi2,
@@ -4859,6 +4879,31 @@ def oracle_sql() -> dict[str, str]:
         # floor-division word scores summed per phrase token
         "textrank_keywords": _textrank_oracle(_rake_stop_vals),
         "kmeans_clusters": _kmeans_oracle(),
+        "weighted_price_quantiles": r"""
+            WITH t AS (
+                SELECT l_extendedprice AS v,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_quantity > 0
+                  AND l_extendedprice IS NOT NULL
+            ), tot AS (SELECT SUM(w) AS wt FROM t),
+            cum AS (
+                SELECT v, SUM(w) OVER (
+                    ORDER BY v
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS cw
+                FROM t
+            ), q(label, qn, qd) AS (
+                VALUES ('p25', 25, 100), ('p50', 50, 100),
+                       ('p75', 75, 100), ('p90', 90, 100)
+            )
+            SELECT q.label,
+                   CAST(tot.wt AS BIGINT) AS w_total,
+                   MIN(c.v) AS value
+            FROM q CROSS JOIN tot JOIN cum c
+              ON q.qd * c.cw >= q.qn * tot.wt
+            GROUP BY q.label, tot.wt
+        """,
         "kcenter_coreset_exact": _kcenter_oracle(),
         "cosine_pairs_exact": r"""
             WITH pts AS MATERIALIZED (

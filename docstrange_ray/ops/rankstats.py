@@ -1074,3 +1074,135 @@ def group_entropy(
         num_partitions,
         batch_format="pandas",
     )
+
+
+def weighted_select_quantiles(
+    ds,
+    value_col: str,
+    weight_col: str,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+    float_domain: bool = True,
+    n_buckets: int = 4096,
+    num_partitions: int | None = None,
+):
+    """EXACT global WEIGHTED quantiles by the same never-shuffles radix
+    selection as :func:`select_quantiles`, with bucket COUNTS replaced
+    by bucket WEIGHT SUMS: the q-quantile is the smallest
+    positive-weight value whose cumulative weight w(x <= v) crosses
+    ``T = ceil(qn * W / qd)`` (all int64 — the crossing test
+    ``qd * cumw >= qn * W`` is exact cross-multiplication, mirrored
+    verbatim by a SQL window cumsum). Weights must be positive int64
+    (rows with w <= 0 or null are dropped, like SQL aggregate nulls);
+    int64 bound: W = sum(w) < 2^63 / max(qd).
+
+    Same scale contract as the unweighted op: one 16-byte-per-row
+    projection materialization, <= 6 counting scans, driver state
+    O(#quantiles x n_buckets). Returns pandas
+    [(label, w_total, value)].
+    """
+    import pyarrow.compute as pc
+
+    from docstrange_ray.shuffle import adaptive_final, arrow_out
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        wcol = batch.column(weight_col).cast(pa.int64())
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(col), pc.is_valid(wcol)),
+            pc.greater(wcol, pa.scalar(0, pa.int64())),
+        )
+        if pa.types.is_floating(col.type):
+            ok = pc.and_kleene(ok, pc.invert(pc.is_nan(col)))
+        col = col.filter(ok)
+        wcol = wcol.filter(ok)
+        vals = np.asarray(col.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"k": pa.array(order_keys(vals), pa.int64()),
+             "w": wcol}
+        )
+
+    keyed = ds.map_batches(project, batch_format="pyarrow").materialize()
+    labels = [_q_label(qn, qd) for qn, qd in quantiles]
+    wtot = keyed.sum("w") or 0
+    if wtot == 0:
+        return pd.DataFrame(columns=["label", "w_total", "value"])
+    from ray.data.aggregate import Max, Min
+
+    bounds = keyed.aggregate(Min("k"), Max("k"))
+    searches = {
+        i: {
+            "lo": int(bounds["min(k)"]),
+            "hi": int(bounds["max(k)"]),
+            "rank": max(1, -(-qn * int(wtot) // qd)),  # ceil(qn*W/qd)
+        }
+        for i, (qn, qd) in enumerate(quantiles)
+    }
+
+    while True:
+        active = {
+            i: (s["lo"], s["hi"], -(-(s["hi"] - s["lo"] + 1) // n_buckets))
+            for i, s in searches.items()
+            if s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        spec = sorted(active.items())
+
+        def weight_scan(batch: pa.Table, _spec=spec) -> pd.DataFrame:
+            k = np.asarray(batch.column("k").to_numpy(zero_copy_only=False))
+            wv = np.asarray(batch.column("w").to_numpy(zero_copy_only=False))
+            sids, buckets, cnts = [], [], []
+            for sid, (lo, hi, w) in _spec:
+                m = (k >= lo) & (k <= hi)
+                if not m.any():
+                    continue
+                inr = k[m]
+                inw = wv[m].astype(np.int64)
+                diff = (inr - np.int64(lo)).view(np.uint64)
+                idx = (diff // np.uint64(w)).astype(np.int64)
+                # int64 scatter-add (np.bincount sums in float64, which
+                # silently loses exactness past 2^53 total weight)
+                bci = np.zeros(int(idx.max()) + 1, dtype=np.int64)
+                np.add.at(bci, idx, inw)
+                nz = np.flatnonzero(bci)
+                sids.extend([sid] * len(nz))
+                buckets.extend(nz.tolist())
+                cnts.extend(bci[nz].tolist())
+            return pd.DataFrame(
+                {
+                    "sid": pd.Series(sids, dtype="int32"),
+                    "bucket": pd.Series(buckets, dtype="int64"),
+                    "cnt": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+        partials = keyed.map_batches(
+            arrow_out(weight_scan), batch_format="pyarrow"
+        )
+        merged = adaptive_final(
+            partials,
+            lambda df: df.groupby(["sid", "bucket"], as_index=False)["cnt"].sum(),
+            keys=["sid", "bucket"],
+            num_partitions=num_partitions,
+        ).to_pandas()
+        for sid, (lo, hi, w) in spec:
+            sub = merged[merged["sid"] == sid].sort_values("bucket")
+            _narrow_bracket(
+                searches[sid],
+                sub["bucket"].to_numpy(),
+                sub["cnt"].to_numpy(),
+                lo,
+                hi,
+                w,
+            )
+
+    return pd.DataFrame(
+        {
+            "label": labels,
+            "w_total": np.int64(int(wtot)),
+            "value": [
+                key_to_value(searches[i]["lo"], float_domain)
+                for i in range(len(quantiles))
+            ],
+        }
+    )

@@ -536,3 +536,77 @@ class TestDefaultRoundingHalfAway:
                FROM s"""
         ).fetchone()[0]
         assert got["corr"].iloc[0] == exp
+
+
+class TestWeightedSelectQuantiles:
+    @staticmethod
+    def _reference(vals, ws, quantiles):
+        """Smallest positive-weight value whose cumweight crosses
+        ceil(qn*W/qd) — independent sort/cumsum loop."""
+        pairs = sorted((v, w) for v, w in zip(vals, ws) if w > 0)
+        W = sum(w for _, w in pairs)
+        out = []
+        for qn, qd in quantiles:
+            t = max(1, -(-qn * W // qd))
+            cum = 0
+            for v, w in pairs:
+                cum += w
+                if cum >= t:
+                    out.append(v)
+                    break
+        return out
+
+    def _ds(self, vals, ws, parts=4):
+        import pyarrow as pa
+
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"v": pa.array(vals, pa.float64()),
+                      "w": pa.array(ws, pa.int64())})
+        ).repartition(parts)
+
+    def test_equals_reference(self):
+        from docstrange_ray.ops.rankstats import weighted_select_quantiles
+
+        rng = np.random.RandomState(2)
+        vals = rng.randn(500) * 100
+        ws = rng.randint(1, 50, size=500)
+        qs = ((1, 4), (1, 2), (3, 4), (99, 100))
+        want = self._reference(vals.tolist(), ws.tolist(), qs)
+        got = weighted_select_quantiles(
+            self._ds(vals, ws), "v", "w", quantiles=qs
+        )
+        assert list(got["value"]) == want
+        assert int(got["w_total"].iloc[0]) == int(ws.sum())
+
+    def test_heavy_weight_dominates(self):
+        from docstrange_ray.ops.rankstats import weighted_select_quantiles
+
+        # one value holds 90% of the mass: it IS the median
+        vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+        ws = [1, 1, 1, 1, 36]
+        got = weighted_select_quantiles(
+            self._ds(vals, ws), "v", "w", quantiles=((1, 2),)
+        )
+        assert got["value"].iloc[0] == 100.0
+
+    def test_zero_and_null_weights_dropped(self):
+        from docstrange_ray.ops.rankstats import weighted_select_quantiles
+
+        vals = [5.0, 1.0, 9.0]
+        ws = [0, 3, 0]
+        got = weighted_select_quantiles(
+            self._ds(vals, ws), "v", "w", quantiles=((1, 2),)
+        )
+        assert got["value"].iloc[0] == 1.0
+
+    def test_partition_invariance(self):
+        from docstrange_ray.ops.rankstats import weighted_select_quantiles
+
+        rng = np.random.RandomState(7)
+        vals = rng.randn(300)
+        ws = rng.randint(1, 9, size=300)
+        a = weighted_select_quantiles(self._ds(vals, ws, 1), "v", "w")
+        b = weighted_select_quantiles(self._ds(vals, ws, 9), "v", "w")
+        pd.testing.assert_frame_equal(a, b)

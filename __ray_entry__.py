@@ -2374,12 +2374,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             quantiles=((1, 4), (1, 2), (3, 4), (9, 10)),
         )
 
-    def kmeans_clusters_q(sf_dir):
+    def kmeans_exact_assignments_q(sf_dir):
         """Exact-integer Lloyd k-means (k=8, 2 iterations) over the
-        embeddings table (ops/kmeans.py): quantize-once int64
-        arithmetic, md5-ordered seeding, trunc-division centroid
-        update — plan-independent and bit-equal to the unrolled-CTE
-        oracle. Centroids broadcast per round; points never shuffle."""
+        embeddings table (ops/kmeans.py) — the quantized-int TWIN of
+        kmeans_clusters (semantic.py float path, first-k init): this
+        one uses md5-ordered seeding, trunc-division updates pinned to
+        DuckDB //, and emits the exact integer d2 alongside the
+        cluster. Centroids broadcast per round; points never shuffle."""
         from docstrange_ray.io import read_parquet_clean
         from docstrange_ray.ops.kmeans import kmeans_quantized
 
@@ -3377,7 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": pack_offsets_q,
         "dup_spans": dup_spans_q,
         "dup_spans_exact": dup_spans_exact_q,
-        "kmeans_clusters": kmeans_clusters_q,
+        "kmeans_exact_assignments": kmeans_exact_assignments_q,
         "weighted_price_quantiles": weighted_price_quantiles_q,
         "cosine_pairs_exact": cosine_pairs_exact_q,
         "kcenter_coreset_exact": kcenter_coreset_exact_q,
@@ -4878,7 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         # freq/deg from occurrence-weighted distinct phrases, integer
         # floor-division word scores summed per phrase token
         "textrank_keywords": _textrank_oracle(_rake_stop_vals),
-        "kmeans_clusters": _kmeans_oracle(),
+        "kmeans_exact_assignments": _kmeans_oracle(),
         "weighted_price_quantiles": r"""
             WITH t AS (
                 SELECT l_extendedprice AS v,

@@ -193,6 +193,7 @@ OP_GROUPS: list[list[str]] = [
         "price_quantile_select",
         "returnflag_price_quantiles",
         "kmeans_clusters",
+        "kmeans_exact_assignments",
         "kcenter_coreset_exact",
         "hnsw_ann_topk",
     ],

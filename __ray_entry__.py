@@ -1156,6 +1156,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f.write("ok")
         return read_csv_docs(out_dir)
 
+    def ipc_roundtrip_q(sf_dir):
+        """Feather-v2 / Arrow-IPC interchange correctness (io.
+        write_feather_docs / read_feather_docs — the mmap-able handoff
+        to pandas/polars/R consumers): documents written once per
+        sf_dir as one-file-per-block IPC shards (md5-keyed /tmp cache,
+        atomic tmp+rename), read back one task per file; oracle =
+        SELECT * FROM documents, so a value-hash match proves the
+        zero-copy container round-trips types and unicode losslessly."""
+        import hashlib as _hl
+        import os as _os
+
+        from docstrange_ray.io import read_feather_docs, write_feather_docs
+
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/dsray_ipc_{tag}"
+        done = out_dir + ".done"
+        if not _os.path.exists(done):
+            import shutil as _sh
+
+            _sh.rmtree(out_dir, ignore_errors=True)
+            write_feather_docs(
+                read_parquet_clean(f"{sf_dir}/documents.parquet"), out_dir
+            )
+            with open(done, "w") as f:
+                f.write("ok")
+        return read_feather_docs(out_dir)
+
+    def orc_roundtrip_q(sf_dir):
+        """ORC interchange correctness (io.write_orc_docs /
+        read_orc_docs — the Hive/Trino-side columnar handoff):
+        documents written once per sf_dir as one-file-per-block ORC
+        shards, read back one task per file; oracle = SELECT * FROM
+        documents — a value-hash match proves stripe encoding,
+        timestamps and unicode survive the round trip."""
+        import hashlib as _hl
+        import os as _os
+
+        from docstrange_ray.io import read_orc_docs, write_orc_docs
+
+        tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/dsray_orc_{tag}"
+        done = out_dir + ".done"
+        if not _os.path.exists(done):
+            import shutil as _sh
+
+            _sh.rmtree(out_dir, ignore_errors=True)
+            write_orc_docs(
+                read_parquet_clean(f"{sf_dir}/documents.parquet"), out_dir
+            )
+            with open(done, "w") as f:
+                f.write("ok")
+        return read_orc_docs(out_dir)
+
     def token_shard_roundtrip(sf_dir):
         """Indexed-binary training-data sink end-to-end (io.
         write_token_shards / read_token_shards — the Megatron-style
@@ -1520,6 +1573,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return degree_assortativity(copurchase_path_edges(sf_dir))
+
+    def copurchase_communities_q(sf_dir):
+        """Semi-synchronous label propagation (4 rounds, Raghavan et
+        al. 2007 made deterministic — community.label_propagation) over
+        the co-purchase path graph: each round every node takes the
+        most frequent previous-round label among its neighbors, ties on
+        the smallest label. A fixed round count (not convergence) keeps
+        the output a pure function of the edge set, so the unrolled
+        4-round CTE oracle is bit-identical on both plans."""
+        from docstrange_ray.ops.community import label_propagation
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return label_propagation(copurchase_path_edges(sf_dir), rounds=4)
+
+    def copurchase_modularity_q(sf_dir):
+        """Newman modularity of the 4-round label-propagation partition
+        (community.modularity_stats): exact int64 sufficient stats
+        (m, intra_edges, sum_dc2) plus the single double expression
+        (4*m*intra - sum_dc2)/(4*m^2), mirrored term-for-term in SQL —
+        the spam-community-pruning quality gate for graph curation."""
+        from docstrange_ray.ops.community import modularity_stats
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return modularity_stats(copurchase_path_edges(sf_dir), rounds=4)
+
+    def copurchase_walks_q(sf_dir):
+        """Deterministic node2vec-style walk corpus (community.
+        random_walks): one 4-step walk per node over the symmetric
+        co-purchase graph; the step-t move from u is argmin over
+        neighbors n of md5_key52(f"{u}|{t}|{n}") — the house hash chain
+        replaces the RNG, so the corpus is cluster-size-independent and
+        the 4-step unrolled window-function oracle matches exactly."""
+        from docstrange_ray.ops.community import random_walks
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return random_walks(copurchase_path_edges(sf_dir), steps=4)
+
+    def copurchase_centrality_q(sf_dir):
+        """Bounded harmonic centrality from 4 deterministic seeds
+        (community.harmonic_centrality, Eppstein-Wang pivot sampling):
+        seeds = smallest (md5_key52(node), node); harmonic(v) = sum of
+        1/d(s,v) over seeds within 3 hops, held exact as integers
+        scaled by lcm(1..3)=6 (harm_num) with one final double divide.
+        Distances ride the existing bfs_levels frontier iteration via
+        the product-graph replication trick (k x edge-scale)."""
+        from docstrange_ray.ops.community import harmonic_centrality
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return harmonic_centrality(
+            copurchase_path_edges(sf_dir), k_seeds=4, max_hops=3
+        )
 
     def part_link_predictions(sf_dir):
         """Common-neighbor + Adamic-Adar link prediction over the
@@ -3298,6 +3402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_zscore": source_zscore_q,
         "jsonl_roundtrip": jsonl_roundtrip_q,
         "csv_roundtrip": csv_roundtrip_q,
+        "ipc_roundtrip": ipc_roundtrip_q,
+        "orc_roundtrip": orc_roundtrip_q,
         "token_shard_roundtrip": token_shard_roundtrip,
         "compression_stats": compression_stats_q,
         "weighted_jaccard_pairs": weighted_jaccard_pairs_q,
@@ -3354,6 +3460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_cheapest": copurchase_cheapest,
         "copurchase_pagerank_weighted": copurchase_pagerank_weighted_q,
         "copurchase_assortativity": copurchase_assortativity_q,
+        "copurchase_communities": copurchase_communities_q,
+        "copurchase_modularity": copurchase_modularity_q,
+        "copurchase_walks": copurchase_walks_q,
+        "copurchase_centrality": copurchase_centrality_q,
         "copurchase_components": copurchase_components,
         "part_link_predictions": part_link_predictions,
         "jaccard_drops": jaccard_drops,
@@ -3415,9 +3525,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": textrank_keywords_q,
         "doc_title_links": doc_title_links_q,
         "kmeans_clusters": kmeans_clusters_q,
-        "weighted_price_quantiles": weighted_price_quantiles_q,
-        "cosine_pairs_exact": cosine_pairs_exact_q,
-        "kcenter_coreset_exact": kcenter_coreset_exact_q,
         "lang_source_chi2": lang_source_chi2,
         "source_length_ks": source_length_ks,
         "plsa_init_counts": plsa_init_counts,
@@ -3814,6 +3921,158 @@ def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
         JOIN s{rounds} p2 ON p2.node = x.other
         GROUP BY x.node"""
     return sql
+
+
+_CP_SYM_HEAD = """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ), sq AS (
+            SELECT ok, p,
+                   ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+            FROM op
+        ), e0 AS (
+            SELECT s1.p AS x, s2.p AS y
+            FROM sq s1 JOIN sq s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+        ), ue AS MATERIALIZED (
+            SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b
+            FROM e0 WHERE x <> y GROUP BY 1, 2
+        ), e AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM ue
+            UNION ALL
+            SELECT b, a FROM ue
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM e
+        )"""
+
+
+def _lpa_chain(rounds: int) -> str:
+    """Unrolled-CTE mirror of ops.community.label_propagation over the
+    _CP_SYM_HEAD symmetric edge table ``e``: per round, count previous
+    labels over incoming edges, argmax on (count DESC, label ASC) —
+    semi-synchronous, so round r reads ONLY l{r-1}. Every node of an
+    edge-derived symmetric graph has >= 1 neighbor, so l{r} covers all
+    nodes without a COALESCE fallback (the engine keeps isolated
+    walkers' labels only for safety)."""
+    sql = """, l0 AS MATERIALIZED (
+            SELECT node, node AS lab FROM nodes
+        )"""
+    for i in range(1, rounds + 1):
+        sql += f""", c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, p.lab, COUNT(*) AS c
+            FROM e JOIN l{i - 1} p ON p.node = e.src
+            GROUP BY 1, 2
+        ), l{i} AS MATERIALIZED (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab
+                       ) AS rn
+                FROM c{i}
+            ) WHERE rn = 1
+        )"""
+    return sql
+
+
+def _communities_oracle(rounds: int = 4) -> str:
+    return (
+        _CP_SYM_HEAD
+        + _lpa_chain(rounds)
+        + f"\n        SELECT node, lab AS label FROM l{rounds}"
+    )
+
+
+def _modularity_oracle(rounds: int = 4) -> str:
+    """Exact-int modularity of the LPA partition: m / intra / sum_dc2
+    as BIGINTs plus ONE double expression mirrored term-for-term with
+    community.modularity_stats.finalize_row."""
+    return (
+        _CP_SYM_HEAD
+        + _lpa_chain(rounds)
+        + f""", st AS (
+            SELECT (SELECT COUNT(*) FROM ue) AS m,
+                   (SELECT COUNT(*)
+                    FROM ue u
+                    JOIN l{rounds} x ON x.node = u.a
+                    JOIN l{rounds} y ON y.node = u.b
+                    WHERE x.lab = y.lab) AS intra,
+                   (SELECT SUM(dc * dc) FROM (
+                        SELECT SUM(d.d) AS dc
+                        FROM l{rounds} l
+                        JOIN (SELECT src AS node, COUNT(*) AS d
+                              FROM e GROUP BY 1) d ON d.node = l.node
+                        GROUP BY l.lab)) AS sdc2
+        )
+        SELECT CAST(m AS BIGINT) AS m_edges,
+               CAST(intra AS BIGINT) AS intra_edges,
+               CAST(sdc2 AS BIGINT) AS sum_dc2,
+               ROUND((4.0 * m * intra - CAST(sdc2 AS DOUBLE))
+                     / (4.0 * m * m), 6) AS modularity
+        FROM st"""
+    )
+
+
+def _walks_oracle(steps: int = 4) -> str:
+    """Unrolled mirror of ops.community.random_walks: the step-t move
+    from node u picks argmin over neighbors n of the house 52-bit md5
+    key of 'u|t|n' (numerics.md5_key52 — pinned SQL form), ties on n."""
+    sql = _CP_SYM_HEAD + """, s0 AS MATERIALIZED (
+            SELECT node AS start, node FROM nodes
+        )"""
+    for i in range(1, steps + 1):
+        t = i - 1
+        sql += f""", s{i} AS MATERIALIZED (
+            SELECT start, dst AS node FROM (
+                SELECT p.start, e.dst,
+                       ROW_NUMBER() OVER (PARTITION BY p.start ORDER BY
+                           ('0x' || substr(md5(
+                               CAST(p.node AS VARCHAR) || '|{t}|'
+                               || CAST(e.dst AS VARCHAR)), 1, 13))::BIGINT,
+                           e.dst) AS rn
+                FROM s{i - 1} p JOIN e ON e.src = p.node
+            ) WHERE rn = 1
+        )"""
+    finals = [
+        f"SELECT start, CAST({i} AS BIGINT) AS step, node FROM s{i}"
+        for i in range(steps + 1)
+    ]
+    return sql + "\n        " + "\n        UNION ALL ".join(finals)
+
+
+def _harmonic_oracle(k_seeds: int = 4, max_hops: int = 3) -> str:
+    """Unrolled multi-source BFS mirror of ops.community.
+    harmonic_centrality: seeds = k smallest (md5_key52(node), node);
+    per hop, the new frontier is unreached neighbors of the previous
+    hop's frontier; 1/d sums held exact as integers scaled by
+    L = lcm(1..max_hops)."""
+    import math as _math
+
+    L = _math.lcm(*range(1, max_hops + 1))
+    sql = _CP_SYM_HEAD + f""", seeds AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT node,
+                       ('0x' || substr(md5(CAST(node AS VARCHAR)),
+                                       1, 13))::BIGINT AS h
+                FROM nodes
+            ) ORDER BY h, node LIMIT {k_seeds}
+        ), v0 AS MATERIALIZED (
+            SELECT node AS seed, node, 0 AS d FROM seeds
+        )"""
+    for i in range(1, max_hops + 1):
+        sql += f""", f{i} AS MATERIALIZED (
+            SELECT DISTINCT p.seed, e.dst AS node
+            FROM v{i - 1} p JOIN e ON e.src = p.node
+            WHERE p.d = {i - 1} AND NOT EXISTS (
+                SELECT 1 FROM v{i - 1} v
+                WHERE v.seed = p.seed AND v.node = e.dst)
+        ), v{i} AS MATERIALIZED (
+            SELECT * FROM v{i - 1}
+            UNION ALL
+            SELECT seed, node, {i} AS d FROM f{i}
+        )"""
+    return sql + f"""
+        SELECT node, CAST(SUM({L} // d) AS BIGINT) AS harm_num,
+               ROUND(CAST(SUM({L} // d) AS DOUBLE) / {L}.0, 6) AS harmonic
+        FROM v{max_hops} WHERE d >= 1 GROUP BY 1"""
 
 
 def _copurchase_weighted_pagerank_oracle(iters: int = 5) -> str:
@@ -4272,6 +4531,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "copurchase_pagerank_weighted": _copurchase_weighted_pagerank_oracle(),
         "copurchase_core": _kcore_oracle(),
+        "copurchase_communities": _communities_oracle(rounds=4),
+        "copurchase_modularity": _modularity_oracle(rounds=4),
+        "copurchase_walks": _walks_oracle(steps=4),
+        "copurchase_centrality": _harmonic_oracle(k_seeds=4, max_hops=3),
         "copurchase_cheapest": r"""
             WITH RECURSIVE op AS (
                 SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
@@ -5534,6 +5797,8 @@ def oracle_sql() -> dict[str, str]:
         # table proves the ingest path lossless.
         "jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         # token_shard_roundtrip: the stats are recomputed from the WORD
         # stream with the same md5-prefix token ids the Ray side wrote
         # into the .bin files — a match proves the binary sink + reader

@@ -309,3 +309,113 @@ def write_csv_docs(ds, path: str) -> None:
     import ray.data  # noqa: F401
 
     ds.write_csv(path)
+
+
+def _write_file_per_block(ds, path: str, ext: str, write_table) -> None:
+    """Shared sink core for the Arrow-container formats Ray Data has no
+    built-in writer for (Feather/IPC, ORC): one file per block (the
+    resumable-output discipline), written ATOMICALLY (tmp + rename — a
+    killed job leaves only complete shards), names salted with a uuid
+    so concurrent tasks never collide. The per-block map task writes
+    from the zero-copy Arrow block directly — bytes never visit the
+    driver; the single-row markers it emits are drained as the
+    execution trigger."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        name = f"block-{uuid.uuid4().hex}{ext}"
+        tmp = os.path.join(path, name + ".tmp")
+        write_table(batch, tmp)
+        os.replace(tmp, os.path.join(path, name))
+        return pa.table({"n_rows": pa.array([batch.num_rows], pa.int64())})
+
+    for _ in ds.map_batches(
+        dump, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None):
+        pass
+
+
+def _read_file_per_task(path: str, ext: str, read_table, columns):
+    """Shared source core for Feather/ORC shard directories: one read
+    task per file (parallel, streaming — the read_token_shards shape),
+    schema metadata stripped like every reader (round-2 gotcha)."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from docstrange_ray.shuffle import _strip_schema_metadata
+
+    paths = sorted(_glob.glob(os.path.join(path, f"*{ext}")))
+    if not paths:
+        raise FileNotFoundError(f"no {ext} shards under {path}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        tabs = [
+            read_table(p, columns) for p in batch.column("path").to_pylist()
+        ]
+        return pa.concat_tables(tabs)
+
+    ds = ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        load, batch_format="pyarrow", batch_size=1
+    )
+    return _strip_schema_metadata(ds)
+
+
+def write_feather_docs(ds, path: str) -> None:
+    """Feather-v2 / Arrow-IPC sink (the zero-copy interchange format a
+    pandas/polars/R consumer mmaps directly): one .feather file per
+    block under ``path``. Uncompressed by choice — IPC's value is the
+    mmap path; compressed interchange is parquet's job."""
+    import pyarrow.feather as _feather
+
+    _write_file_per_block(
+        ds,
+        path,
+        ".feather",
+        lambda t, p: _feather.write_feather(t, p, compression="uncompressed"),
+    )
+
+
+def read_feather_docs(path: str, columns: list[str] | None = None):
+    """Feather-v2 / Arrow-IPC source over a shard directory: one read
+    task per file, column projection pushed into the reader (IPC is
+    columnar — unread columns are never touched)."""
+    import pyarrow.feather as _feather
+
+    return _read_file_per_task(
+        path,
+        ".feather",
+        lambda p, cols: _feather.read_table(p, columns=cols),
+        columns,
+    )
+
+
+def write_orc_docs(ds, path: str) -> None:
+    """ORC sink (the Hive/Trino-ecosystem columnar interchange format):
+    one .orc file per block under ``path`` via pyarrow.orc — the
+    handoff a warehouse-side consumer ingests without conversion."""
+    import pyarrow.orc as _orc
+
+    _write_file_per_block(
+        ds, path, ".orc", lambda t, p: _orc.write_table(t, p)
+    )
+
+
+def read_orc_docs(path: str, columns: list[str] | None = None):
+    """ORC source over a shard directory: one read task per file,
+    column projection pushed into the ORC stripe reader."""
+    import pyarrow.orc as _orc
+
+    return _read_file_per_task(
+        path,
+        ".orc",
+        lambda p, cols: _orc.ORCFile(p).read(columns=cols),
+        columns,
+    )

@@ -1,0 +1,723 @@
+"""Community detection, walk generation, and seed-centrality over the
+co-purchase graph — the web-graph-curation operators a 100-TB corpus
+pipeline runs BEFORE text filtering (spam-community pruning via label
+propagation + modularity, crawl-seed scoring via bounded harmonic
+centrality, node2vec-style walk corpora for graph-embedding training).
+The reference (smoab/docstrange) has no graph analytics; these extend
+the SURVEY §2 training-data families alongside ops/graph.py.
+
+Determinism discipline (the repo's SQL-oracle contract):
+
+* label propagation is SEMI-SYNCHRONOUS (all round-r labels computed
+  from round r-1) with the argmax tie broken on (count DESC, label
+  ASC) — a pure function of the edge set, mirrored round-for-round by
+  an unrolled CTE chain in DuckDB.
+* modularity is emitted as EXACT int64 sufficient statistics
+  (m, intra_edges, sum_dc2) plus ONE double expression evaluated
+  term-for-term identically in the oracle.
+* random walks replace the RNG with the repo's md5 hash chain: the
+  step-t move from node u picks argmin over neighbors n of
+  md5_key52(f"{u}|{t}|{n}") (ties on n) — deterministic, reproducible
+  across cluster sizes, and expressible verbatim in SQL.
+* harmonic centrality seeds are the k smallest (md5_key52(node), node)
+  — a deterministic "random" seed set; distances come from the
+  existing bfs_levels frontier iteration via the product-graph trick
+  (edges replicated per seed index), and 1/d sums are exact integers
+  scaled by L = lcm(1..max_hops).
+
+Scale notes per op are in the docstrings; every exchange here is
+node-scale or edge-scale with pre-reduced partials — nothing is ever
+all-pairs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from docstrange_ray.numerics import md5_key52, round6
+from docstrange_ray.ops.graph import degree_table, undirected_edges
+
+
+def symmetric_edges(edges, num_partitions=None):
+    """Both-direction DISTINCT simple-graph edge table (src, dst) from
+    any raw edge stream: dedupe via undirected_edges (one exchange),
+    then emit each (a, b) as two directed rows — per-batch, no further
+    exchange. The canonical adjacency input for every op below."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    return undirected_edges(edges, num_partitions).map_batches(
+        both, batch_format="pyarrow"
+    )
+
+
+def _argmax_labels(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-node argmax over (node, lab, c) partials: sum counts, then
+    pick (c DESC, lab ASC) — the deterministic LPA update rule."""
+    g = df.groupby(["node", "lab"], as_index=False)["c"].sum()
+    g = g.sort_values(["node", "c", "lab"], ascending=[True, False, True])
+    out = g.drop_duplicates("node", keep="first")[["node", "lab"]]
+    return pd.DataFrame(
+        {
+            "node": out["node"].to_numpy(np.int64),
+            "lab": out["lab"].to_numpy(np.int64),
+        }
+    )
+
+
+def label_propagation(
+    edges,
+    rounds: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Semi-synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): every node starts as its own label; each round,
+    node v's new label is the most frequent label among its neighbors
+    at the PREVIOUS round, ties broken on the smallest label. A fixed
+    ``rounds`` count (not convergence) keeps the op a pure function of
+    the edge set — synchronous LPA can oscillate on bipartite-ish
+    structures, and a data-dependent stop would make the output depend
+    on the oscillation phase. Returns Dataset[(node, label)].
+
+    Plans: below ``broadcast_node_limit`` nodes the label map lives on
+    the driver (node-scale, gated) and each round is ONE pre-reduced
+    edge-scan exchange (per-batch (node, lab, c) partials, combined
+    per node). Above it labels stay a Dataset: per round, ONE
+    co-partition join attaches src labels to edges, then ONE
+    node-keyed exchange combines counts and argmaxes — label state
+    never leaves the cluster. Skew: a hot node's incident edges
+    pre-reduce to at most (distinct neighbor labels) rows per batch
+    before either exchange."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    sym = symmetric_edges(edges, num_partitions).materialize()
+    deg = degree_table(
+        undirected_edges(edges, num_partitions), num_partitions
+    ).materialize()
+    n_nodes = deg.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    if plan == "broadcast":
+        labels = {
+            int(r["node"]): int(r["node"]) for r in deg.take_all()
+        }  # node-scale, gated
+        for _ in range(rounds):
+            l_ref = ray.put(labels)
+
+            def partial(batch: pa.Table, _ref=l_ref) -> pd.DataFrame:
+                lm = ray.get(_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                lab = np.fromiter(
+                    (lm[int(s)] for s in src), dtype=np.int64, count=len(src)
+                )
+                g = (
+                    pd.DataFrame({"node": dst.astype(np.int64), "lab": lab})
+                    .groupby(["node", "lab"], as_index=False)
+                    .size()
+                )
+                g.columns = ["node", "lab", "c"]
+                return g
+
+            new = grouped_blocks(
+                sym.map_batches(arrow_out(partial), batch_format="pyarrow"),
+                ["node"],
+                _argmax_labels,
+                num_partitions,
+                batch_format="pandas",
+            ).take_all()  # node-scale, gated
+            for r in new:
+                labels[int(r["node"])] = int(r["lab"])
+        nodes = np.array(sorted(labels), dtype=np.int64)
+        labs = np.fromiter((labels[int(v)] for v in nodes), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(labs, pa.int64()),
+                }
+            )
+        )
+
+    # ---- join (scale) plan: labels never leave the cluster ----
+    lab_ds = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "lab": b.column("node").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(rounds):
+        attached = hash_join(
+            sym.map_batches(
+                lambda t: t.rename_columns(["node", "dst"]),
+                batch_format="pyarrow",
+            ),
+            lab_ds,
+            key="node",
+            num_partitions=num_partitions,
+        )
+
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = (
+                df.groupby(["dst", "lab"], as_index=False)
+                .size()
+                .rename(columns={"dst": "node", "size": "c"})
+            )
+            return pd.DataFrame(
+                {
+                    "node": g["node"].to_numpy(np.int64),
+                    "lab": g["lab"].to_numpy(np.int64),
+                    "c": g["c"].to_numpy(np.int64),
+                }
+            )
+
+        lab_ds = grouped_blocks(
+            attached.map_batches(
+                arrow_out(count_partial), batch_format="pandas"
+            ),
+            ["node"],
+            _argmax_labels,
+            num_partitions,
+            batch_format="pandas",
+        ).materialize()  # flat lineage per round
+    return lab_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "label": b.column("lab").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def modularity_stats(
+    edges,
+    rounds: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Newman modularity of the ``label_propagation(rounds)`` partition
+    over the DISTINCT undirected simple graph, from EXACT int64
+    sufficient statistics:
+
+        Q = intra/m - sum_c d_c^2 / (4 m^2)
+          = (4*m*intra - sum_dc2) / (4*m^2)
+
+    with m = undirected edge count, intra = edges whose endpoints
+    share a label, d_c = total degree of community c. One row out:
+    (m_edges, intra_edges, sum_dc2, modularity) where ``modularity``
+    is the single double expression above evaluated from the exact
+    integers (round6; None on an empty graph) — mirrored term-for-term
+    in the SQL oracle. int64 bound: sum_dc2 <= (2m)^2 holds while
+    m < 2^31 undirected edges per connected label, and 4*m*m needs
+    m < 2^30.5 — beyond that the finalize must move to Python bignum
+    emit (ops/stats_tests discipline); document-scale co-purchase
+    graphs are far below it.
+
+    Plans: 'broadcast' (below ``broadcast_node_limit`` nodes) ships
+    the label map once via ray.put; intra comes from ONE edge scan of
+    single-row partials, sum_dc2 from the node-scale (label, deg)
+    driver tables. 'join' attaches labels to both endpoints with two
+    co-partition joins (edge-scale exchanges, single-row partials
+    out), and d_c via one label-keyed exchange over the label-attached
+    degree table."""
+    import ray
+
+    from docstrange_ray.shuffle import (
+        arrow_out,
+        coalesced_blocks,
+        grouped_blocks,
+        hash_join,
+    )
+
+    labels = label_propagation(
+        edges, rounds, num_partitions, plan, broadcast_node_limit
+    ).materialize()
+    ue = undirected_edges(edges, num_partitions).materialize()
+    deg = degree_table(ue, num_partitions).materialize()
+    n_nodes = deg.count()
+
+    def finalize_row(m: int, intra: int, sum_dc2: int) -> pd.DataFrame:
+        q = (
+            None
+            if m == 0
+            else float(
+                round6((4.0 * m * intra - float(sum_dc2)) / (4.0 * m * m))
+            )
+        )
+        return pd.DataFrame(
+            {
+                "m_edges": pd.Series([m], dtype=np.int64),
+                "intra_edges": pd.Series([intra], dtype=np.int64),
+                "sum_dc2": pd.Series([sum_dc2], dtype=np.int64),
+                "modularity": pd.Series([q], dtype=np.float64),
+            }
+        )
+
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    if plan == "broadcast":
+        lmap = {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+        dc: dict[int, int] = {}
+        for r in deg.take_all():  # node-scale, gated
+            dc[lmap[int(r["node"])]] = dc.get(lmap[int(r["node"])], 0) + int(
+                r["deg"]
+            )
+        sum_dc2 = sum(d * d for d in dc.values())
+        l_ref = ray.put(lmap)
+
+        def partial(batch: pa.Table, _ref=l_ref) -> pd.DataFrame:
+            lm = ray.get(_ref)
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            intra = sum(1 for x, y in zip(a, b) if lm[int(x)] == lm[int(y)])
+            return pd.DataFrame(
+                {
+                    "m": pd.Series([len(a)], dtype=np.int64),
+                    "intra": pd.Series([intra], dtype=np.int64),
+                }
+            )
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return finalize_row(
+                int(df["m"].sum()), int(df["intra"].sum()), sum_dc2
+            )
+
+        partials = ue.map_batches(arrow_out(partial), batch_format="pyarrow")
+        return coalesced_blocks(partials, final)
+
+    # ---- join (scale) plan ----
+    lab_a = labels.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "la": b.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lab_b = labels.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "lb": b.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    e_a = hash_join(
+        ue.map_batches(
+            lambda t: t.rename_columns(["node", "b"]), batch_format="pyarrow"
+        ),
+        lab_a,
+        key="node",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.select(["b", "la"]).rename_columns(["node", "la"]),
+        batch_format="pyarrow",
+    )
+    e_ab = hash_join(e_a, lab_b, key="node", num_partitions=num_partitions)
+
+    def intra_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "m": pd.Series([len(df)], dtype=np.int64),
+                "intra": pd.Series(
+                    [int((df["la"].to_numpy() == df["lb"].to_numpy()).sum())],
+                    dtype=np.int64,
+                ),
+                "dc2": pd.Series([0], dtype=np.int64),
+            }
+        )
+
+    dl = hash_join(deg, lab_a, key="node", num_partitions=num_partitions)
+
+    def dc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("la", as_index=False)["deg"].sum()
+        return pd.DataFrame(
+            {
+                "la": g["la"].to_numpy(np.int64),
+                "dcs": g["deg"].to_numpy(np.int64),
+            }
+        )
+
+    def dc_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("la", as_index=False)["dcs"].sum()
+        d = g["dcs"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "m": pd.Series([0], dtype=np.int64),
+                "intra": pd.Series([0], dtype=np.int64),
+                "dc2": pd.Series([int((d * d).sum())], dtype=np.int64),
+            }
+        )
+
+    # intra partials are already single-row per block — no exchange
+    # needed; dc partials need ONE label-keyed exchange before the
+    # square (d_c must be complete per label when squared)
+    parts = e_ab.map_batches(
+        arrow_out(intra_partial), batch_format="pandas"
+    ).union(
+        grouped_blocks(
+            dl.map_batches(arrow_out(dc_partial), batch_format="pandas"),
+            ["la"],
+            dc_final,
+            num_partitions,
+            batch_format="pandas",
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return finalize_row(
+            int(df["m"].sum()), int(df["intra"].sum()), int(df["dc2"].sum())
+        )
+
+    return coalesced_blocks(parts, final)
+
+
+def _hop_hash(cur: int, step: int, nxt: int) -> int:
+    return md5_key52(f"{cur}|{step}|{nxt}")
+
+
+def random_walks(
+    edges,
+    steps: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_edge_limit: int = 2_000_000,
+):
+    """Deterministic node2vec-style walk corpus: ONE walk per node,
+    ``steps`` moves along the symmetric simple graph; the step-t move
+    from node u goes to argmin over neighbors n of
+    md5_key52(f"{u}|{t}|{n}") with ties on n — the repo's hash-chain
+    replacement for an RNG, so the corpus is a pure function of the
+    edge set (same on any cluster size, SQL-mirrorable). Isolated
+    walkers (no neighbors — impossible on an edge-derived symmetric
+    graph, kept for safety) stay in place. Returns
+    Dataset[(start, step, node)] with step 0 = the start row.
+
+    Plans: below ``broadcast_edge_limit`` DIRECTED edges the adjacency
+    map ships once via ray.put and every step is a frontier-local
+    map_batches — zero exchanges. Above it the frontier stays a
+    Dataset: per step, ONE co-partition join against the edge table
+    keyed by current node, then ONE walker-keyed exchange of
+    per-batch argmin partials (a hot node's candidate rows pre-reduce
+    to one row per walker per batch before moving). The walk corpus
+    at 10^12 nodes is exactly this: steps x 2 bounded exchanges, no
+    state on the driver."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    sym = symmetric_edges(edges, num_partitions).materialize()
+    n_edges = sym.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "start": pa.array([], pa.int64()),
+                    "step": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if plan == "auto":
+        plan = "broadcast" if n_edges <= broadcast_edge_limit else "join"
+
+    nodes_ds = (
+        degree_table(undirected_edges(edges, num_partitions), num_partitions)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "start": b.column("node").cast(pa.int64()),
+                    "node": b.column("node").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    if plan == "broadcast":
+        adj: dict[int, list[int]] = {}
+        for r in sym.take_all():  # edge-scale, gated by broadcast_edge_limit
+            adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        for v in adj:
+            adj[v].sort()
+        a_ref = ray.put(adj)
+        frontiers = [nodes_ds]
+        for t in range(steps):
+            def advance(batch: pa.Table, _t=t, _ref=a_ref) -> pa.Table:
+                am = ray.get(_ref)
+                st = batch.column("start").to_numpy(zero_copy_only=False)
+                cur = batch.column("node").to_numpy(zero_copy_only=False)
+                nxt = np.empty(len(cur), dtype=np.int64)
+                for i, c in enumerate(cur):
+                    nbrs = am.get(int(c))
+                    if not nbrs:
+                        nxt[i] = int(c)
+                    else:
+                        nxt[i] = min(
+                            nbrs, key=lambda n: (_hop_hash(int(c), _t, n), n)
+                        )
+                return pa.table(
+                    {
+                        "start": pa.array(st.astype(np.int64), pa.int64()),
+                        "node": pa.array(nxt, pa.int64()),
+                    }
+                )
+
+            frontiers.append(
+                frontiers[-1]
+                .map_batches(advance, batch_format="pyarrow")
+                .materialize()
+            )
+    else:
+        frontiers = [nodes_ds]
+        for t in range(steps):
+            cand = hash_join(
+                frontiers[-1],
+                sym.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": b.column("src").cast(pa.int64()),
+                            "dst": b.column("dst").cast(pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                key="node",
+                num_partitions=num_partitions,
+            )
+
+            def best_partial(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+                if df.empty:
+                    return pd.DataFrame(
+                        {
+                            "start": pd.Series([], dtype=np.int64),
+                            "h": pd.Series([], dtype=np.int64),
+                            "dst": pd.Series([], dtype=np.int64),
+                        }
+                    )
+                h = np.fromiter(
+                    (
+                        _hop_hash(int(c), _t, int(n))
+                        for c, n in zip(df["node"], df["dst"])
+                    ),
+                    dtype=np.int64,
+                    count=len(df),
+                )
+                d = df.assign(h=h).sort_values(["start", "h", "dst"])
+                d = d.drop_duplicates("start", keep="first")
+                return pd.DataFrame(
+                    {
+                        "start": d["start"].to_numpy(np.int64),
+                        "h": d["h"].to_numpy(np.int64),
+                        "dst": d["dst"].to_numpy(np.int64),
+                    }
+                )
+
+            def best_final(df: pd.DataFrame) -> pd.DataFrame:
+                d = df.sort_values(["start", "h", "dst"]).drop_duplicates(
+                    "start", keep="first"
+                )
+                return pd.DataFrame(
+                    {
+                        "start": d["start"].to_numpy(np.int64),
+                        "node": d["dst"].to_numpy(np.int64),
+                    }
+                )
+
+            frontiers.append(
+                grouped_blocks(
+                    cand.map_batches(
+                        arrow_out(best_partial), batch_format="pandas"
+                    ),
+                    ["start"],
+                    best_final,
+                    num_partitions,
+                    batch_format="pandas",
+                ).materialize()
+            )
+
+    out = None
+    for t, fr in enumerate(frontiers):
+        step_ds = fr.map_batches(
+            lambda b, _t=t: pa.table(
+                {
+                    "start": b.column("start").cast(pa.int64()),
+                    "step": pa.array(
+                        np.full(b.num_rows, _t, dtype=np.int64), pa.int64()
+                    ),
+                    "node": b.column("node").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = step_ds if out is None else out.union(step_ds)
+    return out
+
+
+def harmonic_centrality(
+    edges,
+    k_seeds: int = 4,
+    max_hops: int = 3,
+    num_partitions=None,
+    plan: str = "auto",
+):
+    """Bounded harmonic centrality from a deterministic seed sample:
+    seeds = the ``k_seeds`` nodes with smallest (md5_key52(node),
+    node); for every node v reached within ``max_hops`` of any seed,
+    harmonic(v) = sum over seeds s != v with d(s,v) <= max_hops of
+    1/d(s,v). Seed-sampled bounded harmonic is the standard scalable
+    estimator (Eppstein-Wang 2004 pivot sampling; HyperBall is the
+    sketch path) — exact all-pairs centrality is O(n*m) and off the
+    table at corpus scale, so k_seeds is the accuracy/cost knob.
+
+    Exactness: 1/d sums are computed as integers scaled by
+    L = lcm(1..max_hops) (every L//d is exact), emitted as
+    ``harm_num`` with ``harmonic`` = round6(harm_num / L) — one double
+    division, mirrored verbatim in SQL.
+
+    Distances reuse ops.graph.bfs_levels (frontier iteration, both
+    plans) via the PRODUCT-GRAPH trick: the symmetric edge table is
+    replicated once per seed index under node' = idx * 2^40 + node, so
+    ONE multi-source BFS run computes all k seed distance fields
+    (k x edge-scale input — k is small by construction). Returns
+    Dataset[(node, harm_num, harmonic)] for reached non-seed-distance-0
+    nodes, sorted by node via the final exchange's block order."""
+    import ray
+
+    from docstrange_ray.ops.graph import bfs_levels
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    OFF = 1 << 40
+    sym = symmetric_edges(edges, num_partitions).materialize()
+    deg = degree_table(
+        undirected_edges(edges, num_partitions), num_partitions
+    ).materialize()
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "harm_num": pa.array([], pa.int64()),
+            "harmonic": pa.array([], pa.float64()),
+        }
+    )
+    if deg.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # deterministic seed pick: per-batch top-k partials -> one bounded
+    # final (n_blocks x k rows), never the full node table
+    def seed_partial(batch: pa.Table) -> pd.DataFrame:
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_key52(str(int(v))) for v in nodes),
+            dtype=np.int64,
+            count=len(nodes),
+        )
+        d = pd.DataFrame({"node": nodes.astype(np.int64), "h": h})
+        return d.sort_values(["h", "node"]).head(k_seeds)
+
+    cands = deg.map_batches(
+        arrow_out(seed_partial), batch_format="pyarrow"
+    )
+    seed_rows = (
+        coalesced_blocks(
+            cands,
+            lambda df: df.sort_values(["h", "node"]).head(k_seeds),
+        )
+        .take_all()
+    )
+    seeds = [int(r["node"]) for r in seed_rows]
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        outs, outd = [], []
+        for idx in range(len(seeds)):
+            outs.append(src + idx * OFF)
+            outd.append(dst + idx * OFF)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(outs), pa.int64()),
+                "dst": pa.array(np.concatenate(outd), pa.int64()),
+            }
+        )
+
+    prod_edges = sym.map_batches(replicate, batch_format="pyarrow")
+    levels = bfs_levels(
+        prod_edges,
+        seeds=[idx * OFF + s for idx, s in enumerate(seeds)],
+        max_hops=max_hops,
+        num_partitions=num_partitions,
+        plan=plan if plan != "auto" else "auto",
+    )
+
+    L = math.lcm(*range(1, max_hops + 1))
+
+    def harm_partial(batch: pa.Table) -> pd.DataFrame:
+        comp = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        lv = batch.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lv >= 1
+        node = comp[keep] % OFF
+        num = np.array([L // d for d in lv[keep]], dtype=np.int64)
+        g = (
+            pd.DataFrame({"node": node, "hn": num})
+            .groupby("node", as_index=False)["hn"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "node": g["node"].to_numpy(np.int64),
+                "hn": g["hn"].to_numpy(np.int64),
+            }
+        )
+
+    def harm_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["hn"].sum()
+        harm = np.array(
+            [float(round6(int(v) / L)) for v in g["hn"]], dtype=np.float64
+        )
+        return pd.DataFrame(
+            {
+                "node": g["node"].to_numpy(np.int64),
+                "harm_num": g["hn"].to_numpy(np.int64),
+                "harmonic": harm,
+            }
+        )
+
+    return grouped_blocks(
+        levels.map_batches(arrow_out(harm_partial), batch_format="pyarrow"),
+        ["node"],
+        harm_final,
+        num_partitions,
+        batch_format="pandas",
+    )

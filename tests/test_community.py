@@ -1,0 +1,264 @@
+"""Community / walks / centrality operators (ops/community.py): plan
+parity (broadcast vs join) against independent pure-Python references
+(dict/loop re-derivations sharing no code with the distributed plans),
+plus the Feather/ORC source-sink round trips (io.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from docstrange_ray.numerics import md5_key52, round6
+
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _edge_ds(edges, parts=3):
+    tbl = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], pa.int64()),
+            "dst": pa.array([d for _, d in edges], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(parts)
+
+
+def _ref_graph(edges):
+    ue = {
+        (min(s, d), max(s, d)) for s, d in edges if s != d
+    }
+    adj: dict[int, set] = {}
+    for a, b in ue:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return ue, adj
+
+
+def _random_edges(seed, n_nodes=30, n_edges=80):
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(0, n_nodes)), int(rng.randint(0, n_nodes)))
+        for _ in range(n_edges)
+    ]
+
+
+def _lpa_ref(adj, rounds):
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt: dict[int, int] = {}
+            for n in adj[v]:
+                cnt[lab[n]] = cnt.get(lab[n], 0) + 1
+            new[v] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return lab
+
+
+class TestLabelPropagation:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import label_propagation
+
+        edges = _random_edges(3)
+        _, adj = _ref_graph(edges)
+        got = {
+            int(r["node"]): int(r["label"])
+            for r in label_propagation(
+                _edge_ds(edges), rounds=3, plan=plan
+            ).take_all()
+        }
+        assert got == _lpa_ref(adj, 3)
+
+    def test_two_cliques_converge(self):
+        """Two triangles joined by one bridge edge: LPA keeps them as
+        two communities (each triangle's min node wins its side)."""
+        from docstrange_ray.ops.community import label_propagation
+
+        edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+        got = {
+            int(r["node"]): int(r["label"])
+            for r in label_propagation(_edge_ds(edges), rounds=4).take_all()
+        }
+        assert len({got[0], got[1]} | {got[10], got[11]}) >= 2
+        assert got[0] == got[1] and got[10] == got[11]
+
+    def test_empty(self):
+        from docstrange_ray.ops.community import label_propagation
+
+        assert label_propagation(_edge_ds([(5, 5)])).count() == 0
+
+
+class TestModularity:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import modularity_stats
+
+        edges = _random_edges(4)
+        ue, adj = _ref_graph(edges)
+        lab = _lpa_ref(adj, 3)
+        m = len(ue)
+        intra = sum(1 for a, b in ue if lab[a] == lab[b])
+        dc: dict[int, int] = {}
+        for v in adj:
+            dc[lab[v]] = dc.get(lab[v], 0) + len(adj[v])
+        sum_dc2 = sum(d * d for d in dc.values())
+        q = float(round6((4.0 * m * intra - float(sum_dc2)) / (4.0 * m * m)))
+
+        df = modularity_stats(_edge_ds(edges), rounds=3, plan=plan).to_pandas()
+        assert len(df) == 1
+        row = df.iloc[0]
+        assert (
+            int(row.m_edges),
+            int(row.intra_edges),
+            int(row.sum_dc2),
+        ) == (m, intra, sum_dc2)
+        assert row.modularity == pytest.approx(q, abs=0)
+
+    def test_disconnected_cliques_high_q(self):
+        """Two disjoint triangles: perfect partition, Q = 1/2 exactly
+        (intra = m, sum_dc2 = 2 * (3*2)^2 / ... -> (4*6*6 - 72)/144)."""
+        from docstrange_ray.ops.community import modularity_stats
+
+        edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+        row = modularity_stats(_edge_ds(edges), rounds=4).to_pandas().iloc[0]
+        assert int(row.m_edges) == 6 and int(row.intra_edges) == 6
+        assert row.modularity == pytest.approx(0.5, abs=0)
+
+
+def _walks_ref(adj, steps):
+    out = []
+    for v in adj:
+        cur = v
+        out.append((v, 0, v))
+        for t in range(steps):
+            nbrs = sorted(adj[cur])
+            cur = min(nbrs, key=lambda n: (md5_key52(f"{cur}|{t}|{n}"), n))
+            out.append((v, t + 1, cur))
+    return sorted(out)
+
+
+class TestRandomWalks:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import random_walks
+
+        edges = _random_edges(5)
+        _, adj = _ref_graph(edges)
+        got = sorted(
+            (int(r["start"]), int(r["step"]), int(r["node"]))
+            for r in random_walks(_edge_ds(edges), steps=3, plan=plan).take_all()
+        )
+        assert got == _walks_ref(adj, 3)
+
+    def test_walks_follow_edges(self):
+        from docstrange_ray.ops.community import random_walks
+
+        edges = _random_edges(6)
+        _, adj = _ref_graph(edges)
+        rows = random_walks(_edge_ds(edges), steps=2).take_all()
+        by_walker: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_walker.setdefault(int(r["start"]), {})[int(r["step"])] = int(
+                r["node"]
+            )
+        for start, path in by_walker.items():
+            assert path[0] == start
+            for t in range(1, 3):
+                assert path[t] in adj[path[t - 1]]
+
+
+def _harm_ref(adj, k, hops):
+    seeds = sorted(adj, key=lambda v: (md5_key52(str(v)), v))[:k]
+    L = math.lcm(*range(1, hops + 1))
+    acc: dict[int, int] = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, hops + 1):
+            nxt = []
+            for u in frontier:
+                for n in adj[u]:
+                    if n not in dist:
+                        dist[n] = d
+                        nxt.append(n)
+            frontier = nxt
+        for v, d in dist.items():
+            if d >= 1:
+                acc[v] = acc.get(v, 0) + L // d
+    return {v: (hn, float(round6(hn / L))) for v, hn in acc.items()}
+
+
+class TestHarmonicCentrality:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import harmonic_centrality
+
+        edges = _random_edges(7)
+        _, adj = _ref_graph(edges)
+        got = {
+            int(r["node"]): (int(r["harm_num"]), float(r["harmonic"]))
+            for r in harmonic_centrality(
+                _edge_ds(edges), k_seeds=4, max_hops=3, plan=plan
+            ).take_all()
+        }
+        assert got == _harm_ref(adj, 4, 3)
+
+    def test_path_graph_exact_values(self):
+        """Path 0-1-2-3 with seed count 1: the single md5-min seed's
+        harmonic numerators are exact L//d integers."""
+        from docstrange_ray.ops.community import harmonic_centrality
+
+        edges = [(0, 1), (1, 2), (2, 3)]
+        seed = min([0, 1, 2, 3], key=lambda v: (md5_key52(str(v)), v))
+        got = {
+            int(r["node"]): int(r["harm_num"])
+            for r in harmonic_centrality(
+                _edge_ds(edges), k_seeds=1, max_hops=3
+            ).take_all()
+        }
+        L = 6
+        dist = {v: abs(v - seed) for v in [0, 1, 2, 3] if v != seed}
+        want = {v: L // d for v, d in dist.items() if d <= 3}
+        assert got == want
+
+
+class TestFeatherOrcRoundtrip:
+    def _docs_tbl(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a,b\nc", 'quote"d', "unicode é中"]),
+                "n": pa.array([1.5, None, 3.0], pa.float64()),
+            }
+        )
+
+    def test_feather_roundtrip(self, tmp_path):
+        from docstrange_ray.io import read_feather_docs, write_feather_docs
+
+        tbl = self._docs_tbl()
+        write_feather_docs(ray.data.from_arrow(tbl), str(tmp_path / "f"))
+        back = read_feather_docs(str(tmp_path / "f")).to_pandas()
+        assert sorted(back["text"]) == sorted(tbl.column("text").to_pylist())
+        assert back["n"].sum() == pytest.approx(4.5)
+
+    def test_orc_roundtrip_and_projection(self, tmp_path):
+        from docstrange_ray.io import read_orc_docs, write_orc_docs
+
+        tbl = self._docs_tbl()
+        write_orc_docs(ray.data.from_arrow(tbl), str(tmp_path / "o"))
+        back = read_orc_docs(
+            str(tmp_path / "o"), columns=["doc_id", "text"]
+        ).to_pandas()
+        assert list(back.columns) == ["doc_id", "text"]
+        assert sorted(back["text"]) == sorted(tbl.column("text").to_pylist())
+
+    def test_missing_dir_raises(self, tmp_path):
+        from docstrange_ray.io import read_feather_docs
+
+        with pytest.raises(FileNotFoundError):
+            read_feather_docs(str(tmp_path / "nope"))

@@ -1574,6 +1574,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return degree_assortativity(copurchase_path_edges(sf_dir))
 
+    def copurchase_ppr_q(sf_dir):
+        """Personalized PageRank (5 iters) from the 3 lowest part ids
+        over the directed co-purchase path graph (graph.pagerank with
+        teleport=seeds — Jeh & Widom 2003): jump + dangling mass land
+        only on the seed set, ranking parts by relevance TO those
+        seeds (the related-item / local-relevance query uniform
+        PageRank cannot express). Floor-integer arithmetic throughout,
+        so both plans match the seeded unrolled-CTE oracle exactly."""
+        from docstrange_ray.ops.graph import copurchase_path_edges, pagerank
+        from docstrange_ray.shuffle import arrow_out, coalesced_blocks
+
+        edges = copurchase_path_edges(sf_dir).materialize()
+
+        def local_min3(batch):
+            import numpy as np
+            import pandas as pd
+
+            both = np.concatenate(
+                [
+                    batch.column("src").to_numpy(zero_copy_only=False),
+                    batch.column("dst").to_numpy(zero_copy_only=False),
+                ]
+            )
+            return pd.DataFrame({"node": np.unique(both)[:3]})
+
+        def final_min3(df):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame({"node": np.unique(df["node"].to_numpy())[:3]})
+
+        seeds = [
+            int(r["node"])
+            for r in coalesced_blocks(
+                edges.map_batches(arrow_out(local_min3), batch_format="pyarrow"),
+                final_min3,
+            ).take_all()
+        ]
+        return pagerank(edges, iterations=5, teleport=seeds)
+
     def copurchase_communities_q(sf_dir):
         """Semi-synchronous label propagation (4 rounds, Raghavan et
         al. 2007 made deterministic — community.label_propagation) over
@@ -3460,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_cheapest": copurchase_cheapest,
         "copurchase_pagerank_weighted": copurchase_pagerank_weighted_q,
         "copurchase_assortativity": copurchase_assortativity_q,
+        "copurchase_ppr": copurchase_ppr_q,
         "copurchase_communities": copurchase_communities_q,
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
@@ -3660,33 +3701,63 @@ def _kmeans_cte(k: int, n_iters: int) -> str:
 
 
 def _pagerank_core(iters: int = 5, scale: int = 10**12,
-                   weighted: bool = False) -> str:
+                   weighted: bool = False,
+                   tele_sql: str | None = None) -> str:
     """Unrolled-CTE DuckDB mirror of ops.graph.pagerank's iteration
     chain over a caller-provided CTE ``e(src, dst)`` of DISTINCT
     directed edges: one CTE per iteration, integer floor arithmetic
     throughout (DuckDB `//`), so the comparison is bit-exact. The
     returned fragment starts mid-WITH (", nodes AS ...") and defines
-    nodes/nn/deg/r0..r{iters}."""
+    nodes/nn/deg/r0..r{iters}. ``tele_sql`` (a SELECT yielding the
+    seed node column over ``nodes``) switches to the PERSONALIZED
+    walk: jump term, initial mass and dangling share land on the seed
+    set only — mirroring pagerank(teleport=...) term for term."""
     dexpr = "SUM(w)" if weighted else "COUNT(*)"
     head = f""", nodes AS MATERIALIZED (
             SELECT src AS node FROM e UNION SELECT dst FROM e
         ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
-        deg AS MATERIALIZED (SELECT src, {dexpr} AS d FROM e GROUP BY src),
+        deg AS MATERIALIZED (SELECT src, {dexpr} AS d FROM e GROUP BY src)"""
+    if tele_sql is None:
+        jump_n = "(SELECT n FROM nn)"
+        is_seed = None
+    else:
+        head += f""", tele AS MATERIALIZED ({tele_sql}),
+        nt AS MATERIALIZED (SELECT COUNT(*) AS n FROM tele)"""
+        jump_n = "(SELECT n FROM nt)"
+        is_seed = "n.node IN (SELECT node FROM tele)"
+    if tele_sql is None:
+        head += f""",
         r0 AS MATERIALIZED (
-            SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes
+            SELECT node, {scale} // {jump_n} AS r FROM nodes
+        )"""
+    else:
+        head += f""",
+        r0 AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN {is_seed}
+                        THEN {scale} // {jump_n} ELSE 0 END AS r
+            FROM nodes n
         )"""
     its = []
     contrib = "p.r * e.w // d.d" if weighted else "p.r // d.d"
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
+        dang = f"""(SELECT COALESCE(SUM(p.r), 0) FROM {p} p
+                              LEFT JOIN deg d ON d.src = p.node
+                              WHERE d.d IS NULL) // {jump_n}"""
+        if tele_sql is None:
+            jump_term = f"15 * {scale} // (100 * {jump_n})"
+            dang_term = dang
+        else:
+            jump_term = (f"CASE WHEN {is_seed} THEN "
+                         f"15 * {scale} // (100 * {jump_n}) ELSE 0 END")
+            dang_term = f"CASE WHEN {is_seed} THEN {dang} ELSE 0 END"
         its.append(
             f""", r{i} AS MATERIALIZED (
             SELECT n.node,
-                   15 * {scale} // (100 * (SELECT n FROM nn))
+                   {jump_term}
                    + 85 * (COALESCE(s.insum, 0)
-                           + (SELECT COALESCE(SUM(p.r), 0) FROM {p} p
-                              LEFT JOIN deg d ON d.src = p.node
-                              WHERE d.d IS NULL) // (SELECT n FROM nn)
+                           + {dang_term}
                      ) // 100 AS r
             FROM nodes n
             LEFT JOIN (
@@ -4531,6 +4602,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "copurchase_pagerank_weighted": _copurchase_weighted_pagerank_oracle(),
         "copurchase_core": _kcore_oracle(),
+        "copurchase_ppr": (
+            """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ), sq AS (
+            SELECT ok, p,
+                   ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+            FROM op
+        ), e AS MATERIALIZED (
+            SELECT DISTINCT s1.p AS src, s2.p AS dst
+            FROM sq s1 JOIN sq s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+        )"""
+            + _pagerank_core(
+                5,
+                tele_sql="SELECT node FROM nodes ORDER BY node LIMIT 3",
+            )
+            + '\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r5'
+        ),
         "copurchase_communities": _communities_oracle(rounds=4),
         "copurchase_modularity": _modularity_oracle(rounds=4),
         "copurchase_walks": _walks_oracle(steps=4),

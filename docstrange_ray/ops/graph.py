@@ -104,6 +104,7 @@ def pagerank(
     broadcast_node_limit: int = 2_000_000,
     assume_distinct: bool = False,
     weighted: bool = False,
+    teleport: list[int] | None = None,
 ):
     """Fixed-point integer PageRank over Dataset[(src int, dst int)].
 
@@ -120,6 +121,17 @@ def pagerank(
     out_weight (floor — still exact-integer, still SQL-mirrorable).
     Weighted mode requires ``assume_distinct=True`` (the caller owns
     the per-edge weight aggregation).
+
+    ``teleport``: PERSONALIZED PageRank (Jeh & Widom 2003 / Page et
+    al. 1999 §6) — the teleport and dangling mass land only on the
+    given seed set instead of uniformly: seeds start with scale //
+    n_seeds, non-seeds with 0; per iteration non-seeds get ONLY the
+    damped in-sum while seeds add the (1-d) jump term and the
+    dangling share (// n_seeds). The seed set is SMALL by contract
+    (it's a query, not a partition), so both plans ship it as a plain
+    broadcast set; arithmetic stays floor-integer, so PPR is as
+    plan-independent and SQL-mirrorable as the uniform walk.
+    ``teleport=None`` is bit-for-bit the uniform behavior.
     """
     import ray
 
@@ -137,8 +149,16 @@ def pagerank(
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())})
         )
-    t0 = (100 - DAMP_NUM) * scale // (DAMP_DEN * n_nodes)
-    r_init = scale // n_nodes
+    tele = None
+    if teleport is not None:
+        tele = frozenset(int(s) for s in teleport)
+        if not tele:
+            raise ValueError("teleport seed set must be non-empty")
+        n_jump = len(tele)
+    else:
+        n_jump = n_nodes
+    t0 = (100 - DAMP_NUM) * scale // (DAMP_DEN * n_jump)
+    r_init = scale // n_jump
 
     if plan == "auto":
         plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
@@ -146,22 +166,23 @@ def pagerank(
     if plan == "broadcast":
         return _pagerank_broadcast(
             edges, nodes, n_nodes, iterations, scale, t0, r_init,
-            num_partitions, weighted
+            num_partitions, weighted, tele
         )
     return _pagerank_join(
         edges, nodes, n_nodes, iterations, scale, t0, r_init,
-        num_partitions, weighted
+        num_partitions, weighted, tele
     )
 
 
 def _pagerank_broadcast(
     edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions,
-    weighted: bool = False,
+    weighted: bool = False, tele=None,
 ):
     """Gated plan: the (node -> rank, outdeg) map is ray.put-broadcast
     (bounded by broadcast_node_limit); each iteration = one per-block
     vectorized contribution histogram -> one pre-reduced dst exchange
-    -> bounded take_all of the new insums."""
+    -> bounded take_all of the new insums. ``tele`` (personalized
+    mode): jump/dangling terms apply to seed nodes only."""
     import ray
 
     from docstrange_ray.shuffle import arrow_out, grouped_blocks
@@ -169,11 +190,12 @@ def _pagerank_broadcast(
     node_rows = nodes.take_all()  # bounded by the gate
     node_ids = np.array(sorted(r["node"] for r in node_rows), dtype=np.int64)
     outdeg = {r["node"]: r["outdeg"] for r in node_rows}
-    ranks = {int(v): r_init for v in node_ids}
+    in_jump = (lambda v: True) if tele is None else (lambda v: v in tele)
+    ranks = {int(v): (r_init if in_jump(int(v)) else 0) for v in node_ids}
 
     for _ in range(iterations):
         dang = sum(r for v, r in ranks.items() if outdeg[v] == 0)
-        dshare = dang // n_nodes
+        dshare = dang // (n_nodes if tele is None else len(tele))
         # outdeg is a GLOBAL property: ship (rank, outdeg) together so a
         # block can turn its edges into contributions with zero exchanges
         payload_ref = ray.put(
@@ -221,7 +243,10 @@ def _pagerank_broadcast(
             ).take_all()  # bounded by the gate
         }
         ranks = {
-            int(v): t0 + DAMP_NUM * (insums.get(int(v), 0) + dshare) // DAMP_DEN
+            int(v): (t0 if in_jump(int(v)) else 0)
+            + DAMP_NUM
+            * (insums.get(int(v), 0) + (dshare if in_jump(int(v)) else 0))
+            // DAMP_DEN
             for v in node_ids
         }
 
@@ -239,21 +264,33 @@ def _pagerank_broadcast(
 
 def _pagerank_join(
     edges, nodes, n_nodes, iterations, scale, t0, r_init, num_partitions,
-    weighted: bool = False,
+    weighted: bool = False, tele=None,
 ):
     """Scale plan (Pregel shape): rank state is a Dataset co-partitioned
     with the edges each iteration. Two pre-reduced exchanges per
-    iteration; the only driver value is the dangling-mass SCALAR."""
+    iteration; the only driver value is the dangling-mass SCALAR.
+    ``tele`` (personalized mode): the seed set is small by contract, so
+    it rides into the init/gather closures as a plain broadcast set —
+    node state never gains a column."""
     import ray
 
     from docstrange_ray.shuffle import arrow_out, grouped_blocks, _strip_schema_metadata
 
     def init_state(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if tele is None:
+            rank0 = np.full(n, r_init, dtype=np.int64)
+        else:
+            ids = batch.column("node").to_numpy(zero_copy_only=False)
+            rank0 = np.fromiter(
+                (r_init if int(v) in tele else 0 for v in ids),
+                dtype=np.int64,
+                count=n,
+            )
         return pa.table(
             {
                 "node": batch.column("node").cast(pa.int64()),
-                "rank": pa.array(np.full(n, r_init, dtype=np.int64)),
+                "rank": pa.array(rank0),
                 "outdeg": batch.column("outdeg").cast(pa.int64()),
             }
         )
@@ -302,7 +339,7 @@ def _pagerank_join(
             )
             .sum("d")
         )
-        dshare = int(dang or 0) // n_nodes
+        dshare = int(dang or 0) // (n_nodes if tele is None else len(tele))
 
         def state_rows(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
@@ -420,15 +457,29 @@ def _pagerank_join(
             ):
                 ins[v] = ins.get(v, 0) + c
             nodes_ = st.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            new_rank = np.fromiter(
-                (
-                    t0
-                    + DAMP_NUM * (int(ins.get(int(v), 0)) + _dshare) // DAMP_DEN
-                    for v in nodes_
-                ),
-                dtype=np.int64,
-                count=len(nodes_),
-            )
+            if tele is None:
+                new_rank = np.fromiter(
+                    (
+                        t0
+                        + DAMP_NUM * (int(ins.get(int(v), 0)) + _dshare) // DAMP_DEN
+                        for v in nodes_
+                    ),
+                    dtype=np.int64,
+                    count=len(nodes_),
+                )
+            else:
+                new_rank = np.fromiter(
+                    (
+                        (t0 if int(v) in tele else 0)
+                        + DAMP_NUM
+                        * (int(ins.get(int(v), 0))
+                           + (_dshare if int(v) in tele else 0))
+                        // DAMP_DEN
+                        for v in nodes_
+                    ),
+                    dtype=np.int64,
+                    count=len(nodes_),
+                )
             return pa.table(
                 {
                     "node": pa.array(nodes_, pa.int64()),

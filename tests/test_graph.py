@@ -77,6 +77,63 @@ class TestPagerank:
             }
             assert got == ref, plan
 
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_personalized_equals_reference(self, plan):
+        """PPR (teleport seeds): jump/dangling mass on seeds only —
+        independent dict/loop mirror of the floor-integer semantics."""
+        from docstrange_ray.ops.graph import pagerank
+
+        edges = _random_edges(11)
+        seeds = sorted({s for s, _ in edges} | {d for _, d in edges})[:3]
+        scale = 10**12
+        es = sorted(set(edges))
+        nodes = sorted({s for s, _ in es} | {d for _, d in es})
+        S = set(seeds)
+        ns = len(S)
+        outdeg = {v: 0 for v in nodes}
+        for s, _ in es:
+            outdeg[s] += 1
+        r = {v: (scale // ns if v in S else 0) for v in nodes}
+        for _ in range(5):
+            dang = sum(r[v] for v in nodes if outdeg[v] == 0)
+            dsh = dang // ns
+            insum = {v: 0 for v in nodes}
+            for s, d in es:
+                insum[d] += r[s] // outdeg[s]
+            r = {
+                v: (15 * scale // (100 * ns) if v in S else 0)
+                + 85 * (insum[v] + (dsh if v in S else 0)) // 100
+                for v in nodes
+            }
+        got = {
+            row["node"]: row["rank"]
+            for row in pagerank(
+                _edge_ds(edges), iterations=5, plan=plan, teleport=seeds
+            ).take_all()
+        }
+        assert got == r
+
+    def test_personalized_mass_concentrates_near_seeds(self):
+        """Two disjoint directed cycles; seeding one cycle must leave
+        the other with zero rank (no uniform jump leaks across)."""
+        from docstrange_ray.ops.graph import pagerank
+
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+        ranks = {
+            row["node"]: row["rank"]
+            for row in pagerank(
+                _edge_ds(edges), iterations=5, teleport=[1]
+            ).take_all()
+        }
+        assert all(ranks[v] > 0 for v in (1, 2, 3))
+        assert all(ranks[v] == 0 for v in (10, 11, 12))
+
+    def test_personalized_empty_seeds_raises(self):
+        from docstrange_ray.ops.graph import pagerank
+
+        with pytest.raises(ValueError):
+            pagerank(_edge_ds([(1, 2)]), teleport=[])
+
     def test_duplicate_edges_collapse(self):
         from docstrange_ray.ops.graph import pagerank
 

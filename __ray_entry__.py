@@ -1758,6 +1758,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup.keep_best_drop_list_ds(docs, score_col="n_chars", threshold=0.8)
 
+    def leakage_safe_split_q(sf_dir):
+        """Decontaminated train/val/test assignment (sampling.
+        leakage_safe_split): the split is a function of the NEAR-DUP
+        CLUSTER (verified 3-gram-jaccard pairs -> connected
+        components), not the document, so a doc and its near-twin can
+        never straddle train/test — the leakage hash_split cannot
+        prevent. Bucket = md5_key52(cluster) % 100: <80 train, <90
+        val, else test. Oracle re-derives the pair chain, the
+        recursive component closure, and the md5 bucket in SQL."""
+        docs = read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        from docstrange_ray.ops.sampling import leakage_safe_split
+
+        return leakage_safe_split(docs, threshold=0.8)
+
     def _messy_urls(sf_dir, collide: bool = False):
         """Deterministic messy-URL fixture over documents (the in-plan
         corruption idiom): mixed-case scheme/host, explicit default
@@ -3510,6 +3526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_drops": jaccard_drops,
         "near_dup_drops": near_dup_drops,
         "near_dup_keep_best": near_dup_keep_best,
+        "leakage_safe_split": leakage_safe_split_q,
         "c4_clean": c4_clean,
         "boilerplate_lines": boilerplate_lines,
         "boilerplate_stripped": boilerplate_stripped,
@@ -6743,6 +6760,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id
             FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
             WHERE m <> node
+        """,
+        # same pair + component closure as near_dup_drops, then every
+        # document (member or not) is assigned cluster = component min
+        # id (or its own id) and a md5-bucket split — verifies
+        # sampling.leakage_safe_split end to end: whole clusters land
+        # in one split
+        "leakage_safe_split": r"""
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(ws) - 1,
+                                             CASE WHEN len(ws) > 0 THEN 2 ELSE 1 END)),
+                           i -> CASE WHEN len(ws) >= 3
+                                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     ELSE array_to_string(ws, ' ') END)) AS gs
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ), e AS (
+                SELECT doc_id, UNNEST(gs) AS gram, len(gs) AS n FROM g
+            ), inter AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni,
+                       ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), prs AS (
+                SELECT pa, pb FROM inter WHERE ni * 1.0 / (na + nb - ni) >= 0.8
+            ), edges AS (
+                SELECT pa AS a, pb AS b FROM prs UNION SELECT pb, pa FROM prs
+            ), lbl(node, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e2.a, l.label FROM edges e2 JOIN lbl l ON l.node = e2.b
+            ), comp AS (
+                SELECT node, MIN(label) AS m FROM lbl GROUP BY node
+            ), asg AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(c.m, d.doc_id) AS BIGINT) AS cluster
+                FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            )
+            SELECT doc_id, cluster,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster,
+                         ('0x' || substr(md5(CAST(cluster AS VARCHAR)),
+                                         1, 13))::BIGINT % 100 AS b
+                  FROM asg)
         """,
         # same pair + component closure as near_dup_drops, but the
         # representative is the cluster's LONGEST member (max n_chars,

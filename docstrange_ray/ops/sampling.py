@@ -473,3 +473,115 @@ def interleave_by_source(
     return grouped_blocks(
         keyed, ["bucket"], emit, num_partitions, batch_format="pandas"
     )
+
+
+def leakage_safe_split(
+    ds,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    buckets: tuple[int, int] = (80, 90),
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_member_limit: int = 2_000_000,
+):
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits — the decontamination rule hash_split misses: two
+    near-identical documents hash independently, so one lands in train
+    and its twin in test, inflating eval. Here the split is a function
+    of the near-dup CLUSTER, not the document:
+
+      verified pairs (dedup.near_dup_pairs_ds — the SQL-pinned
+      3-gram-jaccard chain) -> connected components
+      (dedup.dup_clusters_ds, min-reachable-id label) -> every doc's
+      cluster = its component label (or its own doc_id when it has no
+      near-dup) -> bucket = md5_key52(str(cluster)) % 100 -> 'train'
+      below buckets[0], 'val' below buckets[1], else 'test'.
+
+    Whole clusters move together, so train/test contamination by
+    near-dups is structurally impossible; the assignment stays a pure
+    function of the corpus (resumable, cluster-size-independent).
+    Returns Dataset[(doc_id, cluster, split)].
+
+    Plans: cluster labels cover only CLUSTER MEMBERS (pair-scale, a
+    tiny fraction of the corpus). Below ``broadcast_member_limit``
+    members the label map ships once via ray.put and assignment is one
+    corpus scan with zero extra exchanges. Above it, ONE left
+    co-partition join attaches labels (corpus-scale exchange — the
+    honest cost when the member table itself outgrows a broadcast).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from docstrange_ray.numerics import md5_key52
+    from docstrange_ray.ops.dedup import dup_clusters_ds, near_dup_pairs_ds
+    from docstrange_ray.shuffle import arrow_out, hash_join
+
+    lo, hi = buckets
+    text_proj = ds.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    pairs = near_dup_pairs_ds(
+        text_proj, threshold=threshold, ngram=ngram,
+        num_partitions=num_partitions,
+    )
+    labels = dup_clusters_ds(pairs, num_partitions=num_partitions).materialize()
+    n_members = labels.count()
+
+    def split_of(cluster: np.ndarray) -> list[str]:
+        out = []
+        for c in cluster:
+            b = md5_key52(str(int(c))) % 100
+            out.append("train" if b < lo else ("val" if b < hi else "test"))
+        return out
+
+    if plan == "auto":
+        plan = "broadcast" if n_members <= broadcast_member_limit else "join"
+
+    if plan == "broadcast":
+        lmap_ref = ray.put(
+            {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+        )  # member-scale, gated
+
+        def assign(batch: pa.Table, _ref=lmap_ref) -> pd.DataFrame:
+            lm = ray.get(_ref)
+            ids = batch.column("doc_id").to_pylist()
+            cluster = np.fromiter(
+                (lm.get(int(i), int(i)) for i in ids),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "cluster": cluster,
+                    "split": pd.Series(split_of(cluster), dtype=object),
+                }
+            )
+
+        return ds.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ).map_batches(arrow_out(assign), batch_format="pyarrow")
+
+    # ---- join (scale) plan: one left co-partition join ----
+    ids_ds = ds.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        ids_ds, labels, key="node", how="left", num_partitions=num_partitions
+    )
+
+    def assign_join(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["node"].to_numpy(np.int64)
+        lab = df["label"].to_numpy()
+        cluster = np.where(pd.isna(lab), ids, lab).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "cluster": cluster,
+                "split": pd.Series(split_of(cluster), dtype=object),
+            }
+        )
+
+    return joined.map_batches(arrow_out(assign_join), batch_format="pandas")

@@ -310,6 +310,61 @@ class TestSampling:
         assert len(t) + len(h) == 2000
         assert 0.7 < len(t) / 2000 < 0.9
 
+    def _leak_corpus(self):
+        """60 distinct docs plus 6 planted near-twin groups (identical
+        text -> jaccard 1.0 pairs): twins MUST share a split."""
+        import pyarrow as pa
+
+        import ray.data
+
+        texts, ids = [], []
+        for i in range(60):
+            ids.append(i)
+            texts.append(
+                f"unique document number {i} about topic {i * 7 % 13} "
+                f"with words {i * 3} {i * 5} {i * 11} that share nothing"
+            )
+        for g in range(6):
+            base = f"planted twin group {g} repeated content " * 5
+            for j in range(2):
+                ids.append(1000 + g * 10 + j)
+                texts.append(base)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(3)
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_leakage_safe_split_twins_together(self, plan):
+        from docstrange_ray.ops.sampling import leakage_safe_split
+
+        ds = self._leak_corpus()
+        rows = leakage_safe_split(ds, plan=plan).take_all()
+        assert len(rows) == 72  # exhaustive, one row per doc
+        by_id = {r["doc_id"]: r for r in rows}
+        assert set(r["split"] for r in rows) <= {"train", "val", "test"}
+        for g in range(6):
+            a, b = by_id[1000 + g * 10], by_id[1000 + g * 10 + 1]
+            assert a["cluster"] == b["cluster"] == 1000 + g * 10
+            assert a["split"] == b["split"]  # the leakage guarantee
+        # non-members cluster as themselves
+        assert by_id[5]["cluster"] == 5
+
+    def test_leakage_safe_split_plan_parity(self):
+        from docstrange_ray.ops.sampling import leakage_safe_split
+
+        ds = self._leak_corpus()
+        key = lambda rows: sorted(
+            (r["doc_id"], r["cluster"], r["split"]) for r in rows
+        )
+        a = key(leakage_safe_split(ds, plan="broadcast").take_all())
+        b = key(leakage_safe_split(ds, plan="join").take_all())
+        assert a == b
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestIVF:

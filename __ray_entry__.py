@@ -1574,6 +1574,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return degree_assortativity(copurchase_path_edges(sf_dir))
 
+    def purchase_hits_q(sf_dir):
+        """HITS hubs & authorities (Kleinberg 1999, graph.hits) over
+        the bipartite customer->part purchase graph, 3 rounds of exact
+        integer power iteration with max-rescale (score * scale //
+        max, trunc division) replacing the float L2 normalization —
+        hub customers concentrate on authoritative parts and vice
+        versa. Both plans and the unrolled-CTE oracle agree
+        bit-for-bit; output is (node, kind, score) with src/dst role
+        spaces kept separate by the kind column."""
+        from docstrange_ray.ops.graph import hits
+
+        orders = read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        from docstrange_ray.shuffle import hash_join
+
+        ok = orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b.column("o_orderkey").cast(pa.int64()),
+                    "src": b.column("o_custkey").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        lk = li.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b.column("l_orderkey").cast(pa.int64()),
+                    "dst": b.column("l_partkey").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        edges = hash_join(ok, lk, key="k").map_batches(
+            lambda df: df[["src", "dst"]], batch_format="pandas"
+        )
+        return hits(edges, iterations=3)
+
     def copurchase_ppr_q(sf_dir):
         """Personalized PageRank (5 iters) from the 3 lowest part ids
         over the directed co-purchase path graph (graph.pagerank with
@@ -3517,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank_weighted": copurchase_pagerank_weighted_q,
         "copurchase_assortativity": copurchase_assortativity_q,
         "copurchase_ppr": copurchase_ppr_q,
+        "purchase_hits": purchase_hits_q,
         "copurchase_communities": copurchase_communities_q,
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
@@ -4163,6 +4206,38 @@ def _harmonic_oracle(k_seeds: int = 4, max_hops: int = 3) -> str:
         FROM v{max_hops} WHERE d >= 1 GROUP BY 1"""
 
 
+def _hits_oracle(iters: int = 3, scale: int = 10**9) -> str:
+    """Unrolled-CTE mirror of ops.graph.hits over the customer->part
+    purchase graph: per round, authority = sum of incoming hub scores
+    rescaled by v * scale // max(v), then hubs symmetrically — trunc
+    division (DuckDB `//`) keeps every round exact-integer."""
+    sql = f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST({scale} AS BIGINT) AS s FROM e
+        )"""
+    for r in range(1, iters + 1):
+        sql += f""", ar{r} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(h.s) AS v
+            FROM e JOIN h{r - 1} h ON h.node = e.src GROUP BY 1
+        ), a{r} AS MATERIALIZED (
+            SELECT node, v * {scale} // (SELECT MAX(v) FROM ar{r}) AS s
+            FROM ar{r}
+        ), hr{r} AS MATERIALIZED (
+            SELECT e.src AS node, SUM(a.s) AS v
+            FROM e JOIN a{r} a ON a.node = e.dst GROUP BY 1
+        ), h{r} AS MATERIALIZED (
+            SELECT node, v * {scale} // (SELECT MAX(v) FROM hr{r}) AS s
+            FROM hr{r}
+        )"""
+    return sql + f"""
+        SELECT node, 'hub' AS kind, s AS score FROM h{iters}
+        UNION ALL
+        SELECT node, 'authority' AS kind, s AS score FROM a{iters}"""
+
+
 def _copurchase_weighted_pagerank_oracle(iters: int = 5) -> str:
     """Weighted _pagerank_core over the co-purchase path graph
     (w = LEAST(count, 1e6))."""
@@ -4619,6 +4694,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "copurchase_pagerank_weighted": _copurchase_weighted_pagerank_oracle(),
         "copurchase_core": _kcore_oracle(),
+        "purchase_hits": _hits_oracle(iters=3),
         "copurchase_ppr": (
             """
         WITH op AS (

@@ -2070,3 +2070,253 @@ def degree_assortativity(
         batch_format="pandas",
     )
     return coalesced_blocks(partials, finalize)
+
+
+def hits(
+    edges,
+    iterations: int = 3,
+    scale: int = 10**9,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """HITS hubs & authorities (Kleinberg 1999) over DISTINCT directed
+    edges, in EXACT integer arithmetic: hubs start at ``scale``; each
+    round authorities sum incoming hub scores, rescale so the max is
+    exactly ``scale`` (trunc division — DuckDB ``//`` parity), then
+    hubs sum their authorities' rescaled scores and rescale the same
+    way. Max-rescaling replaces the float L2 normalization with an
+    integer-exact equivalent (the ranking fixpoint is the same
+    principal-eigenvector direction); trunc-div makes every round a
+    pure function of the edge set, so both plans and the unrolled CTE
+    oracle agree bit-for-bit. Returns Dataset[(node, kind, score)]
+    with kind in {'hub', 'authority'} — src and dst ids live in
+    separate role spaces (bipartite usage: caller need not disjoin
+    them numerically).
+
+    int64 bound: sum-of-scores per node <= max_degree * scale, so
+    scale=1e9 holds to a billion-edge star; shrink scale for denser
+    hubs (documented, raises on overflow-risk detection is the
+    caller's scale choice).
+
+    Plans: below ``broadcast_node_limit`` src+dst DISTINCT nodes the
+    score maps live on the driver (node-scale, gated) and each round
+    is two pre-reduced edge-scan exchanges plus two driver max
+    scalars. Above it, scores stay Datasets: per round two
+    co-partition tagged-union exchanges (src-keyed scatter of h, then
+    dst-keyed scatter of a) with the ONLY driver values the two max
+    scalars (Dataset.max) — the Pregel discipline of pagerank's join
+    plan."""
+    import ray
+
+    from docstrange_ray.shuffle import (
+        _strip_schema_metadata,
+        arrow_out,
+        grouped_blocks,
+        hash_join,
+    )
+
+    edges = distinct_edges(edges, num_partitions)
+    edges = _strip_schema_metadata(edges).materialize()
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def side_nodes(col):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": np.unique(
+                    batch.column(col).to_numpy(zero_copy_only=False)
+                ).astype(np.int64)}
+            )
+        return f
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    hubs = grouped_blocks(
+        edges.map_batches(arrow_out(side_nodes("src")), batch_format="pyarrow"),
+        ["node"], distinct, num_partitions, batch_format="pandas",
+    ).materialize()
+    n_hub = hubs.count()
+    auths = grouped_blocks(
+        edges.map_batches(arrow_out(side_nodes("dst")), batch_format="pyarrow"),
+        ["node"], distinct, num_partitions, batch_format="pandas",
+    ).materialize()
+    n_auth = auths.count()
+
+    if plan == "auto":
+        plan = "broadcast" if n_hub + n_auth <= broadcast_node_limit else "join"
+
+    if plan == "broadcast":
+        h = {int(r["node"]): scale for r in hubs.take_all()}  # gated
+        a: dict[int, int] = {}
+        for _ in range(iterations):
+            h_ref = ray.put(h)
+
+            def fwd(batch: pa.Table, _ref=h_ref) -> pd.DataFrame:
+                hm = ray.get(_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                v = np.fromiter(
+                    (hm[int(s)] for s in src), dtype=np.int64, count=len(src)
+                )
+                g = (
+                    pd.DataFrame({"node": dst.astype(np.int64), "v": v})
+                    .groupby("node", as_index=False)["v"].sum()
+                )
+                return g
+
+            def fin(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("node", as_index=False)["v"].sum()
+
+            araw = {
+                int(r["node"]): int(r["v"])
+                for r in grouped_blocks(
+                    edges.map_batches(arrow_out(fwd), batch_format="pyarrow"),
+                    ["node"], fin, num_partitions, batch_format="pandas",
+                ).take_all()
+            }
+            amax = max(araw.values())
+            a = {v: val * scale // amax for v, val in araw.items()}
+            a_ref = ray.put(a)
+
+            def bwd(batch: pa.Table, _ref=a_ref) -> pd.DataFrame:
+                am = ray.get(_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                v = np.fromiter(
+                    (am[int(d)] for d in dst), dtype=np.int64, count=len(dst)
+                )
+                g = (
+                    pd.DataFrame({"node": src.astype(np.int64), "v": v})
+                    .groupby("node", as_index=False)["v"].sum()
+                )
+                return g
+
+            hraw = {
+                int(r["node"]): int(r["v"])
+                for r in grouped_blocks(
+                    edges.map_batches(arrow_out(bwd), batch_format="pyarrow"),
+                    ["node"], fin, num_partitions, batch_format="pandas",
+                ).take_all()
+            }
+            hmax = max(hraw.values())
+            h = {v: val * scale // hmax for v, val in hraw.items()}
+        hn = np.array(sorted(h), dtype=np.int64)
+        an = np.array(sorted(a), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(np.concatenate([hn, an]), pa.int64()),
+                    "kind": pa.array(
+                        ["hub"] * len(hn) + ["authority"] * len(an)
+                    ),
+                    "score": pa.array(
+                        np.concatenate(
+                            [
+                                np.fromiter((h[int(v)] for v in hn),
+                                            dtype=np.int64, count=len(hn)),
+                                np.fromiter((a[int(v)] for v in an),
+                                            dtype=np.int64, count=len(an)),
+                            ]
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    # ---- join (scale) plan: score state stays in the cluster ----
+    h_ds = hubs.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "s": pa.array(
+                    np.full(b.num_rows, scale, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    a_ds = None
+
+    def sum_side(joined, out_key: str, score_col: str):
+        """Sum score_col of the joined edge rows per out_key node: per-
+        batch partial + one node-keyed exchange."""
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(out_key, as_index=False)[score_col].sum()
+            g.columns = ["node", "v"]
+            return pd.DataFrame(
+                {"node": g["node"].to_numpy(np.int64),
+                 "v": g["v"].to_numpy(np.int64)}
+            )
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", as_index=False)["v"].sum()
+
+        from docstrange_ray.shuffle import arrow_out as _ao
+
+        return grouped_blocks(
+            joined.map_batches(_ao(part), batch_format="pandas"),
+            ["node"], fin, num_partitions, batch_format="pandas",
+        )
+
+    def rescaled(raw_ds, mx: int):
+        def f(batch: pa.Table, _m=mx) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "s": pa.array(v * scale // _m, pa.int64()),
+                }
+            )
+        return raw_ds.map_batches(f, batch_format="pyarrow").materialize()
+
+    e_fwd = edges.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("src").cast(pa.int64()),
+             "dst": b.column("dst").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    e_bwd = edges.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("dst").cast(pa.int64()),
+             "src": b.column("src").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        fwd_join = hash_join(e_fwd, h_ds, key="node",
+                             num_partitions=num_partitions)
+        araw = sum_side(fwd_join, "dst", "s").materialize()
+        amax = int(araw.max("v"))
+        a_ds = rescaled(araw, amax)
+        bwd_join = hash_join(e_bwd, a_ds, key="node",
+                             num_partitions=num_partitions)
+        hraw = sum_side(bwd_join, "src", "s").materialize()
+        hmax = int(hraw.max("v"))
+        h_ds = rescaled(hraw, hmax)
+
+    def emit(kind: str):
+        def f(batch: pa.Table, _k=kind) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "kind": pa.array([_k] * batch.num_rows),
+                    "score": batch.column("s").cast(pa.int64()),
+                }
+            )
+        return f
+
+    return h_ds.map_batches(emit("hub"), batch_format="pyarrow").union(
+        a_ds.map_batches(emit("authority"), batch_format="pyarrow")
+    )

@@ -134,6 +134,55 @@ class TestPagerank:
         with pytest.raises(ValueError):
             pagerank(_edge_ds([(1, 2)]), teleport=[])
 
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_hits_equals_reference(self, plan):
+        """HITS max-rescaled integer power iteration vs an independent
+        dict/loop mirror; both plans bit-identical."""
+        from docstrange_ray.ops.graph import hits
+
+        rng = np.random.RandomState(5)
+        edges = sorted(
+            {
+                (int(a), int(b))
+                for a, b in zip(
+                    rng.randint(0, 15, 60), rng.randint(100, 112, 60)
+                )
+            }
+        )
+        S = 10**9
+        h = {v: S for v in sorted({a for a, _ in edges})}
+        a: dict = {}
+        for _ in range(3):
+            araw: dict = {}
+            for s, d in edges:
+                araw[d] = araw.get(d, 0) + h[s]
+            am = max(araw.values())
+            a = {v: val * S // am for v, val in araw.items()}
+            hraw: dict = {}
+            for s, d in edges:
+                hraw[s] = hraw.get(s, 0) + a[d]
+            hm = max(hraw.values())
+            h = {v: val * S // hm for v, val in hraw.items()}
+        rows = hits(_edge_ds(edges), iterations=3, plan=plan).take_all()
+        got_h = {r["node"]: r["score"] for r in rows if r["kind"] == "hub"}
+        got_a = {
+            r["node"]: r["score"] for r in rows if r["kind"] == "authority"
+        }
+        assert got_h == h and got_a == a
+
+    def test_hits_star_authority_dominates(self):
+        """Every hub points at node 99 plus one private sink: 99 must
+        be the max-score authority (exactly scale), privates below."""
+        from docstrange_ray.ops.graph import hits
+
+        edges = [(i, 99) for i in range(1, 6)] + [
+            (i, 200 + i) for i in range(1, 6)
+        ]
+        rows = hits(_edge_ds(edges), iterations=2).take_all()
+        auth = {r["node"]: r["score"] for r in rows if r["kind"] == "authority"}
+        assert auth[99] == 10**9
+        assert all(auth[200 + i] < auth[99] for i in range(1, 6))
+
     def test_duplicate_edges_collapse(self):
         from docstrange_ray.ops.graph import pagerank
 

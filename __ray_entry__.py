@@ -1692,6 +1692,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return random_walks(copurchase_path_edges(sf_dir), steps=4)
 
+    def copurchase_walk_pairs_q(sf_dir):
+        """Skip-gram (center, context) pair counts over the
+        deterministic walk corpus (community.walk_skipgram_pairs,
+        window 2) — the node2vec/DeepWalk training-data handoff: what
+        a graph-embedding trainer consumes, produced with one
+        walker-keyed exchange for the block-local pairing and one
+        pre-reduced pair-count exchange. Oracle = the walk chain plus
+        a windowed self-join."""
+        from docstrange_ray.ops.community import walk_skipgram_pairs
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return walk_skipgram_pairs(
+            copurchase_path_edges(sf_dir), steps=4, window=2
+        )
+
     def copurchase_centrality_q(sf_dir):
         """Bounded harmonic centrality from 4 deterministic seeds
         (community.harmonic_centrality, Eppstein-Wang pivot sampling):
@@ -3563,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_communities": copurchase_communities_q,
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
+        "copurchase_walk_pairs": copurchase_walk_pairs_q,
         "copurchase_centrality": copurchase_centrality_q,
         "copurchase_components": copurchase_components,
         "part_link_predictions": part_link_predictions,
@@ -4142,10 +4158,11 @@ def _modularity_oracle(rounds: int = 4) -> str:
     )
 
 
-def _walks_oracle(steps: int = 4) -> str:
-    """Unrolled mirror of ops.community.random_walks: the step-t move
-    from node u picks argmin over neighbors n of the house 52-bit md5
-    key of 'u|t|n' (numerics.md5_key52 — pinned SQL form), ties on n."""
+def _walks_chain(steps: int) -> str:
+    """The unrolled walk CTE chain (mirror of ops.community.
+    random_walks — the step-t move from node u picks argmin over
+    neighbors n of the house 52-bit md5 key of 'u|t|n', ties on n),
+    ending with ``w(start, step, node)`` holding the full corpus."""
     sql = _CP_SYM_HEAD + """, s0 AS MATERIALIZED (
             SELECT node AS start, node FROM nodes
         )"""
@@ -4162,11 +4179,29 @@ def _walks_oracle(steps: int = 4) -> str:
                 FROM s{i - 1} p JOIN e ON e.src = p.node
             ) WHERE rn = 1
         )"""
-    finals = [
+    steps_sql = "\n            UNION ALL ".join(
         f"SELECT start, CAST({i} AS BIGINT) AS step, node FROM s{i}"
         for i in range(steps + 1)
-    ]
-    return sql + "\n        " + "\n        UNION ALL ".join(finals)
+    )
+    return sql + f""", w AS MATERIALIZED (
+            {steps_sql}
+        )"""
+
+
+def _walks_oracle(steps: int = 4) -> str:
+    return _walks_chain(steps) + "\n        SELECT start, step, node FROM w"
+
+
+def _walk_pairs_oracle(steps: int = 4, window: int = 2) -> str:
+    """Skip-gram pairs over the walk corpus (ops.community.
+    walk_skipgram_pairs): every ordered within-window position pair per
+    walk, counted per (center, context)."""
+    return _walks_chain(steps) + f"""
+        SELECT w1.node AS center, w2.node AS context,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w w1 JOIN w w2 ON w1.start = w2.start
+             AND ABS(w1.step - w2.step) BETWEEN 1 AND {window}
+        GROUP BY 1, 2"""
 
 
 def _harmonic_oracle(k_seeds: int = 4, max_hops: int = 3) -> str:
@@ -4716,6 +4751,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_communities": _communities_oracle(rounds=4),
         "copurchase_modularity": _modularity_oracle(rounds=4),
         "copurchase_walks": _walks_oracle(steps=4),
+        "copurchase_walk_pairs": _walk_pairs_oracle(steps=4, window=2),
         "copurchase_centrality": _harmonic_oracle(k_seeds=4, max_hops=3),
         "copurchase_cheapest": r"""
             WITH RECURSIVE op AS (

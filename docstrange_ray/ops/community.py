@@ -586,6 +586,83 @@ def random_walks(
     return out
 
 
+def walk_skipgram_pairs(
+    edges,
+    steps: int = 4,
+    window: int = 2,
+    num_partitions=None,
+    plan: str = "auto",
+):
+    """Skip-gram training pairs over the deterministic walk corpus —
+    the node2vec/DeepWalk handoff: a graph-embedding trainer consumes
+    (center, context) co-occurrence counts exactly like word2vec
+    consumes windowed word pairs. For every walk (one per node,
+    ``steps`` moves — :func:`random_walks`) emit each ordered pair of
+    positions within ``window`` of each other (1 <= |s - t| <=
+    window), then count per (center, context).
+
+    Distribution: a walk is tiny ((steps+1) rows), so pairing is
+    block-local after ONE walker-keyed exchange; pair counts pre-reduce
+    per block before the final (center, context) exchange. Returns
+    Dataset[(center, context, n)] — deterministic because the walk
+    corpus is."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    walks = random_walks(edges, steps, num_partitions, plan)
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series([], dtype=np.int64),
+                    "context": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        outs = []
+        df = df.sort_values(["start", "step"])
+        for d in range(1, window + 1):
+            g = df.groupby("start", sort=False)
+            a = df.assign(context=g["node"].shift(-d))
+            a = a.dropna(subset=["context"])
+            # both directions of the ordered pair
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "center": a["node"].to_numpy(np.int64),
+                        "context": a["context"].to_numpy(np.int64),
+                    }
+                )
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "center": a["context"].to_numpy(np.int64),
+                        "context": a["node"].to_numpy(np.int64),
+                    }
+                )
+            )
+        p = pd.concat(outs, ignore_index=True)
+        g = p.groupby(["center", "context"], as_index=False).size()
+        g.columns = ["center", "context", "n"]
+        return g.astype({"center": np.int64, "context": np.int64, "n": np.int64})
+
+    paired = grouped_blocks(
+        walks, ["start"], pair_block, num_partitions, batch_format="pandas"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["center", "context"], as_index=False)["n"].sum()
+        return g.astype({"center": np.int64, "context": np.int64, "n": np.int64})
+
+    return grouped_blocks(
+        paired, ["center", "context"], combine, num_partitions,
+        batch_format="pandas",
+    )
+
+
 def harmonic_centrality(
     edges,
     k_seeds: int = 4,

@@ -172,6 +172,35 @@ class TestRandomWalks:
                 assert path[t] in adj[path[t - 1]]
 
 
+class TestWalkSkipgramPairs:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        """Pair counts == brute-force windowed pairing of the walk
+        reference (both ordered directions, 1 <= |s-t| <= window)."""
+        from docstrange_ray.ops.community import walk_skipgram_pairs
+
+        edges = _random_edges(9)
+        _, adj = _ref_graph(edges)
+        W = 2
+        ref: dict = {}
+        walks_by_start: dict = {}
+        for start, step, node in _walks_ref(adj, 3):
+            walks_by_start.setdefault(start, {})[step] = node
+        for path in walks_by_start.values():
+            for s in path:
+                for t in path:
+                    if 1 <= abs(s - t) <= W:
+                        k = (path[s], path[t])
+                        ref[k] = ref.get(k, 0) + 1
+        got = {
+            (int(r["center"]), int(r["context"])): int(r["n"])
+            for r in walk_skipgram_pairs(
+                _edge_ds(edges), steps=3, window=W, plan=plan
+            ).take_all()
+        }
+        assert got == ref
+
+
 def _harm_ref(adj, k, hops):
     seeds = sorted(adj, key=lambda v: (md5_key52(str(v)), v))[:k]
     L = math.lcm(*range(1, hops + 1))

@@ -221,6 +221,13 @@ OP_GROUPS: list[list[str]] = [
         "source_length_mwu",
         "copurchase_cheapest",
         "copurchase_assortativity",
+        "copurchase_communities",
+        "copurchase_modularity",
+        "copurchase_walk_pairs",
+        "copurchase_centrality",
+        "copurchase_ppr",
+        "purchase_hits",
+        "leakage_safe_split",
     ],
 ]
 

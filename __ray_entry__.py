@@ -1692,6 +1692,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return random_walks(copurchase_path_edges(sf_dir), steps=4)
 
+    def copurchase_neighbor_feats_q(sf_dir):
+        """GraphSAGE-style neighborhood aggregation (community.
+        neighborhood_features): per part, exact int64 degree, 1-hop
+        neighbor-degree sum and 2-hop path-counted degree sum — the
+        feature table a GNN trainer consumes. Two aggregation hops,
+        each one co-partition join + one pre-reduced node exchange."""
+        from docstrange_ray.ops.community import neighborhood_features
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return neighborhood_features(copurchase_path_edges(sf_dir))
+
     def copurchase_walk_pairs_q(sf_dir):
         """Skip-gram (center, context) pair counts over the
         deterministic walk corpus (community.walk_skipgram_pairs,
@@ -3579,6 +3590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
         "copurchase_walk_pairs": copurchase_walk_pairs_q,
+        "copurchase_neighbor_feats": copurchase_neighbor_feats_q,
         "copurchase_centrality": copurchase_centrality_q,
         "copurchase_components": copurchase_components,
         "part_link_predictions": part_link_predictions,
@@ -4752,6 +4764,25 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_modularity": _modularity_oracle(rounds=4),
         "copurchase_walks": _walks_oracle(steps=4),
         "copurchase_walk_pairs": _walk_pairs_oracle(steps=4, window=2),
+        # GraphSAGE neighborhood sums: deg, 1-hop and 2-hop
+        # path-counted degree aggregates over the symmetric co-purchase
+        # graph — exact integers, two chained join-aggregates
+        "copurchase_neighbor_feats": _CP_SYM_HEAD + """
+            , deg AS MATERIALIZED (
+                SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1
+            ), s1 AS MATERIALIZED (
+                SELECT e.src AS node, SUM(d.d) AS s
+                FROM e JOIN deg d ON d.node = e.dst GROUP BY 1
+            ), s2 AS MATERIALIZED (
+                SELECT e.src AS node, SUM(s1.s) AS s
+                FROM e JOIN s1 ON s1.node = e.dst GROUP BY 1
+            )
+            SELECT d.node, d.d AS deg,
+                   s1.s AS sum_nbr_deg, s2.s AS sum_2hop_deg
+            FROM deg d
+            JOIN s1 ON s1.node = d.node
+            JOIN s2 ON s2.node = d.node
+        """,
         "copurchase_centrality": _harmonic_oracle(k_seeds=4, max_hops=3),
         "copurchase_cheapest": r"""
             WITH RECURSIVE op AS (

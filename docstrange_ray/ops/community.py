@@ -403,6 +403,168 @@ def modularity_stats(
     return coalesced_blocks(parts, final)
 
 
+def neighborhood_features(
+    edges,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """GraphSAGE-style neighborhood feature aggregation — the feature
+    table a GNN trainer consumes before it ever sees the graph: for
+    every node of the DISTINCT undirected simple graph,
+
+        deg          = |N(v)|
+        sum_nbr_deg  = sum over u in N(v) of deg(u)           (1-hop)
+        sum_2hop_deg = sum over u in N(v) of sum_nbr_deg(u)   (2-hop
+                       path-counted, the GNN sum-aggregator semantics
+                       — a node reachable two ways counts twice)
+
+    Exact int64 throughout (bound: deg_max^3 < 2^63). Two aggregation
+    hops, each one join + one pre-reduced node exchange in the join
+    plan; the broadcast plan ships the (node -> value) map per hop
+    (node-scale, gated) and scans edges once per hop with per-batch
+    partial sums. Returns Dataset[(node, deg, sum_nbr_deg,
+    sum_2hop_deg)]."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    sym = symmetric_edges(edges, num_partitions).materialize()
+    deg = degree_table(
+        undirected_edges(edges, num_partitions), num_partitions
+    ).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                    "sum_nbr_deg": pa.array([], pa.int64()),
+                    "sum_2hop_deg": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    def sum_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["v"].sum()
+        return pd.DataFrame(
+            {"node": g["node"].to_numpy(np.int64),
+             "v": g["v"].to_numpy(np.int64)}
+        )
+
+    if plan == "broadcast":
+        def hop(vals: dict) -> dict:
+            v_ref = ray.put(vals)
+
+            def partial(batch: pa.Table, _ref=v_ref) -> pd.DataFrame:
+                vm = ray.get(_ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                v = np.fromiter(
+                    (vm[int(d)] for d in dst), dtype=np.int64, count=len(dst)
+                )
+                g = (
+                    pd.DataFrame({"node": src.astype(np.int64), "v": v})
+                    .groupby("node", as_index=False)["v"].sum()
+                )
+                return g
+
+            return {
+                int(r["node"]): int(r["v"])
+                for r in grouped_blocks(
+                    sym.map_batches(arrow_out(partial), batch_format="pyarrow"),
+                    ["node"], sum_final, num_partitions,
+                    batch_format="pandas",
+                ).take_all()  # node-scale, gated
+            }
+
+        dmap = {int(r["node"]): int(r["deg"]) for r in deg.take_all()}
+        s1 = hop(dmap)
+        s2 = hop(s1)
+        nodes = np.array(sorted(dmap), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "deg": pa.array(
+                        [dmap[int(v)] for v in nodes], pa.int64()
+                    ),
+                    "sum_nbr_deg": pa.array(
+                        [s1[int(v)] for v in nodes], pa.int64()
+                    ),
+                    "sum_2hop_deg": pa.array(
+                        [s2[int(v)] for v in nodes], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    # ---- join (scale) plan ----
+    def hop_ds(val_ds, col: str):
+        attached = hash_join(
+            sym.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("dst").cast(pa.int64()),
+                        "src": b.column("src").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            val_ds,
+            key="node",
+            num_partitions=num_partitions,
+        )
+
+        def partial(df: pd.DataFrame, _c=col) -> pd.DataFrame:
+            g = df.groupby("src", as_index=False)[_c].sum()
+            g.columns = ["node", "v"]
+            return pd.DataFrame(
+                {"node": g["node"].to_numpy(np.int64),
+                 "v": g["v"].to_numpy(np.int64)}
+            )
+
+        return grouped_blocks(
+            attached.map_batches(arrow_out(partial), batch_format="pandas"),
+            ["node"], sum_final, num_partitions, batch_format="pandas",
+        ).materialize()
+
+    s1_ds = hop_ds(deg, "deg")
+    s2_ds = hop_ds(s1_ds, "v")
+    j1 = hash_join(deg, s1_ds.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node").cast(pa.int64()),
+             "s1": b.column("v").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ), key="node", num_partitions=num_partitions)
+    j2 = hash_join(j1, s2_ds.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node").cast(pa.int64()),
+             "s2": b.column("v").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ), key="node", num_partitions=num_partitions)
+    from docstrange_ray.shuffle import arrow_out as _ao
+
+    return j2.map_batches(
+        _ao(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].to_numpy(np.int64),
+                    "deg": df["deg"].to_numpy(np.int64),
+                    "sum_nbr_deg": df["s1"].to_numpy(np.int64),
+                    "sum_2hop_deg": df["s2"].to_numpy(np.int64),
+                }
+            )
+        ),
+        batch_format="pandas",
+    )
+
+
 def _hop_hash(cur: int, step: int, nxt: int) -> int:
     return md5_key52(f"{cur}|{step}|{nxt}")
 

@@ -172,6 +172,45 @@ class TestRandomWalks:
                 assert path[t] in adj[path[t - 1]]
 
 
+class TestNeighborhoodFeatures:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import neighborhood_features
+
+        edges = _random_edges(8)
+        _, adj = _ref_graph(edges)
+        deg = {v: len(adj[v]) for v in adj}
+        s1 = {v: sum(deg[u] for u in adj[v]) for v in adj}
+        s2 = {v: sum(s1[u] for u in adj[v]) for v in adj}
+        got = {
+            int(r["node"]): (
+                int(r["deg"]),
+                int(r["sum_nbr_deg"]),
+                int(r["sum_2hop_deg"]),
+            )
+            for r in neighborhood_features(
+                _edge_ds(edges), plan=plan
+            ).take_all()
+        }
+        assert got == {v: (deg[v], s1[v], s2[v]) for v in adj}
+
+    def test_path_graph_values(self):
+        """0-1-2: degrees (1,2,1); s1 = (2,2,2); s2 = (2,4,2)."""
+        from docstrange_ray.ops.community import neighborhood_features
+
+        got = {
+            int(r["node"]): (
+                int(r["deg"]),
+                int(r["sum_nbr_deg"]),
+                int(r["sum_2hop_deg"]),
+            )
+            for r in neighborhood_features(
+                _edge_ds([(0, 1), (1, 2)])
+            ).take_all()
+        }
+        assert got == {0: (1, 2, 2), 1: (2, 2, 4), 2: (1, 2, 2)}
+
+
 class TestWalkSkipgramPairs:
     @pytest.mark.parametrize("plan", ["broadcast", "join"])
     def test_equals_reference(self, plan):

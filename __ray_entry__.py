@@ -590,6 +590,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
 
+    def part_rules_q(sf_dir):
+        """Association rules over frequent part pairs (itemsets.
+        association_rules — Agrawal & Srikant 1994): both directed
+        rules per frequent pair with exact-count n_ab/n_a/n_b and
+        confidence / lift as single double divisions of exact ints
+        (round6) — the market-basket output a recommender consumes.
+        Oracle = brute pair self-join + the same two divisions."""
+        from docstrange_ray.io import read_parquet_clean
+        from docstrange_ray.ops.itemsets import association_rules
+
+        li = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        return association_rules(li, "l_orderkey", "l_partkey", min_support=2)
+
     def cooccurrence_pairs(sf_dir):
         """Windowed word co-occurrence top-200 (textstats.
         cooccurrence_topk): the word2vec/GloVe prep stage — vectorized
@@ -3669,6 +3684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_keys": zorder_layout_keys,
         "orders_profile": orders_profile,
         "frequent_part_triples": frequent_part_triples,
+        "part_rules": part_rules_q,
         "price_winsorized": price_winsorized,
         "cooccurrence_pairs": cooccurrence_pairs,
         "label_centroid_sims": label_centroid_sims,
@@ -4994,6 +5010,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN b b3 ON b1.ok = b3.ok AND b3.p > b2.p
             GROUP BY b1.p, b2.p, b3.p
             HAVING COUNT(*) >= 2
+        """,
+        # association rules: brute pair self-join + the same two exact-
+        # int double divisions the engine emits (n_ab*N and n_a*n_b are
+        # exact BIGINTs < 2^53, so the divisions are bit-identical)
+        "part_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            ), nb AS (
+                SELECT COUNT(DISTINCT ok) AS n FROM b
+            ), ic AS (
+                SELECT p, COUNT(*) AS c FROM b GROUP BY 1
+            ), pc AS (
+                SELECT b1.p AS p1, b2.p AS p2, COUNT(*) AS c
+                FROM b b1 JOIN b b2 ON b1.ok = b2.ok AND b2.p > b1.p
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            ), r AS (
+                SELECT p1 AS ante, p2 AS cons, c FROM pc
+                UNION ALL
+                SELECT p2, p1, c FROM pc
+            )
+            SELECT r.ante, r.cons, CAST(r.c AS BIGINT) AS n_ab,
+                   CAST(ia.c AS BIGINT) AS n_a, CAST(ib.c AS BIGINT) AS n_b,
+                   ROUND(CAST(r.c AS DOUBLE) / ia.c, 6) AS confidence,
+                   ROUND(CAST(r.c * (SELECT n FROM nb) AS DOUBLE)
+                         / (ia.c * ib.c), 6) AS lift
+            FROM r JOIN ic ia ON ia.p = r.ante
+                   JOIN ic ib ON ib.p = r.cons
         """,
         "price_winsorized": """
             SELECT o_orderkey, o_totalprice,

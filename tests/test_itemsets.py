@@ -72,3 +72,68 @@ class TestFrequentTriples:
         }
         got = _run(baskets, 2, max_basket=10)
         assert got == {(1, 2, 3): 2}
+
+
+class TestAssociationRules:
+    def _run_rules(self, baskets, minsup):
+        from docstrange_ray.ops.itemsets import association_rules
+
+        rows_b, rows_i = [], []
+        for b, items in baskets.items():
+            for i in items:
+                rows_b.append(b)
+                rows_i.append(i)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "basket": pa.array(rows_b, pa.int64()),
+                    "item": pa.array(rows_i, pa.int64()),
+                }
+            )
+        ).repartition(5)
+        out = association_rules(ds, "basket", "item", min_support=minsup)
+        return {
+            (r["ante"], r["cons"]): (
+                r["n_ab"], r["n_a"], r["n_b"], r["confidence"], r["lift"]
+            )
+            for r in out.take_all()
+        }
+
+    def test_matches_brute(self, ray_session):
+        from collections import Counter
+
+        from docstrange_ray.numerics import round6
+
+        rng = np.random.default_rng(9)
+        baskets = {
+            b: [int(x) for x in rng.integers(0, 20, rng.integers(2, 7))]
+            for b in range(200)
+        }
+        n = len(baskets)
+        ic = Counter()
+        pc = Counter()
+        for items in baskets.values():
+            s = sorted(set(items))
+            ic.update(s)
+            pc.update(itertools.combinations(s, 2))
+        want = {}
+        for (a, b), nab in pc.items():
+            if nab < 2:
+                continue
+            for x, y in ((a, b), (b, a)):
+                want[(x, y)] = (
+                    nab, ic[x], ic[y],
+                    float(round6(nab / ic[x])),
+                    float(round6(nab * n / (ic[x] * ic[y]))),
+                )
+        assert self._run_rules(baskets, 2) == want
+
+    def test_rule_stats_exact(self, ray_session):
+        # {1,2} in 2 of 3 baskets; item 1 in 3, item 2 in 2:
+        # conf(1->2) = 2/3, lift = 2*3/(3*2) = 1.0
+        baskets = {10: [1, 2], 11: [1, 2, 3], 12: [1]}
+        got = self._run_rules(baskets, 2)
+        nab, na, nb, conf, lift = got[(1, 2)]
+        assert (nab, na, nb) == (2, 3, 2)
+        assert conf == 0.666667 and lift == 1.0
+        assert got[(2, 1)][3] == 1.0  # conf(2->1) = 2/2

@@ -3736,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prop_stats": relational.events_prop_stats,
         "user_sessions": relational.user_sessions,
         "events_funnel": relational.events_funnel,
+        "event_transitions": relational.event_transitions,
         "user_retention": relational.user_retention,
         "docs_by_source": relational.docs_by_source,
     }
@@ -8532,6 +8533,7 @@ def oracle_sql() -> dict[str, str]:
         "events_prop_stats": relational.EVENTS_PROP_STATS_SQL,
         "user_sessions": relational.USER_SESSIONS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
+        "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "user_retention": relational.USER_RETENTION_SQL,
         "docs_by_source": relational.DOCS_BY_SOURCE_SQL,
     }

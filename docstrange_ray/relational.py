@@ -866,6 +866,78 @@ FROM v JOIN c USING (user_id) JOIN p USING (user_id)
 """
 
 
+def event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's event
+    stream — the behavioral fingerprint a clickstream model trains on:
+    per user, events ordered by (ts, event_id) (the tie-break makes
+    the chain deterministic under equal timestamps), consecutive
+    (from_type, to_type) bigrams counted globally, and transition
+    probability = n / sum(n over same from_type).
+
+    Plan: project (user_id, ts, event_id, event_type) at the read, ONE
+    user-key exchange co-locates each user's stream, per-block ordered
+    scan emits pre-reduced bigram counts, and the final combine runs
+    on the bounded (type x type) table — counts exact int64,
+    probability ONE double division (round6) mirrored in SQL. Returns
+    (from_type, to_type, n, p)."""
+    from docstrange_ray.numerics import round6
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, grouped_blocks
+
+    ev = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def bigram_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        g = out.groupby(["from_type", "to_type"], as_index=False).size()
+        g.columns = ["from_type", "to_type", "n"]
+        return g.astype({"n": np.int64})
+
+    partials = grouped_blocks(
+        ev, ["user_id"], bigram_block, batch_format="pandas"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        tot = g.groupby("from_type")["n"].transform("sum")
+        p = np.array(
+            [
+                float(round6(int(n) / int(t)))
+                for n, t in zip(g["n"], tot)
+            ],
+            dtype=np.float64,
+        )
+        g = g.astype({"n": np.int64})
+        g["p"] = p
+        return g
+
+    return coalesced_blocks(partials, final)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+), big AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM big
+"""
+
+
 def user_sessions(sf_dir: str):
     """Session windows per user (30-minute inactivity gap), with
     INTERVAL partial reduction: each batch sessionizes its own slice

@@ -490,6 +490,54 @@ class TestEventsFunnel:
         )
 
 
+class TestEventTransitions:
+    def test_transition_counts_and_tie_order(self, ray_session, tmp_path):
+        """Bigram counts per user ordered by (ts, event_id) — the
+        DUPLICATE-timestamp rows must order by event_id (rows 1 and 2
+        share a ts: a->b then b->c, never a->c), and user boundaries
+        must not produce cross-user transitions."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from docstrange_ray import relational
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:10",
+                "2024-01-01 00:00", "2024-01-01 00:05",
+                "2024-01-01 09:00",
+            ]
+        )
+        tbl = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(["a", "b", "c", "c", "a", "b"]),
+            }
+        )
+        sf = str(tmp_path)
+        pq.write_table(tbl, f"{sf}/events.parquet")
+        out = relational.event_transitions(sf).to_pandas()
+        got = {
+            (r.from_type, r.to_type): (r.n, r.p) for r in out.itertuples()
+        }
+        assert got == {
+            ("a", "b"): (1, 1.0),
+            ("b", "c"): (1, 1.0),
+            ("c", "a"): (1, 1.0),
+        }
+
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.execute(relational.EVENT_TRANSITIONS_SQL).df()
+        a = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+        b = exp.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 class TestPivotAgg:
     def test_pivot_matches_pandas(self, ray_session):
         import numpy as np

@@ -3737,6 +3737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "events_funnel": relational.events_funnel,
         "event_transitions": relational.event_transitions,
+        "fk_audit": relational.fk_audit,
         "user_retention": relational.user_retention,
         "docs_by_source": relational.docs_by_source,
     }
@@ -8534,6 +8535,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": relational.USER_SESSIONS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "event_transitions": relational.EVENT_TRANSITIONS_SQL,
+        "fk_audit": relational.FK_AUDIT_SQL,
         "user_retention": relational.USER_RETENTION_SQL,
         "docs_by_source": relational.DOCS_BY_SOURCE_SQL,
     }

@@ -228,6 +228,9 @@ OP_GROUPS: list[list[str]] = [
         "copurchase_ppr",
         "purchase_hits",
         "leakage_safe_split",
+        "copurchase_neighbor_feats",
+        "part_rules",
+        "event_transitions",
     ],
 ]
 

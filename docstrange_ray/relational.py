@@ -866,6 +866,136 @@ FROM v JOIN c USING (user_id) JOIN p USING (user_id)
 """
 
 
+def fk_audit(sf_dir: str):
+    """Referential-integrity audit — the data-quality gate a warehouse
+    load runs before anything downstream trusts the tables: for each
+    declared foreign key (orders.o_custkey -> customer, lineitem
+    .l_orderkey -> orders, lineitem.l_partkey -> part, lineitem
+    .l_suppkey -> supplier) count child rows and ORPHANED child rows
+    (no matching parent key). One row per relation: (relation,
+    n_child, n_orphans).
+
+    Scale shape: the child side is PRE-REDUCED to (key, count) with
+    one exchange (bounded by key cardinality, not row count) before
+    the left co-partition join against the parent's distinct-key
+    projection — orphan detection never moves child rows, only key
+    tallies. Counts are exact int64."""
+    from docstrange_ray.shuffle import arrow_out, coalesced_blocks, hash_join
+
+    def key_counts(ds, col):
+        def local(batch: pa.Table) -> pd.DataFrame:
+            g = (
+                batch.select([col]).to_pandas()
+                .groupby(col, as_index=False).size()
+            )
+            g.columns = ["key", "c"]
+            return g.astype({"key": np.int64, "c": np.int64})
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("key", as_index=False)["c"].sum()
+
+        from docstrange_ray.shuffle import grouped_blocks
+
+        return grouped_blocks(
+            ds.map_batches(arrow_out(local), batch_format="pyarrow"),
+            ["key"], final, batch_format="pandas",
+        )
+
+    def parent_keys(ds, col):
+        def local(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": np.unique(
+                        batch.column(col).to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    "ok": np.int8(1),
+                }
+            )
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop_duplicates("key")
+
+        from docstrange_ray.shuffle import grouped_blocks
+
+        return grouped_blocks(
+            ds.map_batches(arrow_out(local), batch_format="pyarrow"),
+            ["key"], final, batch_format="pandas",
+        )
+
+    rels = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    partials = None
+    for name, child_t, child_c, parent_t, parent_c in rels:
+        # materialize the key-scale sides: hash_join reads .schema(),
+        # which re-executes a deep lazy exchange plan otherwise (the
+        # round-2 gotcha) — both tables are bounded by key cardinality
+        child = key_counts(
+            _read(sf_dir, child_t, columns=[child_c]), child_c
+        ).materialize()
+        parent = parent_keys(
+            _read(sf_dir, parent_t, columns=[parent_c]), parent_c
+        ).materialize()
+        joined = hash_join(child, parent, key="key", how="left")
+
+        def tally(df: pd.DataFrame, _n=name) -> pd.DataFrame:
+            orphan = df["ok"].isna()
+            return pd.DataFrame(
+                {
+                    "relation": pd.Series([_n], dtype=object),
+                    "n_child": pd.Series(
+                        [int(df["c"].sum())], dtype=np.int64
+                    ),
+                    "n_orphans": pd.Series(
+                        [int(df.loc[orphan, "c"].sum())], dtype=np.int64
+                    ),
+                }
+            )
+
+        part = joined.map_batches(arrow_out(tally), batch_format="pandas")
+        partials = part if partials is None else partials.union(part)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("relation", as_index=False)[["n_child", "n_orphans"]].sum()
+        return g.astype({"n_child": np.int64, "n_orphans": np.int64})
+
+    return coalesced_blocks(partials, final)
+
+
+FK_AUDIT_SQL = """
+SELECT 'orders.o_custkey->customer' AS relation,
+       (SELECT COUNT(*) FROM orders) AS n_child,
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_partkey IS NULL)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_suppkey IS NULL)
+"""
+
+
 def event_transitions(sf_dir: str):
     """First-order Markov transition matrix over each user's event
     stream — the behavioral fingerprint a clickstream model trains on:

@@ -490,6 +490,72 @@ class TestEventsFunnel:
         )
 
 
+class TestFkAudit:
+    def test_planted_orphans_counted(self, ray_session, tmp_path):
+        """Synthetic mini-warehouse with KNOWN orphans: 2 orders point
+        at a missing customer, 3 lineitems at a missing order — the
+        orphan tallies must be exact (the TPC fixture has zero orphans,
+        so this pins the detection path itself)."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from docstrange_ray import relational
+
+        sf = str(tmp_path)
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+            f"{sf}/customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 99, 99], pa.int64()),
+                }
+            ),
+            f"{sf}/orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10, 10, 77, 77, 77], pa.int64()),
+                    "l_partkey": pa.array([5, 5, 5, 5, 5], pa.int64()),
+                    "l_suppkey": pa.array([7, 7, 7, 7, 7], pa.int64()),
+                }
+            ),
+            f"{sf}/lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([5], pa.int64())}),
+            f"{sf}/part.parquet",
+        )
+        pq.write_table(
+            pa.table({"s_suppkey": pa.array([7], pa.int64())}),
+            f"{sf}/supplier.parquet",
+        )
+        out = relational.fk_audit(sf).to_pandas()
+        got = {
+            r.relation: (r.n_child, r.n_orphans) for r in out.itertuples()
+        }
+        assert got["orders.o_custkey->customer"] == (4, 2)
+        assert got["lineitem.l_orderkey->orders"] == (5, 3)
+        assert got["lineitem.l_partkey->part"] == (5, 0)
+        assert got["lineitem.l_suppkey->supplier"] == (5, 0)
+
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem", "part", "supplier"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        exp = con.execute(relational.FK_AUDIT_SQL).df()
+        a = out.sort_values("relation").reset_index(drop=True)
+        b = exp.sort_values("relation").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 class TestEventTransitions:
     def test_transition_counts_and_tie_order(self, ray_session, tmp_path):
         """Bigram counts per user ordered by (ts, event_id) — the

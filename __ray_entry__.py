@@ -1768,6 +1768,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             undirected_edges(copurchase_path_edges(sf_dir)), min_cn=2
         )
 
+    def tfidf_cosine_pairs_q(sf_dir):
+        """EXACT sparse tf-idf cosine self-join at t=0.35 (sparsesim.
+        tfidf_cosine_join — AllPairs prefix filtering, Bayardo et al.
+        WWW'07): idf-weighted lexical similarity where shared rare
+        words count and stop words are worth ~nothing (their tiny
+        weights land in every suffix and never open a posting pair —
+        tf-idf's built-in hot-key suppression). Integer weights, exact
+        int dot, arbitrary-precision threshold predicate; the oracle
+        is the brute term self-join with identical arithmetic — a
+        different algorithm agreeing on every pair and every bit.
+
+        Fixture scoping: the synthetic corpus draws from a CLOSED
+        vocabulary, so idf carries little information and every doc
+        pair is lexically similar — the answer (and the candidate
+        set) is quadratic BY NATURE at any threshold, which no exact
+        algorithm can avoid (the real-web regime the op targets is
+        sparse). The driver query therefore runs the deterministic
+        doc_id % 10 == 0 subset (the _spec_subset idiom); the full-
+        corpus path is exercised by tests/test_sparsesim.py."""
+        from docstrange_ray.ops.sparsesim import tfidf_cosine_join
+
+        docs = read_docs(sf_dir).map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    b.column("doc_id").to_numpy(zero_copy_only=False) % 10
+                    == 0
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        return tfidf_cosine_join(docs, threshold_num=60, threshold_den=100)
+
     def containment_pairs(sf_dir):
         """EXACT 3-gram max-containment self-join at t=0.6 via the
         asymmetric prefix filter (smaller doc probes its prefix against
@@ -3592,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_pairs": jaccard_join_pairs,
         "edit_dup_pairs": edit_dup_pairs,
         "containment_pairs": containment_pairs,
+        "tfidf_cosine_pairs": tfidf_cosine_pairs_q,
         "pagerank_purchases": pagerank_purchases,
         "copurchase_triangles": copurchase_triangles,
         "copurchase_reach": copurchase_reach,
@@ -6439,6 +6472,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id
             FROM (SELECT node, MIN(label) AS m FROM lbl GROUP BY node)
             WHERE m <> node
+        """,
+        # sparse tf-idf cosine: brute term self-join with the SAME
+        # integer arithmetic the engine uses (idf floor(LN(N/df)*1000
+        # + 0.5) -> int weights -> exact dot; HUGEINT threshold
+        # predicate; ROUND(dot/SQRT(double), 6)) — a different
+        # algorithm (no prefix filter) agreeing on every pair and bit
+        "tfidf_cosine_pairs": r"""
+            WITH sub AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM sub
+            ), tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf FROM (
+                    SELECT doc_id, UNNEST(
+                        list_filter(
+                            regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')
+                    ) AS w
+                    FROM sub
+                ) GROUP BY 1, 2
+            ), df AS (
+                SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+            ), wt AS MATERIALIZED (
+                SELECT tf.doc_id, tf.w,
+                       tf.tf * CAST(FLOOR(
+                           LN(CAST((SELECT n FROM nn) AS DOUBLE) / df.df)
+                           * 1000 + 0.5) AS BIGINT) AS wgt
+                FROM tf JOIN df USING (w)
+            ), n2 AS MATERIALIZED (
+                SELECT doc_id, SUM(wgt * wgt) AS n2 FROM wt GROUP BY 1
+            ), dotp AS (
+                SELECT x.doc_id AS da, y.doc_id AS db,
+                       SUM(x.wgt * y.wgt) AS dot
+                FROM wt x JOIN wt y
+                     ON x.w = y.w AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT da AS a, db AS b, CAST(dot AS BIGINT) AS dot_q,
+                   ROUND(dot / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2), 6)
+                       AS cos6
+            FROM dotp
+            JOIN n2 na ON na.doc_id = da
+            JOIN n2 nb ON nb.doc_id = db
+            WHERE na.n2 > 0 AND nb.n2 > 0 AND dot >= 0
+              AND CAST(10000 AS HUGEINT) * dot * dot
+                  >= CAST(3600 AS HUGEINT) * na.n2 * nb.n2
         """,
         "containment_pairs": r"""
             WITH l AS (

@@ -231,6 +231,7 @@ OP_GROUPS: list[list[str]] = [
         "copurchase_neighbor_feats",
         "part_rules",
         "event_transitions",
+        "tfidf_cosine_pairs",
     ],
 ]
 

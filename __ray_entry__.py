@@ -1718,6 +1718,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return neighborhood_features(copurchase_path_edges(sf_dir))
 
+    def copurchase_biased_walks_q(sf_dir):
+        """Second-order node2vec walks (p=4 return-discouraging, q=2
+        locally-exploring — community.biased_walks): biased moves via
+        the deterministic exponential race -ln(u)/w with power-of-two
+        weights, so the sampler is a pure function of the edge set and
+        both plans match the unrolled oracle bit-for-bit. The triangle
+        test (candidate adjacent to prev) rides a packed-key membership
+        join in the scale plan."""
+        from docstrange_ray.ops.community import biased_walks
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return biased_walks(copurchase_path_edges(sf_dir), steps=4)
+
     def copurchase_walk_pairs_q(sf_dir):
         """Skip-gram (center, context) pair counts over the
         deterministic walk corpus (community.walk_skipgram_pairs,
@@ -3638,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
         "copurchase_walk_pairs": copurchase_walk_pairs_q,
+        "copurchase_biased_walks": copurchase_biased_walks_q,
         "copurchase_neighbor_feats": copurchase_neighbor_feats_q,
         "copurchase_centrality": copurchase_centrality_q,
         "copurchase_components": copurchase_components,
@@ -4255,6 +4269,46 @@ def _walks_oracle(steps: int = 4) -> str:
     return _walks_chain(steps) + "\n        SELECT start, step, node FROM w"
 
 
+def _biased_walks_oracle(steps: int = 4) -> str:
+    """Unrolled mirror of ops.community.biased_walks (node2vec p=4,
+    q=2): the move key is the deterministic exponential race
+    -LN((h+0.5)/2^64) / w with h the 64-bit md5 prefix of "cur|t|n"
+    and w in {0.25, 1.0, 0.5} (return / triangle / outward — powers
+    of two, so the float chain is bit-identical); the first move (no
+    prev) races uniformly."""
+    sql = _CP_SYM_HEAD + """, s0 AS MATERIALIZED (
+            SELECT node AS start, CAST(NULL AS BIGINT) AS prev, node
+            FROM nodes
+        )"""
+    for i in range(1, steps + 1):
+        t = i - 1
+        sql += f""", s{i} AS MATERIALIZED (
+            SELECT start, node AS prev, dst AS node FROM (
+                SELECT p.start, p.node, e.dst,
+                       ROW_NUMBER() OVER (PARTITION BY p.start ORDER BY
+                           -LN((CAST(('0x' || substr(md5(
+                                CAST(p.node AS VARCHAR) || '|{t}|'
+                                || CAST(e.dst AS VARCHAR)
+                            ), 1, 16))::UBIGINT AS DOUBLE) + 0.5)
+                            / 18446744073709551616.0)
+                           / (CASE WHEN p.prev IS NULL THEN 1.0
+                                   WHEN e.dst = p.prev THEN 0.25
+                                   WHEN EXISTS (SELECT 1 FROM e e2
+                                                WHERE e2.src = p.prev
+                                                  AND e2.dst = e.dst)
+                                        THEN 1.0
+                                   ELSE 0.5 END),
+                           e.dst) AS rn
+                FROM s{i - 1} p JOIN e ON e.src = p.node
+            ) WHERE rn = 1
+        )"""
+    finals = [
+        f"SELECT start, CAST({i} AS BIGINT) AS step, node FROM s{i}"
+        for i in range(steps + 1)
+    ]
+    return sql + "\n        " + "\n        UNION ALL ".join(finals)
+
+
 def _walk_pairs_oracle(steps: int = 4, window: int = 2) -> str:
     """Skip-gram pairs over the walk corpus (ops.community.
     walk_skipgram_pairs): every ordered within-window position pair per
@@ -4815,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_modularity": _modularity_oracle(rounds=4),
         "copurchase_walks": _walks_oracle(steps=4),
         "copurchase_walk_pairs": _walk_pairs_oracle(steps=4, window=2),
+        "copurchase_biased_walks": _biased_walks_oracle(steps=4),
         # GraphSAGE neighborhood sums: deg, 1-hop and 2-hop
         # path-counted degree aggregates over the symmetric co-purchase
         # graph — exact integers, two chained join-aggregates

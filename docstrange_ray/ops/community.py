@@ -748,6 +748,275 @@ def random_walks(
     return out
 
 
+def _exp_key(cur: int, step: int, nxt: int, w: float) -> float:
+    """Deterministic exponential-race key: k = -ln(u)/w with u the
+    md5-uniform of "cur|step|n" ((h+0.5)/2^64, first 8 digest bytes —
+    the _gumbel_of_ids convention) — P(argmin over candidates) is
+    proportional to w, and ``math.log`` is bit-pinned to DuckDB LN, so
+    the pick is SQL-mirrorable. Bias weights MUST be powers of two
+    (0.25 / 0.5 / 1.0): the division is then exact scaling and the
+    float comparison chain cannot diverge between engines."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(f"{cur}|{step}|{nxt}".encode("utf-8")).digest()[:8],
+        "big",
+    )
+    u = (float(h) + 0.5) / 2.0**64
+    return -math.log(u) / w
+
+
+def biased_walks(
+    edges,
+    steps: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_edge_limit: int = 2_000_000,
+):
+    """Second-order node2vec walks (Grover & Leskovec KDD'16) with
+    p=4, q=2 — the return-discouraging, locally-exploring regime: the
+    move from ``cur`` (having arrived from ``prev``) weighs candidate
+    n by 1/p = 0.25 if n == prev (return), 1.0 if n is ALSO a
+    neighbor of prev (triangle / BFS-like), 1/q = 0.5 otherwise
+    (outward / DFS-like). The RNG is the deterministic exponential
+    race of :func:`_exp_key` — biased sampling as a pure function of
+    the edge set; the first move (no prev) is the uniform race. All
+    bias weights are powers of two, so the float key chain is
+    bit-identical in DuckDB and the unrolled oracle matches exactly.
+    Returns Dataset[(start, step, node)], step 0 = start.
+
+    Plans: below ``broadcast_edge_limit`` directed edges the adjacency
+    map ships once (ray.put) and each step is frontier-local — zero
+    exchanges (the triangle test is a set lookup). Above it, THREE
+    co-partition exchanges per step: frontier x edges keyed cur, a
+    packed (prev, candidate) membership join against the edge set
+    (the triangle bit), then the walker-keyed argmin with per-batch
+    pre-reduction."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
+
+    OFF = 1 << 32
+    sym = symmetric_edges(edges, num_partitions).materialize()
+    n_edges = sym.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "start": pa.array([], pa.int64()),
+                    "step": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if plan == "auto":
+        plan = "broadcast" if n_edges <= broadcast_edge_limit else "join"
+
+    W_RET, W_TRI, W_OUT = 0.25, 1.0, 0.5
+
+    nodes_ds = (
+        degree_table(undirected_edges(edges, num_partitions), num_partitions)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "start": b.column("node").cast(pa.int64()),
+                    "prev": pa.nulls(b.num_rows, pa.int64()),
+                    "node": b.column("node").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    if plan == "broadcast":
+        adj: dict[int, list[int]] = {}
+        aset: set[int] = set()
+        for r in sym.take_all():  # edge-scale, gated
+            s_, d_ = int(r["src"]), int(r["dst"])
+            adj.setdefault(s_, []).append(d_)
+            aset.add(s_ * OFF + d_)
+        for v in adj:
+            adj[v].sort()
+        a_ref = ray.put((adj, aset))
+        frontiers = [nodes_ds]
+        for t in range(steps):
+            def advance(batch: pa.Table, _t=t, _ref=a_ref) -> pa.Table:
+                am, ae = ray.get(_ref)
+                st = batch.column("start").to_numpy(zero_copy_only=False)
+                pv = batch.column("prev").to_pylist()
+                cur = batch.column("node").to_numpy(zero_copy_only=False)
+                nxt = np.empty(len(cur), dtype=np.int64)
+                for i, c in enumerate(cur):
+                    nbrs = am.get(int(c))
+                    if not nbrs:
+                        nxt[i] = int(c)
+                        continue
+                    p_ = pv[i]
+                    best, bk = None, None
+                    for n in nbrs:
+                        if p_ is None:
+                            w = 1.0
+                        elif n == p_:
+                            w = W_RET
+                        elif int(p_) * OFF + n in ae:
+                            w = W_TRI
+                        else:
+                            w = W_OUT
+                        k = _exp_key(int(c), _t, n, w)
+                        if bk is None or k < bk or (k == bk and n < best):
+                            best, bk = n, k
+                    nxt[i] = best
+                return pa.table(
+                    {
+                        "start": pa.array(st.astype(np.int64), pa.int64()),
+                        "prev": pa.array(cur.astype(np.int64), pa.int64()),
+                        "node": pa.array(nxt, pa.int64()),
+                    }
+                )
+
+            frontiers.append(
+                frontiers[-1]
+                .map_batches(advance, batch_format="pyarrow")
+                .materialize()
+            )
+    else:
+        packed = sym.map_batches(
+            lambda b: pa.table(
+                {
+                    "pk": pa.array(
+                        b.column("src").to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        )
+                        * OFF
+                        + b.column("dst")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "tri": pa.array(
+                        np.ones(b.num_rows, dtype=np.int8), pa.int8()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        edge_keyed = sym.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("src").cast(pa.int64()),
+                    "dst": b.column("dst").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        frontiers = [nodes_ds]
+        for t in range(steps):
+            cand = hash_join(
+                frontiers[-1],
+                edge_keyed,
+                key="node",
+                num_partitions=num_partitions,
+            )
+
+            def pack_cand(df: pd.DataFrame) -> pd.DataFrame:
+                prev = df["prev"].to_numpy()
+                dst = df["dst"].to_numpy(np.int64)
+                # null prev (first move) packs to a key no edge uses
+                pk = np.full(len(df), -1, dtype=np.int64)
+                mask = ~pd.isna(prev)
+                pk[mask] = prev[mask].astype(np.int64) * OFF + dst[mask]
+                out = df[["start", "prev", "node", "dst"]].copy()
+                out["pk"] = pk
+                return out
+
+            tagged = hash_join(
+                cand.map_batches(
+                    arrow_out(pack_cand), batch_format="pandas"
+                ).materialize(),
+                packed,
+                key="pk",
+                how="left",
+                num_partitions=num_partitions,
+            )
+
+            def best_partial(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+                if df.empty:
+                    return pd.DataFrame(
+                        {
+                            "start": pd.Series([], dtype=np.int64),
+                            "k": pd.Series([], dtype=np.float64),
+                            "prev2": pd.Series([], dtype=np.int64),
+                            "dst": pd.Series([], dtype=np.int64),
+                        }
+                    )
+                ks = np.empty(len(df), dtype=np.float64)
+                prev = df["prev"].to_numpy()
+                cur = df["node"].to_numpy(np.int64)
+                dst = df["dst"].to_numpy(np.int64)
+                tri = df["tri"].to_numpy()
+                for i in range(len(df)):
+                    if pd.isna(prev[i]):
+                        w = 1.0
+                    elif int(dst[i]) == int(prev[i]):
+                        w = W_RET
+                    elif not pd.isna(tri[i]):
+                        w = W_TRI
+                    else:
+                        w = W_OUT
+                    ks[i] = _exp_key(int(cur[i]), _t, int(dst[i]), w)
+                d = pd.DataFrame(
+                    {
+                        "start": df["start"].to_numpy(np.int64),
+                        "k": ks,
+                        "prev2": cur,
+                        "dst": dst,
+                    }
+                ).sort_values(["start", "k", "dst"])
+                return d.drop_duplicates("start", keep="first")
+
+            def best_final(df: pd.DataFrame) -> pd.DataFrame:
+                d = df.sort_values(["start", "k", "dst"]).drop_duplicates(
+                    "start", keep="first"
+                )
+                return pd.DataFrame(
+                    {
+                        "start": d["start"].to_numpy(np.int64),
+                        "prev": d["prev2"].to_numpy(np.int64),
+                        "node": d["dst"].to_numpy(np.int64),
+                    }
+                )
+
+            frontiers.append(
+                grouped_blocks(
+                    tagged.map_batches(
+                        arrow_out(best_partial), batch_format="pandas"
+                    ),
+                    ["start"],
+                    best_final,
+                    num_partitions,
+                    batch_format="pandas",
+                ).materialize()
+            )
+
+    out = None
+    for t, fr in enumerate(frontiers):
+        step_ds = fr.map_batches(
+            lambda b, _t=t: pa.table(
+                {
+                    "start": b.column("start").cast(pa.int64()),
+                    "step": pa.array(
+                        np.full(b.num_rows, _t, dtype=np.int64), pa.int64()
+                    ),
+                    "node": b.column("node").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = step_ds if out is None else out.union(step_ds)
+    return out
+
+
 def walk_skipgram_pairs(
     edges,
     steps: int = 4,

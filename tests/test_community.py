@@ -172,6 +172,67 @@ class TestRandomWalks:
                 assert path[t] in adj[path[t - 1]]
 
 
+def _biased_ref(adj, steps):
+    import hashlib
+
+    def key(cur, t, n, w):
+        h = int.from_bytes(
+            hashlib.md5(f"{cur}|{t}|{n}".encode()).digest()[:8], "big"
+        )
+        return -math.log((float(h) + 0.5) / 2.0**64) / w
+
+    out = []
+    for v in sorted(adj):
+        prev, cur = None, v
+        out.append((v, 0, v))
+        for t in range(steps):
+            best, bk = None, None
+            for n in sorted(adj[cur]):
+                if prev is None:
+                    w = 1.0
+                elif n == prev:
+                    w = 0.25
+                elif n in adj[prev]:
+                    w = 1.0
+                else:
+                    w = 0.5
+                k = key(cur, t, n, w)
+                if bk is None or k < bk or (k == bk and n < best):
+                    best, bk = n, k
+            prev, cur = cur, best
+            out.append((v, t + 1, cur))
+    return sorted(out)
+
+
+class TestBiasedWalks:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import biased_walks
+
+        edges = _random_edges(13)
+        _, adj = _ref_graph(edges)
+        got = sorted(
+            (int(r["start"]), int(r["step"]), int(r["node"]))
+            for r in biased_walks(_edge_ds(edges), steps=3, plan=plan).take_all()
+        )
+        assert got == _biased_ref(adj, 3)
+
+    def test_return_discouraged_on_path(self):
+        """On a path graph the ONLY way back is the prev node: from an
+        interior node, the walk prefers the outward neighbor in
+        aggregate — verify the exact rule, not a statistic: wherever
+        the reference picks the non-prev neighbor, so does the op."""
+        from docstrange_ray.ops.community import biased_walks
+
+        edges = [(i, i + 1) for i in range(12)]
+        _, adj = _ref_graph(edges)
+        got = sorted(
+            (int(r["start"]), int(r["step"]), int(r["node"]))
+            for r in biased_walks(_edge_ds(edges), steps=4).take_all()
+        )
+        assert got == _biased_ref(adj, 4)
+
+
 class TestNeighborhoodFeatures:
     @pytest.mark.parametrize("plan", ["broadcast", "join"])
     def test_equals_reference(self, plan):

@@ -1718,6 +1718,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return neighborhood_features(copurchase_path_edges(sf_dir))
 
+    def copurchase_edge_sim_q(sf_dir):
+        """Per-edge structural similarity (community.edge_structural_
+        sim — Satuluri et al. SIGMOD'11 local sparsification): for
+        every co-purchase edge, the exact common-neighbor count
+        (= triangles through the edge, via the degree-oriented wedge
+        probe at scale), the endpoint-excluded union size, and their
+        round6 Jaccard — keep-top-per-node on this is the curation
+        prune that preserves communities while dropping noise edges."""
+        from docstrange_ray.ops.community import edge_structural_sim
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return edge_structural_sim(copurchase_path_edges(sf_dir))
+
     def copurchase_biased_walks_q(sf_dir):
         """Second-order node2vec walks (p=4 return-discouraging, q=2
         locally-exploring — community.biased_walks): biased moves via
@@ -3652,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_walks": copurchase_walks_q,
         "copurchase_walk_pairs": copurchase_walk_pairs_q,
         "copurchase_biased_walks": copurchase_biased_walks_q,
+        "copurchase_edge_sim": copurchase_edge_sim_q,
         "copurchase_neighbor_feats": copurchase_neighbor_feats_q,
         "copurchase_centrality": copurchase_centrality_q,
         "copurchase_components": copurchase_components,
@@ -4870,6 +4884,30 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_walks": _walks_oracle(steps=4),
         "copurchase_walk_pairs": _walk_pairs_oracle(steps=4, window=2),
         "copurchase_biased_walks": _biased_walks_oracle(steps=4),
+        "copurchase_edge_sim": _CP_SYM_HEAD + """
+            , cm AS MATERIALIZED (
+                SELECT u.a, u.b, COUNT(*) AS c
+                FROM ue u
+                JOIN e na ON na.src = u.a
+                JOIN e nb ON nb.src = u.b AND nb.dst = na.dst
+                GROUP BY 1, 2
+            ), dg AS MATERIALIZED (
+                SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1
+            )
+            SELECT u.a, u.b,
+                   CAST(COALESCE(cm.c, 0) AS BIGINT) AS common,
+                   CAST(da.d + db.d - 2 - COALESCE(cm.c, 0) AS BIGINT)
+                       AS union_size,
+                   CASE WHEN da.d + db.d - 2 - COALESCE(cm.c, 0) = 0
+                        THEN NULL
+                        ELSE ROUND(CAST(COALESCE(cm.c, 0) AS DOUBLE)
+                                   / (da.d + db.d - 2 - COALESCE(cm.c, 0)),
+                                   6) END AS sim
+            FROM ue u
+            JOIN dg da ON da.node = u.a
+            JOIN dg db ON db.node = u.b
+            LEFT JOIN cm ON cm.a = u.a AND cm.b = u.b
+        """,
         # GraphSAGE neighborhood sums: deg, 1-hop and 2-hop
         # path-counted degree aggregates over the symmetric co-purchase
         # graph — exact integers, two chained join-aggregates

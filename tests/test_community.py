@@ -172,6 +172,45 @@ class TestRandomWalks:
                 assert path[t] in adj[path[t - 1]]
 
 
+class TestEdgeStructuralSim:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        from docstrange_ray.ops.community import edge_structural_sim
+
+        edges = _random_edges(2, n_nodes=25, n_edges=80)
+        ue, adj = _ref_graph(edges)
+        ref = {}
+        for a, b in sorted(ue):
+            common = len(adj[a] & adj[b])
+            union = (len(adj[a]) - 1) + (len(adj[b]) - 1) - common
+            sim = None if union == 0 else float(round6(common / union))
+            ref[(a, b)] = (common, union, sim)
+        got = {}
+        for r in edge_structural_sim(_edge_ds(edges), plan=plan).take_all():
+            s = r["sim"]
+            if s is not None and np.isnan(s):
+                s = None
+            got[(int(r["a"]), int(r["b"]))] = (
+                int(r["common"]), int(r["union_size"]), s,
+            )
+        assert got == ref
+
+    def test_triangle_and_pendant(self):
+        """Triangle 0-1-2 plus pendant 2-3: triangle edges have one
+        common neighbor and union 1 (sim 1.0 for edge 0-1); the
+        pendant edge has none (union = deg(2)-1 = 2, sim 0)."""
+        from docstrange_ray.ops.community import edge_structural_sim
+
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        got = {
+            (r["a"], r["b"]): (r["common"], r["union_size"], r["sim"])
+            for r in edge_structural_sim(_edge_ds(edges)).take_all()
+        }
+        assert got[(0, 1)] == (1, 1, 1.0)
+        assert got[(2, 3)] == (0, 2, 0.0)
+        assert got[(0, 2)] == (1, 2, 0.5)
+
+
 def _biased_ref(adj, steps):
     import hashlib
 

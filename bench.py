@@ -232,6 +232,8 @@ OP_GROUPS: list[list[str]] = [
         "part_rules",
         "event_transitions",
         "tfidf_cosine_pairs",
+        "copurchase_biased_walks",
+        "copurchase_edge_sim",
     ],
 ]
 

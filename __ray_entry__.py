@@ -1707,6 +1707,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return random_walks(copurchase_path_edges(sf_dir), steps=4)
 
+    def copurchase_walk_negatives_q(sf_dir):
+        """Negative samples for the skip-gram walk corpus (community.
+        walk_negative_samples) — the third leg of the SGNS training
+        handoff: 2 draws per (center, context) pair from the DEGREE
+        distribution via deterministic inverse-CDF (md5 % total_degree
+        into cumulative-degree intervals; exponent-1 weighting keeps
+        it exact-integer, the documented smoothing seam). The scale
+        plan distributes the CDF over node-range buckets with only the
+        bucket bases on the driver. Oracle = walk-pair chain + window
+        cumulative sums + a range join."""
+        from docstrange_ray.ops.community import walk_negative_samples
+        from docstrange_ray.ops.graph import copurchase_path_edges
+
+        return walk_negative_samples(
+            copurchase_path_edges(sf_dir), steps=4, window=2, k_neg=2
+        )
+
     def copurchase_neighbor_feats_q(sf_dir):
         """GraphSAGE-style neighborhood aggregation (community.
         neighborhood_features): per part, exact int64 degree, 1-hop
@@ -3666,6 +3683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_walk_pairs": copurchase_walk_pairs_q,
         "copurchase_biased_walks": copurchase_biased_walks_q,
         "copurchase_edge_sim": copurchase_edge_sim_q,
+        "copurchase_walk_negatives": copurchase_walk_negatives_q,
         "copurchase_neighbor_feats": copurchase_neighbor_feats_q,
         "copurchase_centrality": copurchase_centrality_q,
         "copurchase_components": copurchase_components,
@@ -4283,6 +4301,43 @@ def _walks_oracle(steps: int = 4) -> str:
     return _walks_chain(steps) + "\n        SELECT start, step, node FROM w"
 
 
+def _walk_negatives_oracle(
+    steps: int = 4, window: int = 2, k_neg: int = 2
+) -> str:
+    """Mirror of ops.community.walk_negative_samples: the walk-pair
+    chain, the node-ordered cumulative-degree table (window prefix
+    sums), and the deterministic inverse-CDF draw md5_key52(
+    "center|context|k") % total joined into its [lo, lo+d) interval."""
+    ks = ", ".join(str(i) for i in range(k_neg))
+    return _walks_chain(steps) + f""", prs AS MATERIALIZED (
+            SELECT w1.node AS center, w2.node AS context
+            FROM w w1 JOIN w w2 ON w1.start = w2.start
+                 AND ABS(w1.step - w2.step) BETWEEN 1 AND {window}
+            GROUP BY 1, 2
+        ), dg AS MATERIALIZED (
+            SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1
+        ), cum AS MATERIALIZED (
+            SELECT node, d,
+                   COALESCE(SUM(d) OVER (ORDER BY node
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS lo
+            FROM dg
+        ), tot AS (
+            SELECT SUM(d) AS t FROM dg
+        ), dr AS (
+            SELECT center, context, k,
+                   ('0x' || substr(md5(
+                       CAST(center AS VARCHAR) || '|'
+                       || CAST(context AS VARCHAR) || '|'
+                       || CAST(k AS VARCHAR)), 1, 13))::BIGINT
+                   % (SELECT t FROM tot) AS u
+            FROM prs, (SELECT UNNEST([{ks}]) AS k)
+        )
+        SELECT d.center, d.context, CAST(d.k AS BIGINT) AS k,
+               c.node AS negative
+        FROM dr d JOIN cum c ON d.u >= c.lo AND d.u < c.lo + c.d"""
+
+
 def _biased_walks_oracle(steps: int = 4) -> str:
     """Unrolled mirror of ops.community.biased_walks (node2vec p=4,
     q=2): the move key is the deterministic exponential race
@@ -4883,6 +4938,9 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_modularity": _modularity_oracle(rounds=4),
         "copurchase_walks": _walks_oracle(steps=4),
         "copurchase_walk_pairs": _walk_pairs_oracle(steps=4, window=2),
+        "copurchase_walk_negatives": _walk_negatives_oracle(
+            steps=4, window=2, k_neg=2
+        ),
         "copurchase_biased_walks": _biased_walks_oracle(steps=4),
         "copurchase_edge_sim": _CP_SYM_HEAD + """
             , cm AS MATERIALIZED (

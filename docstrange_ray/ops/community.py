@@ -1384,6 +1384,279 @@ def walk_skipgram_pairs(
     )
 
 
+def walk_negative_samples(
+    edges,
+    steps: int = 4,
+    window: int = 2,
+    k_neg: int = 2,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Negative samples for the skip-gram walk corpus — the third leg
+    of the embedding-training handoff (pairs + counts + NEGATIVES =
+    what an SGNS trainer consumes): for every (center, context) pair
+    of :func:`walk_skipgram_pairs`, draw ``k_neg`` nodes from the
+    DEGREE distribution by deterministic inverse-CDF: u_k =
+    md5_key52("center|context|k") % total_degree indexes the node
+    whose cumulative-degree interval [lo, lo + deg) contains it.
+    Everything is exact integers (word2vec's degree^0.75 smoothing is
+    deliberately replaced by exponent 1 — the integer-exact choice;
+    the smoothing seam is this function's weight column), so the draw
+    is a pure function of the edge set and the SQL mirror is a range
+    join against the windowed cumulative table. A draw may collide
+    with the pair's own nodes (kept — resampling would make the spec
+    arrival-order-dependent; SGNS tolerates it). Returns
+    Dataset[(center, context, k, negative)].
+
+    Plans: below ``broadcast_node_limit`` nodes the cumulative table
+    ships once via ray.put and each draw is a block-local
+    searchsorted. Above it, only the occupied node-range buckets'
+    cumulative BASES broadcast (one value per range — bounded);
+    interval rows co-partition by bucket, each draw routes to its
+    bucket by base search, and ONE bucket-keyed exchange joins draws
+    to intervals — the distributed inverse-CDF."""
+    import ray
+
+    from docstrange_ray.shuffle import arrow_out, grouped_blocks
+
+    pairs = walk_skipgram_pairs(edges, steps, window, num_partitions, plan)
+    deg = degree_table(
+        undirected_edges(edges, num_partitions), num_partitions
+    ).materialize()
+    n_nodes = deg.count()
+    empty = pa.table(
+        {
+            "center": pa.array([], pa.int64()),
+            "context": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "negative": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    # cumulative-degree table: node-ascending, lo = prefix sum — the
+    # inverse-CDF support. Node-scale; the broadcast gate bounds the
+    # driver copy, the bucket plan never materializes it centrally.
+    def draws_of(center: np.ndarray, context: np.ndarray, total: int):
+        rows = []
+        for c_, x_ in zip(center, context):
+            for k in range(k_neg):
+                rows.append(
+                    (
+                        int(c_),
+                        int(x_),
+                        k,
+                        md5_key52(f"{int(c_)}|{int(x_)}|{k}") % total,
+                    )
+                )
+        return rows
+
+    if plan == "broadcast":
+        rows = sorted(
+            ((int(r["node"]), int(r["deg"])) for r in deg.take_all())
+        )
+        nodes_arr = np.array([n for n, _ in rows], dtype=np.int64)
+        degs_arr = np.array([d for _, d in rows], dtype=np.int64)
+        lo = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(degs_arr[:-1], out=lo[1:])
+        total = int(degs_arr.sum())
+        ref = ray.put((nodes_arr, lo, total))
+
+        def sample(batch: pa.Table, _ref=ref) -> pd.DataFrame:
+            nodes_, lo_, total_ = ray.get(_ref)
+            c = batch.column("center").to_numpy(zero_copy_only=False)
+            x = batch.column("context").to_numpy(zero_copy_only=False)
+            rows_ = draws_of(c, x, total_)
+            if not rows_:
+                return pd.DataFrame(
+                    {
+                        "center": pd.Series([], dtype=np.int64),
+                        "context": pd.Series([], dtype=np.int64),
+                        "k": pd.Series([], dtype=np.int64),
+                        "negative": pd.Series([], dtype=np.int64),
+                    }
+                )
+            arr = np.array(rows_, dtype=np.int64)
+            idx = np.searchsorted(lo_, arr[:, 3], side="right") - 1
+            return pd.DataFrame(
+                {
+                    "center": arr[:, 0],
+                    "context": arr[:, 1],
+                    "k": arr[:, 2],
+                    "negative": nodes_[idx],
+                }
+            )
+
+        return pairs.map_batches(arrow_out(sample), batch_format="pyarrow")
+
+    # ---- bucket (scale) plan ----
+    # One pass builds per-node intervals DISTRIBUTED: the prefix sum
+    # needs a global order, so reuse the exact global-rank machinery:
+    # here node-scale is modest enough that a single-exchange ordinal
+    # prefix is computed per bucket after an interval exchange. The
+    # boundaries (n_buckets quantile cut points of cumulative mass)
+    # are derived from per-node degree partials — fixed-size driver
+    # state.
+    rows = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "deg": b.column("deg").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # node-ordered prefix sums need a total order; bucketing must be
+    # CONTIGUOUS in that order (node % k would interleave ranges), so
+    # buckets are node-value ranges (node >> 16). One exchange gives
+    # each bucket its internal prefix; only the bucket TOTALS (one row
+    # per occupied range) come to the driver to offset them.
+    SHIFT = 16
+
+    def range_partial(batch: pa.Table) -> pd.DataFrame:
+        n = batch.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = batch.column("deg").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {"bucket": n >> SHIFT, "node": n, "deg": d}
+        )
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False)["deg"].sum()
+        return g.astype({"bucket": np.int64, "deg": np.int64})
+
+    btotals = (
+        grouped_blocks(
+            rows.map_batches(arrow_out(range_partial), batch_format="pyarrow"),
+            ["bucket"],
+            bucket_sum,
+            num_partitions,
+            batch_format="pandas",
+        ).take_all()
+    )  # bounded: one row per occupied node-range bucket
+    btotals = sorted((int(r["bucket"]), int(r["deg"])) for r in btotals)
+    boundaries = {}
+    acc = 0
+    for bk, d in btotals:
+        boundaries[bk] = acc
+        acc += d
+    total = acc
+    b_ref = ray.put(boundaries)
+
+    def interval_rows(df: pd.DataFrame, _ref=b_ref) -> pd.DataFrame:
+        base = ray.get(_ref)
+        out = []
+        for bk, g in df.groupby("bucket", sort=True):
+            g = g.sort_values("node")
+            d = g["deg"].to_numpy(np.int64)
+            lo_ = np.zeros(len(g), dtype=np.int64)
+            np.cumsum(d[:-1], out=lo_[1:])
+            lo_ += base[int(bk)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "bucket": np.full(len(g), int(bk), dtype=np.int64),
+                        "node": g["node"].to_numpy(np.int64),
+                        "lo": lo_,
+                        "hi": lo_ + d,
+                        "kind": np.full(len(g), 1, dtype=np.int8),
+                        "center": np.zeros(len(g), dtype=np.int64),
+                        "context": np.zeros(len(g), dtype=np.int64),
+                        "k": np.zeros(len(g), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    intervals = grouped_blocks(
+        rows.map_batches(arrow_out(range_partial), batch_format="pyarrow"),
+        ["bucket"],
+        interval_rows,
+        num_partitions,
+        batch_format="pandas",
+    )
+
+    bounds_sorted = sorted(boundaries.items())
+    bkeys = np.array([b for b, _ in bounds_sorted], dtype=np.int64)
+    bbases = np.array([v for _, v in bounds_sorted], dtype=np.int64)
+    bl_ref = ray.put((bkeys, bbases, total))
+
+    def draw_rows(batch: pa.Table, _ref=bl_ref) -> pd.DataFrame:
+        bk_, bb_, total_ = ray.get(_ref)
+        c = batch.column("center").to_numpy(zero_copy_only=False)
+        x = batch.column("context").to_numpy(zero_copy_only=False)
+        rows_ = draws_of(c, x, total_)
+        if not rows_:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "node": pd.Series([], dtype=np.int64),
+                    "lo": pd.Series([], dtype=np.int64),
+                    "hi": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=np.int8),
+                    "center": pd.Series([], dtype=np.int64),
+                    "context": pd.Series([], dtype=np.int64),
+                    "k": pd.Series([], dtype=np.int64),
+                }
+            )
+        arr = np.array(rows_, dtype=np.int64)
+        u = arr[:, 3]
+        # route the draw to the bucket whose base range covers u
+        bidx = np.searchsorted(bb_, u, side="right") - 1
+        return pd.DataFrame(
+            {
+                "bucket": bk_[bidx],
+                "node": np.zeros(len(arr), dtype=np.int64),
+                "lo": u,  # the draw value rides in 'lo'
+                "hi": np.zeros(len(arr), dtype=np.int64),
+                "kind": np.zeros(len(arr), dtype=np.int8),
+                "center": arr[:, 0],
+                "context": arr[:, 1],
+                "k": arr[:, 2],
+            }
+        )
+
+    tagged = intervals.union(
+        pairs.map_batches(arrow_out(draw_rows), batch_format="pyarrow")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        iv = df[df["kind"] == 1].sort_values("lo")
+        dr = df[df["kind"] == 0]
+        if dr.empty or iv.empty:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series([], dtype=np.int64),
+                    "context": pd.Series([], dtype=np.int64),
+                    "k": pd.Series([], dtype=np.int64),
+                    "negative": pd.Series([], dtype=np.int64),
+                }
+            )
+        lo_ = iv["lo"].to_numpy(np.int64)
+        nodes_ = iv["node"].to_numpy(np.int64)
+        u = dr["lo"].to_numpy(np.int64)
+        idx = np.searchsorted(lo_, u, side="right") - 1
+        return pd.DataFrame(
+            {
+                "center": dr["center"].to_numpy(np.int64),
+                "context": dr["context"].to_numpy(np.int64),
+                "k": dr["k"].to_numpy(np.int64),
+                "negative": nodes_[idx],
+            }
+        )
+
+    return grouped_blocks(
+        tagged, ["bucket"], resolve, num_partitions, batch_format="pandas"
+    )
+
+
 def harmonic_centrality(
     edges,
     k_seeds: int = 4,

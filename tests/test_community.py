@@ -340,6 +340,69 @@ class TestWalkSkipgramPairs:
         assert got == ref
 
 
+class TestWalkNegativeSamples:
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_inverse_cdf_reference(self, plan):
+        """Every draw lands in the correct cumulative-degree interval;
+        sparse node ids (up to 2e5) exercise the range-bucket CDF of
+        the scale plan."""
+        from docstrange_ray.ops.community import (
+            walk_negative_samples,
+            walk_skipgram_pairs,
+        )
+
+        rng = np.random.RandomState(4)
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.randint(0, 200000, 100), rng.randint(0, 200000, 100)
+            )
+        ]
+        _, adj = _ref_graph(edges)
+        deg = {v: len(adj[v]) for v in adj}
+        nodes = sorted(deg)
+        lo, acc = {}, 0
+        for v in nodes:
+            lo[v] = acc
+            acc += deg[v]
+        pairs = {
+            (int(r["center"]), int(r["context"]))
+            for r in walk_skipgram_pairs(
+                _edge_ds(edges), steps=3, window=2
+            ).take_all()
+        }
+        ref = {}
+        for c, x in pairs:
+            for k in range(2):
+                u = md5_key52(f"{c}|{x}|{k}") % acc
+                for v in nodes:
+                    if lo[v] <= u < lo[v] + deg[v]:
+                        ref[(c, x, k)] = v
+                        break
+        got = {
+            (int(r["center"]), int(r["context"]), int(r["k"])): int(
+                r["negative"]
+            )
+            for r in walk_negative_samples(
+                _edge_ds(edges), steps=3, window=2, k_neg=2, plan=plan
+            ).take_all()
+        }
+        assert got == ref
+
+    def test_degree_bias(self):
+        """A star graph: the hub holds half the total degree, so about
+        half the draws must be the hub (exact fraction = deterministic
+        given the md5 chain; assert a broad band, not a statistic)."""
+        from docstrange_ray.ops.community import walk_negative_samples
+
+        edges = [(0, i) for i in range(1, 21)]
+        rows = walk_negative_samples(
+            _edge_ds(edges), steps=2, window=1, k_neg=2
+        ).take_all()
+        frac_hub = sum(1 for r in rows if int(r["negative"]) == 0) / len(rows)
+        assert 0.3 < frac_hub < 0.7
+
+
 def _harm_ref(adj, k, hops):
     seeds = sorted(adj, key=lambda v: (md5_key52(str(v)), v))[:k]
     L = math.lcm(*range(1, hops + 1))

@@ -234,6 +234,7 @@ OP_GROUPS: list[list[str]] = [
         "tfidf_cosine_pairs",
         "copurchase_biased_walks",
         "copurchase_edge_sim",
+        "copurchase_walk_negatives",
     ],
 ]
 

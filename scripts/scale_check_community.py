@@ -141,6 +141,28 @@ def run(n: int) -> dict:
             lambda: pagerank(g, iterations=5, plan="join",
                              teleport=[0, 10, 20]),
         )
+    if _want("biased"):
+        from docstrange_ray.ops.community import biased_walks
+
+        res["biased"] = timed(
+            "biased_walks[join]", n,
+            lambda: biased_walks(g, steps=3, plan="join"),
+        )
+    if _want("negatives"):
+        from docstrange_ray.ops.community import walk_negative_samples
+
+        res["negatives"] = timed(
+            "walk_negatives[join]", n,
+            lambda: walk_negative_samples(g, steps=3, window=2,
+                                          k_neg=2, plan="join"),
+        )
+    if _want("edgesim"):
+        from docstrange_ray.ops.community import edge_structural_sim
+
+        res["edgesim"] = timed(
+            "edge_structural_sim[join]", n,
+            lambda: edge_structural_sim(g, plan="join"),
+        )
     if _want("split"):
         docs = synth_docs(n).materialize()
         res["split"] = timed(

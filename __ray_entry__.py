@@ -1684,6 +1684,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return label_propagation(copurchase_path_edges(sf_dir), rounds=4)
 
+    def copurchase_communities_weighted_q(sf_dir):
+        """WEIGHTED label propagation (community.label_propagation,
+        weighted=True): votes are co-purchase-count sums instead of
+        neighbor counts, so a pair bought together often pulls labels
+        harder than a one-off — the weighted variant real co-purchase
+        clustering wants. Weight aggregation (count per unordered
+        pair, both directions emitted) is the caller's, mirroring the
+        weighted-pagerank contract; exact int64 vote sums keep both
+        plans bit-identical to the unrolled SUM(w) oracle."""
+        from docstrange_ray.ops.community import label_propagation
+        from docstrange_ray.ops.graph import copurchase_path_edges
+        from docstrange_ray.shuffle import grouped_blocks
+
+        edges = copurchase_path_edges(sf_dir)
+
+        def weigh(df):
+            g = df.groupby(["src", "dst"], as_index=False).size()
+            g.columns = ["src", "dst", "w"]
+            return g.astype({"w": np.int64})
+
+        wed = grouped_blocks(
+            edges, ["src", "dst"], weigh, batch_format="pandas"
+        )
+
+        def both(batch):
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate([s, d]).astype(np.int64), pa.int64()
+                    ),
+                    "dst": pa.array(
+                        np.concatenate([d, s]).astype(np.int64), pa.int64()
+                    ),
+                    "w": pa.array(
+                        np.concatenate([w, w]).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        wedges = wed.map_batches(both, batch_format="pyarrow")
+        return label_propagation(wedges, rounds=4, weighted=True)
+
     def copurchase_modularity_q(sf_dir):
         """Newman modularity of the 4-round label-propagation partition
         (community.modularity_stats): exact int64 sufficient stats
@@ -3678,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_ppr": copurchase_ppr_q,
         "purchase_hits": purchase_hits_q,
         "copurchase_communities": copurchase_communities_q,
+        "copurchase_communities_weighted": copurchase_communities_weighted_q,
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
         "copurchase_walk_pairs": copurchase_walk_pairs_q,
@@ -4235,6 +4281,47 @@ def _communities_oracle(rounds: int = 4) -> str:
         + _lpa_chain(rounds)
         + f"\n        SELECT node, lab AS label FROM l{rounds}"
     )
+
+
+def _communities_weighted_oracle(rounds: int = 4) -> str:
+    """Weighted-LPA mirror: e carries w = co-purchase count per
+    unordered pair (both directions), votes are SUM(e.w)."""
+    sql = """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ), sq AS (
+            SELECT ok, p,
+                   ROW_NUMBER() OVER (PARTITION BY ok ORDER BY p) AS rn
+            FROM op
+        ), e0 AS (
+            SELECT s1.p AS x, s2.p AS y
+            FROM sq s1 JOIN sq s2 ON s1.ok = s2.ok AND s2.rn = s1.rn + 1
+        ), uw AS MATERIALIZED (
+            SELECT x AS a, y AS b, COUNT(*) AS w FROM e0 GROUP BY 1, 2
+        ), e AS MATERIALIZED (
+            SELECT a AS src, b AS dst, w FROM uw
+            UNION ALL
+            SELECT b, a, w FROM uw
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM e
+        ), l0 AS MATERIALIZED (
+            SELECT node, node AS lab FROM nodes
+        )"""
+    for i in range(1, rounds + 1):
+        sql += f""", c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, p.lab, SUM(e.w) AS c
+            FROM e JOIN l{i - 1} p ON p.node = e.src
+            GROUP BY 1, 2
+        ), l{i} AS MATERIALIZED (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab
+                       ) AS rn
+                FROM c{i}
+            ) WHERE rn = 1
+        )"""
+    return sql + f"\n        SELECT node, lab AS label FROM l{rounds}"
 
 
 def _modularity_oracle(rounds: int = 4) -> str:
@@ -4935,6 +5022,9 @@ def oracle_sql() -> dict[str, str]:
             + '\n        SELECT node, CAST(r AS BIGINT) AS "rank" FROM r5'
         ),
         "copurchase_communities": _communities_oracle(rounds=4),
+        "copurchase_communities_weighted": _communities_weighted_oracle(
+            rounds=4
+        ),
         "copurchase_modularity": _modularity_oracle(rounds=4),
         "copurchase_walks": _walks_oracle(steps=4),
         "copurchase_walk_pairs": _walk_pairs_oracle(steps=4, window=2),

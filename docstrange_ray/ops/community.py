@@ -83,6 +83,7 @@ def label_propagation(
     num_partitions=None,
     plan: str = "auto",
     broadcast_node_limit: int = 2_000_000,
+    weighted: bool = False,
 ):
     """Semi-synchronous label propagation (Raghavan et al. 2007, made
     deterministic): every node starts as its own label; each round,
@@ -101,15 +102,45 @@ def label_propagation(
     node-keyed exchange combines counts and argmaxes — label state
     never leaves the cluster. Skew: a hot node's incident edges
     pre-reduce to at most (distinct neighbor labels) rows per batch
-    before either exchange."""
+    before either exchange.
+
+    ``weighted=True``: votes are edge-weight SUMS instead of counts —
+    the caller provides ``edges`` already as the SYMMETRIC DISTINCT
+    weighted table (src, dst, w int64), the pagerank(weighted=...)
+    contract (per-edge weight aggregation is the caller's); argmax tie
+    stays (weight DESC, label ASC), so determinism is unchanged."""
     import ray
 
     from docstrange_ray.shuffle import arrow_out, grouped_blocks, hash_join
 
-    sym = symmetric_edges(edges, num_partitions).materialize()
-    deg = degree_table(
-        undirected_edges(edges, num_partitions), num_partitions
-    ).materialize()
+    if weighted:
+        sym = edges.materialize()  # caller contract: symmetric distinct + w
+
+        def node_partial(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": np.unique(
+                        batch.column("src").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                }
+            )
+
+        from docstrange_ray.shuffle import grouped_blocks as _gb
+
+        deg = _gb(
+            sym.map_batches(
+                arrow_out(node_partial), batch_format="pyarrow"
+            ),
+            ["node"],
+            lambda df: df.drop_duplicates(),
+            num_partitions,
+            batch_format="pandas",
+        ).materialize()
+    else:
+        sym = symmetric_edges(edges, num_partitions).materialize()
+        deg = degree_table(
+            undirected_edges(edges, num_partitions), num_partitions
+        ).materialize()
     n_nodes = deg.count()
     empty = pa.table(
         {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
@@ -133,12 +164,19 @@ def label_propagation(
                 lab = np.fromiter(
                     (lm[int(s)] for s in src), dtype=np.int64, count=len(src)
                 )
+                if weighted:
+                    v = batch.column("w").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                else:
+                    v = np.ones(len(src), dtype=np.int64)
                 g = (
-                    pd.DataFrame({"node": dst.astype(np.int64), "lab": lab})
-                    .groupby(["node", "lab"], as_index=False)
-                    .size()
+                    pd.DataFrame(
+                        {"node": dst.astype(np.int64), "lab": lab, "c": v}
+                    )
+                    .groupby(["node", "lab"], as_index=False)["c"]
+                    .sum()
                 )
-                g.columns = ["node", "lab", "c"]
                 return g
 
             new = grouped_blocks(
@@ -172,22 +210,36 @@ def label_propagation(
         batch_format="pyarrow",
     ).materialize()
     for _ in range(rounds):
-        attached = hash_join(
-            sym.map_batches(
+        if weighted:
+            edge_side = sym.map_batches(
+                lambda t: t.rename_columns(["node", "dst", "w"]),
+                batch_format="pyarrow",
+            )
+        else:
+            edge_side = sym.map_batches(
                 lambda t: t.rename_columns(["node", "dst"]),
                 batch_format="pyarrow",
-            ),
+            )
+        attached = hash_join(
+            edge_side,
             lab_ds,
             key="node",
             num_partitions=num_partitions,
         )
 
         def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-            g = (
-                df.groupby(["dst", "lab"], as_index=False)
-                .size()
-                .rename(columns={"dst": "node", "size": "c"})
-            )
+            if weighted:
+                g = (
+                    df.groupby(["dst", "lab"], as_index=False)["w"]
+                    .sum()
+                    .rename(columns={"dst": "node", "w": "c"})
+                )
+            else:
+                g = (
+                    df.groupby(["dst", "lab"], as_index=False)
+                    .size()
+                    .rename(columns={"dst": "node", "size": "c"})
+                )
             return pd.DataFrame(
                 {
                     "node": g["node"].to_numpy(np.int64),

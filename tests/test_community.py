@@ -92,6 +92,44 @@ class TestLabelPropagation:
 
         assert label_propagation(_edge_ds([(5, 5)])).count() == 0
 
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_weighted_votes(self, plan):
+        """Node 2 has TWO unit-weight neighbors labeled {0, 1} but one
+        weight-5 neighbor labeled 9: weighted LPA must elect 9 where
+        unweighted elects min(0, 1). Caller supplies the symmetric
+        weighted table (the pagerank weighted contract)."""
+        import pyarrow as pa
+
+        import ray.data
+
+        from docstrange_ray.ops.community import label_propagation
+
+        trip = [(0, 2, 1), (1, 2, 1), (9, 2, 5)]
+        rows = trip + [(b, a, w) for a, b, w in trip]
+        wedges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _, _ in rows], pa.int64()),
+                    "dst": pa.array([b for _, b, _ in rows], pa.int64()),
+                    "w": pa.array([w for _, _, w in rows], pa.int64()),
+                }
+            )
+        ).repartition(2)
+        got = {
+            int(r["node"]): int(r["label"])
+            for r in label_propagation(
+                wedges, rounds=1, plan=plan, weighted=True
+            ).take_all()
+        }
+        assert got[2] == 9
+        unw = {
+            int(r["node"]): int(r["label"])
+            for r in label_propagation(
+                _edge_ds([(0, 2), (1, 2), (9, 2)]), rounds=1
+            ).take_all()
+        }
+        assert unw[2] == 0
+
 
 class TestModularity:
     @pytest.mark.parametrize("plan", ["broadcast", "join"])

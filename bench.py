@@ -222,6 +222,7 @@ OP_GROUPS: list[list[str]] = [
         "copurchase_cheapest",
         "copurchase_assortativity",
         "copurchase_communities",
+        "copurchase_communities_weighted",
         "copurchase_modularity",
         "copurchase_walk_pairs",
         "copurchase_centrality",

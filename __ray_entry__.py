@@ -1684,16 +1684,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return label_propagation(copurchase_path_edges(sf_dir), rounds=4)
 
-    def copurchase_communities_weighted_q(sf_dir):
-        """WEIGHTED label propagation (community.label_propagation,
-        weighted=True): votes are co-purchase-count sums instead of
-        neighbor counts, so a pair bought together often pulls labels
-        harder than a one-off — the weighted variant real co-purchase
-        clustering wants. Weight aggregation (count per unordered
-        pair, both directions emitted) is the caller's, mirroring the
-        weighted-pagerank contract; exact int64 vote sums keep both
-        plans bit-identical to the unrolled SUM(w) oracle."""
-        from docstrange_ray.ops.community import label_propagation
+    def _copurchase_wedges(sf_dir):
+        """Symmetric weighted co-purchase table (src, dst, w) — w =
+        consecutive-pair count per unordered pair, both directions
+        emitted: the caller-side weight aggregation the weighted
+        LPA/modularity contract expects."""
         from docstrange_ray.ops.graph import copurchase_path_edges
         from docstrange_ray.shuffle import grouped_blocks
 
@@ -1726,8 +1721,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        wedges = wed.map_batches(both, batch_format="pyarrow")
-        return label_propagation(wedges, rounds=4, weighted=True)
+        return wed.map_batches(both, batch_format="pyarrow")
+
+    def copurchase_communities_weighted_q(sf_dir):
+        """WEIGHTED label propagation (community.label_propagation,
+        weighted=True): votes are co-purchase-count sums instead of
+        neighbor counts, so a pair bought together often pulls labels
+        harder than a one-off — the weighted variant real co-purchase
+        clustering wants. Weight aggregation (count per unordered
+        pair, both directions emitted) is the caller's, mirroring the
+        weighted-pagerank contract; exact int64 vote sums keep both
+        plans bit-identical to the unrolled SUM(w) oracle."""
+        from docstrange_ray.ops.community import label_propagation
+
+        return label_propagation(
+            _copurchase_wedges(sf_dir), rounds=4, weighted=True
+        )
+
+    def copurchase_modularity_weighted_q(sf_dir):
+        """Weighted Newman modularity (community.
+        modularity_stats_weighted, Newman 2004) of the weighted-LPA
+        partition: W / intra-weight / strength-sum squares as exact
+        int64 (symmetric sums halved), one mirrored double expression
+        — the quality gate for the weighted community structure."""
+        from docstrange_ray.ops.community import modularity_stats_weighted
+
+        return modularity_stats_weighted(_copurchase_wedges(sf_dir), rounds=4)
 
     def copurchase_modularity_q(sf_dir):
         """Newman modularity of the 4-round label-propagation partition
@@ -3724,6 +3743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_hits": purchase_hits_q,
         "copurchase_communities": copurchase_communities_q,
         "copurchase_communities_weighted": copurchase_communities_weighted_q,
+        "copurchase_modularity_weighted": copurchase_modularity_weighted_q,
         "copurchase_modularity": copurchase_modularity_q,
         "copurchase_walks": copurchase_walks_q,
         "copurchase_walk_pairs": copurchase_walk_pairs_q,
@@ -4322,6 +4342,36 @@ def _communities_weighted_oracle(rounds: int = 4) -> str:
             ) WHERE rn = 1
         )"""
     return sql + f"\n        SELECT node, lab AS label FROM l{rounds}"
+
+
+def _modularity_weighted_oracle(rounds: int = 4) -> str:
+    """Weighted-modularity mirror: W / intra / sum_sc2 from the
+    weighted chain (strength = SUM w per node), the same double
+    expression as community.modularity_stats_weighted.finalize_row."""
+    chain = _communities_weighted_oracle(rounds)
+    # reuse the weighted head+chain text up to (not incl.) the final
+    # SELECT, then append the stats tail
+    head = chain.rsplit("SELECT node, lab AS label", 1)[0]
+    return head + f""", st AS (
+            SELECT (SELECT SUM(w) FROM uw) AS wt,
+                   (SELECT SUM(u.w)
+                    FROM uw u
+                    JOIN l{rounds} x ON x.node = u.a
+                    JOIN l{rounds} y ON y.node = u.b
+                    WHERE x.lab = y.lab) AS intra,
+                   (SELECT SUM(sc * sc) FROM (
+                        SELECT SUM(s.s) AS sc
+                        FROM l{rounds} l
+                        JOIN (SELECT src AS node, SUM(w) AS s
+                              FROM e GROUP BY 1) s ON s.node = l.node
+                        GROUP BY l.lab)) AS ssc2
+        )
+        SELECT CAST(wt AS BIGINT) AS w_total,
+               CAST(COALESCE(intra, 0) AS BIGINT) AS intra_weight,
+               CAST(ssc2 AS BIGINT) AS sum_sc2,
+               ROUND((4.0 * wt * COALESCE(intra, 0) - CAST(ssc2 AS DOUBLE))
+                     / (4.0 * wt * wt), 6) AS modularity
+        FROM st"""
 
 
 def _modularity_oracle(rounds: int = 4) -> str:
@@ -5023,6 +5073,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "copurchase_communities": _communities_oracle(rounds=4),
         "copurchase_communities_weighted": _communities_weighted_oracle(
+            rounds=4
+        ),
+        "copurchase_modularity_weighted": _modularity_weighted_oracle(
             rounds=4
         ),
         "copurchase_modularity": _modularity_oracle(rounds=4),

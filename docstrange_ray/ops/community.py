@@ -617,6 +617,230 @@ def neighborhood_features(
     )
 
 
+def modularity_stats_weighted(
+    wedges,
+    rounds: int = 4,
+    num_partitions=None,
+    plan: str = "auto",
+    broadcast_node_limit: int = 2_000_000,
+):
+    """Weighted Newman modularity of the WEIGHTED label-propagation
+    partition (Newman 2004, "Analysis of weighted networks"): with
+    W = total undirected weight, intra = within-community weight and
+    S_c = community strength sums (strength = weighted degree),
+
+        Q = intra/W - sum_c S_c^2 / (4 W^2)
+          = (4*W*intra - sum_sc2) / (4*W^2)
+
+    — the same expression shape as the unweighted op with weight sums
+    replacing counts, evaluated from exact int64 sums over the
+    SYMMETRIC caller-aggregated table (src, dst, w — the
+    label_propagation(weighted=True) contract; symmetric sums are
+    halved, exact since every undirected pair appears twice). One row
+    out: (w_total, intra_weight, sum_sc2, modularity).
+
+    Plans: 'broadcast' ships the label map once and derives strength/
+    S_c from node-scale driver tables (gated); 'join' attaches labels
+    to both endpoints with two co-partition joins and computes S_c via
+    one label-keyed exchange over the label-attached strength table."""
+    import ray
+
+    from docstrange_ray.shuffle import (
+        arrow_out,
+        coalesced_blocks,
+        grouped_blocks,
+        hash_join,
+    )
+
+    labels = label_propagation(
+        wedges, rounds, num_partitions, plan, broadcast_node_limit,
+        weighted=True,
+    ).materialize()
+    sym = wedges.materialize()
+    n_nodes = labels.count()
+
+    def finalize_row(w_total: int, intra: int, sum_sc2: int) -> pd.DataFrame:
+        q = (
+            None
+            if w_total == 0
+            else float(
+                round6(
+                    (4.0 * w_total * intra - float(sum_sc2))
+                    / (4.0 * w_total * w_total)
+                )
+            )
+        )
+        return pd.DataFrame(
+            {
+                "w_total": pd.Series([w_total], dtype=np.int64),
+                "intra_weight": pd.Series([intra], dtype=np.int64),
+                "sum_sc2": pd.Series([sum_sc2], dtype=np.int64),
+                "modularity": pd.Series([q], dtype=np.float64),
+            }
+        )
+
+    # strength = weighted degree, from the symmetric table (one
+    # pre-reduced node exchange)
+    def s_partial(batch: pa.Table) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "node": batch.column("src")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "s": batch.column("w")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby("node", as_index=False)["s"]
+            .sum()
+        )
+        return g
+
+    def s_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["s"].sum()
+
+    strength = grouped_blocks(
+        sym.map_batches(arrow_out(s_partial), batch_format="pyarrow"),
+        ["node"],
+        s_final,
+        num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    if plan == "auto":
+        plan = "broadcast" if n_nodes <= broadcast_node_limit else "join"
+
+    if plan == "broadcast":
+        lmap = {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+        sc: dict[int, int] = {}
+        for r in strength.take_all():  # node-scale, gated
+            lab = lmap[int(r["node"])]
+            sc[lab] = sc.get(lab, 0) + int(r["s"])
+        sum_sc2 = sum(v * v for v in sc.values())
+        l_ref = ray.put(lmap)
+
+        def partial(batch: pa.Table, _ref=l_ref) -> pd.DataFrame:
+            lm = ray.get(_ref)
+            s_ = batch.column("src").to_numpy(zero_copy_only=False)
+            d_ = batch.column("dst").to_numpy(zero_copy_only=False)
+            w_ = batch.column("w").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            same = np.fromiter(
+                (lm[int(a)] == lm[int(b)] for a, b in zip(s_, d_)),
+                dtype=bool,
+                count=len(s_),
+            )
+            return pd.DataFrame(
+                {
+                    "w2": pd.Series([int(w_.sum())], dtype=np.int64),
+                    "i2": pd.Series([int(w_[same].sum())], dtype=np.int64),
+                }
+            )
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            w2 = int(df["w2"].sum())
+            i2 = int(df["i2"].sum())
+            return finalize_row(w2 // 2, i2 // 2, sum_sc2)
+
+        partials = sym.map_batches(arrow_out(partial), batch_format="pyarrow")
+        return coalesced_blocks(partials, final)
+
+    # ---- join (scale) plan ----
+    lab_a = labels.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "la": b.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    lab_b = labels.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "lb": b.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    e_a = hash_join(
+        sym.map_batches(
+            lambda t: t.rename_columns(["node", "dst", "w"]),
+            batch_format="pyarrow",
+        ),
+        lab_a,
+        key="node",
+        num_partitions=num_partitions,
+    ).map_batches(
+        arrow_out(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["dst"].to_numpy(np.int64),
+                    "w": df["w"].to_numpy(np.int64),
+                    "la": df["la"].to_numpy(np.int64),
+                }
+            )
+        ),
+        batch_format="pandas",
+    ).materialize()
+    e_ab = hash_join(e_a, lab_b, key="node", num_partitions=num_partitions)
+
+    def intra_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w_ = df["w"].to_numpy(np.int64)
+        same = df["la"].to_numpy() == df["lb"].to_numpy()
+        return pd.DataFrame(
+            {
+                "w2": pd.Series([int(w_.sum())], dtype=np.int64),
+                "i2": pd.Series([int(w_[same].sum())], dtype=np.int64),
+                "sc2": pd.Series([0], dtype=np.int64),
+            }
+        )
+
+    sl = hash_join(strength, lab_a, key="node", num_partitions=num_partitions)
+
+    def sc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("la", as_index=False)["s"].sum()
+        return pd.DataFrame(
+            {"la": g["la"].to_numpy(np.int64), "scs": g["s"].to_numpy(np.int64)}
+        )
+
+    def sc_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("la", as_index=False)["scs"].sum()
+        v = g["scs"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "w2": pd.Series([0], dtype=np.int64),
+                "i2": pd.Series([0], dtype=np.int64),
+                "sc2": pd.Series([int((v * v).sum())], dtype=np.int64),
+            }
+        )
+
+    parts = e_ab.map_batches(
+        arrow_out(intra_partial), batch_format="pandas"
+    ).union(
+        grouped_blocks(
+            sl.map_batches(arrow_out(sc_partial), batch_format="pandas"),
+            ["la"],
+            sc_final,
+            num_partitions,
+            batch_format="pandas",
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return finalize_row(
+            int(df["w2"].sum()) // 2,
+            int(df["i2"].sum()) // 2,
+            int(df["sc2"].sum()),
+        )
+
+    return coalesced_blocks(parts, final)
+
+
 def _hop_hash(cur: int, step: int, nxt: int) -> int:
     return md5_key52(f"{cur}|{step}|{nxt}")
 

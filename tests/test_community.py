@@ -168,6 +168,82 @@ class TestModularity:
         assert row.modularity == pytest.approx(0.5, abs=0)
 
 
+class TestWeightedModularity:
+    def _wedges(self, trips, parts=3):
+        import ray.data
+
+        rows = trips + [(b, a, w) for a, b, w in trips]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _, _ in rows], pa.int64()),
+                    "dst": pa.array([b for _, b, _ in rows], pa.int64()),
+                    "w": pa.array([w for _, _, w in rows], pa.int64()),
+                }
+            )
+        ).repartition(parts)
+
+    @pytest.mark.parametrize("plan", ["broadcast", "join"])
+    def test_equals_reference(self, plan):
+        """Weighted LPA + weighted Newman Q vs an independent dict/
+        loop mirror over a random weighted graph."""
+        from docstrange_ray.ops.community import modularity_stats_weighted
+
+        rng = np.random.RandomState(6)
+        trips = sorted(
+            {
+                (min(int(a), int(b)), max(int(a), int(b)))
+                for a, b in zip(rng.randint(0, 20, 50), rng.randint(0, 20, 50))
+                if a != b
+            }
+        )
+        trips = [(a, b, 1 + (a + b) % 5) for a, b in trips]
+        adj: dict = {}
+        wmap: dict = {}
+        for a, b, w in trips:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            wmap[(a, b)] = w
+        # weighted LPA reference (3 rounds)
+        lab = {v: v for v in adj}
+        for _ in range(3):
+            new = {}
+            for v in adj:
+                votes: dict = {}
+                for n in adj[v]:
+                    w = wmap[(min(v, n), max(v, n))]
+                    votes[lab[n]] = votes.get(lab[n], 0) + w
+                new[v] = sorted(
+                    votes.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0][0]
+            lab = new
+        W = sum(w for _, _, w in trips)
+        intra = sum(w for a, b, w in trips if lab[a] == lab[b])
+        strength = {
+            v: sum(
+                wmap[(min(v, n), max(v, n))] for n in adj[v]
+            )
+            for v in adj
+        }
+        sc: dict = {}
+        for v in adj:
+            sc[lab[v]] = sc.get(lab[v], 0) + strength[v]
+        ssc2 = sum(x * x for x in sc.values())
+        q = float(round6((4.0 * W * intra - float(ssc2)) / (4.0 * W * W)))
+
+        row = (
+            modularity_stats_weighted(self._wedges(trips), rounds=3, plan=plan)
+            .to_pandas()
+            .iloc[0]
+        )
+        assert (
+            int(row.w_total),
+            int(row.intra_weight),
+            int(row.sum_sc2),
+        ) == (W, intra, ssc2)
+        assert row.modularity == pytest.approx(q, abs=0)
+
+
 def _walks_ref(adj, steps):
     out = []
     for v in adj:

@@ -223,6 +223,7 @@ OP_GROUPS: list[list[str]] = [
         "copurchase_assortativity",
         "copurchase_communities",
         "copurchase_communities_weighted",
+        "copurchase_modularity_weighted",
         "copurchase_modularity",
         "copurchase_walk_pairs",
         "copurchase_centrality",
